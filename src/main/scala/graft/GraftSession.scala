@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for the graft engine.
+  *
+  * Scale notes (local[32] here; design target is a 1000-executor cluster):
+  *  - shuffle.partitions is sized for local mode; on a cluster this comes from
+  *    AQE (`spark.sql.adaptive.coalescePartitions.enabled`) which is on.
+  *  - `nanosAsLong` keeps int64-ns parquet timestamps as LongType — the engine
+  *    is ns-exact everywhere (reference include/hta/chrono.hpp:38); Spark's
+  *    TimestampType is µs and would silently round boundary semantics.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

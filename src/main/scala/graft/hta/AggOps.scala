@@ -1,0 +1,176 @@
+package graft.hta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The HTA aggregation algebra, expressed as Catalyst column expressions so
+  * every operator stays inside whole-stage codegen and benefits from Spark's
+  * partial (map-side) aggregation.
+  *
+  * Semantics derived from the reference (metricq/hta):
+  *  - Aggregate is a commutative monoid `(min,max,sum,count,integral,active_time)`
+  *    under element-wise merge                      [src/aggregate.cpp:50-59]
+  *  - identity = (+inf, -inf, 0, 0, 0, 0)           [include/hta/types.hpp:64-70]
+  *  - point lift under LAST semantics: a sample `v` with preceding gap `d`
+  *    covers `(t-d, t]` and lifts to `(v,v,v,1,v*d,d)`  [src/aggregate.cpp:37-41]
+  *  - a gap that crosses interval boundaries is split: the head segment (the
+  *    one containing the point) carries `count=1, sum=v`; every other crossed
+  *    segment contributes `(v,v,0,0,v*len,len)`     [src/metric.cpp:541-548]
+  *
+  * All time arithmetic is int64 ticks (the reference uses nanoseconds; any
+  * fixed tick unit works as long as it is used consistently).
+  */
+object AggOps {
+
+  /** Floor division for Longs as a Column — unlike SQL `div` this rounds
+    * toward negative infinity, matching the reference's pre-epoch handling
+    * (src/storage/file/metric.cpp:389-459 special-cases negative offsets). */
+  def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+  def floorDiv(a: Column, b: Long): Column = floorDiv(a, lit(b)).cast("long")
+
+  /** interval_begin(t, d) = t - (t mod+ d) (include/hta/types.hpp:144-149). */
+  def intervalBegin(t: Column, d: Long): Column = t - pmod(t, lit(d))
+
+  /** interval_end(t, d) = interval_begin(t, d) + d (include/hta/types.hpp:151-154). */
+  def intervalEnd(t: Column, d: Long): Column = intervalBegin(t, d) + lit(d)
+
+  /** A2 gap lift: adds `prev_time` = previous sample's time within the metric
+    * (the very first sample gets prev_time = its own time, i.e. gap 0 — the
+    * reference initialises the open interval at the first point,
+    * src/metric.cpp:533-537).
+    *
+    * Scale: one shuffle on `metric` (window partition). At 100 TB this is the
+    * single unavoidable shuffle of ingest; everything downstream reuses it.
+    * Skew note: if one metric dominates, pre-split it by time range and stitch
+    * the single boundary gap on the driver.
+    */
+  def gapLift(points: DataFrame,
+              metric: String = "metric",
+              time: String = "time"): DataFrame = {
+    val w = Window.partitionBy(metric).orderBy(time)
+    points.withColumn("prev_time", coalesce(lag(col(time), 1).over(w), col(time)))
+  }
+
+  /** A3 boundary split: explode each sample's covering gap `(prev_time, time]`
+    * into per-bucket segments of the epoch-aligned grid of width `interval`.
+    *
+    * Output columns added: `bucket` (= floorDiv(segment time, interval)),
+    * `seg_len` (ticks of the gap inside that bucket), `is_home` (this bucket
+    * contains the point itself → carries count/sum).
+    *
+    * Requires `prev_time` (from [[gapLift]]). A sample whose gap spans k
+    * buckets produces k rows — identical to the k closed-interval
+    * contributions the reference writes (src/metric.cpp:541-556).
+    */
+  def boundarySplit(lifted: DataFrame, interval: Long,
+                    time: String = "time"): DataFrame = {
+    val t = col(time)
+    val b0 = floorDiv(col("prev_time"), interval)
+    val bk = floorDiv(t, interval)
+    lifted
+      .withColumn("bucket", explode(sequence(b0, bk)))
+      .withColumn("seg_len",
+        least(t, (col("bucket") + 1) * interval) -
+          greatest(col("prev_time"), col("bucket") * interval))
+      .withColumn("is_home", col("bucket") === bk)
+  }
+
+  /** A1 monoid merge as aggregation columns over segment rows produced by
+    * [[boundarySplit]] (value column `v`, flags `is_home`, lengths `seg_len`).
+    * Yields the six Aggregate fields in canonical order. */
+  def segmentAggCols(v: Column): Seq[Column] = Seq(
+    min(v).as("minimum"),
+    max(v).as("maximum"),
+    sum(when(col("is_home"), v).otherwise(lit(0.0))).as("sum"),
+    sum(when(col("is_home"), 1L).otherwise(0L)).as("count"),
+    sum(v * col("seg_len").cast("double")).as("integral"),
+    sum(col("seg_len")).as("active_time")
+  )
+
+  /** A1 monoid merge of already-aggregated rows (e.g. level k → level k+1):
+    * element-wise min/max/+/+/+/+ (src/aggregate.cpp:50-59). */
+  def mergeAggCols: Seq[Column] = Seq(
+    min("minimum").as("minimum"),
+    max("maximum").as("maximum"),
+    sum("sum").as("sum"),
+    sum("count").as("count"),
+    sum("integral").as("integral"),
+    sum("active_time").as("active_time")
+  )
+
+  /** Identity element of the Aggregate monoid (include/hta/types.hpp:64-70):
+    * queries over empty ranges must return ±inf min/max. */
+  def identityAggCols: Seq[Column] = Seq(
+    lit(Double.PositiveInfinity).as("minimum"),
+    lit(Double.NegativeInfinity).as("maximum"),
+    lit(0.0).as("sum"),
+    lit(0L).as("count"),
+    lit(0.0).as("integral"),
+    lit(0L).as("active_time")
+  )
+
+  /** A10 derived means (include/hta/types.hpp:72-89). */
+  def withMeans(df: DataFrame): DataFrame = df
+    .withColumn("mean_sum", col("sum") / col("count"))
+    .withColumn("mean_integral", col("integral") / col("active_time"))
+    .withColumn("mean",
+      when(col("active_time") > 0, col("integral") / col("active_time"))
+        .otherwise(col("sum") / col("count")))
+
+  /** A4 tumbling-window level build directly from raw points.
+    *
+    * Produces one row per CLOSED interval of width `interval`, per metric —
+    * exactly the rows the reference's ingest cascade persists to the level
+    * file (src/metric.cpp:510-560): dense buckets from the first point's
+    * bucket up to (but excluding) the bucket containing the last point.
+    *
+    * `points` must have (metric, time, value). Output:
+    * (metric, time, minimum, maximum, sum, count, integral, active_time)
+    * with `time` = interval start.
+    *
+    * Scale: shuffle on metric (gap lift) then partial-aggregated shuffle on
+    * (metric, bucket); both grids are epoch-aligned so every level build is an
+    * independent, embarrassingly parallel job — no sequential cascade.
+    */
+  def levelBuild(points: DataFrame, interval: Long,
+                 metric: String = "metric",
+                 time: String = "time",
+                 value: String = "value"): DataFrame = {
+    val lifted = gapLift(points, metric, time)
+    levelBuildFromLifted(lifted, interval, metric, time, value)
+  }
+
+  /** [[levelBuild]] on a pre-lifted frame (lets ingest reuse one gapLift
+    * shuffle across all levels). */
+  def levelBuildFromLifted(lifted: DataFrame, interval: Long,
+                           metric: String = "metric",
+                           time: String = "time",
+                           value: String = "value"): DataFrame = {
+    val wAll = Window.partitionBy(metric)
+    val segs = boundarySplit(
+      lifted.withColumn("_last_time", max(col(time)).over(wAll)),
+      interval, time)
+      // only CLOSED intervals: the bucket holding the last point is still open
+      .where(col("bucket") < floorDiv(col("_last_time"), interval))
+    segs
+      .groupBy(col(metric).as("metric"), (col("bucket") * interval).as("time"))
+      .agg(segmentAggCols(col(value)).head, segmentAggCols(col(value)).tail: _*)
+  }
+
+  /** A5 hierarchical rollup: merge level-k rows into closed level-(k+1) rows.
+    * `level` must be a levelBuild output at `childInterval`;
+    * `parentInterval = childInterval * factor`.
+    * A parent interval is closed iff its children run to its end
+    * (src/metric.cpp:576-603: the child whose end == parent end closes it). */
+  def rollup(level: DataFrame, childInterval: Long, parentInterval: Long): DataFrame = {
+    require(parentInterval % childInterval == 0)
+    val wAll = Window.partitionBy("metric")
+    level
+      .withColumn("_last_end", max(col("time")).over(wAll) + childInterval)
+      .withColumn("bucket", floorDiv(col("time"), parentInterval))
+      .where((col("bucket") + 1) * parentInterval <= col("_last_end"))
+      .groupBy(col("metric"), (col("bucket") * parentInterval).as("time"))
+      .agg(mergeAggCols.head, mergeAggCols.tail: _*)
+  }
+}

@@ -1,0 +1,176 @@
+package graft.hta
+
+import graft.model.{IntervalScope, Meta, Scope}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The HTA query surface: raw retrieval (Q1), exact range aggregate (A6),
+  * count/last/range (A7/O2/O3) and smoothing (A9). Multi-metric by design —
+  * every operator processes all metrics in one distributed plan, where the
+  * reference runs per-metric method calls.
+  */
+object Queries {
+  import AggOps._
+
+  /** Q1 — scoped raw retrieval (src/metric.cpp:101-110). */
+  def retrieveRaw(points: DataFrame, begin: Long, end: Long,
+                  scope: IntervalScope = IntervalScope.rawDefault): DataFrame =
+    Scoped.scopedRange(points, begin, end, scope)
+
+  /** A7 — scoped count per metric (src/metric.cpp:233-243). Row-count of the
+    * scoped range; at scale this answers from parquet row-group metadata for
+    * closed/open scopes since the predicate is pushdown-only. */
+  def countRange(points: DataFrame, begin: Long, end: Long,
+                 scope: IntervalScope = IntervalScope.rawDefault): DataFrame =
+    Scoped.scopedRange(points, begin, end, scope)
+      .groupBy("metric").agg(count(lit(1)).as("n"))
+
+  /** O2 — last sample per metric (src/storage/file/metric.cpp:497-505). */
+  def last(points: DataFrame): DataFrame =
+    points.groupBy("metric")
+      .agg(max("time").as("time"), max_by(col("value"), col("time")).as("value"))
+
+  /** O3 — (first, last) timestamp per metric (src/storage/file/metric.cpp:507-515). */
+  def rangeBounds(points: DataFrame): DataFrame =
+    points.groupBy("metric")
+      .agg(min("time").as("first_time"), max("time").as("last_time"))
+
+  /** A6 — exact range aggregate, correctness tier (src/metric.cpp:160-231):
+    * clamp [begin,end] to each metric's data range, fold raw points under
+    * last semantics with both partial edges; disjoint metrics yield the
+    * monoid identity (±inf min/max). One distributed plan for all metrics.
+    *
+    * Postcondition (asserted by the reference and by our tests):
+    * active_time == clamped end - clamped begin.
+    */
+  def aggregateRange(points: DataFrame, begin: Long, end: Long): DataFrame = {
+    require(begin < end, s"invalid request: begin $begin >= end $end")
+    val bounds = points.groupBy("metric")
+      .agg(min("time").as("_first"), max("time").as("_last"))
+
+    // Clamp per metric (src/metric.cpp:179-181); overlap test :169-175.
+    val joined = points.join(broadcast(bounds), Seq("metric"))
+      .where(lit(end) > col("_first") && lit(begin) <= col("_last"))
+      .withColumn("_b", greatest(lit(begin), col("_first")))
+      .withColumn("_e", least(lit(end), col("_last")))
+
+    // aggregate_raw with scope (closed, extended) on the clamped range
+    // (src/metric.cpp:112-137): points in [_b, _e) plus the first point >= _e.
+    val wAll = Window.partitionBy("metric")
+    val scoped = joined
+      .withColumn("_min_ge_e", min(when(col("time") >= col("_e"), col("time"))).over(wAll))
+      .where(col("time") >= col("_b") &&
+        (col("time") < col("_e") || col("time") === col("_min_ge_e")))
+
+    val wOrd = Window.partitionBy("metric").orderBy("time")
+    val contrib = scoped
+      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), col("_b")))
+      .withColumn("_gap",
+        when(col("time") < col("_e"), col("time") - col("_prev"))
+          .otherwise(col("_e") - col("_prev"))) // partial edge :121-129
+      .withColumn("_in", col("time") < col("_e"))
+
+    val agg = contrib.groupBy("metric").agg(
+      min("value").as("minimum"),
+      max("value").as("maximum"),
+      sum(when(col("_in"), col("value")).otherwise(0.0)).as("sum"),
+      sum(when(col("_in"), 1L).otherwise(0L)).as("count"),
+      sum(col("value") * col("_gap").cast("double")).as("integral"),
+      sum("_gap").as("active_time"))
+
+    // Metrics with no overlap return the identity aggregate (:169-175).
+    bounds.select("metric").join(agg, Seq("metric"), "left").select(
+      col("metric"),
+      coalesce(col("minimum"), lit(Double.PositiveInfinity)).as("minimum"),
+      coalesce(col("maximum"), lit(Double.NegativeInfinity)).as("maximum"),
+      coalesce(col("sum"), lit(0.0)).as("sum"),
+      coalesce(col("count"), lit(0L)).as("count"),
+      coalesce(col("integral"), lit(0.0)).as("integral"),
+      coalesce(col("active_time"), lit(0L)).as("active_time"))
+  }
+
+  /** A9 (level form) — positional smoothing: compact each run of
+    * `factor` consecutive level rows into one, keyed by position in the
+    * result, NOT by epoch alignment (convert_timeaggregates_to_rows,
+    * src/metric.cpp:313-354: chunks start at the first returned row).
+    * Output keeps the first row's time per chunk and the input interval. */
+  def smoothLevelRows(levelRows: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    if (factor == 1) levelRows
+    else {
+      val w = Window.partitionBy("metric").orderBy("time")
+      levelRows
+        .withColumn("_chunk", floor((row_number().over(w) - 1) / factor))
+        .groupBy(col("metric"), col("_chunk"))
+        .agg(min("time").as("time"), mergeAggCols: _*)
+        .drop("_chunk")
+    }
+  }
+
+  /** A9 (raw form) — convert_timevalues_smooth (src/metric.cpp:259-311):
+    * build rows of width `interval` aligned at `begin` (not at the epoch!)
+    * directly from scoped raw points, threading gaps under last semantics.
+    * Quirks faithfully kept:
+    *  - points before `begin` only seed the gap (no contribution);
+    *  - the first gap is NOT clipped at `begin` when a pre-begin point exists;
+    *  - the first point >= `end` contributes count=0 partials clipped at `end`;
+    *  - rows stop after the last contributing point.
+    *
+    * `scopedPoints` is the result of [[retrieveRaw]] with the caller's scope.
+    */
+  def smoothRaw(scopedPoints: DataFrame, begin: Long, end: Long,
+                interval: Long): DataFrame = {
+    val wOrd = Window.partitionBy("metric").orderBy("time")
+    val wAll = Window.partitionBy("metric")
+    val t = col("time")
+
+    val lifted = scopedPoints
+      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), least(lit(begin), t)))
+      // only the FIRST point at/after end contributes (the loop stops there)
+      .withColumn("_min_ge_e", min(when(t >= end, t)).over(wAll))
+      .where(t < end || t === col("_min_ge_e"))
+      // cap each contribution at `end` (current_end = min(bucket end, end))
+      .withColumn("_stop", least(t, lit(end)))
+      .withColumn("_in", t < end)
+
+    // points entirely before `begin` contribute nothing (pre-loop skip) but
+    // already seeded the next point's _prev via lag above
+    val contributing = lifted.where(t >= begin)
+
+    val k0 = greatest(lit(0L), floorDiv(col("_prev") - begin, interval))
+    // last bucket touched: the point's own window if in range, else the
+    // window containing end-1 (partials run up to `end`)
+    val klast = when(col("_in"), floorDiv(t - begin, interval))
+      .otherwise(floorDiv(lit(end - 1) - begin, interval))
+    val segs = contributing
+      .withColumn("_klast", klast)
+      .withColumn("_k0", k0)
+      .withColumn("_k", explode(sequence(col("_k0"), greatest(col("_k0"), col("_klast")))))
+      .withColumn("_seg_start",
+        when(col("_k") === col("_k0"), col("_prev"))
+          .otherwise(lit(begin) + col("_k") * interval))
+      .withColumn("_seg_end", least(col("_stop"), lit(begin) + (col("_k") + 1) * interval))
+      .withColumn("seg_len", greatest(lit(0L), col("_seg_end") - col("_seg_start")))
+      .withColumn("is_home", col("_in") && col("_k") === col("_klast"))
+      .where(col("seg_len") > 0 || col("is_home"))
+
+    segs.groupBy(col("metric"), (lit(begin) + col("_k") * interval).as("time"))
+      .agg(segmentAggCols(col("value")).head, segmentAggCols(col("value")).tail: _*)
+      .withColumn("interval", lit(interval))
+  }
+
+  /** Q3 — lift raw points to Row form: interval 0, aggregate of (v, gap to
+    * previous returned point; first point gap 0) (src/metric.cpp:414-439). */
+  def rawToRows(scopedPoints: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("time")
+    scopedPoints
+      .withColumn("_prev", coalesce(lag("time", 1).over(w), col("time")))
+      .select(
+        col("metric"), lit(0L).as("interval"), col("time"),
+        col("value").as("minimum"), col("value").as("maximum"),
+        col("value").as("sum"), lit(1L).as("count"),
+        (col("value") * (col("time") - col("_prev")).cast("double")).as("integral"),
+        (col("time") - col("_prev")).as("active_time"))
+  }
+}

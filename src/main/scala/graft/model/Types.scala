@@ -45,6 +45,7 @@ object Scope {
     case "open" => Open
     case "extended" => Extended
     case "infinity" => Infinity
+    case other => throw new IllegalArgumentException(s"unknown scope: $other")
   }
   def name(s: Scope): String = s match {
     case Closed => "closed"
@@ -56,8 +57,14 @@ object Scope {
 
 final case class IntervalScope(begin: Scope, end: Scope)
 object IntervalScope {
-  /** Default retrieval scope of the reference (types.hpp:137-141). */
-  val default: IntervalScope = IntervalScope(Scope.Closed, Scope.Extended)
+  /** Default of the reference's Row-returning retrieve()/retrieve_flex()
+    * (metric.hpp:126-134). */
+  val retrieveDefault: IntervalScope = IntervalScope(Scope.Extended, Scope.Open)
+  /** Default of raw TimeValue retrieve() and count() (metric.hpp:129-130,139-140);
+    * also the scope aggregate_raw uses internally (metric.cpp:116). */
+  val rawDefault: IntervalScope = IntervalScope(Scope.Closed, Scope.Extended)
+  /** Scope of closed-interval level reads in aggregate_interval (metric.cpp:147). */
+  val levelRun: IntervalScope = IntervalScope(Scope.Closed, Scope.Open)
 }
 
 /** Per-metric aggregation parameters (reference include/hta/meta.hpp:41-54,
@@ -67,6 +74,8 @@ final case class Meta(
     intervalMin: Long = 10L * 1000000000L,
     intervalMax: Long = 365L * 24L * 3600L * 1000000000L,
     intervalFactor: Long = 10L) {
+  require(intervalFactor >= 2,
+    s"interval_factor must be >= 2, got $intervalFactor")
   require(intervalMin > 0, s"interval_min must be positive, got $intervalMin")
   require(intervalMin % intervalFactor == 0,
     s"interval_min ($intervalMin) must be divisible by interval_factor ($intervalFactor)")
