@@ -23,13 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object AggOps {
 
-  /** Floor division for Longs as a Column — unlike SQL `div` this rounds
-    * toward negative infinity, matching the reference's pre-epoch handling
-    * (src/storage/file/metric.cpp:389-459 special-cases negative offsets). */
-  def floorDiv(a: Column, b: Column): Column = (a - pmod(a, b)) / b
-  def floorDiv(a: Column, b: Long): Column = floorDiv(a, lit(b)).cast("long")
-
-  /** interval_begin(t, d) = t - (t mod+ d) (include/hta/types.hpp:144-149). */
+  /** interval_begin(t, d) = t - (t mod+ d) (include/hta/types.hpp:144-149).
+    * Pure long arithmetic — ns epochs (~1.7e18) exceed double's 2^53 exact
+    * range, so any float division here would corrupt bucket assignment. */
   def intervalBegin(t: Column, d: Long): Column = t - pmod(t, lit(d))
 
   /** interval_end(t, d) = interval_begin(t, d) + d (include/hta/types.hpp:151-154). */
@@ -55,25 +51,26 @@ object AggOps {
   /** A3 boundary split: explode each sample's covering gap `(prev_time, time]`
     * into per-bucket segments of the epoch-aligned grid of width `interval`.
     *
-    * Output columns added: `bucket` (= floorDiv(segment time, interval)),
+    * Output columns added: `bstart` (interval start time of the segment),
     * `seg_len` (ticks of the gap inside that bucket), `is_home` (this bucket
     * contains the point itself → carries count/sum).
     *
     * Requires `prev_time` (from [[gapLift]]). A sample whose gap spans k
     * buckets produces k rows — identical to the k closed-interval
     * contributions the reference writes (src/metric.cpp:541-556).
+    * All arithmetic stays in the long domain (ns exactness, see above).
     */
   def boundarySplit(lifted: DataFrame, interval: Long,
                     time: String = "time"): DataFrame = {
     val t = col(time)
-    val b0 = floorDiv(col("prev_time"), interval)
-    val bk = floorDiv(t, interval)
+    val s0 = intervalBegin(col("prev_time"), interval)
+    val sk = intervalBegin(t, interval)
     lifted
-      .withColumn("bucket", explode(sequence(b0, bk)))
+      .withColumn("bstart", explode(sequence(s0, sk, lit(interval))))
       .withColumn("seg_len",
-        least(t, (col("bucket") + 1) * interval) -
-          greatest(col("prev_time"), col("bucket") * interval))
-      .withColumn("is_home", col("bucket") === bk)
+        least(t, col("bstart") + interval) -
+          greatest(col("prev_time"), col("bstart")))
+      .withColumn("is_home", col("bstart") === sk)
   }
 
   /** A1 monoid merge as aggregation columns over segment rows produced by
@@ -141,6 +138,10 @@ object AggOps {
     levelBuildFromLifted(lifted, interval, metric, time, value)
   }
 
+  /** Convenience: the canonical output column set of a level row. */
+  val levelCols: Seq[String] =
+    Seq("metric", "time", "minimum", "maximum", "sum", "count", "integral", "active_time")
+
   /** [[levelBuild]] on a pre-lifted frame (lets ingest reuse one gapLift
     * shuffle across all levels). */
   def levelBuildFromLifted(lifted: DataFrame, interval: Long,
@@ -152,9 +153,9 @@ object AggOps {
       lifted.withColumn("_last_time", max(col(time)).over(wAll)),
       interval, time)
       // only CLOSED intervals: the bucket holding the last point is still open
-      .where(col("bucket") < floorDiv(col("_last_time"), interval))
+      .where(col("bstart") < intervalBegin(col("_last_time"), interval))
     segs
-      .groupBy(col(metric).as("metric"), (col("bucket") * interval).as("time"))
+      .groupBy(col(metric).as("metric"), col("bstart").as("time"))
       .agg(segmentAggCols(col(value)).head, segmentAggCols(col(value)).tail: _*)
   }
 
@@ -168,9 +169,9 @@ object AggOps {
     val wAll = Window.partitionBy("metric")
     level
       .withColumn("_last_end", max(col("time")).over(wAll) + childInterval)
-      .withColumn("bucket", floorDiv(col("time"), parentInterval))
-      .where((col("bucket") + 1) * parentInterval <= col("_last_end"))
-      .groupBy(col("metric"), (col("bucket") * parentInterval).as("time"))
+      .withColumn("bstart", intervalBegin(col("time"), parentInterval))
+      .where(col("bstart") + parentInterval <= col("_last_end"))
+      .groupBy(col("metric"), col("bstart").as("time"))
       .agg(mergeAggCols.head, mergeAggCols.tail: _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.hta
 
 import graft.model.{IntervalScope, Meta, Scope}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
   import AggOps._
+
+  /** Driver-side floorMod-based align-down (Math.floorMod handles x<anchor). */
+  private def alignDownL(x: Long, anchor: Long, interval: Long): Long =
+    x - Math.floorMod(x - anchor, interval)
 
   /** Q1 — scoped raw retrieval (src/metric.cpp:101-110). */
   def retrieveRaw(points: DataFrame, begin: Long, end: Long,
@@ -138,24 +142,27 @@ object Queries {
     // already seeded the next point's _prev via lag above
     val contributing = lifted.where(t >= begin)
 
-    val k0 = greatest(lit(0L), floorDiv(col("_prev") - begin, interval))
-    // last bucket touched: the point's own window if in range, else the
+    // begin-anchored alignment in pure long arithmetic (ns-exact; float
+    // division at 1.7e18 ns magnitudes would mis-bucket):
+    // alignDown(x) = begin + floor((x-begin)/interval)*interval for x >= begin
+    def alignDown(x: Column): Column = x - pmod(x - begin, lit(interval))
+    val s0 = greatest(lit(begin), alignDown(col("_prev")))
+    // last window touched: the point's own window if in range, else the
     // window containing end-1 (partials run up to `end`)
-    val klast = when(col("_in"), floorDiv(t - begin, interval))
-      .otherwise(floorDiv(lit(end - 1) - begin, interval))
+    val sLast = when(col("_in"), alignDown(t)).otherwise(lit(alignDownL(end - 1, begin, interval)))
     val segs = contributing
-      .withColumn("_klast", klast)
-      .withColumn("_k0", k0)
-      .withColumn("_k", explode(sequence(col("_k0"), greatest(col("_k0"), col("_klast")))))
+      .withColumn("_slast", sLast)
+      .withColumn("_s0", s0)
+      .withColumn("_s",
+        explode(sequence(col("_s0"), greatest(col("_s0"), col("_slast")), lit(interval))))
       .withColumn("_seg_start",
-        when(col("_k") === col("_k0"), col("_prev"))
-          .otherwise(lit(begin) + col("_k") * interval))
-      .withColumn("_seg_end", least(col("_stop"), lit(begin) + (col("_k") + 1) * interval))
+        when(col("_s") === col("_s0"), col("_prev")).otherwise(col("_s")))
+      .withColumn("_seg_end", least(col("_stop"), col("_s") + interval))
       .withColumn("seg_len", greatest(lit(0L), col("_seg_end") - col("_seg_start")))
-      .withColumn("is_home", col("_in") && col("_k") === col("_klast"))
+      .withColumn("is_home", col("_in") && col("_s") === col("_slast"))
       .where(col("seg_len") > 0 || col("is_home"))
 
-    segs.groupBy(col("metric"), (lit(begin) + col("_k") * interval).as("time"))
+    segs.groupBy(col("metric"), col("_s").as("time"))
       .agg(segmentAggCols(col("value")).head, segmentAggCols(col("value")).tail: _*)
       .withColumn("interval", lit(interval))
   }

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Embeddings are quantized to an int grid (`round(x*10000)`) before any
+  * arithmetic: dot products and norms become exact 64-bit integer sums, so
+  * (a) results are bit-reproducible across engines/partitionings (the DuckDB
+  * oracle matches exactly — float summation order can never flip a rank),
+  * and (b) at 100 TB the narrow int64 math is cheaper than doubles.
+  *
+  * Tiers:
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
+  *    one scan of the corpus, per-query top-k via window. Linear in corpus.
+  *  - [[lshTopK]]: random-hyperplane LSH (Charikar '02) — corpus is bucketed
+  *    by sign-pattern of h deterministic hyperplanes; queries probe only
+  *    their own bucket (plus multiprobe neighbors at distance 1). Search cost
+  *    drops 2^h-fold at the recall cost LSH implies.
+  */
+object Ann {
+
+  val Q: Long = 10000L
+
+  /** embedding array<float> → array<long> quantized. */
+  def quantize(e: Column): Column =
+    transform(e, x => round(x.cast("double") * Q).cast("long"))
+
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def normQ(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x).cast("double"))
+
+  /** Exact cosine top-k for each query vector. `queries` and `corpus` both
+    * (id, embedding); queries assumed small → broadcast (no shuffle of the
+    * corpus at all; the only wide op is the per-query top-k window over
+    * corpus-partition-local candidates). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qe"))
+      .withColumn("qn", normQ(col("qe"))))
+    val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
+      .withColumn("vn", normQ(col("ve")))
+    val scored = c.join(q, col("qid") =!= col("vid"))
+      .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "vid", "rnk", "cosine")
+  }
+
+  /** All corpus pairs with cosine >= threshold (embedding near-dup dedup).
+    * Correctness tier is all-pairs; at scale route through [[lshBuckets]]
+    * first exactly like Dedup.lshCandidates. */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vid_a"), quantize(col("embedding")).as("ea"))
+      .withColumn("na", normQ(col("ea")))
+    val b = corpus.select(col("vec_id").as("vid_b"), quantize(col("embedding")).as("eb"))
+      .withColumn("nb", normQ(col("eb")))
+    a.join(b, col("vid_a") < col("vid_b"))
+      .withColumn("cosine", dotQ(col("ea"), col("eb")).cast("double") / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select("vid_a", "vid_b", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * zero-mean int derived from md5(p:j) — reproducible without a RNG. */
+  private def planeComponent(p: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$j".getBytes("UTF-8"))
+    (((hex(0) & 0xffL) << 8) | (hex(1) & 0xffL)) - 32768L
+  }
+
+  /** Sign-pattern bucket id of an embedding under `h` hyperplanes (dim
+    * components each). Pure column expression → computed at scan time. */
+  def lshBucket(e: Column, h: Int, dim: Int): Column =
+    (0 until h).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      when(dotQ(quantize(e), plane) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN via hyperplane-LSH buckets: queries join only their bucket.
+    * Multiprobe: each query also probes the h buckets at hamming distance 1,
+    * recovering most near-boundary misses. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              h: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
+      .withColumn("vn", normQ(col("ve")))
+      .withColumn("bucket", lshBucket(col("embedding"), h, dim))
+    val probes = (0 to h).map { i =>
+      if (i == 0) col("qb") else col("qb").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qe"),
+        lshBucket(col("embedding"), h, dim).as("qb"))
+      .withColumn("qn", normQ(col("qe")))
+      .withColumn("bucket", explode(array(probes: _*))))
+    val scored = c.join(q, Seq("bucket")).where(col("qid") =!= col("vid"))
+      .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "vid", "rnk", "cosine")
+  }
+}

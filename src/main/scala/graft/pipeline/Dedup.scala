@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines.
+  *
+  * Tiers (all shuffle-bucketed — nothing here ever does an O(n²) crossJoin,
+  * which at 100 TB / billions of docs is the difference between a job and a
+  * non-starter):
+  *  - exact: content-hash groupBy (one shuffle on a 16-byte key)
+  *  - near: MinHash-LSH (Broder '97 / Leskovec MMDS ch.3) — shingle →
+  *    signature → band buckets → within-bucket candidate pairs → exact
+  *    Jaccard verification. Cost: O(n·bands) shuffled rows; pair blowup is
+  *    bounded per bucket, and only candidates (a vanishing fraction) reach
+  *    the verify join.
+  *  - SimHash banding for hamming-distance blocking (see TextOps.simhash).
+  */
+object Dedup {
+
+  /** Exact duplicates: annotate every doc whose content hash collides.
+    * One shuffle on md5(text); at scale use this as the delete-list builder. */
+  def exactDupGroups(docs: DataFrame, text: String = "text"): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col(text)).as("content_hash"))
+    val groups = h.groupBy("content_hash").agg(count(lit(1)).as("group_size"))
+      .where(col("group_size") > 1)
+    // group table is tiny (only colliding hashes) → broadcast join back
+    h.join(broadcast(groups), Seq("content_hash"))
+      .select("doc_id", "content_hash", "group_size")
+  }
+
+  /** Word n-gram shingle set per document (distinct). */
+  def shingles(docs: DataFrame, n: Int = 3, text: String = "text"): DataFrame = {
+    val tk = TextOps.tokens(col(text))
+    val grams = transform(
+      sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
+    docs.select(col("doc_id"),
+      when(size(tk) >= n, array_distinct(grams))
+        .otherwise(array(col(text))).as("shingle_set"))
+  }
+
+  /** Deterministic universal-hash family over the 60-bit md5 token hash:
+    * h_i(x) = (a_i * (x mod P) + b_i) mod P, P = 2^31-1 (Carter-Wegman).
+    * Constants are fixed so signatures are reproducible run-to-run. */
+  val P: Long = 2147483647L
+  private val rng = {
+    // deterministic LCG-derived coefficients, no runtime randomness
+    val as = Iterator.iterate(1103515245L)(a => (a * 69069 + 1) & 0x7fffffffL)
+    as.filter(_ > 1).take(128).toVector
+  }
+  def hashCoef(i: Int): (Long, Long) = (rng(2 * i) | 1L, rng(2 * i + 1))
+
+  /** MinHash signatures: one row per doc, `sig` = array of numHashes minima.
+    * Implemented as explode(shingles) → single groupBy(doc) with numHashes
+    * partial-aggregated min columns — one shuffle, map-side combined. */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int = 32): DataFrame = {
+    val ex = shingled.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+      .withColumn("hx", pmod(TextOps.md5Long(col("sh")), lit(P)))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = hashCoef(i)
+      min(pmod(col("hx") * a + b, lit(P))).as(s"m$i")
+    }
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs = docs sharing any (band, band-signature)
+    * bucket. `bands * rowsPerBand == numHashes`. Returns distinct (doc_a <
+    * doc_b) pairs. The within-bucket pair expansion is the only quadratic
+    * step and is bounded by bucket size — salt/penalize giant buckets at
+    * production scale (a bucket of k docs yields k²/2 pairs; cap k). */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*)).as(Seq("band", "bkey")))
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against shingle sets. */
+  def verifyJaccard(cands: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs at a Jaccard threshold.
+    * Default 32 hashes / 16 bands of 2: P(candidate | j=0.8) ≈ 1 - 8e-8. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8, ngram: Int = 3,
+                   numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val sh = shingled(docs, ngram)
+    val cands = lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands)
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  private def shingled(docs: DataFrame, n: Int) = shingles(docs, n).cache()
+
+  /** SimHash band blocking: split the fingerprint into `bands` bit-slices;
+    * docs sharing any slice value are candidates (pigeonhole: any pair with
+    * hamming < bands shares at least one slice → recall 1 for d < bands). */
+  def simhashBandPairs(sims: DataFrame, bands: Int = 4, bits: Int = 60,
+                       maxDist: Int = 3): DataFrame = {
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bkey")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+      .distinct()
+    pairs.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

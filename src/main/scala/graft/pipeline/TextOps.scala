@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization/statistics, quality scoring, language identification,
+  * SimHash document fingerprints, winnowing-style min-fingerprints.
+  *
+  * Everything is pure narrow column expressions (no shuffle except final
+  * aggregations callers add) — at 100 TB these run map-side at scan speed
+  * inside whole-stage codegen.
+  *
+  * Determinism contract: every hash is derived from md5 hex (first 15 hex
+  * chars = 60 bits), so the DuckDB oracle can reproduce values bit-exactly
+  * (`('0x' || substr(md5(s),1,15))::BIGINT`).
+  */
+object TextOps {
+
+  /** 60-bit deterministic token hash from md5 (parity with DuckDB oracle). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization; documents are single-space separated (verified
+    * on testdata), so a plain split keeps oracle parity with string_split. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val EnStop: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val DeStop: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val FrStop: Seq[String] =
+    Seq("le", "la", "les", "des", "et", "est", "un", "une", "dans", "pour")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Per-document token statistics: token count, distinct tokens, char
+    * length, total token chars, English stopword count, BPE-ish token count
+    * estimate (chars/4, the common ~4-chars-per-token heuristic). All exact
+    * integers — oracle-safe. */
+  def tokenStats(docs: DataFrame, text: String = "text"): DataFrame = {
+    val tk = tokens(col(text))
+    docs.select(
+      col("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_uniq"),
+      length(col(text)).cast("long").as("len_chars"),
+      (length(col(text)) - size(tk) + 1).cast("long").as("tok_chars"),
+      countIn(tk, EnStop).as("stop_cnt"),
+      ((length(col(text)) + 3) / 4).cast("long").as("tok_est"))
+  }
+
+  /** Quality scoring: stopword ratio, uniqueness ratio, mean token length.
+    * Ratios are divisions of exact integers — bit-identical across engines. */
+  def qualityScore(docs: DataFrame, text: String = "text"): DataFrame =
+    tokenStats(docs, text).select(
+      col("doc_id"),
+      (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
+      (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+      (col("tok_chars").cast("double") / col("n_tokens")).as("mean_tok_len"),
+      (col("stop_cnt") >= 1 && col("n_tokens") >= 10).as("quality_ok"))
+
+  /** Language ID by stopword-list voting (n-gram-free heuristic tier; ties
+    * resolve en > de > fr deterministically). */
+  def langId(docs: DataFrame, text: String = "text"): DataFrame = {
+    val tk = tokens(col(text))
+    docs.select(col("doc_id"), countIn(tk, EnStop).as("en_hits"),
+        countIn(tk, DeStop).as("de_hits"), countIn(tk, FrStop).as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+  }
+
+  /** 60-bit SimHash over the document's token multiset (Charikar 2002,
+    * "Similarity estimation techniques from rounding algorithms"):
+    * bit j of the fingerprint is 1 iff sum over tokens of ±1 (sign of bit j
+    * of the token hash) is positive.
+    *
+    * Computed as 60 codegen'd conditional sums over one exploded token pass —
+    * at scale this is one narrow map + one partial-aggregated groupBy(doc). */
+  def simhash(docs: DataFrame, text: String = "text", bits: Int = 60): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col(text))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    val sums = (0 until bits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance of fingerprints <= maxDist.
+    * Correctness tier does all-pairs (fine at test SF); the 100 TB path
+    * buckets fingerprints by band (see [[Dedup.simhashBandPairs]]). */
+  def simhashPairs(sims: DataFrame, maxDist: Int): DataFrame = {
+    val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val b = sims.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03
+    * simplified): the minimum 60-bit hash over all w-token windows. Collision
+    * of fingerprints is a cheap near-dup blocking key. */
+  def minFingerprint(docs: DataFrame, w: Int = 8, text: String = "text"): DataFrame = {
+    val tk = tokens(col(text))
+    val grams = transform(
+      sequence(lit(1), size(tk) - (w - 1)),
+      i => md5Long(concat_ws(" ", (0 until w).map(o => element_at(tk, i + o)): _*)))
+    docs.select(col("doc_id"),
+      when(size(tk) >= w, array_min(grams))
+        .otherwise(md5Long(col(text))).as("fingerprint"))
+  }
+}

@@ -1,0 +1,424 @@
+package graft.registry
+
+import graft.hta.{AggOps, Queries, Scoped, Throttle}
+import graft.model.{IntervalScope, Scope}
+import graft.pipeline.{Ann, Dedup, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing query registry: each entry pairs a Spark implementation
+  * of one SURVEY.md §2 operator (or LLM-pipeline operator) with equivalent
+  * DuckDB SQL for the driver's oracle compare.
+  *
+  * ORACLE-PARITY RULES (the driver hash-compares values after sorting
+  * columns by name):
+  *  - every aggregate is computed in the exact integer domain (cents = 100×
+  *    value, time in int64 ns, integral in cents·µs) — float summation order
+  *    can then never flip a bit;
+  *  - doubles in outputs are either raw parquet values or single IEEE
+  *    divisions/sqrts of identical integers — deterministic on both engines;
+  *  - every column is aliased identically in the Spark plan and the SQL.
+  */
+object Registry {
+
+  // ---- shared constants (ns, µs-aligned like the event timestamps) ----
+  val B = 1704500000000000000L  // inside the events time range (Jan 2024)
+  val E = 1705500000000000000L
+  val I1 = 3600000000000L       // 1 h  in ns — level 0 width
+  val I2 = 36000000000000L      // 10 h in ns — level 1 width (factor 10)
+  val NOW = 1767225600000000000L // fixed "now" for plausibility checks
+  val COOLDOWN = 7200000000000L // 2 h throttle cooldown
+
+  import Tables.ptsCte
+
+  // ================= exact-integer HTA builders (Spark side) =============
+
+  /** A2+A3+A4 — tumbling level build with exact integer outputs.
+    * Mirrors AggOps.levelBuild; sum/integral in cents / cents·µs. */
+  def levelExact(ev: DataFrame, interval: Long): DataFrame = {
+    val lifted = AggOps.gapLift(ev)
+    val wAll = Window.partitionBy("metric")
+    val segs = AggOps.boundarySplit(
+        lifted.withColumn("_last", max(col("time")).over(wAll)), interval)
+      .where(col("bstart") < AggOps.intervalBegin(col("_last"), interval))
+    segs.groupBy(col("metric"), col("bstart").as("time"))
+      .agg(exactAggCols.head, exactAggCols.tail: _*)
+  }
+
+  private def exactAggCols: Seq[Column] = Seq(
+    min("value").as("minimum"),
+    max("value").as("maximum"),
+    sum(when(col("is_home"), col("cents")).otherwise(0L)).as("sum_cents"),
+    sum(when(col("is_home"), 1L).otherwise(0L)).as("cnt"),
+    sum(col("cents") * (col("seg_len") / 1000).cast("long")).as("integral_cu"),
+    sum("seg_len").as("active_time"))
+
+  private def mergeExactCols: Seq[Column] = Seq(
+    min("minimum").as("minimum"), max("maximum").as("maximum"),
+    sum("sum_cents").as("sum_cents"), sum("cnt").as("cnt"),
+    sum("integral_cu").as("integral_cu"), sum("active_time").as("active_time"))
+
+  /** A5 — hierarchical rollup of exact level rows (child → parent). */
+  def rollupExact(level: DataFrame, childInterval: Long, parentInterval: Long): DataFrame = {
+    val wAll = Window.partitionBy("metric")
+    level
+      .withColumn("_last_end", max(col("time")).over(wAll) + childInterval)
+      .withColumn("bstart", AggOps.intervalBegin(col("time"), parentInterval))
+      .where(col("bstart") + parentInterval <= col("_last_end"))
+      .groupBy(col("metric"), col("bstart").as("time"))
+      .agg(mergeExactCols.head, mergeExactCols.tail: _*)
+  }
+
+  /** A6 — exact range aggregate with integer outputs + A10 mean. */
+  def aggRangeExact(ev: DataFrame, begin: Long, end: Long): DataFrame = {
+    val bounds = ev.groupBy("metric")
+      .agg(min("time").as("_first"), max("time").as("_last"))
+    val joined = ev.join(broadcast(bounds), Seq("metric"))
+      .where(lit(end) > col("_first") && lit(begin) <= col("_last"))
+      .withColumn("_b", greatest(lit(begin), col("_first")))
+      .withColumn("_e", least(lit(end), col("_last")))
+    val wAll = Window.partitionBy("metric")
+    val scoped = joined
+      .where(col("time") >= col("_b"))
+      .withColumn("_min_ge_e", min(when(col("time") >= col("_e"), col("time"))).over(wAll))
+      .where(col("time") < col("_e") || col("time") === col("_min_ge_e"))
+    val wOrd = Window.partitionBy("metric").orderBy("time")
+    val contrib = scoped
+      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), col("_b")))
+      .withColumn("_gap",
+        when(col("time") < col("_e"), col("time") - col("_prev"))
+          .otherwise(col("_e") - col("_prev")))
+      .withColumn("_in", col("time") < col("_e"))
+    val agg = contrib.groupBy("metric").agg(
+      min("value").as("minimum"), max("value").as("maximum"),
+      sum(when(col("_in"), col("cents")).otherwise(0L)).as("sum_cents"),
+      sum(when(col("_in"), 1L).otherwise(0L)).as("cnt"),
+      sum(col("cents") * (col("_gap") / 1000).cast("long")).as("integral_cu"),
+      sum("_gap").as("active_time"))
+    bounds.select("metric").join(agg, Seq("metric"), "left").select(
+      col("metric"),
+      coalesce(col("minimum"), lit(Double.PositiveInfinity)).as("minimum"),
+      coalesce(col("maximum"), lit(Double.NegativeInfinity)).as("maximum"),
+      coalesce(col("sum_cents"), lit(0L)).as("sum_cents"),
+      coalesce(col("cnt"), lit(0L)).as("cnt"),
+      coalesce(col("integral_cu"), lit(0L)).as("integral_cu"),
+      coalesce(col("active_time"), lit(0L)).as("active_time"))
+      .withColumn("mean_c",
+        when(col("active_time") > 0,
+          col("integral_cu").cast("double") / (col("active_time") / 1000).cast("long").cast("double"))
+          .when(col("cnt") > 0, col("sum_cents").cast("double") / col("cnt").cast("double")))
+  }
+
+  // ======================= the oracle SQL fragments =======================
+
+  /** q07/q08 — the A2/A3/A4 pipeline in DuckDB SQL at a given interval. */
+  private def levelSql(i: Long): String =
+    s"""WITH $ptsCte,
+       |l AS (SELECT metric, time, value, cents,
+       |        coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), time) AS prev,
+       |        max(time) OVER (PARTITION BY metric) AS last_t
+       |      FROM pts),
+       |s0 AS (SELECT metric, time, value, cents, prev, last_t,
+       |        unnest(generate_series(prev - prev % $i, time - time % $i, $i)) AS bstart FROM l),
+       |segs AS (SELECT *, least(time, bstart + $i) - greatest(prev, bstart) AS seg_len,
+       |        (bstart = time - time % $i) AS is_home FROM s0)
+       |SELECT metric, bstart AS time,
+       |  min(value) AS minimum, max(value) AS maximum,
+       |  CAST(sum(CASE WHEN is_home THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
+       |  CAST(sum(CASE WHEN is_home THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+       |  CAST(sum(cents * (seg_len // 1000)) AS BIGINT) AS integral_cu,
+       |  CAST(sum(seg_len) AS BIGINT) AS active_time
+       |FROM segs WHERE bstart < last_t - last_t % $i
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val shCte =
+    """sh AS (SELECT doc_id, CASE WHEN len(s) >= 3
+      |         THEN list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])
+      |         ELSE [text] END AS st
+      |       FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents))""".stripMargin
+
+  private val simhashSql: String = {
+    val sums = (0 until 60).map(j => s"sum(((h >> $j) & 1)*2 - 1) AS s$j").mkString(", ")
+    val fp = (0 until 60).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+       |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  private val quantCte =
+    """emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS e
+      |        FROM embeddings),
+      |nrm AS (SELECT vec_id, e, sqrt(CAST(list_sum(list_transform(e, x -> x*x)) AS DOUBLE)) AS n
+      |        FROM emb)""".stripMargin
+
+  // ============================ the registry ==============================
+
+  final case class Entry(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sql: Option[String])
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- S1/F1/Q1: scans + scope predicates ----
+    Entry("q01_raw_scan",
+      (s, d) => ev(s, d).where(col("time") >= B && col("time") < E)
+        .select("metric", "time", "value").orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte SELECT metric, time, value FROM pts
+              |WHERE time >= $B AND time < $E ORDER BY 1, 2""".stripMargin)),
+
+    Entry("q02_scope_extended",
+      (s, d) => Scoped.scopedRange(
+          ev(s, d).select("metric", "time", "value"), B, E,
+          IntervalScope(Scope.Extended, Scope.Extended))
+        .select("metric", "time", "value").orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |lb AS (SELECT metric, max(time) AS t FROM pts WHERE time <= $B GROUP BY 1),
+              |le AS (SELECT metric, min(time) AS t FROM pts WHERE time >= $E GROUP BY 1)
+              |SELECT p.metric, p.time, p.value FROM pts p
+              |LEFT JOIN lb ON p.metric = lb.metric
+              |LEFT JOIN le ON p.metric = le.metric
+              |WHERE (p.time > $B OR p.time = lb.t) AND (p.time < $E OR p.time = le.t)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    Entry("q03_scope_open_inf",
+      (s, d) => Scoped.scopedRange(
+          ev(s, d).select("metric", "time", "value"), B, E,
+          IntervalScope(Scope.Open, Scope.Infinity))
+        .select("metric", "time", "value").orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte SELECT metric, time, value FROM pts
+              |WHERE time > $B ORDER BY 1, 2""".stripMargin)),
+
+    // ---- A7/O2/O3 ----
+    Entry("q04_count_closed",
+      (s, d) => Queries.countRange(ev(s, d), B, E, IntervalScope(Scope.Closed, Scope.Closed))
+        .orderBy("metric"),
+      Some(s"""WITH $ptsCte SELECT metric, count(*) AS n FROM pts
+              |WHERE time >= $B AND time <= $E GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Entry("q05_last",
+      (s, d) => Queries.last(ev(s, d).select("metric", "time", "value")).orderBy("metric"),
+      Some(s"""WITH $ptsCte SELECT metric, max(time) AS time, arg_max(value, time) AS value
+              |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Entry("q06_range_bounds",
+      (s, d) => Queries.rangeBounds(ev(s, d)).orderBy("metric"),
+      Some(s"""WITH $ptsCte SELECT metric, min(time) AS first_time, max(time) AS last_time
+              |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A1-A5: the aggregation algebra ----
+    Entry("q07_level_1h",
+      (s, d) => levelExact(ev(s, d), I1).orderBy("metric", "time"),
+      Some(levelSql(I1))),
+
+    Entry("q08_rollup_10h",
+      (s, d) => rollupExact(levelExact(ev(s, d), I1), I1, I2).orderBy("metric", "time"),
+      Some(levelSql(I2))),
+
+    // ---- A6 + A10 ----
+    Entry("q09_agg_range",
+      (s, d) => aggRangeExact(ev(s, d), B, E).orderBy("metric"),
+      Some(s"""WITH $ptsCte,
+              |bounds AS (SELECT metric, min(time) AS f, max(time) AS l FROM pts GROUP BY 1),
+              |cl AS (SELECT metric, greatest($B, f) AS b, least($E, l) AS e FROM bounds
+              |       WHERE $E > f AND $B <= l),
+              |sc0 AS (SELECT p.metric, p.time, p.value, p.cents, cl.b, cl.e FROM pts p
+              |        JOIN cl ON p.metric = cl.metric WHERE p.time >= cl.b),
+              |sc AS (SELECT *, min(CASE WHEN time >= e THEN time END)
+              |         OVER (PARTITION BY metric) AS mge FROM sc0),
+              |con AS (SELECT metric, time, value, cents, b, e, time < e AS isin,
+              |         coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), b) AS prev
+              |        FROM sc WHERE time < e OR time = mge),
+              |agg AS (SELECT metric,
+              |  min(value) AS minimum, max(value) AS maximum,
+              |  CAST(sum(CASE WHEN isin THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
+              |  CAST(sum(CASE WHEN isin THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+              |  CAST(sum(cents * (((CASE WHEN isin THEN time ELSE e END) - prev) // 1000)) AS BIGINT) AS integral_cu,
+              |  CAST(sum((CASE WHEN isin THEN time ELSE e END) - prev) AS BIGINT) AS active_time
+              |  FROM con GROUP BY 1)
+              |SELECT b.metric,
+              |  coalesce(a.minimum, CAST('infinity' AS DOUBLE)) AS minimum,
+              |  coalesce(a.maximum, CAST('-infinity' AS DOUBLE)) AS maximum,
+              |  coalesce(a.sum_cents, 0) AS sum_cents, coalesce(a.cnt, 0) AS cnt,
+              |  coalesce(a.integral_cu, 0) AS integral_cu,
+              |  coalesce(a.active_time, 0) AS active_time,
+              |  CASE WHEN coalesce(a.active_time, 0) > 0
+              |       THEN CAST(a.integral_cu AS DOUBLE) / CAST(a.active_time // 1000 AS DOUBLE)
+              |       WHEN coalesce(a.cnt, 0) > 0
+              |       THEN CAST(a.sum_cents AS DOUBLE) / CAST(a.cnt AS DOUBLE) END AS mean_c
+              |FROM bounds b LEFT JOIN agg a ON b.metric = a.metric
+              |ORDER BY 1""".stripMargin)),
+
+    // ---- A9 positional smoothing ----
+    Entry("q10_smooth4",
+      (s, d) => {
+        val lv = levelExact(ev(s, d), I1)
+        val w = Window.partitionBy("metric").orderBy("time")
+        lv.withColumn("_chunk", ((row_number().over(w) - 1) / 4).cast("long"))
+          .groupBy("metric", "_chunk")
+          .agg(min("time").as("time"), mergeExactCols: _*)
+          .drop("_chunk")
+          .select("metric", "time", "minimum", "maximum", "sum_cents", "cnt",
+            "integral_cu", "active_time")
+          .orderBy("metric", "time")
+      },
+      Some(s"""WITH lv AS (${levelSql(I1).replace("ORDER BY 1, 2", "")}),
+              |rn AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY time) - 1 AS r
+              |       FROM lv)
+              |SELECT metric, min(time) AS time, min(minimum) AS minimum, max(maximum) AS maximum,
+              |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents, CAST(sum(cnt) AS BIGINT) AS cnt,
+              |  CAST(sum(integral_cu) AS BIGINT) AS integral_cu,
+              |  CAST(sum(active_time) AS BIGINT) AS active_time
+              |FROM rn GROUP BY metric, r // 4 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- F2/F3 validity + plausibility ----
+    Entry("q11_repair",
+      (s, d) => {
+        val f = ev(s, d).where(!isnan(col("value")) &&
+          col("value") >= 1.0 && col("value") <= 300.0)
+        val w = Window.partitionBy("metric").orderBy("time")
+        f.withColumn("_p", lag("time", 1).over(w))
+          .where(col("_p").isNull || col("time") > col("_p"))
+          .groupBy("metric")
+          .agg(count(lit(1)).as("cnt"), min("value").as("vmin"),
+            max("value").as("vmax"), sum("cents").as("sum_cents"))
+          .orderBy("metric")
+      },
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT * FROM pts WHERE NOT isnan(value) AND value >= 1.0 AND value <= 300.0),
+              |m AS (SELECT *, lag(time) OVER (PARTITION BY metric ORDER BY time) AS p FROM f)
+              |SELECT metric, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+              |  CAST(sum(cents) AS BIGINT) AS sum_cents
+              |FROM m WHERE p IS NULL OR time > p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Entry("q12_check",
+      (s, d) => {
+        val w = Window.partitionBy("metric").orderBy("time")
+        ev(s, d).withColumn("_p", lag("time", 1).over(w))
+          .groupBy("metric").agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(isnan(col("value")) ||
+              col("value") === Double.PositiveInfinity ||
+              col("value") === Double.NegativeInfinity, 1L).otherwise(0L)).as("n_nonfinite"),
+            sum(when(abs(col("value")) > 1e20, 1L).otherwise(0L)).as("n_implausible"),
+            sum(when(col("time") < 946684800000000000L, 1L).otherwise(0L)).as("n_before_2000"),
+            sum(when(col("time") > NOW, 1L).otherwise(0L)).as("n_future"),
+            sum(when(col("_p").isNotNull && col("time") <= col("_p"), 1L).otherwise(0L))
+              .as("n_nonmono"))
+          .orderBy("metric")
+      },
+      Some(s"""WITH $ptsCte,
+              |m AS (SELECT *, lag(time) OVER (PARTITION BY metric ORDER BY time) AS p FROM pts)
+              |SELECT metric, count(*) AS n_rows,
+              |  CAST(sum(CASE WHEN isnan(value) OR isinf(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+              |  CAST(sum(CASE WHEN abs(value) > 1e20 THEN 1 ELSE 0 END) AS BIGINT) AS n_implausible,
+              |  CAST(sum(CASE WHEN time < 946684800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_before_2000,
+              |  CAST(sum(CASE WHEN time > $NOW THEN 1 ELSE 0 END) AS BIGINT) AS n_future,
+              |  CAST(sum(CASE WHEN p IS NOT NULL AND time <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmono
+              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- F4 throttle (stateful — not SQL-expressible; rows-only check) ----
+    Entry("q13_throttle",
+      (s, d) => Throttle.throttle(ev(s, d).select("metric", "time", "value"), COOLDOWN)
+        .orderBy("metric", "time"),
+      None),
+
+    // ---- LLM pipeline: dedup ----
+    Entry("q14_dedup_exact",
+      (s, d) => Dedup.exactDupGroups(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS content_hash,
+             |  count(*) OVER (PARTITION BY md5(text)) AS group_size FROM documents)
+             |SELECT doc_id, content_hash, CAST(group_size AS BIGINT) AS group_size
+             |FROM h WHERE group_size > 1 ORDER BY 1""".stripMargin)),
+
+    Entry("q15_dedup_neardup",
+      (s, d) => Dedup.nearDupPairs(docs(s, d), threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shCte
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+              |  CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS BIGINT) AS uni,
+              |  CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+              |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+              |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.8
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- LLM pipeline: text analysis ----
+    Entry("q16_text_stats",
+      (s, d) => TextOps.tokenStats(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)
+              |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(s)) AS BIGINT) AS n_uniq,
+              |  CAST(length(text) AS BIGINT) AS len_chars,
+              |  CAST(length(text) - len(s) + 1 AS BIGINT) AS tok_chars,
+              |  CAST(len(list_filter(s, x -> x IN (${TextOps.EnStop.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS stop_cnt,
+              |  CAST((length(text) + 3) // 4 AS BIGINT) AS tok_est
+              |FROM t ORDER BY 1""".stripMargin)),
+
+    Entry("q17_lang_id",
+      (s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id"),
+      Some {
+        def hits(ws: Seq[String]) =
+          s"CAST(len(list_filter(s, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+           |v AS (SELECT doc_id, ${hits(TextOps.EnStop)} AS en_hits,
+           |  ${hits(TextOps.DeStop)} AS de_hits, ${hits(TextOps.FrStop)} AS fr_hits FROM t)
+           |SELECT doc_id, en_hits, de_hits, fr_hits,
+           |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+           |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_pred
+           |FROM v ORDER BY 1""".stripMargin
+      }),
+
+    Entry("q18_simhash_pairs",
+      (s, d) => TextOps.simhashPairs(TextOps.simhash(docs(s, d)), maxDist = 12)
+        .orderBy("doc_a", "doc_b"),
+      Some(simhashSql)),
+
+    // ---- LLM pipeline: similarity search ----
+    Entry("q19_ann_top5",
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.bruteForceTopK(e.where(col("vec_id") < 3), e, k = 5)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $quantCte,
+              |p AS (SELECT q.vec_id AS qid, v.vec_id AS vid,
+              |        CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |          / (q.n * v.n) AS cosine
+              |      FROM nrm q JOIN nrm v ON q.vec_id < 3 AND v.vec_id != q.vec_id),
+              |r AS (SELECT qid, vid, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+              |      FROM p)
+              |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
+
+    Entry("q20_cosine_pairs",
+      (s, d) => Ann.cosinePairs(emb(s, d), threshold = 0.5).orderBy("vid_a", "vid_b"),
+      Some(s"""WITH $quantCte
+              |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+              |  CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
+              |    / (a.n * b.n) AS cosine
+              |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+              |WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
+              |    / (a.n * b.n) >= 0.5
+              |ORDER BY 1, 2""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e.name -> e.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    entries.flatMap(e => e.sql.map(e.name -> _)).toMap
+}
