@@ -107,13 +107,19 @@ object AggOps {
     lit(0L).as("active_time")
   )
 
-  /** A10 derived means (include/hta/types.hpp:72-89). */
-  def withMeans(df: DataFrame): DataFrame = df
-    .withColumn("mean_sum", col("sum") / col("count"))
-    .withColumn("mean_integral", col("integral") / col("active_time"))
-    .withColumn("mean",
-      when(col("active_time") > 0, col("integral") / col("active_time"))
-        .otherwise(col("sum") / col("count")))
+  /** A10 derived means (include/hta/types.hpp:72-89). Division by zero must
+    * yield NaN like the reference's C++ double division (tests/aggregate.cpp
+    * :263-273 pins isnan(mean_sum) on count==0) — guarded because Spark's
+    * ANSI mode would throw instead. */
+  def withMeans(df: DataFrame): DataFrame = {
+    val nan = lit(Double.NaN)
+    df.withColumn("mean_sum",
+        when(col("count") > 0, col("sum") / col("count")).otherwise(nan))
+      .withColumn("mean_integral",
+        when(col("active_time") > 0, col("integral") / col("active_time")).otherwise(nan))
+      .withColumn("mean",
+        when(col("active_time") > 0, col("mean_integral")).otherwise(col("mean_sum")))
+  }
 
   /** A4 tumbling-window level build directly from raw points.
     *

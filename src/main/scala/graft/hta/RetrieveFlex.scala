@@ -1,0 +1,150 @@
+package graft.hta
+
+import graft.model.{IntervalScope, Meta, Scope}
+import graft.store.Hta
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q2/Q3 — `retrieve_flex`, the reference's interactive query entry point
+  * (src/metric.cpp:356-412), re-architected for Spark:
+  *
+  * The reference routes ONE metric at a time: pick the coarsest level whose
+  * interval fits `interval_upper_limit`, fall back down while the level is
+  * empty in-range, then positionally smooth by `limit/interval`.
+  *
+  * Here the router is a *materialized-view selection* over all metrics in
+  * one distributed plan:
+  *   1. one pruned scan of the candidate levels → per-(metric, level)
+  *      emptiness summary (tiny aggregate);
+  *   2. per metric, choose the coarsest non-empty level (driver/broadcast);
+  *   3. one pruned scan of exactly the chosen (metric, level) partitions,
+  *      scope-filtered, positionally smoothed with a per-metric factor.
+  *
+  * At 100 TB step 1 touches only `interval ∈ candidates` partitions (a tiny
+  * fraction of the store: each level is factor× smaller than its child), and
+  * step 3 reads exactly one level per metric. Raw is touched only in the
+  * `limit < interval_min` branch.
+  *
+  * Result schema (Row form, include/hta/types.hpp:109-127):
+  *   (metric, interval, time, minimum, maximum, sum, count, integral,
+  *    active_time) — `interval` is the source level width (0 for raw points).
+  */
+object RetrieveFlex {
+  import AggOps._
+
+  private val rowCols = Seq("metric", "interval", "time", "minimum", "maximum",
+    "sum", "count", "integral", "active_time")
+
+  /** Row-form retrieve (Q3: reference src/metric.cpp:414-439): like
+    * [[retrieveFlex]] but raw results are lifted to interval-0 rows. */
+  def retrieve(hta: Hta, begin: Long, end: Long, limit: Long,
+               scope: IntervalScope = IntervalScope.retrieveDefault): DataFrame = {
+    val flex = retrieveFlex(hta, begin, end, limit, scope, smooth = false)
+    flex // retrieveFlex already returns Row form with raw lifted
+  }
+
+  /** `retrieve(b, e, min_samples)` (O4: src/metric.cpp:245-257):
+    * min_samples → interval_upper_limit = (end-begin)/min_samples. The
+    * Row-form retrieve() wrapper passes smooth=false (src/metric.cpp:414-416). */
+  def retrieveMinSamples(hta: Hta, begin: Long, end: Long, minSamples: Long,
+                         scope: IntervalScope = IntervalScope.retrieveDefault): DataFrame = {
+    require(begin <= end, s"invalid request: begin $begin > end $end")
+    retrieveFlex(hta, begin, end, (end - begin) / minSamples, scope, smooth = false)
+  }
+
+  def retrieveFlex(hta: Hta, begin: Long, end: Long, limit: Long,
+                   scope: IntervalScope = IntervalScope.retrieveDefault,
+                   smooth: Boolean = true): DataFrame = {
+    val meta = hta.meta
+    if (scope.begin != Scope.Infinity && scope.end != Scope.Infinity)
+      require(begin <= end, s"invalid request: begin $begin > end $end")
+
+    if (limit < 0) {
+      // single-aggregate branch (→ A6); one row per metric
+      return Queries.aggregateRange(hta.raw, begin, end)
+        .select(col("metric"), lit(end - begin).as("interval"), lit(begin).as("time"),
+          col("minimum"), col("maximum"), col("sum"), col("count"),
+          col("integral"), col("active_time"))
+    }
+
+    if (limit < meta.intervalMin) return rawBranch(hta, begin, end, limit, scope, smooth)
+
+    // ---- level selection (materialized-view routing) ----
+    val ladder = meta.levelIntervals
+    val capped = math.min(limit, meta.intervalMax)
+    val coarsest = ladder.takeWhile(_ <= capped).lastOption.getOrElse(meta.intervalMin)
+    val candidates = ladder.filter(_ <= coarsest)
+
+    val lv = hta.levels.where(col("interval").isin(candidates: _*))
+    // per-(metric, interval) emptiness under the scope: base-range count plus
+    // existence flags that stand in for the extended lookaside rows
+    val beginBase = scope.begin match {
+      case Scope.Closed => col("time") >= begin
+      case Scope.Open | Scope.Extended => col("time") > begin
+      case Scope.Infinity => lit(true)
+    }
+    val endBase = scope.end match {
+      case Scope.Closed => col("time") <= end
+      case Scope.Open | Scope.Extended => col("time") < end
+      case Scope.Infinity => lit(true)
+    }
+    val summary = lv.groupBy("metric", "interval").agg(
+      sum(when(beginBase && endBase, 1L).otherwise(0L)).as("n_base"),
+      max(when(col("time") <= begin, 1L).otherwise(0L)).as("has_le_b"),
+      max(when(col("time") >= end, 1L).otherwise(0L)).as("has_ge_e"))
+    val nonEmpty = summary.where(
+      col("n_base") > 0 ||
+        (if (scope.begin == Scope.Extended) col("has_le_b") === 1L else lit(false)) ||
+        (if (scope.end == Scope.Extended) col("has_ge_e") === 1L else lit(false)))
+    // coarsest non-empty level per metric — the summary is tiny (metrics ×
+    // levels), so this is a broadcast-sized routing table
+    val chosen = nonEmpty.groupBy("metric").agg(max("interval").as("interval"))
+
+    val routed = Scoped.scopedRange(
+      hta.levels.join(broadcast(chosen), Seq("metric", "interval")),
+      begin, end, scope)
+
+    if (!smooth) {
+      routed.select(rowCols.map(col): _*)
+    } else {
+      // positional smoothing by per-metric factor = limit / interval
+      // (src/metric.cpp:313-354 via convert_timeaggregates_to_rows).
+      // The ladder is tiny, so the factor map is a driver-built CASE chain —
+      // exact long arithmetic, no float division at ns magnitudes.
+      val factor = candidates.foldLeft(lit(1L)) { (acc, i) =>
+        when(col("interval") === i, lit(capped / i)).otherwise(acc)
+      }
+      val w = Window.partitionBy("metric").orderBy("time")
+      routed
+        .withColumn("_f", factor)
+        .withColumn("_chunk", (((row_number().over(w) - 1) / col("_f")).cast("long")))
+        .groupBy(col("metric"), col("interval"), col("_chunk"))
+        .agg(min("time").as("time"),
+          min("minimum").as("minimum"), max("maximum").as("maximum"),
+          sum("sum").as("sum"), sum("count").as("count"),
+          sum("integral").as("integral"), sum("active_time").as("active_time"))
+        .select(rowCols.map(col): _*)
+    }
+  }
+
+  /** limit < interval_min: raw retrieval, optionally smoothed into
+    * begin-anchored windows of width `limit` when points are denser than the
+    * limit (src/metric.cpp:370-386). Per-metric branch decision. */
+  private def rawBranch(hta: Hta, begin: Long, end: Long, limit: Long,
+                        scope: IntervalScope, smooth: Boolean): DataFrame = {
+    val scoped = Scoped.scopedRange(hta.raw, begin, end, scope)
+    if (!smooth || limit <= 0) return Queries.rawToRows(scoped).select(rowCols.map(col): _*)
+    // reference: average_interval = (end-begin)/n < limit (integer division);
+    // equivalently end-begin < limit*n — exact long comparison, no division
+    val counts = scoped.groupBy("metric").agg(count(lit(1)).as("_n"))
+      .withColumn("_smooth", lit(end - begin) < lit(limit) * col("_n"))
+    val flagged = scoped.join(broadcast(counts.select("metric", "_smooth")), Seq("metric"))
+    val smoothed = Queries.smoothRaw(
+        flagged.where(col("_smooth")).drop("_smooth"), begin, end, limit)
+      .select(rowCols.map(col): _*)
+    val rawRows = Queries.rawToRows(flagged.where(!col("_smooth")).drop("_smooth"))
+      .select(rowCols.map(col): _*)
+    smoothed.unionByName(rawRows)
+  }
+}

@@ -86,9 +86,9 @@ object Ann {
     * recovering most near-boundary misses. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               h: Int = 8, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
+    val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"),
+        lshBucket(col("embedding"), h, dim).as("bucket"))
       .withColumn("vn", normQ(col("ve")))
-      .withColumn("bucket", lshBucket(col("embedding"), h, dim))
     val probes = (0 to h).map { i =>
       if (i == 0) col("qb") else col("qb").bitwiseXOR(lit(1L << (i - 1)))
     }

@@ -148,7 +148,7 @@ object Registry {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
        |ORDER BY 1, 2""".stripMargin
   }
 
@@ -383,7 +383,7 @@ object Registry {
       }),
 
     Entry("q18_simhash_pairs",
-      (s, d) => TextOps.simhashPairs(TextOps.simhash(docs(s, d)), maxDist = 12)
+      (s, d) => TextOps.simhashPairs(TextOps.simhash(docs(s, d)), maxDist = 4)
         .orderBy("doc_a", "doc_b"),
       Some(simhashSql)),
 
