@@ -27,6 +27,7 @@ object AggOps {
     * Pure long arithmetic — ns epochs (~1.7e18) exceed double's 2^53 exact
     * range, so any float division here would corrupt bucket assignment. */
   def intervalBegin(t: Column, d: Long): Column = t - pmod(t, lit(d))
+  def intervalBegin(t: Column, d: Column): Column = t - pmod(t, d)
 
   /** interval_end(t, d) = interval_begin(t, d) + d (include/hta/types.hpp:151-154). */
   def intervalEnd(t: Column, d: Long): Column = intervalBegin(t, d) + lit(d)

@@ -405,7 +405,7 @@ object Registry {
               |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
 
     Entry("q20_cosine_pairs",
-      (s, d) => Ann.cosinePairs(emb(s, d), threshold = 0.5).orderBy("vid_a", "vid_b"),
+      (s, d) => Ann.cosinePairsFast(emb(s, d), threshold = 0.5).orderBy("vid_a", "vid_b"),
       Some(s"""WITH $quantCte
               |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
               |  CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)

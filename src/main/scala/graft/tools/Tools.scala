@@ -1,0 +1,144 @@
+package graft.tools
+
+import graft.hta.{AggOps, Throttle}
+import graft.model.Meta
+import graft.store.{Hta, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's CLI tools (src/tools: check, repair, clone, throttle,
+  * dump, dummy) as DataFrame jobs.
+  * T6 (per-metric GNU-parallel fan-out, helpers/check_db_directory.sh) is
+  * inherent here: every job processes all metrics in one distributed pass. */
+object Tools {
+
+  val Genesis: Long = 946684800000000000L // 2000-01-01 (check.cpp:48)
+  val ValueMax: Double = 1e20             // check.cpp:45-46
+
+  /** T2 — hta_check (src/tools/check.cpp:55-254) as one validation job.
+    * Returns an issues DataFrame (metric, layer, issue, n); empty == healthy.
+    *
+    * Raw rules: finite values, |v| <= 1e20, strictly monotonic unique times,
+    * first/last timestamp within [genesis, now].
+    * Level rules (per interval): `time == epoch_k + i*interval` exactness
+    * (dense, epoch_k = interval_begin(first_raw, interval)), monotonic
+    * unique, finite aggregate fields, last row time + interval ==
+    * interval_begin(last_raw, interval), and the top-level emptiness rule
+    * (single-spanned levels must be empty, check.cpp:239-247). */
+  def check(hta: Hta, now: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("time")
+    val issue = (layer: String, name: String, pred: org.apache.spark.sql.Column,
+                 df: DataFrame) =>
+      df.where(pred).groupBy("metric")
+        .agg(count(lit(1)).as("n"))
+        .select(col("metric"), lit(layer).as("layer"), lit(name).as("issue"), col("n"))
+
+    val raw = hta.raw.withColumn("_p", lag("time", 1).over(w))
+    val bounds = hta.raw.groupBy("metric")
+      .agg(min("time").as("_first"), max("time").as("_last"))
+
+    val rawIssues = Seq(
+      issue("raw", "nonfinite_value",
+        isnan(col("value")) || col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity, raw),
+      issue("raw", "implausible_value", abs(col("value")) > ValueMax, raw),
+      issue("raw", "nonmono_or_dup_time", col("_p").isNotNull && col("time") <= col("_p"), raw),
+      issue("raw", "implausible_range",
+        col("_first") < Genesis || col("_first") > now ||
+          col("_last") < Genesis || col("_last") > now, bounds))
+
+    val wl = Window.partitionBy("metric", "interval").orderBy("time")
+    val lv = hta.levels
+      .join(broadcast(bounds), Seq("metric"))
+      .withColumn("_epoch", AggOps.intervalBegin(col("_first"), col("interval")))
+      .withColumn("_i", row_number().over(wl) - 1)
+      .withColumn("_p", lag("time", 1).over(wl))
+    val lvGrouped = (name: String, pred: org.apache.spark.sql.Column) =>
+      lv.where(pred).groupBy("metric", "interval").agg(count(lit(1)).as("n"))
+        .select(col("metric"), col("interval").cast("string").as("layer"),
+          lit(name).as("issue"), col("n"))
+
+    val levelIssues = Seq(
+      lvGrouped("bogus_time", col("time") =!= col("_epoch") + col("_i") * col("interval")),
+      lvGrouped("nonmono_or_dup_time", col("_p").isNotNull && col("time") <= col("_p")),
+      lvGrouped("nonfinite_aggregate",
+        isnan(col("sum")) || isnan(col("integral")) ||
+          col("minimum") === Double.NaN || isnan(col("minimum")) || isnan(col("maximum"))),
+      // last closed interval must abut interval_begin(raw_end) (check.cpp:128-135)
+      lv.groupBy("metric", "interval")
+        .agg(max("time").as("_lt"), max("_last").as("_le"))
+        .where(col("_lt") + col("interval") =!=
+          AggOps.intervalBegin(col("_le"), col("interval")))
+        .select(col("metric"), col("interval").cast("string").as("layer"),
+          lit("last_interval_mismatch").as("issue"), lit(1L).as("n")),
+      // top-level emptiness: a level spanning first..last in one interval
+      // must have no rows (check.cpp:239-247)
+      lv.where(AggOps.intervalBegin(col("_first"), col("interval")) ===
+          AggOps.intervalBegin(col("_last"), col("interval")))
+        .groupBy("metric", "interval").agg(count(lit(1)).as("n"))
+        .select(col("metric"), col("interval").cast("string").as("layer"),
+          lit("nonempty_spanning_level").as("issue"), col("n")))
+
+    (rawIssues ++ levelIssues).reduce(_ unionByName _)
+  }
+
+  /** F2 predicates of hta_repair (src/tools/repair.cpp:94-133). */
+  def repairFilter(points: DataFrame,
+                   dropBelow: Double = Double.NegativeInfinity,
+                   dropAbove: Double = Double.PositiveInfinity,
+                   dropRanges: Seq[(Long, Long)] = Nil,
+                   useAbs: Boolean = false): DataFrame = {
+    val v0 = if (useAbs) abs(col("value")) else col("value")
+    var out = points.withColumn("value", v0)
+      .where(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity &&
+        col("value") >= dropBelow && col("value") <= dropAbove)
+    for ((b, e) <- dropRanges)
+      out = out.where(!(col("time") >= b && col("time") < e))
+    // non-monotonic duplicates are silently dropped on re-insert (:214-230)
+    val w = Window.partitionBy("metric").orderBy("time")
+    out.withColumn("_p", lag("time", 1).over(w))
+      .where(col("_p").isNull || col("time") > col("_p"))
+      .drop("_p")
+  }
+
+  /** T3 — hta_repair: filter + full rebuild into a fresh warehouse. */
+  def repair(hta: Hta, root: String, dropBelow: Double = Double.NegativeInfinity,
+             dropAbove: Double = Double.PositiveInfinity,
+             dropRanges: Seq[(Long, Long)] = Nil, useAbs: Boolean = false): Hta =
+    Warehouse.ingest(
+      repairFilter(hta.raw, dropBelow, dropAbove, dropRanges, useAbs),
+      hta.meta, root, validate = false)
+
+  /** T4 — hta_clone: monotonic-deduped copy re-aggregated under new Meta
+    * (src/tools/clone.cpp:57-104). */
+  def clone(hta: Hta, newMeta: Meta, root: String): Hta = {
+    val w = Window.partitionBy("metric").orderBy("time")
+    val deduped = hta.raw.withColumn("_p", lag("time", 1).over(w))
+      .where(col("_p").isNull || col("time") > col("_p")).drop("_p")
+    Warehouse.ingest(deduped, newMeta, root, validate = false)
+  }
+
+  /** T5 — hta_throttle: clone + cooldown downsampling (src/tools/throttle.cpp). */
+  def throttleClone(hta: Hta, cooldown: Long, root: String): Hta =
+    Warehouse.ingest(Throttle.throttle(hta.raw, cooldown), hta.meta, root,
+      validate = false)
+
+  /** T1 — hta_dump (src/tools/dump.cpp:44-88): per-metric summary. */
+  def dump(hta: Hta): DataFrame =
+    hta.raw.groupBy("metric").agg(
+      count(lit(1)).as("n_rows"),
+      min("time").as("first_time"),
+      max("time").as("last_time"))
+
+  /** S8 — synthetic constant-value generator (src/tools/dummy.cpp:53-79):
+    * `n` samples at 50 ms spacing. */
+  def generate(spark: SparkSession, metric: String, n: Long, startTime: Long,
+               value: Double = 42.0, spacing: Long = 50000000L): DataFrame =
+    spark.range(n).select(
+      lit(metric).as("metric"),
+      (lit(startTime) + col("id") * spacing).as("time"),
+      lit(value).as("value"))
+}

@@ -52,6 +52,13 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("cosinePairsFast is bit-identical to the column-expression version") {
+    val slow = Ann.cosinePairs(emb, 0.3).orderBy("vid_a", "vid_b").collect()
+    val fast = Ann.cosinePairsFast(emb, 0.3).orderBy("vid_a", "vid_b").collect()
+    assert(slow.length === fast.length)
+    slow.zip(fast).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("exact dedup finds no duplicates in clean corpus, finds planted ones") {
     assert(Dedup.exactDupGroups(docs).count() === 0)
     val withDup = docs.select("doc_id", "text")
