@@ -334,6 +334,44 @@ object Registry {
         .orderBy("metric", "time"),
       None),
 
+    // ---- Q2 retrieveFlex end-to-end (in-memory level ladder over events) ----
+    Entry("q21_flex_route",
+      (s, d) => {
+        val e = ev(s, d)
+        val lv1 = levelExact(e, I1)
+        val lv2 = rollupExact(lv1, I1, I2)
+        val canon = (df: DataFrame, i: Long) => df.select(
+          col("metric"), lit(i).as("interval"), col("time"),
+          col("minimum"), col("maximum"), col("sum_cents").as("sum"),
+          col("cnt").as("count"), col("integral_cu").as("integral"),
+          col("active_time"))
+        val mem = graft.store.Hta(
+          e.select("metric", "time", "value"),
+          canon(lv1, I1).unionByName(canon(lv2, I2)),
+          graft.model.Meta(I1, I2, 10))
+        // limit 5h → coarsest fitting level is 1h, positional smooth ×5
+        graft.hta.RetrieveFlex.retrieveFlex(mem, B, E, 5 * I1, smooth = true)
+          .select(col("metric"), col("time"), col("minimum"), col("maximum"),
+            col("sum").as("sum_cents"), col("count").as("cnt"),
+            col("integral").as("integral_cu"), col("active_time"))
+          .orderBy("metric", "time")
+      },
+      Some(s"""WITH lv AS (${levelSql(I1).replace("ORDER BY 1, 2", "")}),
+              |lb AS (SELECT metric, max(time) AS t FROM lv WHERE time <= $B GROUP BY 1),
+              |le AS (SELECT metric, min(time) AS t FROM lv WHERE time >= $E GROUP BY 1),
+              |sc AS (SELECT l.* FROM lv l
+              |       LEFT JOIN lb ON l.metric = lb.metric
+              |       LEFT JOIN le ON l.metric = le.metric
+              |       WHERE (l.time > $B OR l.time = lb.t) AND l.time < $E),
+              |rn AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY time) - 1 AS r
+              |       FROM sc)
+              |SELECT metric, min(time) AS time, min(minimum) AS minimum,
+              |  max(maximum) AS maximum, CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+              |  CAST(sum(cnt) AS BIGINT) AS cnt,
+              |  CAST(sum(integral_cu) AS BIGINT) AS integral_cu,
+              |  CAST(sum(active_time) AS BIGINT) AS active_time
+              |FROM rn GROUP BY metric, r // 5 ORDER BY 1, 2""".stripMargin)),
+
     // ---- LLM pipeline: dedup ----
     Entry("q14_dedup_exact",
       (s, d) => Dedup.exactDupGroups(docs(s, d)).orderBy("doc_id"),
