@@ -98,6 +98,64 @@ object Warehouse {
     Meta(grab("interval_min"), grab("interval_max"), grab("interval_factor"))
   }
 
+  /** Q4 analogue — incremental batch append (reference restore_level,
+    * src/metric.cpp:451-497): instead of rebuilding the ladder, recompute
+    * only each level's OPEN TAIL — the region at/after the last closed
+    * interval end `interval_begin(old_last, k)`. New points can never touch
+    * an already-closed row (a row closes only when a later point crosses its
+    * end), so appends are strictly additive.
+    *
+    * Scale: the recomputed region per level is O(open tail + new batch); the
+    * raw re-scan prunes to the tail's time buckets. This is the batch
+    * equivalent of the reference's in-memory accumulator restore.
+    */
+  def append(points: DataFrame, root: String): Hta = {
+    val spark = points.sparkSession
+    val existing = open(spark, root)
+    val meta = existing.meta
+
+    val oldBounds = existing.raw.groupBy("metric").agg(max("time").as("_old_last"))
+    // F5 across batches: every new point must be past its metric's last
+    val crossBad = points.join(broadcast(oldBounds), Seq("metric"), "left")
+      .where(col("_old_last").isNotNull && col("time") <= col("_old_last"))
+      .limit(1).count()
+    require(crossBad == 0L, "append batch not monotonic vs existing data")
+
+    points
+      .withColumn("tb", AggOps.intervalBegin(col("time"), meta.intervalMax))
+      .repartition(col("tb"))
+      .sortWithinPartitions("metric", "time")
+      .write.mode(SaveMode.Append).partitionBy("tb")
+      .parquet(s"$root/raw")
+
+    val allRaw = spark.read.parquet(s"$root/raw").drop("tb")
+    for (interval <- meta.levelIntervals) {
+      // per-metric end of the closed region at this level (may be absent)
+      val closedEnd = spark.read.parquet(s"$root/levels")
+        .where(col("interval") === interval)
+        .groupBy("metric").agg((max("time") + interval).as("_closed_end"))
+      // tail region: points at/after the closed end (everything, if none)
+      val region = allRaw.join(broadcast(closedEnd), Seq("metric"), "left")
+        .where(col("_closed_end").isNull || col("time") >= col("_closed_end"))
+      // gap seed: closed-region end (reference Level restore gap origin),
+      // or the point itself when the level had no closed rows
+      val w = Window.partitionBy("metric").orderBy("time")
+      val lifted = region.withColumn("prev_time",
+        coalesce(lag("time", 1).over(w), col("_closed_end"), col("time")))
+      val wAll = Window.partitionBy("metric")
+      val newRows = AggOps.boundarySplit(
+          lifted.withColumn("_last", max(col("time")).over(wAll)), interval)
+        .where(col("bstart") < AggOps.intervalBegin(col("_last"), interval) &&
+          (col("_closed_end").isNull || col("bstart") >= col("_closed_end")))
+        .groupBy(col("metric"), col("bstart").as("time"))
+        .agg(AggOps.segmentAggCols(col("value")).head,
+          AggOps.segmentAggCols(col("value")).tail: _*)
+        .withColumn("interval", lit(interval))
+      writeLevel(newRows, root, SaveMode.Append)
+    }
+    open(spark, root)
+  }
+
   def open(spark: SparkSession, root: String): Hta =
     Hta(
       spark.read.parquet(s"$root/raw").drop("tb"),
