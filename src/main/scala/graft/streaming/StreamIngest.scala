@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.model.Meta
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest — the streaming-parity tier (SURVEY §7.1.6).
+  *
+  * Exact replica of the reference's insert cascade (src/metric.cpp:510-603,
+  * src/level.hpp:47-68) as per-metric state in flatMapGroupsWithState:
+  * state = the open-interval accumulator of every ladder level + the
+  * monotonicity cursor (F5); output = every CLOSED level row, exactly the
+  * records the reference appends to its level files. Spark's state-store
+  * checkpointing replaces `restore_level` (Q4) for free — a restarted query
+  * resumes from the open accumulators as if the process never died.
+  *
+  * Scale: state is O(#levels × 56 bytes) per metric; the stream shuffles
+  * once on `metric`. Sink the output with
+  * `writeStream.partitionBy("interval").format("parquet")` into the same
+  * `levels/` layout batch queries read (exactly-once via checkpoint +
+  * task-commit protocol).
+  */
+object StreamIngest {
+
+  final case class Sample(metric: String, time: Long, value: Double)
+
+  final case class AggS(minimum: Double, maximum: Double, sum: Double,
+                        count: Long, integral: Double, active_time: Long) {
+    def +(o: AggS): AggS = AggS(
+      math.min(minimum, o.minimum), math.max(maximum, o.maximum),
+      sum + o.sum, count + o.count, integral + o.integral,
+      active_time + o.active_time)
+  }
+  object AggS {
+    val identity: AggS =
+      AggS(Double.PositiveInfinity, Double.NegativeInfinity, 0, 0, 0, 0)
+    /** A2 point lift (src/aggregate.cpp:37-41). */
+    def lift(v: Double, gap: Long): AggS = AggS(v, v, v, 1, v * gap, gap)
+    /** A3 partial edge (src/metric.cpp:541-548). */
+    def partial(v: Double, gap: Long): AggS = AggS(v, v, 0, 0, v * gap, gap)
+  }
+
+  final case class LevelS(timeCurrent: Long, agg: AggS)
+  final case class IngestState(previousTime: Long, levels: Map[Long, LevelS])
+
+  final case class ClosedRow(metric: String, interval: Long, time: Long,
+                             minimum: Double, maximum: Double, sum: Double,
+                             count: Long, integral: Double, active_time: Long)
+
+  private def intervalEndL(t: Long, d: Long): Long = t - Math.floorMod(t, d) + d
+
+  /** One metric's cascade for one (sorted) batch of samples. */
+  private[streaming] def foldBatch(metric: String, samples: Seq[Sample],
+                                   st0: IngestState, meta: Meta): (Seq[ClosedRow], IngestState) = {
+    val ladder = meta.levelIntervals
+    val out = Seq.newBuilder[ClosedRow]
+    var levels = st0.levels
+    var prev = st0.previousTime
+
+    def level(i: Long): LevelS = levels.getOrElse(i, LevelS(0L, AggS.identity))
+
+    // Metric::insert(Row) — parent accumulation (src/metric.cpp:562-603)
+    def insertUp(childInterval: Long, rowTime: Long, rowAgg: AggS): Unit = {
+      out += ClosedRow(metric, childInterval, rowTime, rowAgg.minimum, rowAgg.maximum,
+        rowAgg.sum, rowAgg.count, rowAgg.integral, rowAgg.active_time)
+      val interval = Math.multiplyExact(childInterval, meta.intervalFactor)
+      if (interval > meta.intervalMax) return
+      var lvl = level(interval)
+      if (lvl.timeCurrent == 0L) lvl = lvl.copy(timeCurrent = rowTime)
+      else require(lvl.timeCurrent == rowTime,
+        s"inconsistent level time for interval $interval")
+      val end = intervalEndL(lvl.timeCurrent, interval)
+      val rowEnd = rowTime + childInterval
+      if (rowEnd >= end) {
+        val closed = lvl.agg + rowAgg
+        levels -= interval
+        insertUp(interval, end - interval, closed)
+        levels += interval -> LevelS(end, AggS.identity)
+      } else {
+        levels += interval -> LevelS(rowEnd, lvl.agg + rowAgg)
+      }
+    }
+
+    // Metric::insert(TimeValue) (src/metric.cpp:510-560)
+    for (s <- samples) {
+      require(s.time != 0L, "cannot insert invalid (0) timestamp")
+      require(s.time > prev, s"non-monotonic timestamp ${s.time} after $prev")
+      prev = s.time
+      val i0 = ladder.head
+      var lvl = level(i0)
+      if (lvl.timeCurrent == 0L) lvl = lvl.copy(timeCurrent = s.time)
+      var end = intervalEndL(lvl.timeCurrent, i0)
+      while (s.time >= end) {
+        val closed = lvl.agg + AggS.partial(s.value, end - lvl.timeCurrent)
+        levels -= i0
+        insertUp(i0, end - i0, closed)
+        lvl = LevelS(end, AggS.identity)
+        end = intervalEndL(end, i0)
+      }
+      levels += i0 -> LevelS(s.time, lvl.agg + AggS.lift(s.value, s.time - lvl.timeCurrent))
+    }
+    (out.result(), IngestState(prev, levels))
+  }
+
+  /** The streaming transform: samples → closed level rows. */
+  def closedRows(samples: Dataset[Sample], meta: Meta): Dataset[ClosedRow] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (metric: String, it: Iterator[Sample], state: GroupState[IngestState]) =>
+          val st0 = state.getOption.getOrElse(IngestState(0L, Map.empty))
+          // micro-batch iterators are unordered; the ordered-ingest contract
+          // (F5) is per stream, so sort the batch before folding
+          val (rows, st1) = foldBatch(metric, it.toSeq.sortBy(_.time), st0, meta)
+          state.update(st1)
+          rows.iterator
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.hta.AggOps
+import graft.model.Meta
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest cascade must emit exactly the closed rows the batch
+  * level build materializes — across any micro-batch slicing (state
+  * checkpoint parity with tests/restore.cpp). */
+class StreamIngestSpec extends SparkSpec {
+  import StreamIngest._
+
+  private val meta = Meta(10 * S, 1000 * S, 10)
+
+  private def batchRows(interval: Long) =
+    AggOps.levelBuild(fixtureDf, interval).orderBy("time").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("minimum"),
+        r.getAs[Double]("maximum"), r.getAs[Double]("sum"), r.getAs[Long]("count"),
+        r.getAs[Double]("integral"), r.getAs[Long]("active_time"))).toSeq
+
+  test("foldBatch cascade == batch levelBuild on the canonical fixture") {
+    val samples = fixture110.map { case (t, v) => Sample("foo", t, v) }
+    val (rows, st) = foldBatch("foo", samples, IngestState(0L, Map.empty), meta)
+    for (i <- Seq(10 * S, 100 * S)) {
+      val got = rows.filter(_.interval == i).sortBy(_.time)
+        .map(r => (r.time, r.minimum, r.maximum, r.sum, r.count, r.integral, r.active_time))
+      assert(got === batchRows(i), s"interval $i")
+    }
+    assert(rows.count(_.interval == 1000 * S) === 0)
+    assert(st.previousTime === tp(225))
+  }
+
+  test("cascade is slicing-invariant (restore parity)") {
+    val samples = fixture110.map { case (t, v) => Sample("foo", t, v) }
+    val whole = foldBatch("foo", samples, IngestState(0L, Map.empty), meta)._1
+    var st = IngestState(0L, Map.empty)
+    val pieces = Seq(3, 7, 30, 31, 80, samples.length)
+    var prev = 0
+    val acc = Seq.newBuilder[ClosedRow]
+    for (c <- pieces) {
+      val (rows, st1) = foldBatch("foo", samples.slice(prev, c), st, meta)
+      acc ++= rows; st = st1; prev = c
+    }
+    assert(acc.result() === whole)
+  }
+
+  test("non-monotonic and zero timestamps are rejected (F5)") {
+    intercept[IllegalArgumentException](
+      foldBatch("foo", Seq(Sample("foo", 0L, 1.0)), IngestState(0L, Map.empty), meta))
+    intercept[IllegalArgumentException](
+      foldBatch("foo", Seq(Sample("foo", tp(2), 1.0), Sample("foo", tp(2), 2.0)).sortBy(_.time),
+        IngestState(0L, Map.empty), meta))
+  }
+
+  test("end-to-end MemoryStream query emits closed rows across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Sample]
+    val q = StreamIngest.closedRows(mem.toDS(), meta)
+      .writeStream.format("memory").queryName("closed").outputMode("append").start()
+    try {
+      val samples = fixture110.map { case (t, v) => Sample("foo", t, v) }
+      mem.addData(samples.take(40): _*)
+      q.processAllAvailable()
+      mem.addData(samples.drop(40): _*)
+      q.processAllAvailable()
+      val got = s.table("closed").where(col("interval") === 10 * S)
+        .orderBy("time").collect()
+        .map(r => (r.getAs[Long]("time"), r.getAs[Double]("minimum"),
+          r.getAs[Double]("maximum"), r.getAs[Double]("sum"), r.getAs[Long]("count"),
+          r.getAs[Double]("integral"), r.getAs[Long]("active_time"))).toSeq
+      assert(got === batchRows(10 * S))
+    } finally q.stop()
+  }
+}
