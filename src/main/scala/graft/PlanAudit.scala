@@ -1,0 +1,51 @@
+package graft
+
+import graft.hta.{RetrieveFlex, Scoped, Telescope}
+import graft.model.{IntervalScope, Meta}
+import graft.store.Warehouse
+import graft.registry.{Registry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Prints the physical plans of the hot paths so pushdown/pruning claims can
+  * be audited (`PushedFilters`, partition pruning, WholeStageCodegen spans).
+  * Run: sbt "runMain graft.PlanAudit /root/testdata/sf0.01 /tmp/audit_wh" */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val whRoot = args.lift(1).getOrElse("/tmp/audit_wh")
+    val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, sfDir)
+    val meta = Meta(Registry.I1, 100 * Registry.I1, 10)
+    val hta =
+      if (new java.io.File(s"$whRoot/meta.json").exists) Warehouse.open(spark, whRoot)
+      else Warehouse.ingest(ev.select("metric", "time", "value"), meta, whRoot)
+
+    def section(name: String)(body: => Unit): Unit = {
+      println(s"\n========== $name ==========")
+      body
+    }
+
+    section("S1/F1 scoped raw scan (expect PushedFilters on time + tb pruning)") {
+      Scoped.scopedRange(hta.raw, Registry.B, Registry.E, IntervalScope.rawDefault)
+        .explain("formatted")
+    }
+    section("S2 level scan (expect partition pruning interval=..)") {
+      hta.levels.where(col("interval") === meta.intervalMin &&
+        col("time") >= Registry.B && col("time") < Registry.E)
+        .explain("formatted")
+    }
+    section("Q2 retrieveFlex routed plan") {
+      RetrieveFlex.retrieveFlex(hta, Registry.B, Registry.E, 5 * Registry.I1)
+        .explain("formatted")
+    }
+    section("A6 telescoped aggregate (expect per-slice pruned scans + union)") {
+      Telescope.aggregateRange(hta, Registry.B, Registry.E).explain("formatted")
+    }
+    section("q07 level build (expect single shuffle per grouping; pushdown of nothing — full scan is inherent)") {
+      Registry.levelExact(ev, Registry.I1).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,11 @@ object RetrieveFlex {
   private val rowCols = Seq("metric", "interval", "time", "minimum", "maximum",
     "sum", "count", "integral", "active_time")
 
+  /** Bucket-pruning hint for raw scans when the warehouse partition column
+    * is present (in-memory Hta frames simply don't have it). */
+  private def rawBucket(hta: Hta): Option[(String, Long)] =
+    if (hta.raw.columns.contains("tb")) Some(("tb", hta.meta.intervalMax)) else None
+
   /** Row-form retrieve (Q3: reference src/metric.cpp:414-439): like
     * [[retrieveFlex]] but raw results are lifted to interval-0 rows. */
   def retrieve(hta: Hta, begin: Long, end: Long, limit: Long,
@@ -133,7 +138,7 @@ object RetrieveFlex {
     * limit (src/metric.cpp:370-386). Per-metric branch decision. */
   private def rawBranch(hta: Hta, begin: Long, end: Long, limit: Long,
                         scope: IntervalScope, smooth: Boolean): DataFrame = {
-    val scoped = Scoped.scopedRange(hta.raw, begin, end, scope)
+    val scoped = Scoped.scopedRange(hta.raw, begin, end, scope, bucket = rawBucket(hta))
     if (!smooth || limit <= 0) return Queries.rawToRows(scoped).select(rowCols.map(col): _*)
     // reference: average_interval = (end-begin)/n < limit (integer division);
     // equivalently end-begin < limit*n — exact long comparison, no division

@@ -31,27 +31,44 @@ import org.apache.spark.sql.functions._
   */
 object Scoped {
 
+  /** `bucket = Some((col, width))` names a time-bucket partition column
+    * (`bucketCol = time - time mod width`, e.g. Warehouse raw's `tb`). When
+    * present, derived bucket bounds are added so the parquet source PRUNES
+    * PARTITION DIRECTORIES, not just row groups: `time >= B` implies
+    * `bucketCol >= interval_begin(B, width)` (floor is monotone), and the
+    * extended lookasides get one-sided bucket bounds (`<= B` / aligned
+    * `>= E`). At 100 TB this is the difference between touching two
+    * directories and listing the whole table. */
   def scopedRange(df: DataFrame, begin: Long, end: Long, scope: IntervalScope,
-                  metric: String = "metric", time: String = "time"): DataFrame = {
+                  metric: String = "metric", time: String = "time",
+                  bucket: Option[(String, Long)] = None): DataFrame = {
     val t = col(time)
+    def bAlign(x: Long): Long = bucket.fold(0L) { case (_, w) => x - Math.floorMod(x, w) }
+    def bCol = col(bucket.get._1)
 
     var out = df
     val beginPred = scope.begin match {
-      case Scope.Closed => t >= begin
-      case Scope.Open => t > begin
+      case Scope.Closed =>
+        if (bucket.isDefined) t >= begin && bCol >= bAlign(begin) else t >= begin
+      case Scope.Open =>
+        if (bucket.isDefined) t > begin && bCol >= bAlign(begin) else t > begin
       case Scope.Infinity => lit(true)
       case Scope.Extended =>
-        val look = df.where(t <= begin).groupBy(col(metric))
+        val pre = if (bucket.isDefined) df.where(bCol <= begin) else df
+        val look = pre.where(t <= begin).groupBy(col(metric))
           .agg(max(t).as("_ext_begin"))
         out = out.join(broadcast(look), Seq(metric), "left")
         t > begin || t === col("_ext_begin")
     }
     val endPred = scope.end match {
-      case Scope.Closed => t <= end
-      case Scope.Open => t < end
+      case Scope.Closed =>
+        if (bucket.isDefined) t <= end && bCol <= end else t <= end
+      case Scope.Open =>
+        if (bucket.isDefined) t < end && bCol <= end else t < end
       case Scope.Infinity => lit(true)
       case Scope.Extended =>
-        val look = df.where(t >= end).groupBy(col(metric))
+        val pre = if (bucket.isDefined) df.where(bCol >= bAlign(end)) else df
+        val look = pre.where(t >= end).groupBy(col(metric))
           .agg(min(t).as("_ext_end"))
         out = out.join(broadcast(look), Seq(metric), "left")
         t < end || t === col("_ext_end")

@@ -88,7 +88,8 @@ object Telescope {
           .select(col("metric"), col("minimum"), col("maximum"), col("sum"),
             col("count"), col("integral"), col("active_time"))
       case RawEdge(rb, re) =>
-        rawEdge(hta.raw.join(covered, Seq("metric"), "left_semi"), rb, re)
+        rawEdge(hta.raw.join(covered, Seq("metric"), "left_semi"), rb, re,
+          meta.intervalMax)
     }
 
     val telescoped = pieces.reduce(_ unionByName _).groupBy("metric").agg(
@@ -107,9 +108,15 @@ object Telescope {
   /** aggregate_raw over one edge (src/metric.cpp:112-137): scope
     * (closed, extended) on [rb, re), gap seed at rb — exact for metrics
     * covering the global range (no clamping binds). */
-  private def rawEdge(raw: DataFrame, rb: Long, re: Long): DataFrame = {
+  private def rawEdge(raw: DataFrame, rb: Long, re: Long,
+                      bucketWidth: Long): DataFrame = {
     val wAll = Window.partitionBy("metric")
-    val scoped = raw
+    // derived time-bucket bound → parquet directory pruning on the edge scan
+    val pruned =
+      if (raw.columns.contains("tb"))
+        raw.where(col("tb") >= (rb - Math.floorMod(rb, bucketWidth)))
+      else raw
+    val scoped = pruned
       .where(col("time") >= rb)
       .withColumn("_min_ge_e", min(when(col("time") >= re, col("time"))).over(wAll))
       .where(col("time") < re || col("time") === col("_min_ge_e"))

@@ -156,9 +156,11 @@ object Warehouse {
     open(spark, root)
   }
 
+  /** `raw` keeps the `tb` partition column so query paths can hand Scoped a
+    * bucket hint for directory-level pruning (Scoped.scopedRange doc). */
   def open(spark: SparkSession, root: String): Hta =
     Hta(
-      spark.read.parquet(s"$root/raw").drop("tb"),
+      spark.read.parquet(s"$root/raw"),
       spark.read.parquet(s"$root/levels"),
       readMeta(spark, root))
 
