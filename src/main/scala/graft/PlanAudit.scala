@@ -28,7 +28,9 @@ object PlanAudit {
     }
 
     section("S1/F1 scoped raw scan (expect PushedFilters on time + tb pruning)") {
-      Scoped.scopedRange(hta.raw, Registry.B, Registry.E, IntervalScope.rawDefault)
+      Scoped.scopedRange(hta.raw, Registry.B, Registry.E,
+        IntervalScope(graft.model.Scope.Closed, graft.model.Scope.Open),
+        bucket = Some(("tb", meta.intervalMax)))
         .explain("formatted")
     }
     section("S2 level scan (expect partition pruning interval=..)") {

@@ -372,6 +372,61 @@ object Registry {
               |  CAST(sum(active_time) AS BIGINT) AS active_time
               |FROM rn GROUP BY metric, r // 5 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- Q3 raw→Row lift (interval-0 rows with per-point gaps) ----
+    Entry("q22_raw_rows",
+      (s, d) => {
+        val scoped = Scoped.scopedRange(
+          ev(s, d).select("metric", "time", "value", "cents"), B, E,
+          IntervalScope(Scope.Closed, Scope.Open))
+        val w = Window.partitionBy("metric").orderBy("time")
+        scoped.withColumn("_prev", coalesce(lag("time", 1).over(w), col("time")))
+          .select(col("metric"), col("time"), col("value"),
+            (col("cents") * ((col("time") - col("_prev")) / 1000).cast("long")).as("integral_cu"),
+            (col("time") - col("_prev")).as("active_time"))
+          .orderBy("metric", "time")
+      },
+      Some(s"""WITH $ptsCte,
+              |sc AS (SELECT * FROM pts WHERE time >= $B AND time < $E),
+              |l AS (SELECT metric, time, value, cents,
+              |        coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), time) AS prev
+              |      FROM sc)
+              |SELECT metric, time, value,
+              |  CAST(cents * ((time - prev) // 1000) AS BIGINT) AS integral_cu,
+              |  CAST(time - prev AS BIGINT) AS active_time
+              |FROM l ORDER BY 1, 2""".stripMargin)),
+
+    // ---- text fingerprinting (winnowing-style min-hash of 8-gram windows) ----
+    Entry("q23_fingerprint",
+      (s, d) => TextOps.minFingerprint(docs(s, d), w = 8).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+             |g AS (SELECT doc_id, text, s,
+             |        CASE WHEN len(s) >= 8 THEN
+             |          [CAST('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7]), 1, 15) AS BIGINT)
+             |           for i in range(1, len(s)-6)]
+             |        ELSE NULL END AS hs
+             |      FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN hs IS NOT NULL THEN list_min(hs)
+             |       ELSE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) END AS fingerprint
+             |FROM g ORDER BY 1""".stripMargin)),
+
+    // ---- quality scoring (ratios of exact integers → deterministic doubles) ----
+    Entry("q24_quality",
+      (s, d) => TextOps.qualityScore(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+              |v AS (SELECT doc_id,
+              |  CAST(len(s) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(s)) AS BIGINT) AS n_uniq,
+              |  CAST(length(text) - len(s) + 1 AS BIGINT) AS tok_chars,
+              |  CAST(len(list_filter(s, x -> x IN (${TextOps.EnStop.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS stop_cnt
+              |  FROM t)
+              |SELECT doc_id,
+              |  CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+              |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+              |  CAST(tok_chars AS DOUBLE) / n_tokens AS mean_tok_len,
+              |  (stop_cnt >= 1 AND n_tokens >= 10) AS quality_ok
+              |FROM v ORDER BY 1""".stripMargin)),
+
     // ---- LLM pipeline: dedup ----
     Entry("q14_dedup_exact",
       (s, d) => Dedup.exactDupGroups(docs(s, d)).orderBy("doc_id"),
