@@ -49,6 +49,37 @@ object AggOps {
     points.withColumn("prev_time", coalesce(lag(col(time), 1).over(w), col(time)))
   }
 
+  /** Skew-resistant [[gapLift]]: partitions the lag window by
+    * (metric, time-chunk) instead of metric alone, so ONE dominant metric no
+    * longer serializes onto one task — parallelism becomes
+    * #metrics × #chunks. The only rows a plain per-metric lag would see
+    * differently are each chunk's first rows; their `prev_time` is stitched
+    * from a (metrics × chunks)-sized boundary table joined back via
+    * broadcast. Bit-identical to [[gapLift]] (AggOpsSpec property).
+    *
+    * `chunkWidth` should match the raw layout's bucket width (intervalMax)
+    * so the chunking adds no extra shuffle beyond the bucketed layout. */
+  def gapLiftChunked(points: DataFrame, chunkWidth: Long,
+                     metric: String = "metric",
+                     time: String = "time"): DataFrame = {
+    val ck = intervalBegin(col(time), chunkWidth)
+    val wc = Window.partitionBy(col(metric), col("_ck")).orderBy(col(time))
+    // last time of every (metric, chunk): tiny aggregate
+    val chunkLast = points.withColumn("_ck", ck)
+      .groupBy(col(metric), col("_ck")).agg(max(col(time)).as("_ck_last"))
+    // previous nonempty chunk's last time, per metric (empty chunks skipped
+    // by ordering over existing chunk rows only)
+    val wPrev = Window.partitionBy(metric).orderBy("_ck")
+    val boundary = chunkLast
+      .withColumn("_prev_chunk_last", lag("_ck_last", 1).over(wPrev))
+      .select(col(metric), col("_ck"), col("_prev_chunk_last"))
+    points.withColumn("_ck", ck)
+      .join(broadcast(boundary), Seq(metric, "_ck"), "left")
+      .withColumn("prev_time",
+        coalesce(lag(col(time), 1).over(wc), col("_prev_chunk_last"), col(time)))
+      .drop("_ck", "_prev_chunk_last")
+  }
+
   /** A3 boundary split: explode each sample's covering gap `(prev_time, time]`
     * into per-bucket segments of the epoch-aligned grid of width `interval`.
     *
@@ -140,8 +171,12 @@ object AggOps {
   def levelBuild(points: DataFrame, interval: Long,
                  metric: String = "metric",
                  time: String = "time",
-                 value: String = "value"): DataFrame = {
-    val lifted = gapLift(points, metric, time)
+                 value: String = "value",
+                 chunkWidth: Option[Long] = None): DataFrame = {
+    val lifted = chunkWidth match {
+      case Some(w) => gapLiftChunked(points, w, metric, time)
+      case None => gapLift(points, metric, time)
+    }
     levelBuildFromLifted(lifted, interval, metric, time, value)
   }
 
@@ -155,9 +190,13 @@ object AggOps {
                            metric: String = "metric",
                            time: String = "time",
                            value: String = "value"): DataFrame = {
-    val wAll = Window.partitionBy(metric)
+    // per-metric last time via broadcast-joined scalar agg, NOT a window —
+    // an unordered window over partitionBy(metric) would force every row of
+    // a metric onto one task (skew killer at scale)
+    val last = lifted.groupBy(col(metric))
+      .agg(max(col(time)).as("_last_time"))
     val segs = boundarySplit(
-      lifted.withColumn("_last_time", max(col(time)).over(wAll)),
+      lifted.join(broadcast(last), Seq(metric)),
       interval, time)
       // only CLOSED intervals: the bucket holding the last point is still open
       .where(col("bstart") < intervalBegin(col("_last_time"), interval))
@@ -173,9 +212,10 @@ object AggOps {
     * (src/metric.cpp:576-603: the child whose end == parent end closes it). */
   def rollup(level: DataFrame, childInterval: Long, parentInterval: Long): DataFrame = {
     require(parentInterval % childInterval == 0)
-    val wAll = Window.partitionBy("metric")
+    val last = level.groupBy("metric")
+      .agg((max(col("time")) + childInterval).as("_last_end"))
     level
-      .withColumn("_last_end", max(col("time")).over(wAll) + childInterval)
+      .join(broadcast(last), Seq("metric"))
       .withColumn("bstart", intervalBegin(col("time"), parentInterval))
       .where(col("bstart") + parentInterval <= col("_last_end"))
       .groupBy(col("metric"), col("bstart").as("time"))

@@ -38,9 +38,9 @@ object Registry {
     * Mirrors AggOps.levelBuild; sum/integral in cents / cents·µs. */
   def levelExact(ev: DataFrame, interval: Long): DataFrame = {
     val lifted = AggOps.gapLift(ev)
-    val wAll = Window.partitionBy("metric")
+    val last = lifted.groupBy("metric").agg(max(col("time")).as("_last"))
     val segs = AggOps.boundarySplit(
-        lifted.withColumn("_last", max(col("time")).over(wAll)), interval)
+        lifted.join(broadcast(last), Seq("metric")), interval)
       .where(col("bstart") < AggOps.intervalBegin(col("_last"), interval))
     segs.groupBy(col("metric"), col("bstart").as("time"))
       .agg(exactAggCols.head, exactAggCols.tail: _*)
@@ -61,9 +61,10 @@ object Registry {
 
   /** A5 — hierarchical rollup of exact level rows (child → parent). */
   def rollupExact(level: DataFrame, childInterval: Long, parentInterval: Long): DataFrame = {
-    val wAll = Window.partitionBy("metric")
+    val last = level.groupBy("metric")
+      .agg((max(col("time")) + childInterval).as("_last_end"))
     level
-      .withColumn("_last_end", max(col("time")).over(wAll) + childInterval)
+      .join(broadcast(last), Seq("metric"))
       .withColumn("bstart", AggOps.intervalBegin(col("time"), parentInterval))
       .where(col("bstart") + parentInterval <= col("_last_end"))
       .groupBy(col("metric"), col("bstart").as("time"))

@@ -56,7 +56,8 @@ object Warehouse {
 
     // level ladder: L0 from raw (one gapLift shuffle), k→k+1 from level k
     val ladder = meta.levelIntervals
-    val l0 = AggOps.levelBuild(points, ladder.head)
+    val l0 = AggOps.levelBuild(points, ladder.head,
+      chunkWidth = Some(meta.intervalMax))
       .withColumn("interval", lit(ladder.head))
     writeLevel(l0, root, SaveMode.Overwrite)
     for ((parent, idx) <- ladder.zipWithIndex.drop(1)) {
