@@ -29,16 +29,29 @@ object Dedup {
       .select("doc_id", "content_hash", "group_size")
   }
 
-  /** Word n-gram shingle set per document (distinct). */
-  def shingles(docs: DataFrame, n: Int = 3, text: String = "text"): DataFrame = {
+  /** Word n-gram shingles, one row per DISTINCT (doc_id, gram) — the
+    * exploded form every consumer actually needs. Built with posexplode +
+    * lead windows (codegen'd) rather than per-element array lambdas
+    * (interpreted, ~10× slower). Documents shorter than n tokens contribute
+    * their whole text as the single shingle. */
+  def shingleRows(docs: DataFrame, n: Int = 3, text: String = "text"): DataFrame = {
     val tk = TextOps.tokens(col(text))
-    val grams = transform(
-      sequence(lit(1), size(tk) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
-    docs.select(col("doc_id"),
-      when(size(tk) >= n, array_distinct(grams))
-        .otherwise(array(col(text))).as("shingle_set"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val long = docs.where(size(tk) >= n)
+      .select(col("doc_id"), size(tk).as("n"), posexplode(tk).as(Seq("pos", "tok")))
+      .withColumn("gram", concat_ws(" ",
+        col("tok") +: (1 until n).map(o => lead(col("tok"), o).over(win)): _*))
+      .where(col("pos") <= col("n") - n)
+      .select("doc_id", "gram")
+    val short = docs.where(size(tk) < n).select(col("doc_id"), col(text).as("gram"))
+    long.unionByName(short).distinct()
   }
+
+  /** Word n-gram shingle set per document (distinct), array form. */
+  def shingles(docs: DataFrame, n: Int = 3, text: String = "text"): DataFrame =
+    shingleRows(docs, n, text)
+      .groupBy("doc_id").agg(collect_list("gram").as("shingle_set"))
 
   /** Deterministic universal-hash family over the 60-bit md5 token hash:
     * h_i(x) = (a_i * (x mod P) + b_i) mod P, P = 2^31-1 (Carter-Wegman).
@@ -51,12 +64,12 @@ object Dedup {
   }
   def hashCoef(i: Int): (Long, Long) = (rng(2 * i) | 1L, rng(2 * i + 1))
 
-  /** MinHash signatures: one row per doc, `sig` = array of numHashes minima.
-    * Implemented as explode(shingles) → single groupBy(doc) with numHashes
-    * partial-aggregated min columns — one shuffle, map-side combined. */
-  def minhashSignatures(shingled: DataFrame, numHashes: Int = 32): DataFrame = {
-    val ex = shingled.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
-      .withColumn("hx", pmod(TextOps.md5Long(col("sh")), lit(P)))
+  /** MinHash signatures from shingle rows: one row per doc, `sig` = array of
+    * numHashes minima — a single groupBy(doc) with numHashes
+    * partial-aggregated min columns (one shuffle, map-side combined). */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 32): DataFrame = {
+    val ex = shingleRows
+      .withColumn("hx", pmod(TextOps.md5Long(col("gram")), lit(P)))
     val mins = (0 until numHashes).map { i =>
       val (a, b) = hashCoef(i)
       min(pmod(col("hx") * a + b, lit(P))).as(s"m$i")
@@ -100,15 +113,26 @@ object Dedup {
   }
 
   /** End-to-end MinHash-LSH near-dup pairs at a Jaccard threshold.
-    * Default 32 hashes / 16 bands of 2: P(candidate | j=0.8) ≈ 1 - 8e-8. */
+    * Default 32 hashes / 16 bands of 2: P(candidate | j=0.8) ≈ 1 - 8e-8.
+    * The verify step is a gram-equality join on the (tiny) candidate set —
+    * no array materialization anywhere in the pipeline. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8, ngram: Int = 3,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val sh = shingled(docs, ngram)
-    val cands = lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-    verifyJaccard(cands, sh, threshold)
+    val sh = shingleRows(docs, ngram).cache()
+    val cands = broadcast(
+      lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("gram"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("gram"))
+    cands.join(a, "doc_a").join(b, Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sb"))), "doc_b")
+      .withColumn("uni", col("_sa") + col("_sb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
-
-  private def shingled(docs: DataFrame, n: Int) = shingles(docs, n).cache()
 
   /** SimHash band blocking: split the fingerprint into `bands` bit-slices;
     * docs sharing any slice value are candidates (pigeonhole: any pair with
