@@ -63,7 +63,7 @@ object Warehouse {
     for ((parent, idx) <- ladder.zipWithIndex.drop(1)) {
       // read the just-written child back: rollup then scans the (small)
       // materialized level instead of recomputing the whole lineage
-      val child = spark.read.parquet(s"$root/levels")
+      val child = readLevels(spark, root)
         .where(col("interval") === ladder(idx - 1)).drop("interval")
       val built = AggOps.rollup(child, ladder(idx - 1), parent)
         .withColumn("interval", lit(parent))
@@ -132,7 +132,7 @@ object Warehouse {
     val allRaw = spark.read.parquet(s"$root/raw").drop("tb")
     for (interval <- meta.levelIntervals) {
       // per-metric end of the closed region at this level (may be absent)
-      val closedEnd = spark.read.parquet(s"$root/levels")
+      val closedEnd = readLevels(spark, root)
         .where(col("interval") === interval)
         .groupBy("metric").agg((max("time") + interval).as("_closed_end"))
       // tail region: points at/after the closed end (everything, if none)
@@ -157,12 +157,34 @@ object Warehouse {
     open(spark, root)
   }
 
+  import org.apache.spark.sql.types._
+  /** Canonical level-table schema (partition col `interval` normalized to
+    * LongType — Spark's partition inference would narrow small ladders to
+    * int). */
+  val levelSchema: StructType = StructType(Seq(
+    StructField("metric", StringType), StructField("time", LongType),
+    StructField("minimum", DoubleType), StructField("maximum", DoubleType),
+    StructField("sum", DoubleType), StructField("count", LongType),
+    StructField("integral", DoubleType), StructField("active_time", LongType),
+    StructField("interval", LongType)))
+
   /** `raw` keeps the `tb` partition column so query paths can hand Scoped a
     * bucket hint for directory-level pruning (Scoped.scopedRange doc). */
+  /** Levels table, tolerating a legitimately empty directory (a store whose
+    * data span closes no interval: tests/basics.cpp:88-93). */
+  def readLevels(spark: SparkSession, root: String): DataFrame =
+    try spark.read.parquet(s"$root/levels")
+      .withColumn("interval", col("interval").cast("long"))
+      .select(levelSchema.fieldNames.map(col): _*)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+    }
+
   def open(spark: SparkSession, root: String): Hta =
-    Hta(
-      spark.read.parquet(s"$root/raw"),
-      spark.read.parquet(s"$root/levels"),
+    Hta(spark.read.parquet(s"$root/raw"), readLevels(spark, root),
       readMeta(spark, root))
 
   /** S6/O5 — sorted catalog of metric names. */
