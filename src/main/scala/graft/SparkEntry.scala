@@ -6,12 +6,11 @@ import graft.registry.Registry
   * All real logic lives in graft.registry.Registry / graft.hta / graft.pipeline. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * End-to-end HTA slice: gap-lift (A2) → boundary split (A3) → tumbling
-    * level build (A4) → hierarchical rollup (A5) on the events table. */
-  def entry(spark: SparkSession): DataFrame = {
-    val ev = registry.Tables.events(spark, "/root/testdata/sf0.001")
-    Registry.rollupExact(Registry.levelExact(ev, Registry.I1), Registry.I1, Registry.I2)
-  }
+    * The SURVEY §7.2 end-to-end slice: gap-lift (A2) → boundary split (A3) →
+    * level build (A4) → rollup (A5) → retrieveFlex routing (Q2) with
+    * positional smoothing (A9) over the events table. */
+  def entry(spark: SparkSession): DataFrame =
+    Registry.queries("q21_flex_route")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 + LLM-pipeline ops. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries

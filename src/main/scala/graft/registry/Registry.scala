@@ -428,6 +428,75 @@ object Registry {
               |  (stop_cnt >= 1 AND n_tokens >= 10) AS quality_ok
               |FROM v ORDER BY 1""".stripMargin)),
 
+    // ---- relational surface (SURVEY §2.7: engine-provided via Spark;
+    //      exercised on the TPC-H-ish testdata; exact-integer aggregates) ----
+    Entry("q25_tpch_pricing",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .where(col("l_shipdate") <= lit("2024-06-30").cast("timestamp"))
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_base_cents"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("sum_disc_e4"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+             |       (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Entry("q26_tpch_top_orders",
+      (s, d) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .where(col("c_mktsegment") === "BUILDING")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        // dimension side broadcast; fact-fact join shuffles on orderkey
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), col("revenue_e4"))
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+             |       (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Entry("q27_region_acctbal",
+      (s, d) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val reg = s.read.parquet(s"$d/region.parquet")
+        cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(round(col("c_acctbal") * 100, 0).cast("long")).as("acctbal_cents"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_cust,
+             |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- LLM pipeline: dedup ----
     Entry("q14_dedup_exact",
       (s, d) => Dedup.exactDupGroups(docs(s, d)).orderBy("doc_id"),

@@ -80,6 +80,10 @@ object Warehouse {
       .write.mode(mode).partitionBy("interval")
       .parquet(s"$root/levels")
 
+  /** public alias for streaming sinks */
+  def writeMetaPublic(meta: Meta, root: String, spark: SparkSession): Unit =
+    writeMeta(meta, root, spark)
+
   private def writeMeta(meta: Meta, root: String, spark: SparkSession): Unit = {
     val json =
       s"""{"interval_min":${meta.intervalMin},"interval_max":${meta.intervalMax},"interval_factor":${meta.intervalFactor}}"""

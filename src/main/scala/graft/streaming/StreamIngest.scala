@@ -102,6 +102,28 @@ object StreamIngest {
     (out.result(), IngestState(prev, levels))
   }
 
+  /** Streaming sink into the Warehouse layout: raw samples appended to
+    * `root/raw` (time-bucketed) and closed level rows into
+    * `root/levels/interval=…` — the same directories batch queries read.
+    * foreachBatch + checkpointing gives exactly-once appends per micro-batch
+    * (batch-id-tracked); the state store replaces restore_level (Q4). */
+  def sinkToWarehouse(samples: Dataset[Sample], meta: Meta, root: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    graft.store.Warehouse.writeMetaPublic(meta, root, spark)
+    closedRows(samples, meta)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[ClosedRow], _: Long) =>
+        batch.toDF()
+          .write.mode("append").partitionBy("interval")
+          .parquet(s"$root/levels")
+      }
+      .start()
+  }
+
   /** The streaming transform: samples → closed level rows. */
   def closedRows(samples: Dataset[Sample], meta: Meta): Dataset[ClosedRow] = {
     val spark = samples.sparkSession

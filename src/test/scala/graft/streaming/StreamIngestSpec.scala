@@ -54,6 +54,27 @@ class StreamIngestSpec extends SparkSpec {
         IngestState(0L, Map.empty), meta))
   }
 
+  test("sinkToWarehouse writes a levels table batch readers can open") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmpDir("streamwh")
+    val mem = MemoryStream[Sample]
+    // seed the raw dir so Warehouse.open works (stream only sinks levels)
+    fixtureDf.withColumn("tb", lit(0L)).write.partitionBy("tb").parquet(s"$root/raw")
+    val q = StreamIngest.sinkToWarehouse(mem.toDS(), meta, root, tmpDir("ckpt"))
+    try {
+      mem.addData(fixture110.map { case (t, v) => Sample("foo", t, v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hta = graft.store.Warehouse.open(s, root)
+    val got = hta.levels.where(col("interval") === 10 * S).orderBy("time").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("minimum"),
+        r.getAs[Double]("maximum"), r.getAs[Double]("sum"), r.getAs[Long]("count"),
+        r.getAs[Double]("integral"), r.getAs[Long]("active_time"))).toSeq
+    assert(got === batchRows(10 * S))
+  }
+
   test("end-to-end MemoryStream query emits closed rows across micro-batches") {
     val s = spark
     import s.implicits._
