@@ -68,8 +68,13 @@ object Dedup {
     * numHashes minima — a single groupBy(doc) with numHashes
     * partial-aggregated min columns (one shuffle, map-side combined). */
   def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 32): DataFrame = {
+    // `gram` may be the raw string or an already-hashed long (nearDupPairs)
+    val gramHash =
+      if (shingleRows.schema("gram").dataType == org.apache.spark.sql.types.LongType)
+        col("gram")
+      else TextOps.md5Long(col("gram"))
     val ex = shingleRows
-      .withColumn("hx", pmod(TextOps.md5Long(col("gram")), lit(P)))
+      .withColumn("hx", pmod(gramHash, lit(P)))
     val mins = (0 until numHashes).map { i =>
       val (a, b) = hashCoef(i)
       min(pmod(col("hx") * a + b, lit(P))).as(s"m$i")
@@ -118,7 +123,12 @@ object Dedup {
     * no array materialization anywhere in the pipeline. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8, ngram: Int = 3,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val sh = shingleRows(docs, ngram).cache()
+    // gram strings are hashed to 60-bit longs immediately: every downstream
+    // shuffle/join moves 8-byte keys, never ~25-char strings (collision odds
+    // across ~1e6 grams: ~1e-7 — immaterial to the dedup decision)
+    val sh = shingleRows(docs, ngram)
+      .select(col("doc_id"), TextOps.md5Long(col("gram")).as("gram"))
+      .cache()
     val cands = broadcast(
       lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

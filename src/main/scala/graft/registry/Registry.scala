@@ -339,7 +339,7 @@ object Registry {
     Entry("q21_flex_route",
       (s, d) => {
         val e = ev(s, d)
-        val lv1 = levelExact(e, I1)
+        val lv1 = levelExact(e, I1).cache() // consumed twice: canon + rollup
         val lv2 = rollupExact(lv1, I1, I2)
         val canon = (df: DataFrame, i: Long) => df.select(
           col("metric"), lit(i).as("interval"), col("time"),
