@@ -76,14 +76,16 @@ object RetrieveFlex {
     if (limit < meta.intervalMin) return rawBranch(hta, begin, end, limit, scope, smooth)
 
     // ---- level selection (materialized-view routing) ----
+    // The reference probes the coarsest fitting level and descends only
+    // while it is empty (src/metric.cpp:394-409). We translate that probe
+    // order: scan level k (pruned to one partition) for metrics still
+    // unrouted; in the common case the FIRST (coarsest = smallest) level
+    // answers every metric and the finer, larger levels are never read.
     val ladder = meta.levelIntervals
     val capped = math.min(limit, meta.intervalMax)
     val coarsest = ladder.takeWhile(_ <= capped).lastOption.getOrElse(meta.intervalMin)
     val candidates = ladder.filter(_ <= coarsest)
 
-    val lv = hta.levels.where(col("interval").isin(candidates: _*))
-    // per-(metric, interval) emptiness under the scope: base-range count plus
-    // existence flags that stand in for the extended lookaside rows
     val beginBase = scope.begin match {
       case Scope.Closed => col("time") >= begin
       case Scope.Open | Scope.Extended => col("time") > begin
@@ -94,18 +96,53 @@ object RetrieveFlex {
       case Scope.Open | Scope.Extended => col("time") < end
       case Scope.Infinity => lit(true)
     }
-    val summary = lv.groupBy("metric", "interval").agg(
-      sum(when(beginBase && endBase, 1L).otherwise(0L)).as("n_base"),
-      max(when(col("time") <= begin, 1L).otherwise(0L)).as("has_le_b"),
-      max(when(col("time") >= end, 1L).otherwise(0L)).as("has_ge_e"))
-    val nonEmpty = summary.where(
-      col("n_base") > 0 ||
-        (if (scope.begin == Scope.Extended) col("has_le_b") === 1L else lit(false)) ||
-        (if (scope.end == Scope.Extended) col("has_ge_e") === 1L else lit(false)))
-    // coarsest non-empty level per metric — the summary is tiny (metrics ×
-    // levels), so this is a broadcast-sized routing table
-    val chosen = nonEmpty.groupBy("metric").agg(max("interval").as("interval"))
+    def nonEmptyAt(lv: DataFrame): DataFrame = {
+      val summary = lv.groupBy("metric", "interval").agg(
+        sum(when(beginBase && endBase, 1L).otherwise(0L)).as("n_base"),
+        max(when(col("time") <= begin, 1L).otherwise(0L)).as("has_le_b"),
+        max(when(col("time") >= end, 1L).otherwise(0L)).as("has_ge_e"))
+      summary.where(
+        col("n_base") > 0 ||
+          (if (scope.begin == Scope.Extended) col("has_le_b") === 1L else lit(false)) ||
+          (if (scope.end == Scope.Extended) col("has_ge_e") === 1L else lit(false)))
+        .select("metric", "interval")
+    }
+    // metric universe for the early exit: the warehouse catalog when
+    // available (tiny table maintained at ingest), else derived once from
+    // the coarsest populated level
+    lazy val universe: DataFrame = hta.metrics.getOrElse(
+      hta.levels.where(col("interval") === candidates.last)
+        .select("metric").distinct()).cache()
 
+    // descend coarsest→finest; the routing table is broadcast-sized (one row
+    // per metric), so each finer probe excludes already-routed metrics
+    var chosen: DataFrame = null
+    var routed: DataFrame = null
+    val it = candidates.reverse.iterator
+    var exhausted = false
+    while (it.hasNext && !exhausted) {
+      val i = it.next()
+      val probe0 = hta.levels.where(col("interval") === i)
+      val probe = if (routed == null) probe0
+                  else probe0.join(broadcast(routed), Seq("metric"), "left_anti")
+      val found = nonEmptyAt(probe)
+      chosen = if (chosen == null) found else chosen.unionByName(found)
+      routed = chosen.select("metric").cache()
+      // early exit: once every cataloged metric is routed, the finer
+      // (larger) levels are never scanned — one tiny action per level,
+      // mirroring the reference's per-level emptiness probe
+      if (it.hasNext) {
+        exhausted = universe
+          .join(broadcast(routed), Seq("metric"), "left_anti")
+          .limit(1).count() == 0
+      }
+    }
+    routeAndSmooth(hta, chosen, begin, end, scope, smooth, capped, candidates)
+  }
+
+  private def routeAndSmooth(hta: Hta, chosen: DataFrame, begin: Long, end: Long,
+                             scope: IntervalScope, smooth: Boolean, capped: Long,
+                             candidates: Seq[Long]): DataFrame = {
     val routed = Scoped.scopedRange(
       hta.levels.join(broadcast(chosen), Seq("metric", "interval")),
       begin, end, scope)

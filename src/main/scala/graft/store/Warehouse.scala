@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   *    reference's insert-time recursion becomes batch rollup k→k+1, which
   *    reads the (much smaller) child level, not raw).
   */
-final case class Hta(raw: DataFrame, levels: DataFrame, meta: Meta)
+final case class Hta(raw: DataFrame, levels: DataFrame, meta: Meta,
+                     metrics: Option[DataFrame] = None)
 
 object Warehouse {
 
@@ -70,6 +71,8 @@ object Warehouse {
       writeLevel(built, root, SaveMode.Append)
     }
 
+    points.select("metric").distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/_metrics")
     writeMeta(meta, root, spark)
     open(spark, root)
   }
@@ -158,6 +161,15 @@ object Warehouse {
         .withColumn("interval", lit(interval))
       writeLevel(newRows, root, SaveMode.Append)
     }
+    // merge any new metric names into the catalog (S6)
+    val cat = spark.read.parquet(s"$root/_metrics")
+      .unionByName(points.select("metric").distinct()).distinct()
+    cat.write.mode(SaveMode.Overwrite).parquet(s"$root/_metrics_tmp")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_metrics"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/_metrics_tmp"),
+      new org.apache.hadoop.fs.Path(s"$root/_metrics"))
     open(spark, root)
   }
 
@@ -187,12 +199,19 @@ object Warehouse {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
     }
 
-  def open(spark: SparkSession, root: String): Hta =
+  def open(spark: SparkSession, root: String): Hta = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cat =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_metrics")))
+        Some(spark.read.parquet(s"$root/_metrics"))
+      else None
     Hta(spark.read.parquet(s"$root/raw"), readLevels(spark, root),
-      readMeta(spark, root))
+      readMeta(spark, root), cat)
+  }
 
-  /** S6/O5 — sorted catalog of metric names. */
+  /** S6/O5 — sorted catalog of metric names (catalog table when present). */
   def metricNames(hta: Hta): Seq[String] =
-    hta.raw.select("metric").distinct()
+    hta.metrics.getOrElse(hta.raw.select("metric").distinct())
       .orderBy("metric").collect().map(_.getString(0)).toSeq
 }
