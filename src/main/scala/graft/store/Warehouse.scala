@@ -161,8 +161,15 @@ object Warehouse {
         .withColumn("interval", lit(interval))
       writeLevel(newRows, root, SaveMode.Append)
     }
-    // merge any new metric names into the catalog (S6)
-    val cat = spark.read.parquet(s"$root/_metrics")
+    // merge any new metric names into the catalog (S6); tolerate stores
+    // created before the catalog existed
+    val fs0 = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingCat =
+      if (fs0.exists(new org.apache.hadoop.fs.Path(s"$root/_metrics")))
+        spark.read.parquet(s"$root/_metrics")
+      else existing.raw.select("metric").distinct()
+    val cat = existingCat
       .unionByName(points.select("metric").distinct()).distinct()
     cat.write.mode(SaveMode.Overwrite).parquet(s"$root/_metrics_tmp")
     val fs = new org.apache.hadoop.fs.Path(root)

@@ -124,6 +124,23 @@ object StreamIngest {
       .start()
   }
 
+  /** Companion raw sink: append the sample stream itself into the
+    * warehouse's time-bucketed raw layout. Run alongside [[sinkToWarehouse]]
+    * (separate checkpoint) for full store parity with batch ingest. */
+  def sinkRawToWarehouse(samples: Dataset[Sample], meta: Meta, root: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    samples.toDF()
+      .withColumn("tb", col("time") - pmod(col("time"), lit(meta.intervalMax)))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("tb")
+      .format("parquet")
+      .option("path", s"$root/raw")
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   /** The streaming transform: samples → closed level rows. */
   def closedRows(samples: Dataset[Sample], meta: Meta): Dataset[ClosedRow] = {
     val spark = samples.sparkSession
