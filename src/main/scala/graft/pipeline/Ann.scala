@@ -112,6 +112,73 @@ object Ann {
       .toDF("vid_a", "vid_b", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; queries probe only the
+    * `nprobe` nearest lists. Centroids here are a deterministic sample of
+    * the corpus (first nlist by vec_id — at production scale substitute a
+    * k-means job; the index structure, assignment join and probe plan are
+    * identical). Search cost drops nlist/nprobe-fold.
+    *
+    * Layout at scale: `corpus.repartition(col("list_id"))` + parquet
+    * partitionBy(list_id) makes each probe a partition-pruned scan. */
+  def ivfAssign(corpus: DataFrame, centroids: Array[(Long, Array[Long])]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .as[(Long, Array[Long])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)._2
+          var d = 0L; var k = 0
+          while (k < v.length) { val t = v(k) - c(k); d += t * t; k += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        (id, v, best.toLong)
+      }.toDF("vid", "ve", "list_id")
+  }
+
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Array[Long])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .as[(Long, Array[Long])]
+      .orderBy("vec_id").limit(nlist).collect()
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist)
+    val assigned = ivfAssign(corpus, cents)
+      .withColumn("vn", normQ(col("ve")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val q = queries.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        val byDist = cs.indices.map { i =>
+          val c = cs(i)._2
+          var d = 0L; var kk = 0
+          while (kk < v.length) { val t = v(kk) - c(kk); d += t * t; kk += 1 }
+          (d, i.toLong)
+        }.sortBy(x => (x._1, x._2)).take(nprobe)
+        byDist.map { case (_, list) => (id, v, list) }
+      }.toDF("qid", "qe", "list_id")
+    val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
+    val scored = assigned.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
+      .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "vid", "rnk", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * zero-mean int derived from md5(p:j) — reproducible without a RNG. */
   private def planeComponent(p: Int, j: Int): Long = {

@@ -52,6 +52,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("IVF top-k probes a fraction of the corpus with reasonable recall") {
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(queries, emb, 5)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe/nlist = 1/4 of the corpus examined
+    val ivf = Ann.ivfTopK(queries, emb, 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall")
+    assert(ivf.length <= 50)
+  }
+
   test("cosinePairsFast is bit-identical to the column-expression version") {
     val slow = Ann.cosinePairs(emb, 0.3).orderBy("vid_a", "vid_b").collect()
     val fast = Ann.cosinePairsFast(emb, 0.3).orderBy("vid_a", "vid_b").collect()
