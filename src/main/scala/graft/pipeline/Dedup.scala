@@ -34,7 +34,8 @@ object Dedup {
     * lead windows (codegen'd) rather than per-element array lambdas
     * (interpreted, ~10× slower). Documents shorter than n tokens contribute
     * their whole text as the single shingle. */
-  def shingleRows(docs: DataFrame, n: Int = 3, text: String = "text"): DataFrame = {
+  def shingleRows(docs: DataFrame, n: Int = 3, text: String = "text",
+                  distinct: Boolean = true): DataFrame = {
     val tk = TextOps.tokens(col(text))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -45,7 +46,8 @@ object Dedup {
       .where(col("pos") <= col("n") - n)
       .select("doc_id", "gram")
     val short = docs.where(size(tk) < n).select(col("doc_id"), col(text).as("gram"))
-    long.unionByName(short).distinct()
+    val all = long.unionByName(short)
+    if (distinct) all.distinct() else all
   }
 
   /** Word n-gram shingle set per document (distinct), array form. */
@@ -123,11 +125,13 @@ object Dedup {
     * no array materialization anywhere in the pipeline. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8, ngram: Int = 3,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    // gram strings are hashed to 60-bit longs immediately: every downstream
-    // shuffle/join moves 8-byte keys, never ~25-char strings (collision odds
-    // across ~1e6 grams: ~1e-7 — immaterial to the dedup decision)
-    val sh = shingleRows(docs, ngram)
+    // gram strings are hashed to 60-bit longs BEFORE the distinct: every
+    // shuffle in the pipeline (dedup, sig build, verify joins) moves 8-byte
+    // keys, never ~25-char strings (collision odds across ~1e6 grams:
+    // ~1e-7 — immaterial to the dedup decision)
+    val sh = shingleRows(docs, ngram, distinct = false)
       .select(col("doc_id"), TextOps.md5Long(col("gram")).as("gram"))
+      .distinct()
       .cache()
     val cands = broadcast(
       lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands))

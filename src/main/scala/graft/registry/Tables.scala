@@ -38,10 +38,13 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** DuckDB-side equivalent of [[events]], as a CTE body. */
+  /** DuckDB-side equivalent of [[events]], as a CTE body.
+    * `epoch_us(ts)*1000` (not epoch_ns) so the µs-grid time is identical
+    * whether the oracle engine coerces parquet ns-timestamps to µs (DuckDB
+    * ≤1.0) or keeps native TIMESTAMP_NS (newer versions). */
   val ptsCte: String =
     """pts AS (
-      |  SELECT event_type AS metric, epoch_ns(ts) AS time, value,
+      |  SELECT event_type AS metric, epoch_us(ts)*1000 AS time, value,
       |         CAST(round(value*100) AS BIGINT) AS cents, event_id
       |  FROM events
       |)""".stripMargin
