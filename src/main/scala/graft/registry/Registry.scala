@@ -30,7 +30,37 @@ object Registry {
   val NOW = 1767225600000000000L // fixed "now" for plausibility checks
   val COOLDOWN = 7200000000000L // 2 h throttle cooldown
 
+  // µs-domain constants for the warehouse round-trip queries (q28/q29)
+  val Bu = B / 1000
+  val Eu = E / 1000
+  val I1u = I1 / 1000
+  val I2u = I2 / 1000
+
   import Tables.ptsCte
+
+  /** DuckDB view of events in the µs time domain with value := cents. */
+  private val wptsCte =
+    """wpts AS (
+      |  SELECT event_type AS metric, epoch_us(ts) AS time,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events
+      |)""".stripMargin
+
+  /** Per-sfDir warehouse of the events table, ingested in the µs domain with
+    * value := cents (exact-integer aggregates); memoized per JVM. */
+  private val whCache = scala.collection.concurrent.TrieMap[String, graft.store.Hta]()
+  def warehouseFor(s: SparkSession, d: String): graft.store.Hta =
+    whCache.getOrElseUpdate(d, {
+      val root = s"/tmp/graft_wh_${Integer.toHexString(d.hashCode)}"
+      val ev = Tables.events(s, d).select(
+        col("metric"),
+        // integral division — float division at 1.7e18 ns magnitudes is
+        // inexact (numerator exceeds 2^53) and would shift some µs by ±1
+        expr("time div 1000").as("time"),
+        col("cents").cast("double").as("value"))
+      graft.store.Warehouse.ingest(ev, graft.model.Meta(I1u, I2u, 10), root,
+        validate = false)
+    })
 
   // ================= exact-integer HTA builders (Spark side) =============
 
@@ -427,6 +457,83 @@ object Registry {
               |  CAST(tok_chars AS DOUBLE) / n_tokens AS mean_tok_len,
               |  (stop_cnt >= 1 AND n_tokens >= 10) AS quality_ok
               |FROM v ORDER BY 1""".stripMargin)),
+
+    // ---- warehouse round-trip: S3/S4 sinks + Q2/A6 over the real store.
+    //      The store is ingested in the µs time domain with value := cents,
+    //      so every stored aggregate (incl. integral = cents·µs) stays an
+    //      integer below 2^53 — double arithmetic is then exact and the
+    //      DuckDB recomputation matches bit-for-bit. ----
+    Entry("q28_warehouse_flex",
+      (s, d) => {
+        val hta = warehouseFor(s, d)
+        graft.hta.RetrieveFlex.retrieveFlex(hta, Bu, Eu, 5 * I1u, smooth = true)
+          .select(col("metric"), col("time"), col("minimum"), col("maximum"),
+            col("sum").cast("long").as("sum_cents"),
+            col("count").as("cnt"),
+            col("integral").cast("long").as("integral_cu"),
+            col("active_time"))
+          .orderBy("metric", "time")
+      },
+      Some(s"""WITH $wptsCte,
+              |l AS (SELECT metric, time, cents,
+              |        coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), time) AS prev,
+              |        max(time) OVER (PARTITION BY metric) AS last_t
+              |      FROM wpts),
+              |s0 AS (SELECT metric, time, cents, prev, last_t,
+              |        unnest(generate_series(prev - prev % $I1u, time - time % $I1u, $I1u)) AS bstart FROM l),
+              |segs AS (SELECT *, least(time, bstart + $I1u) - greatest(prev, bstart) AS seg_len,
+              |        (bstart = time - time % $I1u) AS is_home FROM s0),
+              |lv AS (SELECT metric, bstart AS time,
+              |  min(CAST(cents AS DOUBLE)) AS minimum, max(CAST(cents AS DOUBLE)) AS maximum,
+              |  CAST(sum(CASE WHEN is_home THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
+              |  CAST(sum(CASE WHEN is_home THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+              |  CAST(sum(cents * seg_len) AS BIGINT) AS integral_cu,
+              |  CAST(sum(seg_len) AS BIGINT) AS active_time
+              |  FROM segs WHERE bstart < last_t - last_t % $I1u GROUP BY 1, 2),
+              |lb AS (SELECT metric, max(time) AS t FROM lv WHERE time <= $Bu GROUP BY 1),
+              |le AS (SELECT metric, min(time) AS t FROM lv WHERE time >= $Eu GROUP BY 1),
+              |sc AS (SELECT l.* FROM lv l
+              |       LEFT JOIN lb ON l.metric = lb.metric
+              |       LEFT JOIN le ON l.metric = le.metric
+              |       WHERE (l.time > $Bu OR l.time = lb.t) AND l.time < $Eu),
+              |rn AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY time) - 1 AS r
+              |       FROM sc)
+              |SELECT metric, min(time) AS time, min(minimum) AS minimum,
+              |  max(maximum) AS maximum, CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+              |  CAST(sum(cnt) AS BIGINT) AS cnt,
+              |  CAST(sum(integral_cu) AS BIGINT) AS integral_cu,
+              |  CAST(sum(active_time) AS BIGINT) AS active_time
+              |FROM rn GROUP BY metric, r // 5 ORDER BY 1, 2""".stripMargin)),
+
+    // A6 over the warehouse via the telescoped plan. integral omitted from
+    // the oracle columns: the whole-range integral exceeds 2^53 cents·µs,
+    // where float summation order is no longer provably neutral.
+    Entry("q29_warehouse_telescope",
+      (s, d) => {
+        val hta = warehouseFor(s, d)
+        graft.hta.Telescope.aggregateRange(hta, Bu, Eu)
+          .select(col("metric"), col("minimum"), col("maximum"),
+            col("sum").cast("long").as("sum_cents"), col("count").as("cnt"),
+            col("active_time"))
+          .orderBy("metric")
+      },
+      Some(s"""WITH $wptsCte,
+              |bounds AS (SELECT metric, min(time) AS f, max(time) AS l FROM wpts GROUP BY 1),
+              |cl AS (SELECT metric, greatest($Bu, f) AS b, least($Eu, l) AS e FROM bounds
+              |       WHERE $Eu > f AND $Bu <= l),
+              |sc0 AS (SELECT p.metric, p.time, p.cents, cl.b, cl.e FROM wpts p
+              |        JOIN cl ON p.metric = cl.metric WHERE p.time >= cl.b),
+              |sc AS (SELECT *, min(CASE WHEN time >= e THEN time END)
+              |         OVER (PARTITION BY metric) AS mge FROM sc0),
+              |con AS (SELECT metric, time, cents, b, e, time < e AS isin,
+              |         coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), b) AS prev
+              |        FROM sc WHERE time < e OR time = mge)
+              |SELECT metric,
+              |  min(CAST(cents AS DOUBLE)) AS minimum, max(CAST(cents AS DOUBLE)) AS maximum,
+              |  CAST(sum(CASE WHEN isin THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
+              |  CAST(sum(CASE WHEN isin THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+              |  CAST(sum((CASE WHEN isin THEN time ELSE e END) - prev) AS BIGINT) AS active_time
+              |FROM con GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- relational surface (SURVEY §2.7: engine-provided via Spark;
     //      exercised on the TPC-H-ish testdata; exact-integer aggregates) ----
