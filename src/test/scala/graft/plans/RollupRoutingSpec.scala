@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.model.Meta
+import graft.store.Warehouse
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule must (a) actually reroute eligible plans to the level
+  * table, (b) produce identical results, (c) leave ineligible plans alone. */
+class RollupRoutingSpec extends SparkSpec {
+
+  private lazy val hta = {
+    val h = Warehouse.ingest(fixtureDf, Meta(10 * S, 1000 * S, 10), tmpDir("route"))
+    RollupRouting.install(spark, h)
+    h
+  }
+
+  private def rawAgg(b: Long, e: Long) =
+    hta.raw.where(col("time") >= b && col("time") < e)
+      .groupBy("metric")
+      .agg(sum("value").as("s"), count("value").as("c"))
+
+  test("aligned in-watermark aggregate is rewritten to the level scan") {
+    val df = rawAgg(tp(20), tp(100))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("interval"), s"not rerouted:\n$optimized")
+    // results identical to an un-routed computation on the raw points
+    val expect = fixtureDf.where(col("time") >= tp(20) && col("time") < tp(100))
+      .groupBy("metric").agg(sum("value"), count("value")).collect().head
+    val got = df.collect().head
+    assert(got.getDouble(1) === expect.getDouble(1))
+    assert(got.getLong(2) === expect.getLong(2))
+    // and the physical scan reads the levels directory, not raw
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("levels"))
+    assert(!phys.contains("/raw"))
+  }
+
+  test("unaligned or beyond-watermark ranges stay on raw") {
+    // unaligned begin
+    val un = rawAgg(tp(21), tp(100))
+    assert(un.queryExecution.executedPlan.toString.contains("/raw"))
+    // aligned but beyond the closed watermark (last closed 10s end = 220s)
+    val late = rawAgg(tp(20), tp(230))
+    assert(late.queryExecution.executedPlan.toString.contains("/raw"))
+    // min/max are never routed (HTA boundary semantics differ)
+    val mm = hta.raw.where(col("time") >= tp(20) && col("time") < tp(100))
+      .groupBy("metric").agg(max("value").as("m"))
+    assert(mm.queryExecution.executedPlan.toString.contains("/raw"))
+    assert(mm.collect().head.getDouble(1) === 0.0) // raw max in [20,100) is 0 at 67s
+  }
+
+  test("routed and raw answers agree on every aligned window") {
+    for ((b, e) <- Seq((0L, 100L), (100L, 200L), (0L, 200L), (40L, 60L))) {
+      val routed = rawAgg(tp(b), tp(e)).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      val direct = fixtureDf.where(col("time") >= tp(b) && col("time") < tp(e))
+        .groupBy("metric").agg(sum("value"), count("value")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(routed === direct, s"window ($b, $e)")
+    }
+  }
+}
