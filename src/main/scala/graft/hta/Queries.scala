@@ -167,6 +167,29 @@ object Queries {
       .withColumn("interval", lit(interval))
   }
 
+  /** As-of join — the multi-metric extension the reference lacks (SURVEY
+    * §2.7): for every left-series sample, attach the latest right-series
+    * value at-or-before its timestamp. Implemented as the union-and-carry
+    * pattern: tag both series, sort per key-space, carry the right value
+    * forward with last(ignoreNulls) — one shuffle, no range join explosion.
+    * At scale, partition-align both inputs on the time bucket first. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               valueName: String = "right_value"): DataFrame = {
+    val cols = keys.map(col) ++ Seq(col("time"), col("value"))
+    val l = left.select(cols: _*).withColumn("_side", lit(1))
+    val r = right.select(cols: _*).withColumn("_side", lit(0))
+    // order by (time, _side): a right point at time t is visible to a left
+    // point at the same t (at-or-before semantics)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("time"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(valueName,
+        org.apache.spark.sql.functions.last(
+          when(col("_side") === 0, col("value")), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(keys.map(col) ++ Seq(col("time"), col("value"), col(valueName)): _*)
+  }
+
   /** Q3 — lift raw points to Row form: interval 0, aggregate of (v, gap to
     * previous returned point; first point gap 0) (src/metric.cpp:414-439). */
   def rawToRows(scopedPoints: DataFrame): DataFrame = {

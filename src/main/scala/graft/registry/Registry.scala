@@ -604,6 +604,59 @@ object Registry {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- as-of join + sessionization (SURVEY §2.7 natural extensions) ----
+    Entry("q30_asof_join",
+      (s, d) => {
+        val base = s.read.parquet(s"$d/events.parquet").select(
+          col("user_id"),
+          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
+          col("value"), col("event_type"))
+        Queries.asofJoin(
+            base.where(col("event_type") === "click"),
+            base.where(col("event_type") === "view"),
+            keys = Seq("user_id"), valueName = "last_view_value")
+          .orderBy("user_id", "time")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts)*1000 AS time, value, event_type
+             |            FROM events)
+             |SELECT c.user_id, c.time, c.value, v.value AS last_view_value
+             |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+             |  ON c.user_id = v.user_id AND v.time <= c.time
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Entry("q31_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("time")
+        val gap = 1800000000000L // 30 min
+        s.read.parquet(s"$d/events.parquet").select(
+            col("user_id"),
+            (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .withColumn("_new",
+            when(coalesce(lag("time", 1).over(w), lit(Long.MinValue)) < col("time") - gap, 1L)
+              .otherwise(0L))
+          .withColumn("_sid", sum("_new").over(
+            Window.partitionBy("user_id").orderBy("time")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "_sid")
+          .agg(min("time").as("session_start"), max("time").as("session_end"),
+            count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+          .drop("_sid")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts)*1000 AS time,
+             |              CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |m AS (SELECT *, CASE WHEN coalesce(lag(time) OVER (PARTITION BY user_id ORDER BY time),
+             |                -9223372036854775808) < time - 1800000000000 THEN 1 ELSE 0 END AS nw
+             |      FROM ev),
+             |sid AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY time
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             |        FROM m)
+             |SELECT user_id, min(time) AS session_start, max(time) AS session_end,
+             |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM sid GROUP BY user_id, s ORDER BY 1, 2""".stripMargin)),
+
     // ---- LLM pipeline: dedup ----
     Entry("q14_dedup_exact",
       (s, d) => Dedup.exactDupGroups(docs(s, d)).orderBy("doc_id"),
