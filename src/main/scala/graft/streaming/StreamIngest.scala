@@ -50,7 +50,7 @@ object StreamIngest {
   private def intervalEndL(t: Long, d: Long): Long = t - Math.floorMod(t, d) + d
 
   /** One metric's cascade for one (sorted) batch of samples. */
-  private[streaming] def foldBatch(metric: String, samples: Seq[Sample],
+  def foldBatch(metric: String, samples: Seq[Sample],
                                    st0: IngestState, meta: Meta): (Seq[ClosedRow], IngestState) = {
     val ladder = meta.levelIntervals
     val out = Seq.newBuilder[ClosedRow]
