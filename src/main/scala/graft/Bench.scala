@@ -25,7 +25,11 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.registry.Registry.warehouseFor(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_ONLY=q23_fingerprint,q15_dedup_neardup
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next()) }
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }

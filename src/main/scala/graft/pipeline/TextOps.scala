@@ -105,23 +105,43 @@ object TextOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** 60-bit left-rotation of a 60-bit value. Exact in Long arithmetic:
+    * (h << s) wraps mod 2^64 but the mask keeps only bits < 60, which are
+    * unaffected by the wrap; h >= 0 so the arithmetic >> is a logical one. */
+  private def rot60(h: Column, s: Int): Column =
+    if (s == 0) h
+    else shiftleft(h, s).bitwiseAND(lit((1L << 60) - 1))
+      .bitwiseOR(shiftright(h, 60 - s))
+
+  /** DuckDB rendering of the same rotation via overflow-free div/mod
+    * (DuckDB BIGINT ops are overflow-checked, so no raw shifts). */
+  def rot60Sql(h: String, s: Int): String =
+    if (s == 0) h
+    else { val lm = 1L << (60 - s); s"(($h % $lm) * ${1L << s} + ($h // $lm))" }
+
   /** Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03
-    * simplified): the minimum 60-bit hash over all w-token windows. Collision
-    * of fingerprints is a cheap near-dup blocking key. */
+    * simplified): the minimum hash over all w-token windows. Collision of
+    * fingerprints is a cheap near-dup blocking key.
+    *
+    * Each token is md5-hashed ONCE to a 60-bit long; a window's hash is the
+    * XOR of its token hashes rotated by 7·position bits (positional, so
+    * permuted windows differ). That's ~w× less hashing than md5 per gram and
+    * keeps the whole pipeline in whole-stage codegen: one explode, one
+    * doc_id shuffle for the lead window, one partial-aggregated min. */
   def minFingerprint(docs: DataFrame, w: Int = 8, text: String = "text"): DataFrame = {
-    // explode + lead-window formulation: one shuffle on doc_id, everything
-    // else codegen'd — ~20× faster than a per-window array lambda (higher-
-    // order functions are interpreted per element)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tok = docs.select(col("doc_id"), size(tokens(col(text))).as("n"),
         posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .withColumn("th", md5Long(col("tok"))) // one md5 per token, not per gram
+    val gram = (0 until w).map { i =>
+      val h = if (i == 0) col("th") else lead(col("th"), i).over(win)
+      rot60(h, (7 * i) % 60)
+    }.reduce(_ bitwiseXOR _)
     val grams = tok
-      .withColumn("gram", concat_ws(" ",
-        col("tok") +: (1 until w).map(o => lead(col("tok"), o).over(win)): _*))
+      .withColumn("g", gram)
       .where(col("pos") <= col("n") - w) // only full windows
-      .withColumn("h", md5Long(col("gram")))
-      .groupBy("doc_id").agg(min("h").as("fp_grams"))
+      .groupBy("doc_id").agg(min("g").as("fp_grams"))
     docs.select(col("doc_id"), size(tokens(col(text))).as("n"),
         md5Long(col(text)).as("fp_whole"))
       .join(grams, Seq("doc_id"), "left")

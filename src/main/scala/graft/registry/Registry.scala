@@ -429,17 +429,26 @@ object Registry {
     // ---- text fingerprinting (winnowing-style min-hash of 8-gram windows) ----
     Entry("q23_fingerprint",
       (s, d) => TextOps.minFingerprint(docs(s, d), w = 8).orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
-             |g AS (SELECT doc_id, text, s,
-             |        CASE WHEN len(s) >= 8 THEN
-             |          [CAST('0x' || substr(md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7]), 1, 15) AS BIGINT)
-             |           for i in range(1, len(s)-6)]
-             |        ELSE NULL END AS hs
-             |      FROM t)
-             |SELECT doc_id,
-             |  CASE WHEN hs IS NOT NULL THEN list_min(hs)
-             |       ELSE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) END AS fingerprint
-             |FROM g ORDER BY 1""".stripMargin)),
+      Some {
+        // window hash = XOR of positionally-rotated 60-bit token hashes;
+        // rotation rendered as overflow-free div/mod (TextOps.rot60Sql)
+        val combine = (0 until 8)
+          .map(i => TextOps.rot60Sql(s"hs[i+$i]", (7 * i) % 60))
+          .reduce((a, b) => s"xor($a, $b)")
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+           |h AS (SELECT doc_id, text,
+           |        [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in s] AS hs
+           |      FROM t),
+           |g AS (SELECT doc_id, text,
+           |        CASE WHEN len(hs) >= 8 THEN
+           |          [$combine for i in range(1, len(hs) - 6)]
+           |        ELSE NULL END AS gs
+           |      FROM h)
+           |SELECT doc_id,
+           |  CASE WHEN gs IS NOT NULL THEN list_min(gs)
+           |       ELSE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) END AS fingerprint
+           |FROM g ORDER BY 1""".stripMargin
+      }),
 
     // ---- quality scoring (ratios of exact integers → deterministic doubles) ----
     Entry("q24_quality",
