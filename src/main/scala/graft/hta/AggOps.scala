@@ -58,10 +58,15 @@ object AggOps {
     * broadcast. Bit-identical to [[gapLift]] (AggOpsSpec property).
     *
     * `chunkWidth` should match the raw layout's bucket width (intervalMax)
-    * so the chunking adds no extra shuffle beyond the bucketed layout. */
+    * so the chunking adds no extra shuffle beyond the bucketed layout.
+    *
+    * `firstDefault`: prev_time for a metric's very first row (default: its
+    * own time, i.e. gap 0). A6 passes the clamped range start `_b` so the
+    * fold seeds at the query edge (src/metric.cpp:115-118). */
   def gapLiftChunked(points: DataFrame, chunkWidth: Long,
                      metric: String = "metric",
-                     time: String = "time"): DataFrame = {
+                     time: String = "time",
+                     firstDefault: Option[Column] = None): DataFrame = {
     val ck = intervalBegin(col(time), chunkWidth)
     val wc = Window.partitionBy(col(metric), col("_ck")).orderBy(col(time))
     // last time of every (metric, chunk): tiny aggregate
@@ -76,7 +81,8 @@ object AggOps {
     points.withColumn("_ck", ck)
       .join(broadcast(boundary), Seq(metric, "_ck"), "left")
       .withColumn("prev_time",
-        coalesce(lag(col(time), 1).over(wc), col("_prev_chunk_last"), col(time)))
+        coalesce(lag(col(time), 1).over(wc), col("_prev_chunk_last"),
+          firstDefault.getOrElse(col(time))))
       .drop("_ck", "_prev_chunk_last")
   }
 

@@ -48,10 +48,16 @@ object Queries {
     * Postcondition (asserted by the reference and by our tests):
     * active_time == clamped end - clamped begin.
     */
-  def aggregateRange(points: DataFrame, begin: Long, end: Long): DataFrame = {
+  def aggregateRange(points: DataFrame, begin: Long, end: Long,
+                     chunkWidth: Option[Long] = None): DataFrame = {
     require(begin < end, s"invalid request: begin $begin >= end $end")
+    // Per-metric scalars in ONE pass: data range + first point at/after the
+    // query end. All downstream per-metric facts broadcast-join from here —
+    // no unordered Window.partitionBy(metric) (which would buffer a whole
+    // metric on one task: the skew-killer at 100 TB).
     val bounds = points.groupBy("metric")
-      .agg(min("time").as("_first"), max("time").as("_last"))
+      .agg(min("time").as("_first"), max("time").as("_last"),
+        min(when(col("time") >= end, col("time"))).as("_min_ge_end"))
 
     // Clamp per metric (src/metric.cpp:179-181); overlap test :169-175.
     val joined = points.join(broadcast(bounds), Seq("metric"))
@@ -61,15 +67,19 @@ object Queries {
 
     // aggregate_raw with scope (closed, extended) on the clamped range
     // (src/metric.cpp:112-137): points in [_b, _e) plus the first point >= _e.
-    val wAll = Window.partitionBy("metric")
+    // _e = min(end, _last), so that edge point is _min_ge_end when the data
+    // runs past `end` and the last point itself otherwise.
     val scoped = joined
-      .withColumn("_min_ge_e", min(when(col("time") >= col("_e"), col("time"))).over(wAll))
+      .withColumn("_min_ge_e",
+        when(col("_last") >= end, col("_min_ge_end")).otherwise(col("_last")))
       .where(col("time") >= col("_b") &&
         (col("time") < col("_e") || col("time") === col("_min_ge_e")))
 
-    val wOrd = Window.partitionBy("metric").orderBy("time")
-    val contrib = scoped
-      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), col("_b")))
+    // Skew-safe gap lift: lag windows keyed by (metric, time-chunk), chunk
+    // boundaries stitched via a broadcast-sized table (AggOps.gapLiftChunked).
+    val cw = chunkWidth.getOrElse(math.max(1L, (end - begin) / 64))
+    val contrib = gapLiftChunked(scoped, cw, firstDefault = Some(col("_b")))
+      .withColumnRenamed("prev_time", "_prev")
       .withColumn("_gap",
         when(col("time") < col("_e"), col("time") - col("_prev"))
           .otherwise(col("_e") - col("_prev"))) // partial edge :121-129
@@ -125,14 +135,17 @@ object Queries {
     */
   def smoothRaw(scopedPoints: DataFrame, begin: Long, end: Long,
                 interval: Long): DataFrame = {
-    val wOrd = Window.partitionBy("metric").orderBy("time")
-    val wAll = Window.partitionBy("metric")
     val t = col("time")
 
-    val lifted = scopedPoints
-      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), least(lit(begin), t)))
+    // per-metric edge point via scalar agg + broadcast join; skew-safe
+    // chunked lag for the gap seed (no whole-metric window buffering)
+    val edge = scopedPoints.groupBy("metric")
+      .agg(min(when(t >= end, t)).as("_min_ge_e"))
+    val cw = math.max(interval, (end - begin) / 64)
+    val lifted = gapLiftChunked(scopedPoints.join(broadcast(edge), Seq("metric")),
+        cw, firstDefault = Some(least(lit(begin), t)))
+      .withColumnRenamed("prev_time", "_prev")
       // only the FIRST point at/after end contributes (the loop stops there)
-      .withColumn("_min_ge_e", min(when(t >= end, t)).over(wAll))
       .where(t < end || t === col("_min_ge_e"))
       // cap each contribution at `end` (current_end = min(bucket end, end))
       .withColumn("_stop", least(t, lit(end)))

@@ -2,7 +2,6 @@ package graft.hta
 
 import graft.store.Hta
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A6 performance tier — the reference's telescoping range-aggregate plan
@@ -100,7 +99,8 @@ object Telescope {
     // exception set: metrics whose data range does not cover [b, e)
     val rest = broadcast(bounds.where(!coveredPred).select("metric"))
     val restAgg = Queries.aggregateRange(
-      hta.raw.join(rest, Seq("metric"), "left_semi"), b, e)
+      hta.raw.join(rest, Seq("metric"), "left_semi"), b, e,
+      chunkWidth = Some(meta.intervalMax))
 
     telescoped.unionByName(restAgg)
   }
@@ -110,19 +110,20 @@ object Telescope {
     * covering the global range (no clamping binds). */
   private def rawEdge(raw: DataFrame, rb: Long, re: Long,
                       bucketWidth: Long): DataFrame = {
-    val wAll = Window.partitionBy("metric")
     // derived time-bucket bound → parquet directory pruning on the edge scan
     val pruned =
       if (raw.columns.contains("tb"))
         raw.where(col("tb") >= (rb - Math.floorMod(rb, bucketWidth)))
       else raw
-    val scoped = pruned
-      .where(col("time") >= rb)
-      .withColumn("_min_ge_e", min(when(col("time") >= re, col("time"))).over(wAll))
+    val inRange = pruned.where(col("time") >= rb)
+    // per-metric edge point via scalar agg + broadcast join, NOT an unordered
+    // window (which would buffer a whole metric on one task)
+    val edge = inRange.groupBy("metric")
+      .agg(min(when(col("time") >= re, col("time"))).as("_min_ge_e"))
+    val scoped = inRange.join(broadcast(edge), Seq("metric"))
       .where(col("time") < re || col("time") === col("_min_ge_e"))
-    val wOrd = Window.partitionBy("metric").orderBy("time")
-    scoped
-      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), lit(rb)))
+    AggOps.gapLiftChunked(scoped, bucketWidth, firstDefault = Some(lit(rb)))
+      .withColumnRenamed("prev_time", "_prev")
       .withColumn("_gap",
         when(col("time") < re, col("time") - col("_prev"))
           .otherwise(lit(re) - col("_prev")))

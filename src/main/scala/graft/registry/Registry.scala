@@ -103,20 +103,23 @@ object Registry {
 
   /** A6 — exact range aggregate with integer outputs + A10 mean. */
   def aggRangeExact(ev: DataFrame, begin: Long, end: Long): DataFrame = {
+    // same de-skewed shape as Queries.aggregateRange: per-metric scalars in
+    // one agg + broadcast join, chunked lag — no whole-metric windows
     val bounds = ev.groupBy("metric")
-      .agg(min("time").as("_first"), max("time").as("_last"))
+      .agg(min("time").as("_first"), max("time").as("_last"),
+        min(when(col("time") >= end, col("time"))).as("_min_ge_end"))
     val joined = ev.join(broadcast(bounds), Seq("metric"))
       .where(lit(end) > col("_first") && lit(begin) <= col("_last"))
       .withColumn("_b", greatest(lit(begin), col("_first")))
       .withColumn("_e", least(lit(end), col("_last")))
-    val wAll = Window.partitionBy("metric")
     val scoped = joined
-      .where(col("time") >= col("_b"))
-      .withColumn("_min_ge_e", min(when(col("time") >= col("_e"), col("time"))).over(wAll))
-      .where(col("time") < col("_e") || col("time") === col("_min_ge_e"))
-    val wOrd = Window.partitionBy("metric").orderBy("time")
-    val contrib = scoped
-      .withColumn("_prev", coalesce(lag("time", 1).over(wOrd), col("_b")))
+      .withColumn("_min_ge_e",
+        when(col("_last") >= end, col("_min_ge_end")).otherwise(col("_last")))
+      .where(col("time") >= col("_b") &&
+        (col("time") < col("_e") || col("time") === col("_min_ge_e")))
+    val contrib = graft.hta.AggOps.gapLiftChunked(scoped,
+        math.max(1L, (end - begin) / 64), firstDefault = Some(col("_b")))
+      .withColumnRenamed("prev_time", "_prev")
       .withColumn("_gap",
         when(col("time") < col("_e"), col("time") - col("_prev"))
           .otherwise(col("_e") - col("_prev")))

@@ -69,6 +69,21 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("aggregateRange is chunk-width invariant (de-skewed A6 == plain fold)") {
+    // chunkWidth large enough that every metric fits one chunk reproduces the
+    // plain per-metric fold; small widths exercise the boundary stitching
+    val probes = Seq((tp(20), tp(220)), (tp(11), tp(225)), (tp(0), tp(500)))
+    for ((b, e) <- probes) {
+      val plain = Queries.aggregateRange(fixtureDf, b, e,
+        chunkWidth = Some(Long.MaxValue / 4)).orderBy("metric").collect()
+      for (cw <- Seq(7 * S, 50 * S)) {
+        val chunked = Queries.aggregateRange(fixtureDf, b, e,
+          chunkWidth = Some(cw)).orderBy("metric").collect()
+        assert(plain.toSeq === chunked.toSeq, s"range ($b,$e) chunk $cw")
+      }
+    }
+  }
+
   test("levelBuild with chunked lift is identical to canonical") {
     val a = AggOps.levelBuild(fixtureDf, 10 * S).orderBy("time").collect()
     val b = AggOps.levelBuild(fixtureDf, 10 * S, chunkWidth = Some(35 * S))
