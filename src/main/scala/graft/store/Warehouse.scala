@@ -3,7 +3,6 @@ package graft.store
 import graft.hta.AggOps
 import graft.model.Meta
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse layout (SURVEY.md §7.1) — the Spark-native replacement for the
@@ -40,10 +39,12 @@ object Warehouse {
              validate: Boolean = true): Hta = {
     val spark = points.sparkSession
     if (validate) {
-      val w = Window.partitionBy("metric").orderBy("time")
-      val bad = points
-        .withColumn("_p", lag("time", 1).over(w))
-        .where(col("time") === 0L || (col("_p").isNotNull && col("time") <= col("_p")))
+      // chunked lag (no whole-metric window); MinValue sentinel marks each
+      // metric's first point so a duplicate timestamp still trips the check
+      val lifted = AggOps.gapLiftChunked(points, meta.intervalMax,
+        firstDefault = Some(lit(Long.MinValue)))
+      val bad = lifted.where(col("time") === 0L ||
+          (col("prev_time") =!= Long.MinValue && col("time") <= col("prev_time")))
         .limit(1).count()
       require(bad == 0L, "non-monotonic or zero timestamp in ingest batch")
     }
@@ -122,12 +123,23 @@ object Warehouse {
     val existing = open(spark, root)
     val meta = existing.meta
 
-    val oldBounds = existing.raw.groupBy("metric").agg(max("time").as("_old_last"))
+    // Per-metric bounds of the pre-append store: used for the monotonicity
+    // check AND the tail prune bound (appends never lower a metric's first).
+    val oldBounds = existing.raw.groupBy("metric")
+      .agg(min("time").as("_first"), max("time").as("_old_last")).cache()
     // F5 across batches: every new point must be past its metric's last
     val crossBad = points.join(broadcast(oldBounds), Seq("metric"), "left")
       .where(col("_old_last").isNotNull && col("time") <= col("_old_last"))
       .limit(1).count()
     require(crossBad == 0L, "append batch not monotonic vs existing data")
+    // metrics first seen in this batch have no closed rows anywhere — the
+    // prune bound must reach down to their earliest point
+    val newMetricMin = points
+      .join(broadcast(oldBounds.select("metric")), Seq("metric"), "left_anti")
+      .agg(min("time")).collect()(0) match {
+        case r if r.isNullAt(0) => Long.MaxValue
+        case r => r.getLong(0)
+      }
 
     points
       .withColumn("tb", AggOps.intervalBegin(col("time"), meta.intervalMax))
@@ -136,23 +148,28 @@ object Warehouse {
       .write.mode(SaveMode.Append).partitionBy("tb")
       .parquet(s"$root/raw")
 
-    val allRaw = spark.read.parquet(s"$root/raw").drop("tb")
     for (interval <- meta.levelIntervals) {
-      // per-metric end of the closed region at this level (may be absent)
-      val closedEnd = readLevels(spark, root)
-        .where(col("interval") === interval)
-        .groupBy("metric").agg((max("time") + interval).as("_closed_end"))
-      // tail region: points at/after the closed end (everything, if none)
-      val region = allRaw.join(broadcast(closedEnd), Seq("metric"), "left")
-        .where(col("_closed_end").isNull || col("time") >= col("_closed_end"))
+      val closedEnd = closedEndAt(spark, root, interval)
+      // Driver-side global prune bound: the earliest point any metric's tail
+      // recompute can need — its closed end where present, else its first
+      // point. A LITERAL bound (unlike the join-derived tail predicate)
+      // pushes into the parquet scan: tb directory pruning + time row-group
+      // skipping, so a 7-level ladder no longer means 7 full raw scans.
+      val bound = oldBounds.join(closedEnd, Seq("metric"), "left")
+        .agg(min(coalesce(col("_closed_end"), col("_first"))))
+        .collect()(0) match {
+          case r if r.isNullAt(0) => newMetricMin
+          case r => math.min(r.getLong(0), newMetricMin)
+        }
+      val region = tailRegion(spark, root, closedEnd, bound, meta.intervalMax)
       // gap seed: closed-region end (reference Level restore gap origin),
-      // or the point itself when the level had no closed rows
-      val w = Window.partitionBy("metric").orderBy("time")
-      val lifted = region.withColumn("prev_time",
-        coalesce(lag("time", 1).over(w), col("_closed_end"), col("time")))
-      val wAll = Window.partitionBy("metric")
+      // or the point itself when the level had no closed rows; skew-safe
+      // chunked lag, chunk grid == tb layout (no extra shuffle shape)
+      val lifted = AggOps.gapLiftChunked(region, meta.intervalMax,
+        firstDefault = Some(coalesce(col("_closed_end"), col("time"))))
+      val lastT = region.groupBy("metric").agg(max("time").as("_last"))
       val newRows = AggOps.boundarySplit(
-          lifted.withColumn("_last", max(col("time")).over(wAll)), interval)
+          lifted.join(broadcast(lastT), Seq("metric")), interval)
         .where(col("bstart") < AggOps.intervalBegin(col("_last"), interval) &&
           (col("_closed_end").isNull || col("bstart") >= col("_closed_end")))
         .groupBy(col("metric"), col("bstart").as("time"))
@@ -161,6 +178,7 @@ object Warehouse {
         .withColumn("interval", lit(interval))
       writeLevel(newRows, root, SaveMode.Append)
     }
+    oldBounds.unpersist()
     // merge any new metric names into the catalog (S6); tolerate stores
     // created before the catalog existed
     val fs0 = new org.apache.hadoop.fs.Path(root)
@@ -178,6 +196,27 @@ object Warehouse {
     fs.rename(new org.apache.hadoop.fs.Path(s"$root/_metrics_tmp"),
       new org.apache.hadoop.fs.Path(s"$root/_metrics"))
     open(spark, root)
+  }
+
+  /** Per-metric end of the closed region at `interval` (absent metrics have
+    * no row). The levels scan prunes to one `interval=` partition. */
+  def closedEndAt(spark: SparkSession, root: String, interval: Long): DataFrame =
+    readLevels(spark, root)
+      .where(col("interval") === interval)
+      .groupBy("metric").agg((max("time") + interval).as("_closed_end"))
+
+  /** The raw tail scan an append recomputes: literal `tb`/`time` bounds so
+    * the parquet source prunes directories and row groups (PartitionFilters
+    * on tb — asserted by RestoreSpec), then the per-metric join-derived tail
+    * predicate trims the remainder. */
+  def tailRegion(spark: SparkSession, root: String, closedEnd: DataFrame,
+                 bound: Long, intervalMax: Long): DataFrame = {
+    val tbBound = bound - Math.floorMod(bound, intervalMax)
+    spark.read.parquet(s"$root/raw")
+      .where(col("tb") >= tbBound && col("time") >= bound)
+      .drop("tb")
+      .join(broadcast(closedEnd), Seq("metric"), "left")
+      .where(col("_closed_end").isNull || col("time") >= col("_closed_end"))
   }
 
   import org.apache.spark.sql.types._

@@ -35,6 +35,22 @@ class RestoreSpec extends SparkSpec {
     assert(Tools.check(hta, tp(100000)).count() === 0)
   }
 
+  test("append tail scan prunes raw partitions (PartitionFilters on tb)") {
+    val root = tmpDir("restore3")
+    Warehouse.ingest(pointsDf(fixture110.take(80)), meta, root)
+    val interval = meta.levelIntervals.head
+    val closedEnd = Warehouse.closedEndAt(spark, root, interval)
+    val bound = tp(50) // any literal bound stands in for the driver-computed one
+    val region = Warehouse.tailRegion(spark, root, closedEnd, bound, meta.intervalMax)
+    val plan = region.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("\n").exists(l => l.contains("PartitionFilters") && l.contains("tb")),
+      s"tail scan must show tb partition pruning:\n$plan")
+    // and the time bound reaches the parquet scan as a pushed filter
+    assert(plan.split("\n").exists(l => l.contains("PushedFilters") &&
+      l.contains("GreaterThanOrEqual(time")), s"time bound not pushed:\n$plan")
+  }
+
   test("retrieve goldens survive restore (restore.cpp goldens == retrieve.cpp)") {
     val root = tmpDir("restore2")
     Warehouse.ingest(pointsDf(fixture110.take(50)), meta, root)
