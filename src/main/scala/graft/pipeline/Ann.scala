@@ -180,8 +180,9 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * zero-mean int derived from md5(p:j) — reproducible without a RNG. */
-  private def planeComponent(p: Int, j: Int): Long = {
+    * zero-mean int derived from md5(p:j) — reproducible without a RNG
+    * (public so the DuckDB oracle can render the same planes). */
+  def planeComponent(p: Int, j: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$j".getBytes("UTF-8"))
     (((hex(0) & 0xffL) << 8) | (hex(1) & 0xffL)) - 32768L
@@ -194,6 +195,29 @@ object Ann {
       val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
       when(dotQ(quantize(e), plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Embedding near-dup pairs at 100 TB scale: hyperplane-LSH bucketing, then
+    * within-bucket pairs only. Fully distributed — one shuffle on the bucket
+    * key, pair expansion bounded per bucket, NO driver-side collect (unlike
+    * [[cosinePairsFast]], which is the exact small-corpus tier). Each vector
+    * belongs to exactly one bucket, so no pair is scored twice. Recall is the
+    * LSH trade: pairs split across buckets are missed — lower `h` raises
+    * recall and bucket size; production stacks several independent tables. */
+  def lshCosinePairs(corpus: DataFrame, threshold: Double,
+                     h: Int = 4, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"),
+        lshBucket(col("embedding"), h, dim).as("bucket"))
+      .withColumn("n", normQ(col("e")))
+    val a = c.select(col("bucket"), col("vec_id").as("vid_a"),
+      col("e").as("ea"), col("n").as("na"))
+    val b = c.select(col("bucket"), col("vec_id").as("vid_b"),
+      col("e").as("eb"), col("n").as("nb"))
+    a.join(b, Seq("bucket")).where(col("vid_a") < col("vid_b"))
+      .withColumn("cosine",
+        dotQ(col("ea"), col("eb")).cast("double") / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select("vid_a", "vid_b", "cosine")
+  }
 
   /** ANN via hyperplane-LSH buckets: queries join only their bucket.
     * Multiprobe: each query also probes the h buckets at hamming distance 1,

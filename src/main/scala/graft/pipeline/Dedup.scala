@@ -135,7 +135,14 @@ object Dedup {
       .cache()
     val cands = broadcast(
       lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands))
+    // shingle-set sizes ONLY for docs appearing in a candidate pair: the
+    // per-doc table is semi-joined down to candidate docs (broadcast-sized by
+    // construction) before itself being broadcast — never an O(#docs)
+    // broadcast (at 1B docs that table is multi-GB on the driver)
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val a = sh.select(col("doc_id").as("doc_a"), col("gram"))
     val b = sh.select(col("doc_id").as("doc_b"), col("gram"))
     cands.join(a, "doc_a").join(b, Seq("doc_b", "gram"))

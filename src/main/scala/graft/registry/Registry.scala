@@ -748,7 +748,30 @@ object Registry {
               |FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
               |WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
               |    / (a.n * b.n) >= 0.5
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- LLM pipeline: embedding near-dup, the distributed (no-collect)
+    //      tier — hyperplane-LSH buckets, within-bucket pairs only ----
+    Entry("q32_lsh_cosine_pairs",
+      (s, d) => Ann.lshCosinePairs(emb(s, d), threshold = 0.3, h = 4, dim = 64)
+        .orderBy("vid_a", "vid_b"),
+      Some {
+        // same md5-derived hyperplanes as Ann.lshBucket, rendered as literals
+        def plane(p: Int) =
+          (0 until 64).map(j => Ann.planeComponent(p, j)).mkString("[", ",", "]")
+        val bucket = (0 until 4).map { p =>
+          s"""CASE WHEN list_sum(list_transform(list_zip(e, ${plane(p)}::BIGINT[]), t -> t[1]*t[2])) >= 0 THEN ${1L << p} ELSE 0 END"""
+        }.mkString(" + ")
+        s"""WITH $quantCte,
+           |bk AS (SELECT vec_id, e, n, $bucket AS bucket FROM nrm)
+           |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+           |  CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
+           |    / (a.n * b.n) AS cosine
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
+           |    / (a.n * b.n) >= 0.3
+           |ORDER BY 1, 2""".stripMargin
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
