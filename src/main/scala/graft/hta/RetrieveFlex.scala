@@ -96,55 +96,74 @@ object RetrieveFlex {
       case Scope.Open | Scope.Extended => col("time") < end
       case Scope.Infinity => lit(true)
     }
+    // Per-level emptiness probe as FILTERED scans: each branch's time
+    // predicate reaches the parquet source (row-group pruning), instead of
+    // hiding inside an aggregate conditional over the whole partition.
     def nonEmptyAt(lv: DataFrame): DataFrame = {
-      val summary = lv.groupBy("metric", "interval").agg(
-        sum(when(beginBase && endBase, 1L).otherwise(0L)).as("n_base"),
-        max(when(col("time") <= begin, 1L).otherwise(0L)).as("has_le_b"),
-        max(when(col("time") >= end, 1L).otherwise(0L)).as("has_ge_e"))
-      summary.where(
-        col("n_base") > 0 ||
-          (if (scope.begin == Scope.Extended) col("has_le_b") === 1L else lit(false)) ||
-          (if (scope.end == Scope.Extended) col("has_ge_e") === 1L else lit(false)))
-        .select("metric", "interval")
+      val branches = Seq(
+        Some(lv.where(beginBase && endBase).select("metric")),
+        if (scope.begin == Scope.Extended)
+          Some(lv.where(col("time") <= begin).select("metric")) else None,
+        if (scope.end == Scope.Extended)
+          Some(lv.where(col("time") >= end).select("metric")) else None)
+      branches.flatten.reduce(_ unionByName _).distinct()
     }
     // metric universe for the early exit: the warehouse catalog when
     // available (tiny table maintained at ingest), else derived once from
     // the coarsest populated level
-    lazy val universe: DataFrame = hta.metrics.getOrElse(
-      hta.levels.where(col("interval") === candidates.last)
-        .select("metric").distinct()).cache()
+    val spark = hta.raw.sparkSession
+    // explicit-schema local relations (not spark.implicits.toDF: Product
+    // encoders need compile-time reflection that breaks under REPL/notebook
+    // classloaders — a library entry point can't assume an application one)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def metricDf(ms: Seq[String]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(ms.map(Row(_)): _*),
+        StructType(Seq(StructField("metric", StringType))))
+    val universe: Set[String] = hta.metrics
+      .getOrElse(hta.levels.where(col("interval") === candidates.last)
+        .select("metric").distinct())
+      .select("metric").collect().map(_.getString(0)).toSet
 
-    // descend coarsest→finest; the routing table is broadcast-sized (one row
-    // per metric), so each finer probe excludes already-routed metrics
-    var chosen: DataFrame = null
-    var routed: DataFrame = null
+    // Descend coarsest→finest with ONE action (a tiny summary collect) per
+    // probed level. The routing table is one entry per metric — broadcast-
+    // sized by design — so it lives on the DRIVER: the early exit and the
+    // unrouted exclusion cost no extra Spark actions, and nothing is cached
+    // (previous versions leaked cached frames into executor storage memory).
+    var routedPairs = Vector.empty[(String, Long)]
+    var routedSet = Set.empty[String]
     val it = candidates.reverse.iterator
-    var exhausted = false
-    while (it.hasNext && !exhausted) {
+    while (it.hasNext && !(routedSet.nonEmpty && universe.subsetOf(routedSet))) {
       val i = it.next()
       val probe0 = hta.levels.where(col("interval") === i)
-      val probe = if (routed == null) probe0
-                  else probe0.join(broadcast(routed), Seq("metric"), "left_anti")
-      val found = nonEmptyAt(probe)
-      chosen = if (chosen == null) found else chosen.unionByName(found)
-      routed = chosen.select("metric").cache()
-      // early exit: once every cataloged metric is routed, the finer
-      // (larger) levels are never scanned — one tiny action per level,
-      // mirroring the reference's per-level emptiness probe
-      if (it.hasNext) {
-        exhausted = universe
-          .join(broadcast(routed), Seq("metric"), "left_anti")
-          .limit(1).count() == 0
-      }
+      val probe = if (routedSet.isEmpty) probe0
+        else probe0.join(broadcast(metricDf(routedSet.toSeq)),
+          Seq("metric"), "left_anti")
+      val found = nonEmptyAt(probe).collect().map(_.getString(0))
+      routedPairs ++= found.map((_, i))
+      routedSet ++= found
     }
-    routeAndSmooth(hta, chosen, begin, end, scope, smooth, capped, candidates)
+    val chosen = spark.createDataFrame(
+      java.util.Arrays.asList(routedPairs.map { case (m, i) => Row(m, i) }: _*),
+      StructType(Seq(StructField("metric", StringType),
+        StructField("interval", LongType))))
+    routeAndSmooth(hta, chosen, routedPairs.map(_._2).distinct, begin, end,
+      scope, smooth, capped, candidates)
   }
 
-  private def routeAndSmooth(hta: Hta, chosen: DataFrame, begin: Long, end: Long,
+  private def routeAndSmooth(hta: Hta, chosen: DataFrame, usedIntervals: Seq[Long],
+                             begin: Long, end: Long,
                              scope: IntervalScope, smooth: Boolean, capped: Long,
                              candidates: Seq[Long]): DataFrame = {
+    // literal isin on the routed intervals (known on the driver) → STATIC
+    // partition pruning of the level scan; the broadcast join then trims to
+    // exactly the chosen (metric, interval) pairs
+    val pruned =
+      if (usedIntervals.isEmpty) hta.levels.where(lit(false))
+      else hta.levels.where(col("interval").isin(usedIntervals: _*))
     val routed = Scoped.scopedRange(
-      hta.levels.join(broadcast(chosen), Seq("metric", "interval")),
+      pruned.join(broadcast(chosen), Seq("metric", "interval")),
       begin, end, scope)
 
     if (!smooth) {
