@@ -30,10 +30,14 @@ object Queries {
     Scoped.scopedRange(points, begin, end, scope)
       .groupBy("metric").agg(count(lit(1)).as("n"))
 
-  /** O2 — last sample per metric (src/storage/file/metric.cpp:497-505). */
+  /** O2 — last sample per metric (src/storage/file/metric.cpp:497-505).
+    * Tie-break on (time, value): duplicate timestamps (possible in µs-
+    * truncated inputs) would otherwise make max_by nondeterministic across
+    * partitionings — and flake hash-compared oracle checks. */
   def last(points: DataFrame): DataFrame =
     points.groupBy("metric")
-      .agg(max("time").as("time"), max_by(col("value"), col("time")).as("value"))
+      .agg(max("time").as("time"),
+        max_by(col("value"), struct(col("time"), col("value"))).as("value"))
 
   /** O3 — (first, last) timestamp per metric (src/storage/file/metric.cpp:507-515). */
   def rangeBounds(points: DataFrame): DataFrame =
@@ -191,9 +195,12 @@ object Queries {
     val cols = keys.map(col) ++ Seq(col("time"), col("value"))
     val l = left.select(cols: _*).withColumn("_side", lit(1))
     val r = right.select(cols: _*).withColumn("_side", lit(0))
-    // order by (time, _side): a right point at time t is visible to a left
-    // point at the same t (at-or-before semantics)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("time"), col("_side"))
+    // order by (time, _side, value): a right point at time t is visible to a
+    // left point at the same t (at-or-before semantics); `value` breaks ties
+    // between duplicate right timestamps deterministically (the max value
+    // wins), so hash-compared results are stable across partitionings
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("time"), col("_side"), col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn(valueName,

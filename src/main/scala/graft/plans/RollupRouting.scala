@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+import org.apache.spark.sql.functions.{col, max => smax}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Transparent rollup routing as a Catalyst optimizer rule (SURVEY §4
@@ -42,12 +42,23 @@ object RollupRouting {
   @volatile private[plans] var routes: Seq[Route] = Nil
 
   /** Snapshot the warehouse's routing info and activate the rule on this
-    * session. Watermark per level = min over metrics of (last closed end). */
+    * session. Watermark per level = min over metrics of (last closed end).
+    *
+    * An interval is routable ONLY if every raw metric has closed rows there:
+    * a metric whose points all sit in one open bucket has raw rows but no
+    * level rows, and the rewritten Aggregate over the level table would
+    * silently drop its group while the raw plan returns it. */
   def install(spark: SparkSession, hta: Hta): Unit = {
-    val wm: Map[Long, Long] = hta.levels
+    val perMetric = hta.levels
       .groupBy("interval", "metric").agg(smax(col("time")).as("t"))
-      .groupBy("interval").agg(smin(col("t")).as("t"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1) + r.getLong(0))).toMap
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rawMetrics: Set[String] = hta.metrics
+      .getOrElse(hta.raw.select("metric").distinct())
+      .select("metric").collect().map(_.getString(0)).toSet
+    val wm: Map[Long, Long] = perMetric.groupBy(_._1).collect {
+      case (i, rows) if rawMetrics.subsetOf(rows.map(_._2).toSet) =>
+        i -> (rows.map(_._3).min + i)
+    }.toMap
     val rawPaths = hta.raw.queryExecution.analyzed.collect {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString)

@@ -51,7 +51,11 @@ object Registry {
   private val whCache = scala.collection.concurrent.TrieMap[String, graft.store.Hta]()
   def warehouseFor(s: SparkSession, d: String): graft.store.Hta =
     whCache.getOrElseUpdate(d, {
-      val root = s"/tmp/graft_wh_${Integer.toHexString(d.hashCode)}"
+      // collision-free dir encoding (String.hashCode collisions would make
+      // two sf dirs share one root and corrupt the first's cached frames)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val root = s"/tmp/graft_wh_$digest"
       val ev = Tables.events(s, d).select(
         col("metric"),
         // integral division — float division at 1.7e18 ns magnitudes is
@@ -243,8 +247,13 @@ object Registry {
 
     Entry("q05_last",
       (s, d) => Queries.last(ev(s, d).select("metric", "time", "value")).orderBy("metric"),
-      Some(s"""WITH $ptsCte SELECT metric, max(time) AS time, arg_max(value, time) AS value
-              |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(s"""WITH $ptsCte,
+              |m AS (SELECT metric, max(time) AS time FROM pts GROUP BY 1)
+              |-- max value at the last timestamp: deterministic under
+              |-- duplicate timestamps, matching Spark's (time, value) max_by
+              |SELECT m.metric, m.time, max(p.value) AS value
+              |FROM m JOIN pts p ON p.metric = m.metric AND p.time = m.time
+              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
     Entry("q06_range_bounds",
       (s, d) => Queries.rangeBounds(ev(s, d)).orderBy("metric"),
@@ -633,7 +642,11 @@ object Registry {
              |            FROM events)
              |SELECT c.user_id, c.time, c.value, v.value AS last_view_value
              |FROM (SELECT * FROM ev WHERE event_type = 'click') c
-             |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+             |ASOF LEFT JOIN (
+             |  -- dedupe ties: max value per timestamp, matching the Spark
+             |  -- side's deterministic (time, value) carry order
+             |  SELECT user_id, time, max(value) AS value
+             |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2) v
              |  ON c.user_id = v.user_id AND v.time <= c.time
              |ORDER BY 1, 2""".stripMargin)),
 

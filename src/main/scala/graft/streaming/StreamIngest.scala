@@ -105,8 +105,10 @@ object StreamIngest {
   /** Streaming sink into the Warehouse layout: raw samples appended to
     * `root/raw` (time-bucketed) and closed level rows into
     * `root/levels/interval=…` — the same directories batch queries read.
-    * foreachBatch + checkpointing gives exactly-once appends per micro-batch
-    * (batch-id-tracked); the state store replaces restore_level (Q4). */
+    * Exactly-once via [[publishLevelBatch]]: a replayed micro-batch (plain
+    * parquet append would duplicate closed rows on retry) re-stages and
+    * re-publishes under the same deterministic names, converging to one
+    * copy; the state store replaces restore_level (Q4). */
   def sinkToWarehouse(samples: Dataset[Sample], meta: Meta, root: String,
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = samples.sparkSession
@@ -116,12 +118,47 @@ object StreamIngest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[ClosedRow], _: Long) =>
-        batch.toDF()
-          .write.mode("append").partitionBy("interval")
-          .parquet(s"$root/levels")
+      .foreachBatch { (batch: Dataset[ClosedRow], bid: Long) =>
+        publishLevelBatch(batch.toDF(), root, bid)
       }
       .start()
+  }
+
+  /** Idempotent batch-id-keyed publish of closed level rows:
+    *  1. committed marker present → no-op (fully replayed batch);
+    *  2. write to `_stream_staging/bid=N` with Overwrite (restaging after a
+    *     crash is itself idempotent);
+    *  3. delete any `bid-N-*` files left by a partial publish, then rename
+    *     staged files to `levels/interval=…/bid-N-k.parquet`;
+    *  4. write the commit marker last.
+    * Any crash point replays into the same end state — exactly one copy of
+    * every closed row. Underscore-prefixed dirs are invisible to Spark's
+    * file index, so staging/markers never pollute the levels table. */
+  def publishLevelBatch(batch: org.apache.spark.sql.DataFrame, root: String,
+                        bid: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$root/_stream_commits/$bid")
+    if (fs.exists(marker)) return
+    val staging = new Path(s"$root/_stream_staging/bid=$bid")
+    batch.write.mode("overwrite").partitionBy("interval")
+      .parquet(staging.toString)
+    for (ip <- fs.listStatus(staging) if ip.isDirectory) {
+      val target = new Path(s"$root/levels/${ip.getPath.getName}")
+      fs.mkdirs(target)
+      fs.listStatus(target)
+        .filter(_.getPath.getName.startsWith(s"bid-$bid-"))
+        .foreach(f => fs.delete(f.getPath, false))
+      var k = 0
+      for (f <- fs.listStatus(ip.getPath) if f.getPath.getName.endsWith(".parquet")) {
+        fs.rename(f.getPath, new Path(target, s"bid-$bid-$k.parquet"))
+        k += 1
+      }
+    }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
 
   /** Companion raw sink: append the sample stream itself into the

@@ -50,6 +50,24 @@ class RollupRoutingSpec extends SparkSpec {
     assert(mm.collect().head.getDouble(1) === 0.0) // raw max in [20,100) is 0 at 67s
   }
 
+  test("a metric with raw rows but no closed level rows blocks routing (ADVICE r2)") {
+    // 'lonely' has all its points inside one open bucket: raw rows exist,
+    // level rows don't. Routing would silently drop its group — the install
+    // coverage gate must refuse to route this warehouse's levels.
+    val pts = fixtureDf.unionByName(
+      pointsDf(Seq(tp(1) -> 1.0, tp(2) -> 2.0), metric = "lonely"))
+    val h = Warehouse.ingest(pts, Meta(10 * S, 1000 * S, 10), tmpDir("route_gap"))
+    RollupRouting.install(spark, h)
+    val df = h.raw.where(col("time") >= tp(20) && col("time") < tp(100))
+      .groupBy("metric").agg(sum("value").as("s"), count("value").as("c"))
+    assert(df.queryExecution.executedPlan.toString.contains("/raw"),
+      "must stay on raw when a metric lacks level coverage")
+    // the lonely metric's group must appear when its rows are in range
+    val all = h.raw.where(col("time") >= tp(0) && col("time") < tp(100))
+      .groupBy("metric").agg(sum("value").as("s")).collect().map(_.getString(0)).toSet
+    assert(all.contains("lonely"))
+  }
+
   test("routed and raw answers agree on every aligned window") {
     for ((b, e) <- Seq((0L, 100L), (100L, 200L), (0L, 200L), (40L, 60L))) {
       val routed = rawAgg(tp(b), tp(e)).collect()

@@ -75,6 +75,27 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === batchRows(10 * S))
   }
 
+  test("replayed micro-batch publishes no duplicate closed rows (exactly-once)") {
+    val root = tmpDir("replaywh")
+    val rows = AggOps.levelBuild(fixtureDf, 10 * S).withColumn("interval", lit(10 * S))
+    // same batch id published twice = a micro-batch retry after a failure
+    StreamIngest.publishLevelBatch(rows, root, bid = 7L)
+    val once = spark.read.parquet(s"$root/levels").count()
+    StreamIngest.publishLevelBatch(rows, root, bid = 7L)
+    val twice = spark.read.parquet(s"$root/levels").count()
+    assert(once === twice, "replay must not duplicate closed rows")
+    // partial-publish crash: delete the marker (simulates dying before
+    // commit), republish — still exactly one copy of every row
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/7"), false)
+    StreamIngest.publishLevelBatch(rows, root, bid = 7L)
+    assert(spark.read.parquet(s"$root/levels").count() === once)
+    // a different batch id appends (not overwrites)
+    StreamIngest.publishLevelBatch(rows.limit(3), root, bid = 8L)
+    assert(spark.read.parquet(s"$root/levels").count() === once + 3)
+  }
+
   test("end-to-end MemoryStream query emits closed rows across micro-batches") {
     val s = spark
     import s.implicits._
