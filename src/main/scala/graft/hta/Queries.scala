@@ -39,6 +39,24 @@ object Queries {
       .agg(max("time").as("time"),
         max_by(col("value"), struct(col("time"), col("value"))).as("value"))
 
+  /** O2 (level form) — `last(interval)`: the most recent closed row of a
+    * level. The reference reads the level file's final record positionally
+    * (src/storage/file/metric.cpp:497-505); here it is a per-metric max-time
+    * row over ONE pruned `interval=` partition (parquet footer max stats make
+    * this a metadata-mostly scan). (metric, interval, time) is unique by
+    * construction, so max_by is deterministic. */
+  def lastInterval(levels: DataFrame, interval: Long): DataFrame = {
+    val v = struct(col("minimum"), col("maximum"), col("sum"),
+      col("count"), col("integral"), col("active_time"))
+    levels.where(col("interval") === interval)
+      .groupBy("metric")
+      .agg(max("time").as("time"), max_by(v, col("time")).as("_v"))
+      .select(col("metric"), lit(interval).as("interval"), col("time"),
+        col("_v.minimum").as("minimum"), col("_v.maximum").as("maximum"),
+        col("_v.sum").as("sum"), col("_v.count").as("count"),
+        col("_v.integral").as("integral"), col("_v.active_time").as("active_time"))
+  }
+
   /** O3 — (first, last) timestamp per metric (src/storage/file/metric.cpp:507-515). */
   def rangeBounds(points: DataFrame): DataFrame =
     points.groupBy("metric")

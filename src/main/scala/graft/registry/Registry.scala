@@ -46,6 +46,28 @@ object Registry {
       |  FROM events
       |)""".stripMargin
 
+  /** DuckDB recompute of the warehouse's level table at `interval` (µs
+    * domain, integer cents — exact doubles): CTE chain ending in `lv`
+    * (metric, time, minimum, maximum, sum_cents, cnt, integral_cu,
+    * active_time). Shared by q28/q33/q35. */
+  private def levelCteAt(interval: Long): String =
+    s"""$wptsCte,
+       |l AS (SELECT metric, time, cents,
+       |        coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), time) AS prev,
+       |        max(time) OVER (PARTITION BY metric) AS last_t
+       |      FROM wpts),
+       |s0 AS (SELECT metric, time, cents, prev, last_t,
+       |        unnest(generate_series(prev - prev % $interval, time - time % $interval, $interval)) AS bstart FROM l),
+       |segs AS (SELECT *, least(time, bstart + $interval) - greatest(prev, bstart) AS seg_len,
+       |        (bstart = time - time % $interval) AS is_home FROM s0),
+       |lv AS (SELECT metric, bstart AS time,
+       |  min(CAST(cents AS DOUBLE)) AS minimum, max(CAST(cents AS DOUBLE)) AS maximum,
+       |  CAST(sum(CASE WHEN is_home THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
+       |  CAST(sum(CASE WHEN is_home THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+       |  CAST(sum(cents * seg_len) AS BIGINT) AS integral_cu,
+       |  CAST(sum(seg_len) AS BIGINT) AS active_time
+       |  FROM segs WHERE bstart < last_t - last_t % $interval GROUP BY 1, 2)""".stripMargin
+
   /** Per-sfDir warehouse of the events table, ingested in the µs domain with
     * value := cents (exact-integer aggregates); memoized per JVM. */
   private val whCache = scala.collection.concurrent.TrieMap[String, graft.store.Hta]()
@@ -64,6 +86,18 @@ object Registry {
         col("cents").cast("double").as("value"))
       graft.store.Warehouse.ingest(ev, graft.model.Meta(I1u, I2u, 10), root,
         validate = false)
+    })
+
+  /** T4 clone of [[warehouseFor]] under a 5×-coarser Meta; memoized like the
+    * source store (the clone itself is the operation under test — its levels
+    * are oracle-compared to a DuckDB recompute at the new interval). */
+  private val cloneCache = scala.collection.concurrent.TrieMap[String, graft.store.Hta]()
+  def cloneFor(s: SparkSession, d: String): graft.store.Hta =
+    cloneCache.getOrElseUpdate(d, {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("clone:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      graft.tools.Tools.clone(warehouseFor(s, d),
+        graft.model.Meta(5 * I1u, 500 * I1u, 10), s"/tmp/graft_wh_$digest")
     })
 
   // ================= exact-integer HTA builders (Spark side) =============
@@ -495,22 +529,7 @@ object Registry {
             col("active_time"))
           .orderBy("metric", "time")
       },
-      Some(s"""WITH $wptsCte,
-              |l AS (SELECT metric, time, cents,
-              |        coalesce(lag(time) OVER (PARTITION BY metric ORDER BY time), time) AS prev,
-              |        max(time) OVER (PARTITION BY metric) AS last_t
-              |      FROM wpts),
-              |s0 AS (SELECT metric, time, cents, prev, last_t,
-              |        unnest(generate_series(prev - prev % $I1u, time - time % $I1u, $I1u)) AS bstart FROM l),
-              |segs AS (SELECT *, least(time, bstart + $I1u) - greatest(prev, bstart) AS seg_len,
-              |        (bstart = time - time % $I1u) AS is_home FROM s0),
-              |lv AS (SELECT metric, bstart AS time,
-              |  min(CAST(cents AS DOUBLE)) AS minimum, max(CAST(cents AS DOUBLE)) AS maximum,
-              |  CAST(sum(CASE WHEN is_home THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
-              |  CAST(sum(CASE WHEN is_home THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
-              |  CAST(sum(cents * seg_len) AS BIGINT) AS integral_cu,
-              |  CAST(sum(seg_len) AS BIGINT) AS active_time
-              |  FROM segs WHERE bstart < last_t - last_t % $I1u GROUP BY 1, 2),
+      Some(s"""WITH ${levelCteAt(I1u)},
               |lb AS (SELECT metric, max(time) AS t FROM lv WHERE time <= $Bu GROUP BY 1),
               |le AS (SELECT metric, min(time) AS t FROM lv WHERE time >= $Eu GROUP BY 1),
               |sc AS (SELECT l.* FROM lv l
@@ -784,7 +803,43 @@ object Registry {
            |WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
            |    / (a.n * b.n) >= 0.3
            |ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // ---- O2 level form: last closed row of a level (metric.cpp:497-505) ----
+    Entry("q33_last_interval",
+      (s, d) => graft.hta.Queries.lastInterval(warehouseFor(s, d).levels, I1u)
+        .select(col("metric"), col("interval"), col("time"),
+          col("minimum"), col("maximum"),
+          col("sum").cast("long").as("sum_cents"), col("count").as("cnt"),
+          col("integral").cast("long").as("integral_cu"), col("active_time"))
+        .orderBy("metric"),
+      Some(s"""WITH ${levelCteAt(I1u)}
+              |SELECT metric, CAST($I1u AS BIGINT) AS interval, time, minimum,
+              |  maximum, sum_cents, cnt, integral_cu, active_time
+              |FROM (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY time DESC) AS rn
+              |      FROM lv)
+              |WHERE rn = 1 ORDER BY 1""".stripMargin)),
+
+    // ---- T1 dump: per-metric store summary (src/tools/dump.cpp:44-88) ----
+    Entry("q34_dump",
+      (s, d) => graft.tools.Tools.dump(warehouseFor(s, d)).orderBy("metric"),
+      Some(s"""WITH $wptsCte
+              |SELECT metric, CAST(count(*) AS BIGINT) AS n_rows,
+              |  min(time) AS first_time, max(time) AS last_time
+              |FROM wpts GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- T4 clone: re-aggregation under a 5×-coarser Meta, checked on the
+    //      cloned store's L0 levels (src/tools/clone.cpp:57-104) ----
+    Entry("q35_clone_levels",
+      (s, d) => cloneFor(s, d).levels.where(col("interval") === 5 * I1u)
+        .select(col("metric"), col("time"), col("minimum"), col("maximum"),
+          col("sum").cast("long").as("sum_cents"), col("count").as("cnt"),
+          col("integral").cast("long").as("integral_cu"), col("active_time"))
+        .orderBy("metric", "time"),
+      Some(s"""WITH ${levelCteAt(5 * I1u)}
+              |SELECT metric, time, minimum, maximum, sum_cents, cnt,
+              |  integral_cu, active_time
+              |FROM lv ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
