@@ -1,0 +1,90 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.model.Meta
+import org.apache.spark.sql.functions._
+
+/** Per-metric Meta semantics (reference tests/prefix.cpp:45-107 joined with
+  * the store): one warehouse holding metrics with different ladders must
+  * ingest, retrieve, and append each under its own config. */
+class MultiWarehouseSpec extends SparkSpec {
+
+  private val fineMeta = Meta(10 * S, 1000 * S, 10)     // 10 s ladder
+  private val coarseMeta = Meta(60 * S, 6000 * S, 10)   // 60 s ladder
+
+  private val configs = Seq(
+    "foo" -> MetricConfig(fineMeta),                     // exact
+    "slow." -> MetricConfig(coarseMeta, isPrefix = true) // prefix
+  )
+
+  private def slowDf = pointsDf(fixture110, metric = "slow.one")
+
+  test("two metrics with different ladders in one warehouse route separately") {
+    val root = tmpDir("multi")
+    val mh = MultiWarehouse.ingest(fixtureDf.unionByName(slowDf), configs, root)
+    assert(mh.groups.map(_._1) === Seq(0, 1))
+
+    // each group's levels exist at ITS OWN intervals
+    val fineIv = mh.groups(0)._2.levels.select("interval").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val coarseIv = mh.groups(1)._2.levels.select("interval").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(fineIv.subsetOf(fineMeta.levelIntervals.toSet) && fineIv.contains(10 * S))
+    assert(coarseIv.subsetOf(coarseMeta.levelIntervals.toSet) && coarseIv.contains(60 * S))
+
+    // flex retrieve: 'foo' answers from its 10s-ladder, 'slow.one' from 60s
+    val r = MultiWarehouse.retrieveFlex(mh, tp(0), tp(230), 100 * S)
+    val ivByMetric = r.groupBy("metric").agg(max("interval").as("iv"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ivByMetric("foo") === 100 * S)     // 10s ladder has a 100s level
+    assert(ivByMetric("slow.one") === 60 * S) // 60s ladder caps at 60s here
+
+    // results per metric are bit-identical to a dedicated single-Meta store
+    val solo = Warehouse.ingest(slowDf, coarseMeta, tmpDir("solo"))
+    val a = graft.hta.RetrieveFlex.retrieveFlex(solo, tp(0), tp(230), 100 * S)
+      .orderBy("time").collect()
+    val b = r.where(col("metric") === "slow.one").orderBy("time").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("open round-trip preserves catalog order and group metas") {
+    val root = tmpDir("multi_rt")
+    MultiWarehouse.ingest(fixtureDf.unionByName(slowDf), configs, root)
+    val re = MultiWarehouse.open(spark, root)
+    assert(re.configs.map(_._1) === Seq("foo", "slow."))
+    assert(re.groups(0)._2.meta === fineMeta)
+    assert(re.groups(1)._2.meta === coarseMeta)
+    val agg = MultiWarehouse.aggregateRange(re, tp(0), tp(230))
+    assert(agg.select("metric").collect().map(_.getString(0)).toSet ===
+      Set("foo", "slow.one"))
+  }
+
+  test("append routes to each group's own ladder (restore parity)") {
+    val root = tmpDir("multi_app")
+    val both = fixtureDf.unionByName(slowDf)
+    MultiWarehouse.ingest(
+      both.where(col("time") <= tp(100)), configs, root)
+    val mh = MultiWarehouse.append(both.where(col("time") > tp(100)), root)
+    val oneShot = MultiWarehouse.ingest(both, configs, tmpDir("multi_one"))
+    for (g <- Seq(0, 1)) {
+      val a = mh.groups.find(_._1 == g).get._2.levels
+        .orderBy("interval", "metric", "time").collect()
+      val b = oneShot.groups.find(_._1 == g).get._2.levels
+        .orderBy("interval", "metric", "time").collect()
+      assert(a.toSeq === b.toSeq, s"group $g")
+    }
+  }
+
+  test("unmatched metric and read-only config are rejected (prefix.cpp modes)") {
+    val root = tmpDir("multi_err")
+    intercept[MissingMetricConfig] {
+      MultiWarehouse.ingest(pointsDf(fixture110.take(3), metric = "qux"),
+        configs, root)
+    }
+    val roConfigs = Seq("ro" -> MetricConfig(fineMeta, mode = "R"))
+    intercept[IllegalStateException] {
+      MultiWarehouse.ingest(pointsDf(fixture110.take(3), metric = "ro"),
+        roConfigs, tmpDir("multi_ro"))
+    }
+  }
+}
