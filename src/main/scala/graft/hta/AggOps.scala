@@ -113,25 +113,37 @@ object AggOps {
 
   /** A1 monoid merge as aggregation columns over segment rows produced by
     * [[boundarySplit]] (value column `v`, flags `is_home`, lengths `seg_len`).
-    * Yields the six Aggregate fields in canonical order. */
+    * Yields the six Aggregate fields in canonical order, PLUS home-only
+    * min/max: HTA minima/maxima include the boundary partial of the next
+    * point (A3), which answers display semantics but not relational MIN/MAX
+    * over raw points. minimum_home/maximum_home cover only the points
+    * themselves (±Inf identity when a bucket has no home point), letting
+    * RollupRouting route relational MIN/MAX through the level table. */
   def segmentAggCols(v: Column): Seq[Column] = Seq(
     min(v).as("minimum"),
     max(v).as("maximum"),
     sum(when(col("is_home"), v).otherwise(lit(0.0))).as("sum"),
     sum(when(col("is_home"), 1L).otherwise(0L)).as("count"),
     sum(v * col("seg_len").cast("double")).as("integral"),
-    sum(col("seg_len")).as("active_time")
+    sum(col("seg_len")).as("active_time"),
+    coalesce(min(when(col("is_home"), v)), lit(Double.PositiveInfinity))
+      .as("minimum_home"),
+    coalesce(max(when(col("is_home"), v)), lit(Double.NegativeInfinity))
+      .as("maximum_home")
   )
 
   /** A1 monoid merge of already-aggregated rows (e.g. level k → level k+1):
-    * element-wise min/max/+/+/+/+ (src/aggregate.cpp:50-59). */
+    * element-wise min/max/+/+/+/+ (src/aggregate.cpp:50-59); home-only
+    * min/max merge by min/max (±Inf identities make this a monoid). */
   def mergeAggCols: Seq[Column] = Seq(
     min("minimum").as("minimum"),
     max("maximum").as("maximum"),
     sum("sum").as("sum"),
     sum("count").as("count"),
     sum("integral").as("integral"),
-    sum("active_time").as("active_time")
+    sum("active_time").as("active_time"),
+    min("minimum_home").as("minimum_home"),
+    max("maximum_home").as("maximum_home")
   )
 
   /** Identity element of the Aggregate monoid (include/hta/types.hpp:64-70):

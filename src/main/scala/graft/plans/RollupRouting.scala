@@ -37,7 +37,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 object RollupRouting {
 
   final case class Route(rawPaths: Set[String], levelsPlan: LogicalPlan,
-                         ladder: Seq[Long], watermarks: Map[Long, Long])
+                         ladder: Seq[Long], watermarks: Map[Long, Long],
+                         minMaxRoutable: Boolean)
 
   @volatile private[plans] var routes: Seq[Route] = Nil
 
@@ -64,7 +65,12 @@ object RollupRouting {
         fs.location.rootPaths.map(_.toString)
     }.flatten.toSet
     val levelsPlan = hta.levels.queryExecution.analyzed
-    routes = routes :+ Route(rawPaths, levelsPlan, hta.meta.levelIntervals, wm)
+    // MIN/MAX route only through stores whose level files really carry the
+    // home-only columns (legacy / .hta-converted stores read them as null)
+    val minMaxOk = levelsPlan.output.exists(_.name == "minimum_home") &&
+      hta.levels.where(col("minimum_home").isNotNull).limit(1).count() > 0
+    routes = routes :+ Route(rawPaths, levelsPlan, hta.meta.levelIntervals, wm,
+      minMaxOk)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RollupRoutingRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new RollupRoutingRule
@@ -132,7 +138,10 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == name => a
       }.get
 
-    // rewrite each aggregate; bail if any is not routable
+    // rewrite each aggregate; bail if any is not routable. MIN/MAX go to the
+    // home-only columns (HTA level min/max carry A3 boundary partials and
+    // answer display semantics, not relational MIN/MAX) — only for stores
+    // whose files carry them (route.minMaxRoutable).
     val rewritten = aggExprs.map {
       case a @ Alias(AggregateExpression(Sum(v, em), mode, false, None, id), name)
           if v.semanticEquals(valueAttr) =>
@@ -141,6 +150,14 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
       case a @ Alias(AggregateExpression(Count(args), mode, false, None, id), name)
           if args.forall(x => x.semanticEquals(valueAttr) || x.foldable) =>
         Some(Alias(AggregateExpression(Sum(lvlAttr("count")), mode, false, None, id),
+          name)(a.exprId, a.qualifier, a.explicitMetadata))
+      case a @ Alias(AggregateExpression(Min(v), mode, false, None, id), name)
+          if route.minMaxRoutable && v.semanticEquals(valueAttr) =>
+        Some(Alias(AggregateExpression(Min(lvlAttr("minimum_home")), mode, false, None, id),
+          name)(a.exprId, a.qualifier, a.explicitMetadata))
+      case a @ Alias(AggregateExpression(Max(v), mode, false, None, id), name)
+          if route.minMaxRoutable && v.semanticEquals(valueAttr) =>
+        Some(Alias(AggregateExpression(Max(lvlAttr("maximum_home")), mode, false, None, id),
           name)(a.exprId, a.qualifier, a.explicitMetadata))
       case g: AttributeReference if g.semanticEquals(metricAttr) =>
         Some(Alias(lvlAttr("metric"), g.name)(g.exprId, g.qualifier))
@@ -155,7 +172,17 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
       And(And(EqualTo(li, Literal(lvl)), GreaterThanOrEqual(lt, Literal(b.get))),
         LessThan(lt, Literal(e.get))),
       route.levelsPlan)
-    Some(Aggregate(Seq(lvlAttr("metric")), rewritten.map(_.get), newFilter, None))
+    // SQL group semantics: a raw-side group exists iff >= 1 point in range,
+    // but the level table has rows for count=0 gap-spanning buckets (and
+    // their home min/max are the ±Inf identities). Append a hidden
+    // SUM(count) and filter groups to > 0, then project it away.
+    val cnt = Alias(
+      AggregateExpression(Sum(lvlAttr("count")), Complete, isDistinct = false),
+      "_routed_cnt")()
+    val agg2 = Aggregate(Seq(lvlAttr("metric")), rewritten.map(_.get) :+ cnt,
+      newFilter, None)
+    val having = Filter(GreaterThan(cnt.toAttribute, Literal(0L)), agg2)
+    Some(Project(rewritten.map(_.get.toAttribute), having))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

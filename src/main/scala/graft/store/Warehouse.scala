@@ -228,6 +228,7 @@ object Warehouse {
     StructField("minimum", DoubleType), StructField("maximum", DoubleType),
     StructField("sum", DoubleType), StructField("count", LongType),
     StructField("integral", DoubleType), StructField("active_time", LongType),
+    StructField("minimum_home", DoubleType), StructField("maximum_home", DoubleType),
     StructField("interval", LongType)))
 
   /** `raw` keeps the `tb` partition column so query paths can hand Scoped a
@@ -235,10 +236,17 @@ object Warehouse {
   /** Levels table, tolerating a legitimately empty directory (a store whose
     * data span closes no interval: tests/basics.cpp:88-93). */
   def readLevels(spark: SparkSession, root: String): DataFrame =
-    try spark.read.parquet(s"$root/levels")
-      .withColumn("interval", col("interval").cast("long"))
-      .select(levelSchema.fieldNames.map(col): _*)
-    catch {
+    try {
+      val df0 = spark.read.parquet(s"$root/levels")
+        .withColumn("interval", col("interval").cast("long"))
+      // stores written before the home-only min/max columns (or converted
+      // from .hta files, which don't carry them) read as null — harmless for
+      // HTA queries; RollupRouting gates MIN/MAX routing on their presence
+      val df = levelSchema.fieldNames.foldLeft(df0) { (d, f) =>
+        if (d.columns.contains(f)) d else d.withColumn(f, lit(null).cast("double"))
+      }
+      df.select(levelSchema.fieldNames.map(col): _*)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         spark.createDataFrame(

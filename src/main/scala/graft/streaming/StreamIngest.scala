@@ -25,18 +25,24 @@ object StreamIngest {
   final case class Sample(metric: String, time: Long, value: Double)
 
   final case class AggS(minimum: Double, maximum: Double, sum: Double,
-                        count: Long, integral: Double, active_time: Long) {
+                        count: Long, integral: Double, active_time: Long,
+                        minimum_home: Double = Double.PositiveInfinity,
+                        maximum_home: Double = Double.NegativeInfinity) {
     def +(o: AggS): AggS = AggS(
       math.min(minimum, o.minimum), math.max(maximum, o.maximum),
       sum + o.sum, count + o.count, integral + o.integral,
-      active_time + o.active_time)
+      active_time + o.active_time,
+      math.min(minimum_home, o.minimum_home),
+      math.max(maximum_home, o.maximum_home))
   }
   object AggS {
     val identity: AggS =
       AggS(Double.PositiveInfinity, Double.NegativeInfinity, 0, 0, 0, 0)
-    /** A2 point lift (src/aggregate.cpp:37-41). */
-    def lift(v: Double, gap: Long): AggS = AggS(v, v, v, 1, v * gap, gap)
-    /** A3 partial edge (src/metric.cpp:541-548). */
+    /** A2 point lift (src/aggregate.cpp:37-41); the point is a home
+      * contribution, so it feeds the home-only min/max too. */
+    def lift(v: Double, gap: Long): AggS = AggS(v, v, v, 1, v * gap, gap, v, v)
+    /** A3 partial edge (src/metric.cpp:541-548) — not a home contribution
+      * (home fields stay at the ±Inf identity). */
     def partial(v: Double, gap: Long): AggS = AggS(v, v, 0, 0, v * gap, gap)
   }
 
@@ -45,7 +51,8 @@ object StreamIngest {
 
   final case class ClosedRow(metric: String, interval: Long, time: Long,
                              minimum: Double, maximum: Double, sum: Double,
-                             count: Long, integral: Double, active_time: Long)
+                             count: Long, integral: Double, active_time: Long,
+                             minimum_home: Double, maximum_home: Double)
 
   private def intervalEndL(t: Long, d: Long): Long = t - Math.floorMod(t, d) + d
 
@@ -62,7 +69,8 @@ object StreamIngest {
     // Metric::insert(Row) — parent accumulation (src/metric.cpp:562-603)
     def insertUp(childInterval: Long, rowTime: Long, rowAgg: AggS): Unit = {
       out += ClosedRow(metric, childInterval, rowTime, rowAgg.minimum, rowAgg.maximum,
-        rowAgg.sum, rowAgg.count, rowAgg.integral, rowAgg.active_time)
+        rowAgg.sum, rowAgg.count, rowAgg.integral, rowAgg.active_time,
+        rowAgg.minimum_home, rowAgg.maximum_home)
       val interval = Math.multiplyExact(childInterval, meta.intervalFactor)
       if (interval > meta.intervalMax) return
       var lvl = level(interval)

@@ -19,6 +19,8 @@ class HtaFunctionsSpec extends SparkSpec {
       .collect().head
     val viaCols = lvl.groupBy("metric")
       .agg(AggOps.mergeAggCols.head, AggOps.mergeAggCols.tail: _*)
+      .select("metric", "minimum", "maximum", "sum", "count",
+        "integral", "active_time") // UDAF carries the 6 HTA fields only
       .collect().head
     assert(viaSql === viaCols)
   }

@@ -43,11 +43,40 @@ class RollupRoutingSpec extends SparkSpec {
     // aligned but beyond the closed watermark (last closed 10s end = 220s)
     val late = rawAgg(tp(20), tp(230))
     assert(late.queryExecution.executedPlan.toString.contains("/raw"))
-    // min/max are never routed (HTA boundary semantics differ)
+  }
+
+  test("MIN/MAX route through the home-only level columns") {
     val mm = hta.raw.where(col("time") >= tp(20) && col("time") < tp(100))
-      .groupBy("metric").agg(max("value").as("m"))
-    assert(mm.queryExecution.executedPlan.toString.contains("/raw"))
-    assert(mm.collect().head.getDouble(1) === 0.0) // raw max in [20,100) is 0 at 67s
+      .groupBy("metric")
+      .agg(max("value").as("mx"), min("value").as("mn"))
+    val phys = mm.queryExecution.executedPlan.toString
+    assert(phys.contains("levels") && !phys.contains("/raw"),
+      s"MIN/MAX not routed:\n$phys")
+    val r = mm.collect().head
+    // relational max/min over raw [20,100): 0.0 at 67s / -36.0 at 21s —
+    // NOT the HTA level min/max (which carry A3 boundary partials)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === -36.0)
+    // and they equal the un-routed computation exactly
+    val direct = fixtureDf.where(col("time") >= tp(20) && col("time") < tp(100))
+      .groupBy("metric").agg(max("value"), min("value")).collect().head
+    assert(r.getDouble(1) === direct.getDouble(1))
+    assert(r.getDouble(2) === direct.getDouble(2))
+  }
+
+  test("windows where a metric has buckets but no points drop the group (SQL parity)") {
+    // fixture has no points in [110s, 120s)? it does (constant run) — use
+    // [90s, 100s): gap between 80s and 101s spans it, so the 10s bucket at
+    // 90s exists (count=0 carrier) while raw has zero points there
+    val b = tp(90); val e = tp(100)
+    val routed = rawAgg(b, e)
+    assert(routed.queryExecution.executedPlan.toString.contains("levels"),
+      "window should be routable")
+    val direct = fixtureDf.where(col("time") >= b && col("time") < e)
+      .groupBy("metric").agg(sum("value"), count("value"))
+    assert(direct.count() === 0, "raw side must really be empty here")
+    assert(routed.count() === 0,
+      "routed plan must not emit groups for count=0 bucket carriers")
   }
 
   test("a metric with raw rows but no closed level rows blocks routing (ADVICE r2)") {
