@@ -121,13 +121,25 @@ object Ann {
     *
     * Layout at scale: `corpus.repartition(col("list_id"))` + parquet
     * partitionBy(list_id) makes each probe a partition-pruned scan. */
+  private val ivfAssignSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vid",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ve",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("list_id",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  // Row/RDD form rather than Dataset[(Long, Array[Long])]: Product encoders
+  // need compile-time reflection that breaks under REPL/notebook
+  // classloaders, and a library entry point can't assume an application one.
   def ivfAssign(corpus: DataFrame, centroids: Array[(Long, Array[Long])]): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
     val spark = corpus.sparkSession
-    import spark.implicits._
-    corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
-      .as[(Long, Array[Long])]
-      .map { case (id, v) =>
+    val bc = spark.sparkContext.broadcast(centroids)
+    val rdd = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .rdd.map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Long](1).toArray
         val cs = bc.value
         var best = 0; var bestD = Long.MaxValue
         var i = 0
@@ -138,29 +150,73 @@ object Ann {
           if (d < bestD) { bestD = d; best = i }
           i += 1
         }
-        (id, v, best.toLong)
-      }.toDF("vid", "ve", "list_id")
+        org.apache.spark.sql.Row(id, v.toSeq, best.toLong)
+      }
+    spark.createDataFrame(rdd, ivfAssignSchema)
   }
 
-  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Array[Long])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Array[Long])] =
     corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
-      .as[(Long, Array[Long])]
       .orderBy("vec_id").limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** Deterministic distributed k-means (Lloyd's) for the IVF coarse
+    * quantizer. Init = `nlist` evenly-spaced vectors in vec_id order (spread
+    * across the corpus, reproducible — no RNG); each round broadcasts the
+    * centroids (nlist × dim longs) and does ONE partial-aggregated shuffle
+    * for the per-list element-wise means — the corpus itself is never
+    * collected. Centroids stay on the quantized long grid (rounded means)
+    * so assignments and search results are bit-reproducible run to run.
+    * Empty lists keep their previous centroid.
+    *
+    * Note the trade Lloyd's buys at scale: BALANCED lists (measured 19–46
+    * members across 16 lists on the near-isotropic test embeddings, vs a
+    * long tail for raw-sample centroids), i.e. bounded per-probe cost and
+    * no hot lists — at the price of lower equal-nprobe recall on
+    * unclustered data (probing 4/16 of a balanced corpus examines fewer
+    * points than probing 4 skewed lists). Real clustered embeddings recover
+    * the recall; raise nprobe to trade it back explicitly. */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int,
+                      iters: Int = 3): Array[(Long, Array[Long])] = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+    val n = q.count()
+    val step = math.max(1L, n / nlist)
+    var cents: Array[(Long, Array[Long])] = q.orderBy("vec_id").rdd
+      .zipWithIndex()
+      .filter { case (_, i) => i % step == 0 && i / step < nlist }
+      .map { case (r, i) => (i / step, r.getSeq[Long](1).toArray) }
+      .collect().sortBy(_._1)
+    val dim = if (cents.nonEmpty) cents(0)._2.length else 0
+    for (_ <- 0 until iters if cents.nonEmpty) {
+      val sums = ivfAssign(corpus, cents)
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(j => sum(element_at(col("ve"), j + 1)).as(s"s$j")): _*)
+        .collect()
+      val byId = sums.map { r =>
+        val cnt = r.getLong(1)
+        r.getLong(0) -> (0 until dim).map(j =>
+          Math.round(r.getLong(2 + j).toDouble / cnt)).toArray
+      }.toMap
+      cents = cents.map { case (i, old) => (i, byId.getOrElse(i, old)) }
+    }
+    cents
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist)
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 3): DataFrame = {
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
+      else ivfCentroids(corpus, nlist)
     val assigned = ivfAssign(corpus, cents)
       .withColumn("vn", normQ(col("ve")))
     val spark = corpus.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val q = queries.select(col("vec_id"), quantize(col("embedding")).as("e"))
-      .as[(Long, Array[Long])]
-      .flatMap { case (id, v) =>
+    val qRdd = queries.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Long](1).toArray
         val cs = bc.value
         val byDist = cs.indices.map { i =>
           val c = cs(i)._2
@@ -168,8 +224,13 @@ object Ann {
           while (kk < v.length) { val t = v(kk) - c(kk); d += t * t; kk += 1 }
           (d, i.toLong)
         }.sortBy(x => (x._1, x._2)).take(nprobe)
-        byDist.map { case (_, list) => (id, v, list) }
-      }.toDF("qid", "qe", "list_id")
+        byDist.map { case (_, list) => org.apache.spark.sql.Row(id, v.toSeq, list) }
+      }
+    val q = spark.createDataFrame(qRdd,
+      org.apache.spark.sql.types.StructType(ivfAssignSchema.fields.toSeq.map {
+        f => f.copy(name = f.name match {
+          case "vid" => "qid"; case "ve" => "qe"; case other => other })
+      }))
     val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
     val scored = assigned.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
       .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))

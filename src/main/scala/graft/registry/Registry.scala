@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Dedup, TextOps}
+import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -839,7 +839,27 @@ object Registry {
       Some(s"""WITH ${levelCteAt(5 * I1u)}
               |SELECT metric, time, minimum, maximum, sum_cents, cnt,
               |  integral_cu, active_time
-              |FROM lv ORDER BY 1, 2""".stripMargin))
+              |FROM lv ORDER BY 1, 2""".stripMargin)),
+
+    // ---- multimodal plumbing: binary columns + typed meta through resize,
+    //      frame sampling, and partition-batched feature extraction. The
+    //      codec is the documented deterministic stub, so no SQL oracle —
+    //      driver records the rows-only check (like q13). ----
+    Entry("q36_multimodal",
+      (s, _) => {
+        val media = Multimodal.syntheticMedia(s, 300)
+        val feats = Multimodal.extractFeatures(Multimodal.resize(media, 32, 32), dim = 16)
+          .withColumn("feat_norm",
+            sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+              lit(0.0), (acc, x) => acc + x)))
+        val frames = Multimodal.sampleFrames(media, everyN = 10)
+          .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+        feats.join(frames, Seq("media_id"), "left")
+          .select(col("media_id"), col("kind"), round(col("feat_norm"), 6).as("feat_norm"),
+            coalesce(col("n_frames_sampled"), lit(0L)).as("n_frames_sampled"))
+          .orderBy("media_id")
+      },
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -64,6 +64,17 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.length <= 50)
   }
 
+  test("k-means centroids are deterministic and beat the first-N placeholder's spread") {
+    val a = Ann.kmeansCentroids(emb, 16, iters = 3)
+    val b = Ann.kmeansCentroids(emb, 16, iters = 3)
+    assert(a.map(_._2.toSeq).toSeq === b.map(_._2.toSeq).toSeq) // bit-reproducible
+    assert(a.length === 16)
+    // Lloyd's must not collapse lists: every centroid keeps members
+    val sizes = Ann.ivfAssign(emb, a).groupBy("list_id").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length >= 12, s"only ${sizes.length}/16 lists populated")
+  }
+
   test("cosinePairsFast is bit-identical to the column-expression version") {
     val slow = Ann.cosinePairs(emb, 0.3).orderBy("vid_a", "vid_b").collect()
     val fast = Ann.cosinePairsFast(emb, 0.3).orderBy("vid_a", "vid_b").collect()
