@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default-on since 3.2, pinned explicitly: runtime re-splitting of
+      // skewed shuffle joins is part of the 100 TB skew story alongside the
+      // chunked gap lift (AggOps.gapLiftChunked)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
 

@@ -48,6 +48,21 @@ object PlanAudit {
     section("q07 level build (expect single shuffle per grouping; pushdown of nothing — full scan is inherent)") {
       Registry.levelExact(ev, Registry.I1).explain("formatted")
     }
+    section("Q4 append tail scan (expect PartitionFilters on tb + PushedFilters on time)") {
+      val interval = meta.levelIntervals.head
+      val closedEnd = Warehouse.closedEndAt(spark, whRoot, interval)
+      Warehouse.tailRegion(spark, whRoot, closedEnd, Registry.B, meta.intervalMax)
+        .explain("formatted")
+    }
+    section("routed MIN/MAX/SUM/COUNT (expect scan of levels/, no raw, group filter on count)") {
+      graft.plans.RollupRouting.install(spark, hta)
+      val b = Registry.B - Math.floorMod(Registry.B, Registry.I1) + Registry.I1
+      hta.raw.where(col("time") >= b && col("time") < b + 24 * Registry.I1)
+        .groupBy("metric")
+        .agg(min("value").as("mn"), max("value").as("mx"),
+          sum("value").as("s"), count("value").as("c"))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }

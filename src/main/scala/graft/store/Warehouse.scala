@@ -264,6 +264,41 @@ object Warehouse {
       readMeta(spark, root), cat)
   }
 
+  /** Offline maintenance: rewrite the store into few large sorted files per
+    * partition. Streaming micro-batches (one `bid-N-k` file set each) and
+    * incremental appends accumulate small parquet files — the classic
+    * small-files problem that erodes scan efficiency at 100 TB (tiny row
+    * groups defeat min/max pruning, file-open overhead dominates). Compaction
+    * restores large sorted row groups while keeping layout and content
+    * identical. Directory-level swap: run offline, like every reference
+    * maintenance tool; streaming commit markers are untouched so replayed
+    * micro-batches remain no-ops after compaction. */
+  def compact(spark: SparkSession, root: String,
+              filesPerPartition: Int = 8): Hta = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(tmp: String, dst: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dst))
+    }
+    readLevels(spark, root)
+      .repartition(col("interval"),
+        pmod(xxhash64(col("metric")), lit(filesPerPartition)))
+      .sortWithinPartitions("metric", "time")
+      .write.mode(SaveMode.Overwrite).partitionBy("interval")
+      .parquet(s"$root/levels_compact_tmp")
+    swap(s"$root/levels_compact_tmp", s"$root/levels")
+    spark.read.parquet(s"$root/raw")
+      .repartition(col("tb"),
+        pmod(xxhash64(col("metric")), lit(filesPerPartition)))
+      .sortWithinPartitions("metric", "time")
+      .write.mode(SaveMode.Overwrite).partitionBy("tb")
+      .parquet(s"$root/raw_compact_tmp")
+    swap(s"$root/raw_compact_tmp", s"$root/raw")
+    open(spark, root)
+  }
+
   /** S6/O5 — sorted catalog of metric names (catalog table when present). */
   def metricNames(hta: Hta): Seq[String] =
     hta.metrics.getOrElse(hta.raw.select("metric").distinct())

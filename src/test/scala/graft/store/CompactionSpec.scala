@@ -1,0 +1,53 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.hta.RetrieveFlex
+import graft.model.Meta
+import org.apache.spark.sql.functions._
+
+/** Compaction must be a pure physical rewrite: identical rows, identical
+  * query results, strictly fewer files. */
+class CompactionSpec extends SparkSpec {
+
+  private val meta = Meta(10 * S, 1000 * S, 10)
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("compact: same rows, same retrieves, fewer files") {
+    val root = tmpDir("compactwh")
+    val all = fixture110
+    // 6 append batches → many small files per level partition
+    val cuts = Seq(3, 7, 30, 31, 80, all.length)
+    var prev = 0
+    for (c <- cuts) {
+      val batch = pointsDf(all.slice(prev, c))
+      if (prev == 0) Warehouse.ingest(batch, meta, root)
+      else Warehouse.append(batch, root)
+      prev = c
+    }
+    val before = Warehouse.open(spark, root)
+    val beforeRows = before.levels.orderBy("interval", "metric", "time").collect()
+    val beforeRaw = before.raw.drop("tb").orderBy("metric", "time").collect()
+    val beforeFiles = parquetFiles(s"$root/levels")
+    val beforeRetrieve = RetrieveFlex.retrieveFlex(before, tp(0), tp(230), 100 * S)
+      .orderBy("metric", "time").collect()
+
+    val after = Warehouse.compact(spark, root, filesPerPartition = 1)
+
+    assert(parquetFiles(s"$root/levels") < beforeFiles,
+      s"expected fewer files than $beforeFiles")
+    val afterRows = after.levels.orderBy("interval", "metric", "time").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq)
+    val afterRaw = after.raw.drop("tb").orderBy("metric", "time").collect()
+    assert(afterRaw.toSeq === beforeRaw.toSeq)
+    val afterRetrieve = RetrieveFlex.retrieveFlex(after, tp(0), tp(230), 100 * S)
+      .orderBy("metric", "time").collect()
+    assert(afterRetrieve.toSeq === beforeRetrieve.toSeq)
+    // store still passes the full check-tool invariants
+    assert(graft.tools.Tools.check(after, tp(100000)).count() === 0)
+  }
+}
