@@ -225,7 +225,12 @@ object Registry {
   }
 
   private val quantCte =
-    """emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS e
+    // x is FLOAT: the multiply must be forced to DOUBLE or DuckDB computes
+    // it in float precision and rounds boundary values differently than
+    // Spark's round(x.cast(double)*10000) (bit-level divergence first seen
+    // at sf0.1, vec_id 500+ — sf0.01's 500 vectors happen to have no
+    // float-boundary elements)
+    """emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS e
       |        FROM embeddings),
       |nrm AS (SELECT vec_id, e, sqrt(CAST(list_sum(list_transform(e, x -> x*x)) AS DOUBLE)) AS n
       |        FROM emb)""".stripMargin
