@@ -50,6 +50,39 @@ object Dedup {
     if (distinct) all.distinct() else all
   }
 
+  /** Like [[shingleRows]] but emits 60-bit HASHED grams built from per-token
+    * hashes (one md5 per token, positional rotate-XOR combine — the q23
+    * trick): n× less hashing than md5 per gram string and no concat. Valid
+    * for the minhash pipeline because its ground truth is defined on gram
+    * SETS — any injective-enough gram hash preserves set cardinalities
+    * (collision odds ~1e-7 across ~1e6 grams). Short docs hash their whole
+    * text, mirroring [[shingleRows]]'s single-shingle fallback.
+    *
+    * `distinct = false` skips the corpus-wide dedup shuffle — correct for
+    * consumers whose aggregates are duplicate-insensitive (a per-doc MIN
+    * cannot change under duplicates: the minhash path). */
+  def shingleHashRows(docs: DataFrame, n: Int = 3, text: String = "text",
+                      distinct: Boolean = true): DataFrame = {
+    val tk = TextOps.tokens(col(text))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tokHashed = docs.where(size(tk) >= n)
+      .select(col("doc_id"), size(tk).as("n"), posexplode(tk).as(Seq("pos", "tok")))
+      .withColumn("th", TextOps.md5Long(col("tok")))
+    val gram = (0 until n).map { i =>
+      val h = if (i == 0) col("th") else lead(col("th"), i).over(win)
+      TextOps.rot60(h, (7 * i) % 60)
+    }.reduce(_ bitwiseXOR _)
+    val long = tokHashed
+      .withColumn("gram", gram)
+      .where(col("pos") <= col("n") - n)
+      .select("doc_id", "gram")
+    val short = docs.where(size(tk) < n)
+      .select(col("doc_id"), TextOps.md5Long(col(text)).as("gram"))
+    val all = long.unionByName(short)
+    if (distinct) all.distinct() else all
+  }
+
   /** Word n-gram shingle set per document (distinct), array form. */
   def shingles(docs: DataFrame, n: Int = 3, text: String = "text"): DataFrame =
     shingleRows(docs, n, text)
@@ -125,26 +158,30 @@ object Dedup {
     * no array materialization anywhere in the pipeline. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8, ngram: Int = 3,
                    numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    // gram strings are hashed to 60-bit longs BEFORE the distinct: every
-    // shuffle in the pipeline (dedup, sig build, verify joins) moves 8-byte
-    // keys, never ~25-char strings (collision odds across ~1e6 grams:
-    // ~1e-7 — immaterial to the dedup decision)
-    val sh = shingleRows(docs, ngram, distinct = false)
-      .select(col("doc_id"), TextOps.md5Long(col("gram")).as("gram"))
-      .distinct()
-      .cache()
-    val cands = broadcast(
-      lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands))
-    // shingle-set sizes ONLY for docs appearing in a candidate pair: the
-    // per-doc table is semi-joined down to candidate docs (broadcast-sized by
-    // construction) before itself being broadcast — never an O(#docs)
-    // broadcast (at 1B docs that table is multi-GB on the driver)
-    val candDocs = cands.select(col("doc_a").as("doc_id"))
-      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      .join(candDocs, Seq("doc_id"), "left_semi")
-    val a = sh.select(col("doc_id").as("doc_a"), col("gram"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("gram"))
+    // grams are 60-bit longs from per-token hashes (shingleHashRows): every
+    // shuffle in the pipeline moves 8-byte keys, never ~25-char strings, and
+    // hashing work is one md5 per TOKEN rather than per gram. NO corpus-wide
+    // distinct: duplicate grams cannot change a per-doc minhash MIN, and the
+    // window shuffle already partitions by doc_id, so the 32-way min
+    // aggregate needs no further shuffle — the signature build is one
+    // shuffle total.
+    val sh = shingleHashRows(docs, ngram, distinct = false).cache()
+    // the candidate set is referenced three times (pair join + two candidate-
+    // doc projections) — cache it so the sig+banding pipeline runs ONCE
+    val candsDf = lshCandidates(
+      minhashSignatures(sh, numHashes), bands, numHashes / bands).cache()
+    val cands = broadcast(candsDf)
+    // exact-verify tier works on CANDIDATE DOCS ONLY: semi-join the raw
+    // shingle rows down first, dedup that tiny slice (Jaccard needs set
+    // semantics), and derive set sizes from it — never an O(#docs)
+    // broadcast and never a corpus-wide dedup shuffle
+    val candDocs = candsDf.select(col("doc_a").as("doc_id"))
+      .unionByName(candsDf.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct().cache()
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = candSh.select(col("doc_id").as("doc_a"), col("gram"))
+    val b = candSh.select(col("doc_id").as("doc_b"), col("gram"))
     cands.join(a, "doc_a").join(b, Seq("doc_b", "gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa"))), "doc_a")

@@ -108,7 +108,7 @@ object TextOps {
   /** 60-bit left-rotation of a 60-bit value. Exact in Long arithmetic:
     * (h << s) wraps mod 2^64 but the mask keeps only bits < 60, which are
     * unaffected by the wrap; h >= 0 so the arithmetic >> is a logical one. */
-  private def rot60(h: Column, s: Int): Column =
+  private[pipeline] def rot60(h: Column, s: Int): Column =
     if (s == 0) h
     else shiftleft(h, s).bitwiseAND(lit((1L << 60) - 1))
       .bitwiseOR(shiftright(h, 60 - s))
