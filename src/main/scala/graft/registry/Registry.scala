@@ -88,6 +88,26 @@ object Registry {
         validate = false)
     })
 
+  /** Multi-Meta warehouse (S7 wired to the store): 'click' gets a 1-hour
+    * ladder via an exact config, every other metric a 6-hour ladder via the
+    * catch-all prefix — so one store holds genuinely divergent ladders.
+    * Memoized like [[warehouseFor]]. */
+  private val multiCache = scala.collection.concurrent.TrieMap[String, graft.store.MultiWarehouse.MultiHta]()
+  def multiWarehouseFor(s: SparkSession, d: String): graft.store.MultiWarehouse.MultiHta =
+    multiCache.getOrElseUpdate(d, {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("multi:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val ev = Tables.events(s, d).select(
+        col("metric"), expr("time div 1000").as("time"),
+        col("cents").cast("double").as("value"))
+      graft.store.MultiWarehouse.ingest(ev,
+        Seq(
+          "click" -> graft.store.MetricConfig(graft.model.Meta(I1u, 100 * I1u, 10)),
+          "" -> graft.store.MetricConfig(graft.model.Meta(6 * I1u, 600 * I1u, 10),
+            isPrefix = true)),
+        s"/tmp/graft_wh_$digest", validate = false)
+    })
+
   /** T4 clone of [[warehouseFor]] under a 5×-coarser Meta; memoized like the
     * source store (the clone itself is the operation under test — its levels
     * are oracle-compared to a DuckDB recompute at the new interval). */
@@ -845,6 +865,45 @@ object Registry {
               |SELECT metric, time, minimum, maximum, sum_cents, cnt,
               |  integral_cu, active_time
               |FROM lv ORDER BY 1, 2""".stripMargin)),
+
+    // ---- S7 end-to-end: per-metric Meta. 'click' (1 h ladder) routes to
+    //      its 10 h level unsmoothed (factor 12h/10h = 1) while every other
+    //      metric (6 h ladder) routes to its 6 h level smoothed in pairs —
+    //      one store, divergent ladders, one distributed plan ----
+    Entry("q37_multimeta_flex",
+      (s, d) => {
+        val mh = multiWarehouseFor(s, d)
+        graft.store.MultiWarehouse.retrieveFlex(mh, Bu, Eu, 12 * I1u, smooth = true)
+          .select(col("metric"), col("interval"), col("time"),
+            col("minimum"), col("maximum"),
+            col("sum").cast("long").as("sum_cents"), col("count").as("cnt"),
+            col("integral").cast("long").as("integral_cu"), col("active_time"))
+          .orderBy("metric", "time")
+      },
+      Some {
+        // routed+smoothed recompute per config group (q28's pattern, at each
+        // group's own interval and positional factor)
+        def part(interval: Long, factor: Long, metricFilter: String) =
+          s"""(WITH ${levelCteAt(interval)},
+             |lb AS (SELECT metric, max(time) AS t FROM lv WHERE time <= $Bu GROUP BY 1),
+             |sc AS (SELECT l.* FROM lv l
+             |       LEFT JOIN lb ON l.metric = lb.metric
+             |       WHERE (l.time > $Bu OR l.time = lb.t) AND l.time < $Eu
+             |         AND $metricFilter),
+             |rn AS (SELECT *, row_number() OVER (PARTITION BY metric ORDER BY time) - 1 AS r
+             |       FROM sc)
+             |SELECT metric, CAST($interval AS BIGINT) AS interval, min(time) AS time,
+             |  min(minimum) AS minimum, max(maximum) AS maximum,
+             |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(cnt) AS BIGINT) AS cnt,
+             |  CAST(sum(integral_cu) AS BIGINT) AS integral_cu,
+             |  CAST(sum(active_time) AS BIGINT) AS active_time
+             |FROM rn GROUP BY metric, r // $factor)""".stripMargin
+        s"""SELECT * FROM ${part(10 * I1u, 1, "l.metric = 'click'")}
+           |UNION ALL
+           |SELECT * FROM ${part(6 * I1u, 2, "l.metric <> 'click'")}
+           |ORDER BY 1, 3""".stripMargin
+      }),
 
     // ---- multimodal plumbing: binary columns + typed meta through resize,
     //      frame sampling, and partition-batched feature extraction. The
