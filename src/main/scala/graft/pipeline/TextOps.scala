@@ -35,10 +35,17 @@ object TextOps {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")
 
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, and single
+    * punctuation marks — the pre-tokenization split GPT-style BPE applies
+    * before merges. Plain character classes only, so Java regex (Spark) and
+    * RE2 (DuckDB) agree exactly. */
+  val BpeSplit: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
   /** Per-document token statistics: token count, distinct tokens, char
-    * length, total token chars, English stopword count, BPE-ish token count
-    * estimate (chars/4, the common ~4-chars-per-token heuristic). All exact
-    * integers — oracle-safe. */
+    * length, total token chars, English stopword count, BPE-ish counts —
+    * `tok_est` (chars/4, the ~4-chars-per-token heuristic) and `tok_bpe`
+    * (pre-tokenization segments under [[BpeSplit]]). All exact integers —
+    * oracle-safe. */
   def tokenStats(docs: DataFrame, text: String = "text"): DataFrame = {
     val tk = tokens(col(text))
     docs.select(
@@ -48,7 +55,9 @@ object TextOps {
       length(col(text)).cast("long").as("len_chars"),
       (length(col(text)) - size(tk) + 1).cast("long").as("tok_chars"),
       countIn(tk, EnStop).as("stop_cnt"),
-      ((length(col(text)) + 3) / 4).cast("long").as("tok_est"))
+      ((length(col(text)) + 3) / 4).cast("long").as("tok_est"),
+      size(expr(s"regexp_extract_all($text, '${BpeSplit.replace("\\", "\\\\")}', 0)"))
+        .cast("long").as("tok_bpe"))
   }
 
   /** Quality scoring: stopword ratio, uniqueness ratio, mean token length.

@@ -757,7 +757,8 @@ object Registry {
               |  CAST(length(text) AS BIGINT) AS len_chars,
               |  CAST(length(text) - len(s) + 1 AS BIGINT) AS tok_chars,
               |  CAST(len(list_filter(s, x -> x IN (${TextOps.EnStop.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS stop_cnt,
-              |  CAST((length(text) + 3) // 4 AS BIGINT) AS tok_est
+              |  CAST((length(text) + 3) // 4 AS BIGINT) AS tok_est,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.BpeSplit}')) AS BIGINT) AS tok_bpe
               |FROM t ORDER BY 1""".stripMargin)),
 
     Entry("q17_lang_id",
