@@ -23,7 +23,14 @@ object Bench {
     // the round-trip queries read (built once, queried many times)
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    // pre-build ALL memoized stores (warehouse, clone, multi-Meta) so query
+    // timings measure retrieval plans, not one-time ingest — ingest
+    // throughput has its own benchmark (graft.IngestBench)
     try graft.registry.Registry.warehouseFor(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.registry.Registry.cloneFor(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.registry.Registry.multiWarehouseFor(spark, sfDir)
     catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q23_fingerprint,q15_dedup_neardup
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
