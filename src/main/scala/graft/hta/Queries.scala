@@ -229,11 +229,20 @@ object Queries {
   }
 
   /** Q3 — lift raw points to Row form: interval 0, aggregate of (v, gap to
-    * previous returned point; first point gap 0) (src/metric.cpp:414-439). */
-  def rawToRows(scopedPoints: DataFrame): DataFrame = {
-    val w = Window.partitionBy("metric").orderBy("time")
-    scopedPoints
-      .withColumn("_prev", coalesce(lag("time", 1).over(w), col("time")))
+    * previous returned point; first point gap 0) (src/metric.cpp:414-439).
+    * `chunkWidth` (e.g. the store's bucket width) de-skews the gap lag for
+    * full-table lifts; display-bounded callers may omit it. */
+  def rawToRows(scopedPoints: DataFrame,
+                chunkWidth: Option[Long] = None): DataFrame = {
+    val lifted = chunkWidth match {
+      case Some(cw) => gapLiftChunked(scopedPoints, cw)
+        .withColumnRenamed("prev_time", "_prev")
+      case None =>
+        val w = Window.partitionBy("metric").orderBy("time")
+        scopedPoints.withColumn("_prev",
+          coalesce(lag("time", 1).over(w), col("time")))
+    }
+    lifted
       .select(
         col("metric"), lit(0L).as("interval"), col("time"),
         col("value").as("minimum"), col("value").as("maximum"),

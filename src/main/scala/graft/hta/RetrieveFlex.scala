@@ -195,7 +195,9 @@ object RetrieveFlex {
   private def rawBranch(hta: Hta, begin: Long, end: Long, limit: Long,
                         scope: IntervalScope, smooth: Boolean): DataFrame = {
     val scoped = Scoped.scopedRange(hta.raw, begin, end, scope, bucket = rawBucket(hta))
-    if (!smooth || limit <= 0) return Queries.rawToRows(scoped).select(rowCols.map(col): _*)
+    if (!smooth || limit <= 0)
+      return Queries.rawToRows(scoped, Some(hta.meta.intervalMax))
+        .select(rowCols.map(col): _*)
     // reference: average_interval = (end-begin)/n < limit (integer division);
     // equivalently end-begin < limit*n — exact long comparison, no division
     val counts = scoped.groupBy("metric").agg(count(lit(1)).as("_n"))
@@ -204,7 +206,8 @@ object RetrieveFlex {
     val smoothed = Queries.smoothRaw(
         flagged.where(col("_smooth")).drop("_smooth"), begin, end, limit)
       .select(rowCols.map(col): _*)
-    val rawRows = Queries.rawToRows(flagged.where(!col("_smooth")).drop("_smooth"))
+    val rawRows = Queries.rawToRows(flagged.where(!col("_smooth")).drop("_smooth"),
+      Some(hta.meta.intervalMax))
       .select(rowCols.map(col): _*)
     smoothed.unionByName(rawRows)
   }

@@ -26,15 +26,24 @@ object Tools {
     * unique, finite aggregate fields, last row time + interval ==
     * interval_begin(last_raw, interval), and the top-level emptiness rule
     * (single-spanned levels must be empty, check.cpp:239-247). */
-  def check(hta: Hta, now: Long): DataFrame = {
-    val w = Window.partitionBy("metric").orderBy("time")
+  /** `genesis` defaults to the reference's ns-domain 2000-01-01 bound
+    * (check.cpp:48); stores using another tick unit (e.g. the µs-domain
+    * oracle warehouse) pass their own lower bound. */
+  def check(hta: Hta, now: Long, genesis: Long = Genesis): DataFrame = {
     val issue = (layer: String, name: String, pred: org.apache.spark.sql.Column,
                  df: DataFrame) =>
       df.where(pred).groupBy("metric")
         .agg(count(lit(1)).as("n"))
         .select(col("metric"), lit(layer).as("layer"), lit(name).as("issue"), col("n"))
 
-    val raw = hta.raw.withColumn("_p", lag("time", 1).over(w))
+    // chunked lag over the full raw table (MinValue sentinel marks each
+    // metric's first point so duplicate timestamps still trip the check) —
+    // a whole-metric window here would serialize a 100 TB metric's scan
+    val raw = AggOps.gapLiftChunked(hta.raw.drop("tb"), hta.meta.intervalMax,
+        firstDefault = Some(lit(Long.MinValue)))
+      .withColumn("_p",
+        when(col("prev_time") === Long.MinValue, lit(null).cast("long"))
+          .otherwise(col("prev_time")))
     val bounds = hta.raw.groupBy("metric")
       .agg(min("time").as("_first"), max("time").as("_last"))
 
@@ -45,8 +54,8 @@ object Tools {
       issue("raw", "implausible_value", abs(col("value")) > ValueMax, raw),
       issue("raw", "nonmono_or_dup_time", col("_p").isNotNull && col("time") <= col("_p"), raw),
       issue("raw", "implausible_range",
-        col("_first") < Genesis || col("_first") > now ||
-          col("_last") < Genesis || col("_last") > now, bounds))
+        col("_first") < genesis || col("_first") > now ||
+          col("_last") < genesis || col("_last") > now, bounds))
 
     val wl = Window.partitionBy("metric", "interval").orderBy("time")
     val lv = hta.levels
@@ -88,7 +97,8 @@ object Tools {
                    dropBelow: Double = Double.NegativeInfinity,
                    dropAbove: Double = Double.PositiveInfinity,
                    dropRanges: Seq[(Long, Long)] = Nil,
-                   useAbs: Boolean = false): DataFrame = {
+                   useAbs: Boolean = false,
+                   chunkWidth: Option[Long] = None): DataFrame = {
     val v0 = if (useAbs) abs(col("value")) else col("value")
     var out = points.withColumn("value", v0)
       .where(!isnan(col("value")) &&
@@ -97,29 +107,44 @@ object Tools {
         col("value") >= dropBelow && col("value") <= dropAbove)
     for ((b, e) <- dropRanges)
       out = out.where(!(col("time") >= b && col("time") < e))
-    // non-monotonic duplicates are silently dropped on re-insert (:214-230)
-    val w = Window.partitionBy("metric").orderBy("time")
-    out.withColumn("_p", lag("time", 1).over(w))
-      .where(col("_p").isNull || col("time") > col("_p"))
-      .drop("_p")
+    // non-monotonic duplicates are silently dropped on re-insert (:214-230);
+    // chunked lag when a width is supplied (repair feeds full rebuilds —
+    // one skewed metric must not serialize the scan)
+    monotonicDedup(out, chunkWidth)
   }
+
+  /** Keep only rows strictly after their metric's previous timestamp. */
+  private def monotonicDedup(points: DataFrame,
+                             chunkWidth: Option[Long]): DataFrame =
+    chunkWidth match {
+      case Some(cw) =>
+        AggOps.gapLiftChunked(points, cw,
+            firstDefault = Some(lit(Long.MinValue)))
+          .where(col("prev_time") === Long.MinValue ||
+            col("time") > col("prev_time"))
+          .drop("prev_time")
+      case None =>
+        val w = Window.partitionBy("metric").orderBy("time")
+        points.withColumn("_p", lag("time", 1).over(w))
+          .where(col("_p").isNull || col("time") > col("_p"))
+          .drop("_p")
+    }
 
   /** T3 — hta_repair: filter + full rebuild into a fresh warehouse. */
   def repair(hta: Hta, root: String, dropBelow: Double = Double.NegativeInfinity,
              dropAbove: Double = Double.PositiveInfinity,
              dropRanges: Seq[(Long, Long)] = Nil, useAbs: Boolean = false): Hta =
     Warehouse.ingest(
-      repairFilter(hta.raw, dropBelow, dropAbove, dropRanges, useAbs),
+      repairFilter(hta.raw.drop("tb"), dropBelow, dropAbove, dropRanges, useAbs,
+        chunkWidth = Some(hta.meta.intervalMax)),
       hta.meta, root, validate = false)
 
   /** T4 — hta_clone: monotonic-deduped copy re-aggregated under new Meta
     * (src/tools/clone.cpp:57-104). */
-  def clone(hta: Hta, newMeta: Meta, root: String): Hta = {
-    val w = Window.partitionBy("metric").orderBy("time")
-    val deduped = hta.raw.withColumn("_p", lag("time", 1).over(w))
-      .where(col("_p").isNull || col("time") > col("_p")).drop("_p")
-    Warehouse.ingest(deduped, newMeta, root, validate = false)
-  }
+  def clone(hta: Hta, newMeta: Meta, root: String): Hta =
+    Warehouse.ingest(
+      monotonicDedup(hta.raw.drop("tb"), Some(hta.meta.intervalMax)),
+      newMeta, root, validate = false)
 
   /** T5 — hta_throttle: clone + cooldown downsampling (src/tools/throttle.cpp). */
   def throttleClone(hta: Hta, cooldown: Long, root: String): Hta =
