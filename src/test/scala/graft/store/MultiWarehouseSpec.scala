@@ -75,6 +75,41 @@ class MultiWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("distributed config resolution == Catalog.resolve (exact beats prefix, insertion order)") {
+    // overlapping entries in adversarial order: a prefix registered BEFORE
+    // the exact entry must still lose to it; among prefixes the first
+    // registered match wins even when a longer prefix comes later
+    val cfgs = Seq(
+      "ab" -> MetricConfig(fineMeta, isPrefix = true),
+      "abc" -> MetricConfig(coarseMeta),                  // exact
+      "abcd" -> MetricConfig(coarseMeta, isPrefix = true) // longer prefix, later
+    )
+    val cat = new Catalog(cfgs)
+    val names = Seq("abc", "ab", "abx", "abcd", "abcde", "abcx")
+    val s = spark
+    val df = s.createDataFrame(
+      java.util.Arrays.asList(names.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType))))
+    val dist = df.withColumn("_g",
+        MultiWarehouse.configColumn(cfgs, org.apache.spark.sql.functions.col("metric")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (n <- names) {
+      val expected = cfgs.indexWhere(c => c._2 eq cat.resolve(n))
+      assert(dist(n) === expected, s"name $n")
+    }
+    // an unmatched name resolves to -1 distributed, throws on the driver
+    val miss = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("zzz")),
+      df.schema)
+      .withColumn("_g", MultiWarehouse.configColumn(cfgs,
+        org.apache.spark.sql.functions.col("metric")))
+      .collect()(0).getInt(1)
+    assert(miss === -1)
+    intercept[MissingMetricConfig](cat.resolve("zzz"))
+  }
+
   test("unmatched metric and read-only config are rejected (prefix.cpp modes)") {
     val root = tmpDir("multi_err")
     intercept[MissingMetricConfig] {
