@@ -258,14 +258,102 @@ object Ann {
     }.reduce(_ + _)
 
   /** Embedding near-dup pairs at 100 TB scale: hyperplane-LSH bucketing, then
-    * within-bucket pairs only. Fully distributed — one shuffle on the bucket
+    * within-bucket pairs only. Fully distributed — ONE shuffle on the bucket
     * key, pair expansion bounded per bucket, NO driver-side collect (unlike
     * [[cosinePairsFast]], which is the exact small-corpus tier). Each vector
     * belongs to exactly one bucket, so no pair is scored twice. Recall is the
     * LSH trade: pairs split across buckets are missed — lower `h` raises
-    * recall and bucket size; production stacks several independent tables. */
+    * recall and bucket size; production stacks several independent tables.
+    *
+    * Execution shape: after `repartition(bucket)` every bucket lands whole in
+    * one partition, so pair scoring is a partition-local primitive-long loop
+    * (same integer math as [[cosinePairsFast]] — the per-pair
+    * zip_with/aggregate lambdas it replaces don't codegen and ran ~100×
+    * slower). The `maxBucket` cap is enforced partition-locally too: a hot
+    * bucket (clustered embeddings can put an O(n²) blowup in one sign
+    * pattern) buffers at most maxBucket+1 vectors before the whole bucket is
+    * dropped, mirroring `Dedup.lshCandidates`. At real scale grow `h` so
+    * 2^h ≫ cores (bucket count = parallelism) and stack tables for recall. */
   def lshCosinePairs(corpus: DataFrame, threshold: Double,
-                     h: Int = 4, dim: Int = 64): DataFrame = {
+                     h: Int = 4, dim: Int = 64,
+                     maxBucket: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"),
+        lshBucket(col("embedding"), h, dim).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket")
+    val t = threshold
+    val cap = maxBucket
+    val out = c.rdd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var cur: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+
+        // Consume one whole bucket (contiguous after sortWithinPartitions);
+        // emit its (vid_a < vid_b, cosine >= t) pairs, or nothing if the
+        // bucket exceeds the cap (buffering stops at cap+1 — bounded memory).
+        private def fillNextBucket(): Unit = {
+          val bucket = buf.head.getLong(2)
+          val ids = new scala.collection.mutable.ArrayBuffer[Long]
+          val vecs = new scala.collection.mutable.ArrayBuffer[Array[Long]]
+          var over = false
+          while (buf.hasNext && buf.head.getLong(2) == bucket) {
+            val r = buf.next()
+            if (!over) {
+              ids += r.getLong(0)
+              vecs += r.getSeq[Long](1).toArray
+              if (ids.length > cap) { over = true; ids.clear(); vecs.clear() }
+            }
+          }
+          cur = if (over || ids.length < 2) Iterator.empty else {
+            val order = ids.indices.sortBy(ids(_)).toArray
+            val sIds = order.map(ids(_))
+            val sVecs = order.map(vecs(_))
+            val norms = sVecs.map { v =>
+              var s = 0L; var i = 0
+              while (i < v.length) { s += v(i) * v(i); i += 1 }
+              math.sqrt(s.toDouble)
+            }
+            val n = sIds.length
+            (0 until n).iterator.flatMap { i =>
+              val va = sVecs(i); val na = norms(i)
+              (i + 1 until n).iterator.flatMap { j =>
+                val vb = sVecs(j)
+                var d = 0L; var k = 0
+                while (k < va.length) { d += va(k) * vb(k); k += 1 }
+                val cos = d.toDouble / (na * norms(j))
+                if (cos >= t) Some(org.apache.spark.sql.Row(sIds(i), sIds(j), cos))
+                else None
+              }
+            }
+          }
+        }
+
+        def hasNext: Boolean = {
+          while (!cur.hasNext && buf.hasNext) fillNextBucket()
+          cur.hasNext
+        }
+        def next(): org.apache.spark.sql.Row = {
+          if (!hasNext) throw new NoSuchElementException("empty")
+          cur.next()
+        }
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vid_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cosine",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Reference (interpreted column-expression) form of [[lshCosinePairs]] —
+    * identical integer math, no cap; kept for the bit-equality spec that
+    * pins the fast path. Not for the hot path: per-pair zip_with/aggregate
+    * doesn't codegen. */
+  private[graft] def lshCosinePairsExpr(corpus: DataFrame, threshold: Double,
+                                        h: Int = 4, dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"),
         lshBucket(col("embedding"), h, dim).as("bucket"))
       .withColumn("n", normQ(col("e")))

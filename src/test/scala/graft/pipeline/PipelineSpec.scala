@@ -82,6 +82,23 @@ class PipelineSpec extends SparkSpec {
     slow.zip(fast).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("lshCosinePairs fast path is bit-identical to the expression reference") {
+    val ref = Ann.lshCosinePairsExpr(emb, 0.3, h = 4, dim = 64)
+      .orderBy("vid_a", "vid_b").collect()
+    val fast = Ann.lshCosinePairs(emb, 0.3, h = 4, dim = 64)
+      .orderBy("vid_a", "vid_b").collect()
+    assert(ref.nonEmpty, "fixture should produce within-bucket pairs")
+    assert(ref.length === fast.length)
+    ref.zip(fast).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("lshCosinePairs drops buckets over the cap") {
+    // With h=4 over 500 near-isotropic vectors every bucket exceeds cap=2,
+    // so a tiny cap must yield zero pairs — and a generous cap must not.
+    assert(Ann.lshCosinePairs(emb, -1.0, h = 4, dim = 64, maxBucket = 2).count() === 0)
+    assert(Ann.lshCosinePairs(emb, -1.0, h = 4, dim = 64).count() > 0)
+  }
+
   test("exact dedup finds no duplicates in clean corpus, finds planted ones") {
     assert(Dedup.exactDupGroups(docs).count() === 0)
     val withDup = docs.select("doc_id", "text")
