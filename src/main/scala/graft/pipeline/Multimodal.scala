@@ -4,18 +4,21 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+
 /** Multimodal columns for training-data pipelines: image/audio/video as
   * opaque `binary` columns with typed metadata, processed by per-partition
   * batch operators.
   *
-  * The Spark-side plumbing here — schema, partition-batched iteration,
-  * operator signatures, frame-sample row explosion — is real and tested.
-  * The actual media codecs are STUBBED (`fakeDecode`): this container ships
-  * no image/audio libraries, so decode produces a deterministic pseudo
-  * feature vector derived from the bytes. Swapping in a real decoder means
-  * replacing ONLY the function body passed to [[mapBatches]]; every
-  * distribution concern (no driver collect, narrow per-partition execution,
-  * bounded batch memory) stays as-is.
+  * The IMAGE codec is real: `javax.imageio` (JDK built-in — PNG/BMP/JPEG/GIF,
+  * zero external dependencies) decodes bytes to pixels; features are a
+  * luminance histogram and resize is an exact nearest-neighbor resample
+  * re-encoded as PNG. AUDIO and VIDEO remain STUBBED (`fakeDecode`) — the
+  * JDK ships no audio/video codecs and this container has no media
+  * libraries; the per-kind dispatch marks exactly where a real decoder
+  * plugs in. Every distribution concern (no driver collect, narrow
+  * per-partition execution, bounded batch memory) is independent of the
+  * codec choice.
   *
   * Scale notes:
   *  - media bytes stay columnar parquet binary; never json/base64;
@@ -37,8 +40,62 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("mime", StringType))))))
 
-  /** STUB decode: deterministic pseudo-features from the bytes (replaces a
-    * real codec; see class doc). dim floats derived from a rolling hash. */
+  /** Real image decode via the JDK's ImageIO. None for undecodable bytes
+    * (ImageIO returns null when no registered reader matches). */
+  private[pipeline] def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Image features: `dim`-bin luminance histogram, normalized by pixel
+    * count. Integer luminance (BT.601 weights ×1000) keeps the binning
+    * platform-exact, so features are bit-reproducible. */
+  private[pipeline] def imageFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts((lum * dim) / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    counts.map(c => if (n == 0) 0f else c.toFloat / n)
+  }
+
+  /** Exact nearest-neighbor resample (manual loop, not Graphics2D — JDK
+    * rendering hints vary by platform; integer source indexing doesn't). */
+  private[pipeline] def nearestResize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth; val sh = img.getHeight
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * sh / h).toInt
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB((x.toLong * sw / w).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private[pipeline] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode for audio/video (and undecodable image bytes):
+    * deterministic pseudo-features from a rolling hash of the bytes. The
+    * JDK has no audio/video codecs — a real decoder replaces exactly this
+    * branch of the per-kind dispatch. */
   private[pipeline] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -61,7 +118,10 @@ object Multimodal {
     df.mapPartitions(f)(enc)
   }
 
-  /** Image/audio feature extraction: media → (media_id, kind, features). */
+  /** Feature extraction: media → (media_id, kind, features). Per-kind
+    * dispatch: images decode for real (ImageIO) and fall back to the stub
+    * only if the bytes aren't a decodable image; audio/video use the stub
+    * (see [[fakeDecode]]). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -69,19 +129,39 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false))))
     mapBatches(media.select("media_id", "kind", "bytes"), out) { it =>
       it.map { r =>
-        Row(r.getLong(0), r.getString(1), fakeDecode(r.getAs[Array[Byte]](2), dim).toSeq)
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val feats = kind match {
+          case "image" =>
+            decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(fakeDecode(bytes, dim))
+          case _ => fakeDecode(bytes, dim)
+        }
+        Row(r.getLong(0), kind, feats.toSeq)
       }
     }
   }
 
-  /** Image resize (stub codec): passes bytes through the decode/encode
-    * boundary and rewrites meta — the plumbing a real resizer needs. */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media
-      .withColumn("meta", struct(
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.sample_rate").as("sample_rate"),
-        col("meta.n_frames").as("n_frames"), col("meta.mime").as("mime")))
+  /** Image resize: decodable images are nearest-neighbor resampled to
+    * (w, h) and re-encoded as PNG (bytes AND meta change); audio/video and
+    * undecodable bytes pass through with meta rewritten only — the same
+    * row-level contract either way, so downstream operators never branch. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val out = media.select("media_id", "kind", "bytes", "meta").schema
+    mapBatches(media.select("media_id", "kind", "bytes", "meta"), out) { it =>
+      it.map { r =>
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val meta = r.getStruct(3)
+        val decoded = if (kind == "image") decodeImage(bytes) else None
+        val (newBytes, mime) = decoded match {
+          case Some(img) => (encodePng(nearestResize(img, w, h)), "image/png")
+          case None => (bytes, meta.getString(4))
+        }
+        Row(r.getLong(0), kind, newBytes,
+          Row(w, h, meta.get(2), meta.get(3), mime))
+      }
+    }
+  }
 
   /** Video frame sampling: one row per sampled frame index — pure row
     * explosion (`sequence`), codegen'd, no data movement of the bytes until
@@ -92,14 +172,45 @@ object Multimodal {
         explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(everyN))))
       .select(col("media_id"), col("frame_idx"), col("bytes"), col("meta"))
 
-  /** Synthetic media table for tests/bench (no real codecs in container). */
-  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame =
-    spark.range(n).select(
-      col("id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
-      sha2(col("id").cast("string"), 256).cast("binary").as("bytes"),
-      struct(lit(64).as("width"), lit(48).as("height"),
-        lit(16000).as("sample_rate"), lit(30).as("n_frames"),
-        lit("application/octet-stream").as("mime")).as("meta"))
+  /** Deterministic PNG bytes for image id: pixel (x,y) is a fixed function
+    * of (id, x, y). Real images for tests/bench without any media library. */
+  private[pipeline] def patternPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + x) % 256).toInt
+        val g = ((id + y) % 256).toInt
+        val b = ((id + x.toLong * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Synthetic media table for tests/bench: image rows carry REAL PNG bytes
+    * (deterministic pattern, decoded by the real codec end-to-end);
+    * audio/video rows carry opaque deterministic bytes for the stub tier.
+    * Built as a distributed Row RDD — PNG encoding happens per partition,
+    * never on the driver. */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long,
+                     imgW: Int = 16, imgH: Int = 12): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val bytes =
+        if (kind == "image") patternPng(id, imgW, imgH)
+        else java.security.MessageDigest.getInstance("SHA-256")
+          .digest(id.toString.getBytes("UTF-8"))
+      val meta =
+        if (kind == "image") Row(imgW, imgH, null, null, "image/png")
+        else Row(null, null, Int.box(16000), Int.box(30), "application/octet-stream")
+      Row(Long.box(id), kind, bytes, meta)
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 }

@@ -3,11 +3,72 @@ package graft.pipeline
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schema, partition-batched decode (stub codec),
-  * frame-sample explosion — distribution-correct even with fake decoding. */
+/** Multimodal plumbing + the real image codec: schema, partition-batched
+  * decode (ImageIO for images, stub for audio/video), frame-sample
+  * explosion. Image features and resize are pinned pixel-exact against
+  * manual recomputation from the PNG bytes. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.syntheticMedia(spark, 300).cache()
+
+  test("image features are the exact luminance histogram of the PNG pixels") {
+    val row = media.where(col("kind") === "image").orderBy("media_id").limit(1)
+    val id = row.collect().head.getLong(0)
+    val bytes = row.collect().head.getAs[Array[Byte]]("bytes")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val dim = 16
+    val expected = {
+      val counts = new Array[Long](dim)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts((lum * dim) / 256) += 1
+      }
+      counts.map(_.toFloat / (img.getWidth * img.getHeight)).toSeq
+    }
+    val got = Multimodal.extractFeatures(row, dim).collect().head
+      .getSeq[Float](2)
+    assert(got === expected, s"features of image $id")
+    assert(math.abs(got.sum - 1.0f) < 1e-5) // histogram normalization
+  }
+
+  test("resize is pixel-exact nearest-neighbor and re-encodes as PNG") {
+    val src = media.where(col("kind") === "image").orderBy("media_id").limit(2)
+    val srcBytes = src.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val out = Multimodal.resize(src, 32, 24).collect()
+    out.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+      assert(img.getWidth === 32 && img.getHeight === 24)
+      val srcImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(srcBytes(r.getLong(0))))
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val sx = (x.toLong * srcImg.getWidth / 32).toInt
+        val sy = (y.toLong * srcImg.getHeight / 24).toInt
+        assert((img.getRGB(x, y) & 0xffffff) === (srcImg.getRGB(sx, sy) & 0xffffff),
+          s"pixel ($x,$y) of media ${r.getLong(0)}")
+      }
+      assert(r.getStruct(3).getString(4) === "image/png")
+    }
+  }
+
+  test("audio/video keep the documented stub features; bytes pass resize unchanged") {
+    val av = media.where(col("kind") =!= "image")
+    val feats = Multimodal.extractFeatures(av, dim = 8).collect()
+    feats.foreach { r =>
+      val bytes = media.where(col("media_id") === r.getLong(0))
+        .collect().head.getAs[Array[Byte]]("bytes")
+      assert(r.getSeq[Float](2) === Multimodal.fakeDecode(bytes, 8).toSeq)
+    }
+    val resized = Multimodal.resize(av.limit(4), 32, 24).collect()
+    resized.foreach { r =>
+      val orig = media.where(col("media_id") === r.getLong(0))
+        .collect().head.getAs[Array[Byte]]("bytes")
+      assert(r.getAs[Array[Byte]]("bytes").toSeq === orig.toSeq)
+      assert(r.getStruct(3).getInt(0) === 32) // meta still rewritten
+    }
+  }
 
   test("feature extraction is a narrow per-partition map with stable output") {
     val f1 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id").collect()
@@ -28,7 +89,7 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.where(col("frame_idx") % 10 =!= 0).count() === 0)
   }
 
-  test("resize rewrites meta but keeps bytes and schema") {
+  test("resize preserves the media schema and rewrites meta") {
     val r = Multimodal.resize(media, 32, 24)
     assert(r.schema === media.schema)
     assert(r.select("meta.width").distinct().collect().head.getInt(0) === 32)
