@@ -65,10 +65,13 @@ object RollupRouting {
         fs.location.rootPaths.map(_.toString)
     }.flatten.toSet
     val levelsPlan = hta.levels.queryExecution.analyzed
-    // MIN/MAX route only through stores whose level files really carry the
-    // home-only columns (legacy / .hta-converted stores read them as null)
+    // MIN/MAX route only through stores whose level files ALL carry the
+    // home-only columns: a store mixing legacy rows (null home columns,
+    // e.g. .hta-converted files) with new rows must not route, or the
+    // rewritten Min/Max silently skips the legacy rows. Gate on the
+    // absence of nulls, not the presence of non-nulls.
     val minMaxOk = levelsPlan.output.exists(_.name == "minimum_home") &&
-      hta.levels.where(col("minimum_home").isNotNull).limit(1).count() > 0
+      hta.levels.where(col("minimum_home").isNull).limit(1).count() == 0
     routes = routes :+ Route(rawPaths, levelsPlan, hta.meta.levelIntervals, wm,
       minMaxOk)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RollupRoutingRule]))
@@ -124,8 +127,10 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
     }
     if (residual.nonEmpty || b.isEmpty || e.isEmpty) return None
 
-    // grouping must be exactly by metric
-    if (!(groups.length == 1 && groups.head.semanticEquals(metricAttr))) return None
+    // grouping must be exactly by metric, or empty (global aggregate)
+    val global = groups.isEmpty
+    if (!global && !(groups.length == 1 && groups.head.semanticEquals(metricAttr)))
+      return None
 
     // coarsest aligned level whose watermark covers E
     val lvl = route.ladder.reverse.find { i =>
@@ -138,26 +143,52 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == name => a
       }.get
 
+    // In the grouped form a having-filter on SUM(count) > 0 removes groups
+    // made only of count=0 carrier buckets. A GLOBAL aggregate must instead
+    // keep its single row and null out value-derived aggregates when the
+    // range holds no points (raw returns one row of nulls + count 0, while
+    // the level table would contribute sum=0 / ±Inf home identities) —
+    // guard each rewrite on SUM(count) > 0 inline.
+    def sumCnt: Expression =
+      Coalesce(Seq(
+        AggregateExpression(Sum(lvlAttr("count")), Complete, isDistinct = false),
+        Literal(0L)))
+    def nullWhenEmpty(e: Expression): Expression =
+      if (!global) e
+      else If(GreaterThan(sumCnt, Literal(0L)), e, Literal.create(null, e.dataType))
+
     // rewrite each aggregate; bail if any is not routable. MIN/MAX go to the
     // home-only columns (HTA level min/max carry A3 boundary partials and
     // answer display semantics, not relational MIN/MAX) — only for stores
-    // whose files carry them (route.minMaxRoutable).
+    // whose files carry them (route.minMaxRoutable). AVG decomposes to
+    // SUM(sum)/SUM(count) over the level table.
     val rewritten = aggExprs.map {
       case a @ Alias(AggregateExpression(Sum(v, em), mode, false, None, id), name)
           if v.semanticEquals(valueAttr) =>
-        Some(Alias(AggregateExpression(Sum(lvlAttr("sum"), em), mode, false, None, id),
+        Some(Alias(nullWhenEmpty(
+          AggregateExpression(Sum(lvlAttr("sum"), em), mode, false, None, id)),
           name)(a.exprId, a.qualifier, a.explicitMetadata))
       case a @ Alias(AggregateExpression(Count(args), mode, false, None, id), name)
           if args.forall(x => x.semanticEquals(valueAttr) || x.foldable) =>
-        Some(Alias(AggregateExpression(Sum(lvlAttr("count")), mode, false, None, id),
+        val c = AggregateExpression(Sum(lvlAttr("count")), mode, false, None, id)
+        Some(Alias(if (global) Coalesce(Seq(c, Literal(0L))) else c,
+          name)(a.exprId, a.qualifier, a.explicitMetadata))
+      case a @ Alias(AggregateExpression(Average(v, _), mode, false, None, _), name)
+          if v.semanticEquals(valueAttr) =>
+        val s = AggregateExpression(Sum(lvlAttr("sum")), mode, isDistinct = false)
+        val c = AggregateExpression(Sum(lvlAttr("count")), mode, isDistinct = false)
+        Some(Alias(nullWhenEmpty(
+          new Divide(s, Cast(c, org.apache.spark.sql.types.DoubleType))),
           name)(a.exprId, a.qualifier, a.explicitMetadata))
       case a @ Alias(AggregateExpression(Min(v), mode, false, None, id), name)
           if route.minMaxRoutable && v.semanticEquals(valueAttr) =>
-        Some(Alias(AggregateExpression(Min(lvlAttr("minimum_home")), mode, false, None, id),
+        Some(Alias(nullWhenEmpty(
+          AggregateExpression(Min(lvlAttr("minimum_home")), mode, false, None, id)),
           name)(a.exprId, a.qualifier, a.explicitMetadata))
       case a @ Alias(AggregateExpression(Max(v), mode, false, None, id), name)
           if route.minMaxRoutable && v.semanticEquals(valueAttr) =>
-        Some(Alias(AggregateExpression(Max(lvlAttr("maximum_home")), mode, false, None, id),
+        Some(Alias(nullWhenEmpty(
+          AggregateExpression(Max(lvlAttr("maximum_home")), mode, false, None, id)),
           name)(a.exprId, a.qualifier, a.explicitMetadata))
       case g: AttributeReference if g.semanticEquals(metricAttr) =>
         Some(Alias(lvlAttr("metric"), g.name)(g.exprId, g.qualifier))
@@ -172,6 +203,8 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
       And(And(EqualTo(li, Literal(lvl)), GreaterThanOrEqual(lt, Literal(b.get))),
         LessThan(lt, Literal(e.get))),
       route.levelsPlan)
+    if (global)
+      return Some(Aggregate(Nil, rewritten.map(_.get), newFilter, None))
     // SQL group semantics: a raw-side group exists iff >= 1 point in range,
     // but the level table has rows for count=0 gap-spanning buckets (and
     // their home min/max are the ±Inf identities). Append a hidden

@@ -136,6 +136,8 @@ object MultiWarehouse {
   private def writeCatalog(configs: Seq[(String, MetricConfig)], root: String,
                            spark: SparkSession): Unit = {
     val body = configs.map { case (n, c) =>
+      require(!n.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"config name may not contain tab/newline: ${n.replaceAll("\\s", "?")}")
       Seq(n, c.isPrefix, c.mode, c.meta.intervalMin, c.meta.intervalMax,
         c.meta.intervalFactor).mkString("\t")
     }.mkString("\n")

@@ -277,10 +277,20 @@ object Warehouse {
               filesPerPartition: Int = 8): Hta = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash-safe swap: the live dir is moved aside BEFORE the tmp moves in,
+    // so no crash point leaves the store without data — worst case the
+    // backup dir survives and the next compact (or a manual rename) recovers
+    // it. Every rename result is checked; rename-returning-false would
+    // otherwise silently drop raw/ (permanent loss) or levels/ (rebuildable).
     def swap(tmp: String, dst: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dst))
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      val dstP = new org.apache.hadoop.fs.Path(dst)
+      val bakP = new org.apache.hadoop.fs.Path(dst + "_compact_bak")
+      fs.delete(bakP, true)
+      if (fs.exists(dstP))
+        require(fs.rename(dstP, bakP), s"compact: rename $dst -> $bakP failed")
+      require(fs.rename(tmpP, dstP), s"compact: rename $tmp -> $dst failed")
+      fs.delete(bakP, true)
     }
     readLevels(spark, root)
       .repartition(col("interval"),

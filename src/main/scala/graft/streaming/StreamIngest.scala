@@ -160,7 +160,13 @@ object StreamIngest {
         .foreach(f => fs.delete(f.getPath, false))
       var k = 0
       for (f <- fs.listStatus(ip.getPath) if f.getPath.getName.endsWith(".parquet")) {
-        fs.rename(f.getPath, new Path(target, s"bid-$bid-$k.parquet"))
+        val dst = new Path(target, s"bid-$bid-$k.parquet")
+        // abort WITHOUT the marker on a failed rename: the staged file would
+        // be deleted below while the marker suppressed the replay, silently
+        // losing this micro-batch's closed rows
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"publishLevelBatch: rename ${f.getPath} -> $dst failed; batch $bid will replay")
         k += 1
       }
     }

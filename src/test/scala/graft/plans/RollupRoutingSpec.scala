@@ -97,6 +97,68 @@ class RollupRoutingSpec extends SparkSpec {
     assert(all.contains("lonely"))
   }
 
+  test("AVG routes through SUM(sum)/SUM(count) on the level table") {
+    val df = hta.raw.where(col("time") >= tp(20) && col("time") < tp(100))
+      .groupBy("metric").agg(avg("value").as("a"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("levels") && !phys.contains("/raw"), s"AVG not routed:\n$phys")
+    val direct = fixtureDf.where(col("time") >= tp(20) && col("time") < tp(100))
+      .groupBy("metric").agg(avg("value")).collect().head
+    assert(df.collect().head.getDouble(1) === direct.getDouble(1))
+  }
+
+  test("global (ungrouped) aggregates route and agree") {
+    val routed = hta.raw.where(col("time") >= tp(20) && col("time") < tp(100))
+      .agg(sum("value").as("s"), count("value").as("c"),
+        min("value").as("mn"), max("value").as("mx"), avg("value").as("a"))
+    val phys = routed.queryExecution.executedPlan.toString
+    assert(phys.contains("levels") && !phys.contains("/raw"),
+      s"global aggregate not routed:\n$phys")
+    val direct = fixtureDf.where(col("time") >= tp(20) && col("time") < tp(100))
+      .agg(sum("value"), count("value"), min("value"), max("value"), avg("value"))
+      .collect().head
+    val got = routed.collect().head
+    assert(got.getDouble(0) === direct.getDouble(0))
+    assert(got.getLong(1) === direct.getLong(1))
+    assert(got.getDouble(2) === direct.getDouble(2))
+    assert(got.getDouble(3) === direct.getDouble(3))
+    assert(got.getDouble(4) === direct.getDouble(4))
+  }
+
+  test("global aggregate over a carrier-only range returns the raw null row") {
+    // [90s,100s): the 10s bucket exists as a count=0 carrier (gap 80s→101s)
+    // while raw has zero points — raw returns one row of nulls + count 0;
+    // the routed plan must not leak sum=0 / ±Inf home identities
+    val routed = hta.raw.where(col("time") >= tp(90) && col("time") < tp(100))
+      .agg(sum("value").as("s"), count("value").as("c"),
+        min("value").as("mn"), max("value").as("mx"), avg("value").as("a"))
+    assert(routed.queryExecution.executedPlan.toString.contains("levels"),
+      "carrier window should be routable")
+    val r = routed.collect().head
+    assert(r.isNullAt(0) && r.getLong(1) === 0L && r.isNullAt(2) &&
+      r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("a store mixing legacy (null home) level rows blocks MIN/MAX routing (ADVICE r3)") {
+    val root = tmpDir("route_mixed")
+    val h0 = Warehouse.ingest(fixtureDf, Meta(10 * S, 1000 * S, 10), root)
+    // fabricate a legacy file (pre-home-columns schema) inside the same
+    // partition dir, as a .hta-converted store would contain
+    h0.levels.where(col("interval") === 10 * S)
+      .drop("minimum_home", "maximum_home", "interval").limit(2)
+      .write.mode("append").parquet(s"$root/levels/interval=${10 * S}")
+    val h = Warehouse.open(spark, root)
+    RollupRouting.install(spark, h)
+    val rng = col("time") >= tp(20) && col("time") < tp(100)
+    // SUM/COUNT still route…
+    val sc = h.raw.where(rng).groupBy("metric").agg(sum("value").as("s"))
+    assert(sc.queryExecution.executedPlan.toString.contains("levels"))
+    // …but MIN/MAX must stay on raw: the rewrite would skip the null rows
+    val mm = h.raw.where(rng).groupBy("metric").agg(min("value"), max("value"))
+    assert(mm.queryExecution.executedPlan.toString.contains("/raw"),
+      "MIN/MAX must not route through a store with null home rows")
+  }
+
   test("routed and raw answers agree on every aligned window") {
     for ((b, e) <- Seq((0L, 100L), (100L, 200L), (0L, 200L), (40L, 60L))) {
       val routed = rawAgg(tp(b), tp(e)).collect()

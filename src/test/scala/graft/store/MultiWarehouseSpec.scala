@@ -110,6 +110,16 @@ class MultiWarehouseSpec extends SparkSpec {
     intercept[MissingMetricConfig](cat.resolve("zzz"))
   }
 
+  test("config names with tab/newline are rejected at ingest (ADVICE r3: TSV round-trip)") {
+    val bad = Seq("ok" -> MetricConfig(fineMeta),
+      "evil\tname" -> MetricConfig(coarseMeta, isPrefix = true))
+    val e = intercept[IllegalArgumentException] {
+      MultiWarehouse.ingest(fixtureDf.withColumn("metric", lit("ok")), bad,
+        tmpDir("multi_badname"))
+    }
+    assert(e.getMessage.contains("tab/newline"))
+  }
+
   test("unmatched metric and read-only config are rejected (prefix.cpp modes)") {
     val root = tmpDir("multi_err")
     intercept[MissingMetricConfig] {
