@@ -430,11 +430,26 @@ object Registry {
               |  CAST(sum(CASE WHEN p IS NOT NULL AND time <= p THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmono
               |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // ---- F4 throttle (stateful — not SQL-expressible; rows-only check) ----
+    // ---- F4 throttle. The fold (keep iff last_kept + cooldown < time) is
+    // stateful but still SQL-expressible as a recursive CTE: iteration k
+    // yields each metric's (k+1)-th kept timestamp. (metric, time) is unique
+    // in events, so the value join is deterministic. ----
     Entry("q13_throttle",
       (s, d) => Throttle.throttle(ev(s, d).select("metric", "time", "value"), COOLDOWN)
         .orderBy("metric", "time"),
-      None),
+      Some(s"""WITH RECURSIVE $ptsCte,
+              |kept AS (
+              |  SELECT metric, min(time) AS time FROM pts GROUP BY 1
+              |  UNION ALL
+              |  SELECT metric, nxt AS time FROM (
+              |    SELECT k.metric, (SELECT min(p.time) FROM pts p
+              |                      WHERE p.metric = k.metric
+              |                        AND p.time > k.time + $COOLDOWN) AS nxt
+              |    FROM kept k) WHERE nxt IS NOT NULL
+              |)
+              |SELECT k.metric, k.time, p.value FROM kept k
+              |JOIN pts p ON p.metric = k.metric AND p.time = k.time
+              |ORDER BY 1, 2""".stripMargin)),
 
     // ---- Q2 retrieveFlex end-to-end (in-memory level ladder over events) ----
     Entry("q21_flex_route",
