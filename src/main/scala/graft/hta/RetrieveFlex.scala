@@ -60,32 +60,42 @@ object RetrieveFlex {
 
   def retrieveFlex(hta: Hta, begin: Long, end: Long, limit: Long,
                    scope: IntervalScope = IntervalScope.retrieveDefault,
-                   smooth: Boolean = true): DataFrame = {
-    val meta = hta.meta
+                   smooth: Boolean = true): DataFrame =
+    retrieveFlexMulti(Seq(hta), begin, end, limit, scope, smooth)
+
+  /** Q2 over one OR several independent stores (MultiWarehouse config
+    * groups, each with its own ladder). The level-probe descent is batched:
+    * rank r probes EVERY group's r-th candidate level in one unioned
+    * summary scan, so the action count is one per descent rank — bounded by
+    * the deepest ladder — regardless of how many configs the store holds. */
+  def retrieveFlexMulti(groups: Seq[Hta], begin: Long, end: Long, limit: Long,
+                        scope: IntervalScope = IntervalScope.retrieveDefault,
+                        smooth: Boolean = true): DataFrame = {
+    require(groups.nonEmpty, "no stores to retrieve from")
     if (scope.begin != Scope.Infinity && scope.end != Scope.Infinity)
       require(begin <= end, s"invalid request: begin $begin > end $end")
 
     if (limit < 0) {
       // single-aggregate branch (→ A6); one row per metric
-      return Queries.aggregateRange(hta.raw, begin, end)
-        .select(col("metric"), lit(end - begin).as("interval"), lit(begin).as("time"),
-          col("minimum"), col("maximum"), col("sum"), col("count"),
-          col("integral"), col("active_time"))
+      return groups.map { hta =>
+        Queries.aggregateRange(hta.raw, begin, end)
+          .select(col("metric"), lit(end - begin).as("interval"), lit(begin).as("time"),
+            col("minimum"), col("maximum"), col("sum"), col("count"),
+            col("integral"), col("active_time"))
+      }.reduce(_ unionByName _)
     }
 
-    if (limit < meta.intervalMin) return rawBranch(hta, begin, end, limit, scope, smooth)
+    val (rawGs, lvlGs) = groups.partition(h => limit < h.meta.intervalMin)
+    val parts = rawGs.map(h => rawBranch(h, begin, end, limit, scope, smooth)) ++
+      levelRouted(lvlGs, begin, end, limit, scope, smooth)
+    parts.reduce(_ unionByName _)
+  }
 
-    // ---- level selection (materialized-view routing) ----
-    // The reference probes the coarsest fitting level and descends only
-    // while it is empty (src/metric.cpp:394-409). We translate that probe
-    // order: scan level k (pruned to one partition) for metrics still
-    // unrouted; in the common case the FIRST (coarsest = smallest) level
-    // answers every metric and the finer, larger levels are never read.
-    val ladder = meta.levelIntervals
-    val capped = math.min(limit, meta.intervalMax)
-    val coarsest = ladder.takeWhile(_ <= capped).lastOption.getOrElse(meta.intervalMin)
-    val candidates = ladder.filter(_ <= coarsest)
-
+  /** Per-level emptiness probe as FILTERED scans: each branch's time
+    * predicate reaches the parquet source (row-group pruning), instead of
+    * hiding inside an aggregate conditional over the whole partition. */
+  private def nonEmptyAt(lv: DataFrame, begin: Long, end: Long,
+                         scope: IntervalScope): DataFrame = {
     val beginBase = scope.begin match {
       case Scope.Closed => col("time") >= begin
       case Scope.Open | Scope.Extended => col("time") > begin
@@ -96,60 +106,99 @@ object RetrieveFlex {
       case Scope.Open | Scope.Extended => col("time") < end
       case Scope.Infinity => lit(true)
     }
-    // Per-level emptiness probe as FILTERED scans: each branch's time
-    // predicate reaches the parquet source (row-group pruning), instead of
-    // hiding inside an aggregate conditional over the whole partition.
-    def nonEmptyAt(lv: DataFrame): DataFrame = {
-      val branches = Seq(
-        Some(lv.where(beginBase && endBase).select("metric")),
-        if (scope.begin == Scope.Extended)
-          Some(lv.where(col("time") <= begin).select("metric")) else None,
-        if (scope.end == Scope.Extended)
-          Some(lv.where(col("time") >= end).select("metric")) else None)
-      branches.flatten.reduce(_ unionByName _).distinct()
+    val branches = Seq(
+      Some(lv.where(beginBase && endBase).select("metric")),
+      if (scope.begin == Scope.Extended)
+        Some(lv.where(col("time") <= begin).select("metric")) else None,
+      if (scope.end == Scope.Extended)
+        Some(lv.where(col("time") >= end).select("metric")) else None)
+    branches.flatten.reduce(_ unionByName _).distinct()
+  }
+
+  // explicit-schema local relations (not spark.implicits.toDF: Product
+  // encoders need compile-time reflection that breaks under REPL/notebook
+  // classloaders — a library entry point can't assume an application one)
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  private def metricDf(spark: org.apache.spark.sql.SparkSession,
+                       ms: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(ms.map(Row(_)): _*),
+      StructType(Seq(StructField("metric", StringType))))
+
+  /** The level-selection descent (materialized-view routing) for one or
+    * more ladders. The reference probes the coarsest fitting level and
+    * descends only while it is empty (src/metric.cpp:394-409). We translate
+    * that probe order: rank r scans every still-active group's r-th
+    * candidate level (each pruned to one partition) for metrics still
+    * unrouted, as ONE unioned summary collect; in the common case rank 0
+    * answers every metric of every group and the finer, larger levels are
+    * never read. The routing table is one entry per metric — broadcast-
+    * sized by design — so it lives on the DRIVER: the early exit and the
+    * unrouted exclusion cost no extra Spark actions, and nothing is cached
+    * (previous versions leaked cached frames into executor storage memory). */
+  private def levelRouted(hs: Seq[Hta], begin: Long, end: Long, limit: Long,
+                          scope: IntervalScope, smooth: Boolean): Seq[DataFrame] = {
+    if (hs.isEmpty) return Nil
+    val spark = hs.head.raw.sparkSession
+
+    final case class G(h: Hta, capped: Long, candidates: Seq[Long], desc: Seq[Long])
+    val gs = hs.map { h =>
+      val ladder = h.meta.levelIntervals
+      val capped = math.min(limit, h.meta.intervalMax)
+      val coarsest = ladder.takeWhile(_ <= capped).lastOption.getOrElse(h.meta.intervalMin)
+      val candidates = ladder.filter(_ <= coarsest)
+      G(h, capped, candidates, candidates.reverse)
     }
+
     // metric universe for the early exit: the warehouse catalog when
     // available (tiny table maintained at ingest), else derived once from
-    // the coarsest populated level
-    val spark = hta.raw.sparkSession
-    // explicit-schema local relations (not spark.implicits.toDF: Product
-    // encoders need compile-time reflection that breaks under REPL/notebook
-    // classloaders — a library entry point can't assume an application one)
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    def metricDf(ms: Seq[String]): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(ms.map(Row(_)): _*),
-        StructType(Seq(StructField("metric", StringType))))
-    val universe: Set[String] = hta.metrics
-      .getOrElse(hta.levels.where(col("interval") === candidates.last)
+    // the coarsest populated level — one collect across ALL groups
+    val universes: Map[Int, Set[String]] = gs.zipWithIndex.map { case (g, gi) =>
+      g.h.metrics.getOrElse(g.h.levels.where(col("interval") === g.candidates.last)
         .select("metric").distinct())
-      .select("metric").collect().map(_.getString(0)).toSet
+        .select("metric").withColumn("_g", lit(gi))
+    }.reduce(_ unionByName _).collect()
+      .groupBy(_.getInt(1))
+      .map { case (gi, rows) => gi -> rows.map(_.getString(0)).toSet }
 
-    // Descend coarsest→finest with ONE action (a tiny summary collect) per
-    // probed level. The routing table is one entry per metric — broadcast-
-    // sized by design — so it lives on the DRIVER: the early exit and the
-    // unrouted exclusion cost no extra Spark actions, and nothing is cached
-    // (previous versions leaked cached frames into executor storage memory).
-    var routedPairs = Vector.empty[(String, Long)]
-    var routedSet = Set.empty[String]
-    val it = candidates.reverse.iterator
-    while (it.hasNext && !(routedSet.nonEmpty && universe.subsetOf(routedSet))) {
-      val i = it.next()
-      val probe0 = hta.levels.where(col("interval") === i)
-      val probe = if (routedSet.isEmpty) probe0
-        else probe0.join(broadcast(metricDf(routedSet.toSeq)),
-          Seq("metric"), "left_anti")
-      val found = nonEmptyAt(probe).collect().map(_.getString(0))
-      routedPairs ++= found.map((_, i))
-      routedSet ++= found
+    val routedPairs = Array.fill(gs.size)(Vector.empty[(String, Long)])
+    val routedSet = Array.fill(gs.size)(Set.empty[String])
+    def active(gi: Int, rank: Int): Boolean =
+      rank < gs(gi).desc.size &&
+        !(routedSet(gi).nonEmpty &&
+          universes.getOrElse(gi, Set.empty).subsetOf(routedSet(gi)))
+    var rank = 0
+    val maxRank = gs.map(_.desc.size).max
+    while (rank < maxRank && gs.indices.exists(active(_, rank))) {
+      val branches = gs.indices.flatMap { gi =>
+        if (!active(gi, rank)) None
+        else {
+          val i = gs(gi).desc(rank)
+          val probe0 = gs(gi).h.levels.where(col("interval") === i)
+          val probe = if (routedSet(gi).isEmpty) probe0
+            else probe0.join(broadcast(metricDf(spark, routedSet(gi).toSeq)),
+              Seq("metric"), "left_anti")
+          Some(nonEmptyAt(probe, begin, end, scope)
+            .select(col("metric"), lit(gi).as("_g"), lit(i).as("_i")))
+        }
+      }
+      branches.reduce(_ unionByName _).collect().foreach { r =>
+        val gi = r.getInt(1)
+        routedPairs(gi) :+= ((r.getString(0), r.getLong(2)))
+        routedSet(gi) += r.getString(0)
+      }
+      rank += 1
     }
-    val chosen = spark.createDataFrame(
-      java.util.Arrays.asList(routedPairs.map { case (m, i) => Row(m, i) }: _*),
-      StructType(Seq(StructField("metric", StringType),
-        StructField("interval", LongType))))
-    routeAndSmooth(hta, chosen, routedPairs.map(_._2).distinct, begin, end,
-      scope, smooth, capped, candidates)
+
+    gs.zipWithIndex.map { case (g, gi) =>
+      val chosen = spark.createDataFrame(
+        java.util.Arrays.asList(routedPairs(gi).map { case (m, i) => Row(m, i) }: _*),
+        StructType(Seq(StructField("metric", StringType),
+          StructField("interval", LongType))))
+      routeAndSmooth(g.h, chosen, routedPairs(gi).map(_._2).distinct, begin, end,
+        scope, smooth, g.capped, g.candidates)
+    }
   }
 
   private def routeAndSmooth(hta: Hta, chosen: DataFrame, usedIntervals: Seq[Long],

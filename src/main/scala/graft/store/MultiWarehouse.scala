@@ -85,15 +85,14 @@ object MultiWarehouse {
     MultiHta(root, groups, new Catalog(configs), configs)
   }
 
-  /** Q2 over a multi-Meta store: each group routes against its OWN ladder;
-    * the union is still one Spark action. Non-readable configs skipped. */
+  /** Q2 over a multi-Meta store: each group routes against its OWN ladder,
+    * with the probe descent BATCHED across groups — one summary action per
+    * ladder rank regardless of config count. Non-readable configs skipped. */
   def retrieveFlex(mh: MultiHta, begin: Long, end: Long, limit: Long,
                    scope: IntervalScope = IntervalScope.retrieveDefault,
                    smooth: Boolean = true): DataFrame =
-    readable(mh)
-      .map { case (_, h) =>
-        graft.hta.RetrieveFlex.retrieveFlex(h, begin, end, limit, scope, smooth) }
-      .reduce(_ unionByName _)
+    graft.hta.RetrieveFlex.retrieveFlexMulti(readable(mh).map(_._2),
+      begin, end, limit, scope, smooth)
 
   /** A6 over a multi-Meta store (telescoped per group). */
   def aggregateRange(mh: MultiHta, begin: Long, end: Long): DataFrame =

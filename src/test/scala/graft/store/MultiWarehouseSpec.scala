@@ -110,6 +110,47 @@ class MultiWarehouseSpec extends SparkSpec {
     intercept[MissingMetricConfig](cat.resolve("zzz"))
   }
 
+  test("probe action count is independent of the number of configs (batched descent)") {
+    // one SQLExecutionStart per Spark action; broadcasts stay inside their
+    // parent execution, so this counts exactly the routing collects
+    def countActions(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              n.incrementAndGet()
+            case _ => ()
+          }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1000) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    def store(nPairs: Int, tag: String) = {
+      val cfgs = (0 until nPairs).flatMap { k =>
+        Seq(s"m$k" -> MetricConfig(fineMeta),
+          s"p$k." -> MetricConfig(coarseMeta, isPrefix = true))
+      }
+      val pts = (0 until nPairs).map { k =>
+        pointsDf(fixture110, metric = s"m$k")
+          .unionByName(pointsDf(fixture110, metric = s"p$k.x"))
+      }.reduce(_ unionByName _)
+      MultiWarehouse.ingest(pts, cfgs, tmpDir(s"multi_batch_$tag"))
+    }
+    val small = store(1, "s"); val big = store(3, "b")
+    // warm both plans once so codegen/file-listing doesn't skew counts
+    MultiWarehouse.retrieveFlex(small, tp(0), tp(230), 100 * S).collect()
+    val aSmall = countActions(
+      MultiWarehouse.retrieveFlex(small, tp(0), tp(230), 100 * S))
+    val aBig = countActions(
+      MultiWarehouse.retrieveFlex(big, tp(0), tp(230), 100 * S))
+    assert(aSmall > 0, "routing must probe at least once")
+    assert(aBig === aSmall,
+      s"probe actions must not grow with config count: 2 configs=$aSmall, 6 configs=$aBig")
+  }
+
   test("config names with tab/newline are rejected at ingest (ADVICE r3: TSV round-trip)") {
     val bad = Seq("ok" -> MetricConfig(fineMeta),
       "evil\tname" -> MetricConfig(coarseMeta, isPrefix = true))
