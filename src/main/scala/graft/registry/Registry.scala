@@ -711,22 +711,13 @@ object Registry {
 
     Entry("q31_sessionize",
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("time")
-        val gap = 1800000000000L // 30 min
-        s.read.parquet(s"$d/events.parquet").select(
-            col("user_id"),
-            (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
-            round(col("value") * 100, 0).cast("long").as("cents"))
-          .withColumn("_new",
-            when(coalesce(lag("time", 1).over(w), lit(Long.MinValue)) < col("time") - gap, 1L)
-              .otherwise(0L))
-          .withColumn("_sid", sum("_new").over(
-            Window.partitionBy("user_id").orderBy("time")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "_sid")
-          .agg(min("time").as("session_start"), max("time").as("session_end"),
-            count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
-          .drop("_sid")
+        val base = s.read.parquet(s"$d/events.parquet").select(
+          col("user_id"),
+          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        graft.pipeline.Sessionize.sessionize(base, "user_id", "time",
+            gapNs = 1800000000000L, // 30 min
+            aggs = Seq(sum("cents").as("sum_cents")))
           .orderBy("user_id", "session_start")
       },
       Some("""WITH ev AS (SELECT user_id, epoch_us(ts)*1000 AS time,

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+class SessionizeSpec extends SparkSpec {
+
+  private def df(rows: (String, Long, Double)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (k, t, v) => Row(k, t, v) }: _*),
+      StructType(Seq(StructField("user", StringType), StructField("t", LongType),
+        StructField("v", DoubleType))))
+
+  test("gap strictly greater than gapNs starts a new session; == gapNs does not") {
+    val d = df(("u1", 0L, 1.0), ("u1", 10L, 2.0), // gap == 10 → same session
+      ("u1", 21L, 3.0),                            // gap 11 > 10 → new session
+      ("u1", 31L, 4.0))
+    val out = Sessionize.sessionize(d, "user", "t", gapNs = 10L,
+        aggs = Seq(sum("v").as("sv")))
+      .orderBy("session_start").collect()
+    assert(out.length === 2)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3), out(0).getDouble(4))
+      === ((0L, 10L, 2L, 3.0)))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3), out(1).getDouble(4))
+      === ((21L, 31L, 2L, 7.0)))
+  }
+
+  test("keys sessionize independently; single rows form singleton sessions") {
+    val d = df(("a", 0L, 1.0), ("b", 1L, 2.0), ("a", 100L, 3.0))
+    val out = Sessionize.sessionize(d, "user", "t", gapNs = 10L)
+      .orderBy("user", "session_start").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      === Seq(("a", 0L, 1L), ("a", 100L, 1L), ("b", 1L, 1L)))
+  }
+
+  test("withSessionId assigns running ordinals per key") {
+    val d = df(("u", 0L, 0.0), ("u", 5L, 0.0), ("u", 50L, 0.0), ("u", 100L, 0.0))
+    val ids = Sessionize.withSessionId(d, "user", "t", gapNs = 10L)
+      .orderBy("t").collect().map(_.getLong(3))
+    assert(ids.toSeq === Seq(1L, 1L, 2L, 3L))
+  }
+
+  test("library output matches the inline gaps-and-islands formulation (q31 parity)") {
+    val d = df((for (u <- Seq("x", "y"); i <- 0 until 20)
+      yield (u, i.toLong * (if (i % 5 == 0) 40L else 7L), i * 0.5)): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user").orderBy("t")
+    val inline = d
+      .withColumn("_new",
+        when(coalesce(lag(col("t"), 1).over(w), lit(Long.MinValue)) < col("t") - 10L, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum("_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user", "_sid")
+      .agg(min("t").as("session_start"), max("t").as("session_end"),
+        count(lit(1)).as("n_events"), sum("v").as("sv"))
+      .drop("_sid")
+    val lib = Sessionize.sessionize(d, "user", "t", 10L, Seq(sum("v").as("sv")))
+    assert(lib.orderBy("user", "session_start").collect().toSeq
+      === inline.orderBy("user", "session_start").collect().toSeq)
+  }
+}
