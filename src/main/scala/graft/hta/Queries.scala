@@ -130,7 +130,13 @@ object Queries {
     * `factor` consecutive level rows into one, keyed by position in the
     * result, NOT by epoch alignment (convert_timeaggregates_to_rows,
     * src/metric.cpp:313-354: chunks start at the first returned row).
-    * Output keeps the first row's time per chunk and the input interval. */
+    * Output keeps the first row's time per chunk and the input interval.
+    *
+    * Scale bound: the per-metric row_number window is correct-by-design
+    * here — positional semantics genuinely need per-metric ordering, and
+    * the input is a ROUTED retrieve result, display-bounded to roughly
+    * limit/interval rows per metric (a few hundred), never a whole-metric
+    * history. Do not reuse this on unrouted level/raw tables. */
   def smoothLevelRows(levelRows: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1)
     if (factor == 1) levelRows

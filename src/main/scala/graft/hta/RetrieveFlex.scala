@@ -222,6 +222,10 @@ object RetrieveFlex {
       // (src/metric.cpp:313-354 via convert_timeaggregates_to_rows).
       // The ladder is tiny, so the factor map is a driver-built CASE chain —
       // exact long arithmetic, no float division at ns magnitudes.
+      // The per-metric row_number window is display-bounded: `routed` holds
+      // one ROUTED level per metric over [begin,end), ≈ limit/interval rows
+      // per metric — not a whole-metric history — so no partition can grow
+      // with store size.
       val factor = candidates.foldLeft(lit(1L)) { (acc, i) =>
         when(col("interval") === i, lit(capped / i)).otherwise(acc)
       }
