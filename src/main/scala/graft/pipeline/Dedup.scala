@@ -175,8 +175,10 @@ object Dedup {
     // shingle rows down first, dedup that tiny slice (Jaccard needs set
     // semantics), and derive set sizes from it — never an O(#docs)
     // broadcast and never a corpus-wide dedup shuffle
+    // no distinct: the left-semi probe dedups inherently, and the broadcast
+    // list is pair-count-sized either way — one less shuffle stage
     val candDocs = candsDf.select(col("doc_a").as("doc_id"))
-      .unionByName(candsDf.select(col("doc_b").as("doc_id"))).distinct()
+      .unionByName(candsDf.select(col("doc_b").as("doc_id")))
     val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .distinct().cache()
     val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
