@@ -13,12 +13,15 @@ import java.awt.image.BufferedImage
   * The IMAGE codec is real: `javax.imageio` (JDK built-in — PNG/BMP/JPEG/GIF,
   * zero external dependencies) decodes bytes to pixels; features are a
   * luminance histogram and resize is an exact nearest-neighbor resample
-  * re-encoded as PNG. AUDIO and VIDEO remain STUBBED (`fakeDecode`) — the
-  * JDK ships no audio/video codecs and this container has no media
-  * libraries; the per-kind dispatch marks exactly where a real decoder
-  * plugs in. Every distribution concern (no driver collect, narrow
-  * per-partition execution, bounded batch memory) is independent of the
-  * codec choice.
+  * re-encoded as PNG. The AUDIO codec is real too: `javax.sound.sampled`
+  * (also JDK built-in) decodes WAV/AIFF/AU PCM; features are time-sliced
+  * mean amplitudes and [[resampleAudio]] is the resize analogue
+  * (nearest-neighbor resample re-encoded as 16-bit mono WAV). Only VIDEO
+  * remains STUBBED (`fakeDecode`) — the JDK ships no video codec and this
+  * container has no media libraries; the per-kind dispatch marks exactly
+  * where a real decoder plugs in. Every distribution concern (no driver
+  * collect, narrow per-partition execution, bounded batch memory) is
+  * independent of the codec choice.
   *
   * Scale notes:
   *  - media bytes stay columnar parquet binary; never json/base64;
@@ -92,10 +95,111 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode for audio/video (and undecodable image bytes):
+  /** Real audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * containers, 8/16-bit PCM). Returns (sample rate Hz, mono samples on the
+    * signed-16-bit scale); multi-channel input is channel-averaged in
+    * integer arithmetic so the result is platform-exact. None for bytes no
+    * registered reader handles (compressed codecs, non-audio bytes). */
+  private[pipeline] def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    import javax.sound.sampled._
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val pcm = enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED
+        if (!pcm || (bits != 8 && bits != 16)) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val bps = bits / 8
+          val frameSize = bps * ch
+          val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+          val big = fmt.isBigEndian
+          val n = data.length / frameSize
+          val out = new Array[Int](n)
+          var f = 0
+          while (f < n) {
+            var sum = 0
+            var c = 0
+            while (c < ch) {
+              val off = f * frameSize + c * bps
+              val s =
+                if (bits == 16) {
+                  val b0 = data(off) & 0xff; val b1 = data(off + 1) & 0xff
+                  val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                  if (unsigned) v - 32768 else v.toShort.toInt
+                } else {
+                  // 8-bit WAV is unsigned by convention; scale to 16-bit range
+                  if (unsigned) ((data(off) & 0xff) - 128) * 256 else data(off) * 256
+                }
+              sum += s
+              c += 1
+            }
+            out(f) = sum / ch
+            f += 1
+          }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None } // UnsupportedAudioFileException | IOException
+  }
+
+  /** Audio features: `dim` time-sliced mean absolute amplitudes, normalized
+    * to [0,1] by 16-bit full scale. Long bin sums + one IEEE division per
+    * bin keep features bit-reproducible. */
+  private[pipeline] def audioFeatures(samples: Array[Int], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = samples.length
+    var j = 0
+    while (j < dim) {
+      val s = (j.toLong * n / dim).toInt
+      val e = ((j + 1).toLong * n / dim).toInt
+      var sum = 0L
+      var i = s
+      while (i < e) { sum += math.abs(samples(i)); i += 1 }
+      out(j) = if (e == s) 0f else (sum.toDouble / ((e - s).toLong * 32768L)).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Exact nearest-neighbor resample to a new rate (integer source
+    * indexing, same scheme as [[nearestResize]]). */
+  private[pipeline] def nearestResample(samples: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
+    val outN = (samples.length.toLong * dstRate / srcRate).toInt
+    val out = new Array[Int](outN)
+    var i = 0
+    while (i < outN) {
+      out(i) = samples((i.toLong * samples.length / outN).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** 16-bit mono little-endian PCM in a WAV container via AudioSystem. */
+  private[pipeline] def encodeWav(samples: Array[Int], rateHz: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode for video (and bytes neither codec can read):
     * deterministic pseudo-features from a rolling hash of the bytes. The
-    * JDK has no audio/video codecs — a real decoder replaces exactly this
-    * branch of the per-kind dispatch. */
+    * JDK has no video codec — a real decoder replaces exactly this branch
+    * of the per-kind dispatch. */
   private[pipeline] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -119,9 +223,9 @@ object Multimodal {
   }
 
   /** Feature extraction: media → (media_id, kind, features). Per-kind
-    * dispatch: images decode for real (ImageIO) and fall back to the stub
-    * only if the bytes aren't a decodable image; audio/video use the stub
-    * (see [[fakeDecode]]). */
+    * dispatch: images (ImageIO) and audio (javax.sound.sampled) decode for
+    * real and fall back to the stub only for undecodable bytes; video uses
+    * the stub (see [[fakeDecode]]). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -134,6 +238,8 @@ object Multimodal {
         val feats = kind match {
           case "image" =>
             decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(fakeDecode(bytes, dim))
+          case "audio" =>
+            decodeAudio(bytes).map(t => audioFeatures(t._2, dim)).getOrElse(fakeDecode(bytes, dim))
           case _ => fakeDecode(bytes, dim)
         }
         Row(r.getLong(0), kind, feats.toSeq)
@@ -159,6 +265,30 @@ object Multimodal {
         }
         Row(r.getLong(0), kind, newBytes,
           Row(w, h, meta.get(2), meta.get(3), mime))
+      }
+    }
+  }
+
+  /** Audio resample — the [[resize]] analogue: decodable audio is
+    * nearest-neighbor resampled to `rateHz` and re-encoded as 16-bit mono
+    * WAV (bytes AND meta change); image/video and undecodable bytes pass
+    * through with meta.sample_rate rewritten only — the same row-level
+    * contract as resize, so downstream operators never branch. */
+  def resampleAudio(media: DataFrame, rateHz: Int): DataFrame = {
+    val out = media.select("media_id", "kind", "bytes", "meta").schema
+    mapBatches(media.select("media_id", "kind", "bytes", "meta"), out) { it =>
+      it.map { r =>
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val meta = r.getStruct(3)
+        val decoded = if (kind == "audio") decodeAudio(bytes) else None
+        val (newBytes, mime) = decoded match {
+          case Some((srcRate, samples)) =>
+            (encodeWav(nearestResample(samples, srcRate, rateHz), rateHz), "audio/wav")
+          case None => (bytes, meta.getString(4))
+        }
+        Row(r.getLong(0), kind, newBytes,
+          Row(meta.get(0), meta.get(1), rateHz, meta.get(3), mime))
       }
     }
   }
@@ -191,24 +321,43 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Deterministic WAV bytes for audio id: sample i is a sawtooth whose
+    * period and amplitude are fixed functions of id. Real audio for
+    * tests/bench without any media library. */
+  private[pipeline] def patternWav(id: Long, nSamples: Int, rateHz: Int): Array[Byte] = {
+    val period = (id % 50 + 2).toInt
+    val amp = (id % 17 + 8).toInt * 1000 // ≤ 24000, inside 16-bit range
+    val samples = new Array[Int](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = ((i % period) * 2 * amp / (period - 1)) - amp
+      i += 1
+    }
+    encodeWav(samples, rateHz)
+  }
+
   /** Synthetic media table for tests/bench: image rows carry REAL PNG bytes
-    * (deterministic pattern, decoded by the real codec end-to-end);
-    * audio/video rows carry opaque deterministic bytes for the stub tier.
-    * Built as a distributed Row RDD — PNG encoding happens per partition,
-    * never on the driver. */
+    * and audio rows REAL WAV bytes (deterministic patterns, decoded by the
+    * real codecs end-to-end); video rows carry opaque deterministic bytes
+    * for the stub tier. Built as a distributed Row RDD — media encoding
+    * happens per partition, never on the driver. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long,
                      imgW: Int = 16, imgH: Int = 12): DataFrame = {
     val rdd = spark.range(n).rdd.map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val bytes =
-        if (kind == "image") patternPng(id, imgW, imgH)
-        else java.security.MessageDigest.getInstance("SHA-256")
+      val bytes = kind match {
+        case "image" => patternPng(id, imgW, imgH)
+        case "audio" => patternWav(id, nSamples = 480, rateHz = 16000)
+        case _ => java.security.MessageDigest.getInstance("SHA-256")
           .digest(id.toString.getBytes("UTF-8"))
-      val meta =
-        if (kind == "image") Row(imgW, imgH, null, null, "image/png")
-        else Row(null, null, Int.box(16000), Int.box(30), "application/octet-stream")
+      }
+      val meta = kind match {
+        case "image" => Row(imgW, imgH, null, null, "image/png")
+        case "audio" => Row(null, null, Int.box(16000), Int.box(480), "audio/wav")
+        case _ => Row(null, null, Int.box(16000), Int.box(30), "application/octet-stream")
+      }
       Row(Long.box(id), kind, bytes, meta)
     }
     spark.createDataFrame(rdd, mediaSchema)

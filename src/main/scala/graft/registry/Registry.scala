@@ -913,13 +913,16 @@ object Registry {
       }),
 
     // ---- multimodal plumbing: binary columns + typed meta through resize,
-    //      frame sampling, and partition-batched feature extraction. The
-    //      codec is the documented deterministic stub, so no SQL oracle —
+    //      audio resample, frame sampling, and partition-batched feature
+    //      extraction. Image (ImageIO) and audio (javax.sound.sampled)
+    //      codecs are real; video uses the documented deterministic stub,
+    //      and DuckDB has no media codecs either way, so no SQL oracle —
     //      driver records the rows-only check (like q13). ----
     Entry("q36_multimodal",
       (s, _) => {
         val media = Multimodal.syntheticMedia(s, 300)
-        val feats = Multimodal.extractFeatures(Multimodal.resize(media, 32, 32), dim = 16)
+        val prepped = Multimodal.resampleAudio(Multimodal.resize(media, 32, 32), 8000)
+        val feats = Multimodal.extractFeatures(prepped, dim = 16)
           .withColumn("feat_norm",
             sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
               lit(0.0), (acc, x) => acc + x)))

@@ -3,10 +3,11 @@ package graft.pipeline
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing + the real image codec: schema, partition-batched
-  * decode (ImageIO for images, stub for audio/video), frame-sample
-  * explosion. Image features and resize are pinned pixel-exact against
-  * manual recomputation from the PNG bytes. */
+/** Multimodal plumbing + the real codecs: schema, partition-batched decode
+  * (ImageIO for images, javax.sound.sampled for audio, stub for video),
+  * frame-sample explosion. Image features/resize are pinned pixel-exact and
+  * audio features/resample sample-exact against manual recomputation from
+  * the PNG/WAV bytes. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.syntheticMedia(spark, 300).cache()
@@ -53,15 +54,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("audio/video keep the documented stub features; bytes pass resize unchanged") {
-    val av = media.where(col("kind") =!= "image")
-    val feats = Multimodal.extractFeatures(av, dim = 8).collect()
+  test("audio decode is sample-exact: WAV round-trips to the generating sawtooth") {
+    val id = 1L // media_id 1 is audio (id % 3 == 1)
+    val bytes = media.where(col("media_id") === id).collect().head.getAs[Array[Byte]]("bytes")
+    val Some((rate, samples)) = Multimodal.decodeAudio(bytes)
+    assert(rate === 16000)
+    assert(samples.length === 480)
+    val period = (id % 50 + 2).toInt
+    val amp = (id % 17 + 8).toInt * 1000
+    val expected = (0 until 480).map(i => ((i % period) * 2 * amp / (period - 1)) - amp)
+    assert(samples.toSeq === expected)
+  }
+
+  test("audio features are the exact time-sliced mean amplitudes of the PCM") {
+    val row = media.where(col("kind") === "audio").orderBy("media_id").limit(1)
+    val bytes = row.collect().head.getAs[Array[Byte]]("bytes")
+    val Some((_, samples)) = Multimodal.decodeAudio(bytes)
+    val dim = 8
+    val expected = (0 until dim).map { j =>
+      val s = j * samples.length / dim; val e = (j + 1) * samples.length / dim
+      (samples.slice(s, e).map(v => math.abs(v).toLong).sum.toDouble /
+        ((e - s).toLong * 32768L)).toFloat
+    }
+    val got = Multimodal.extractFeatures(row, dim).collect().head.getSeq[Float](2)
+    assert(got === expected)
+  }
+
+  test("resampleAudio is sample-exact nearest-neighbor and re-encodes as WAV") {
+    val src = media.where(col("kind") === "audio").orderBy("media_id").limit(2)
+    val srcBytes = src.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val out = Multimodal.resampleAudio(src, 8000).collect()
+    out.foreach { r =>
+      val Some((rate, got)) = Multimodal.decodeAudio(r.getAs[Array[Byte]]("bytes"))
+      assert(rate === 8000)
+      val Some((srcRate, srcSamples)) = Multimodal.decodeAudio(srcBytes(r.getLong(0)))
+      val outN = (srcSamples.length.toLong * 8000 / srcRate).toInt
+      val expected = (0 until outN).map(i => srcSamples((i.toLong * srcSamples.length / outN).toInt))
+      assert(got.toSeq === expected, s"samples of media ${r.getLong(0)}")
+      assert(r.getStruct(3).getInt(2) === 8000) // meta.sample_rate rewritten
+      assert(r.getStruct(3).getString(4) === "audio/wav")
+    }
+    // non-audio rows pass through byte-identical
+    val img = media.where(col("kind") === "image").limit(2)
+    val imgBytes = img.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    Multimodal.resampleAudio(img, 8000).collect().foreach { r =>
+      assert(r.getAs[Array[Byte]]("bytes").toSeq === imgBytes(r.getLong(0)).toSeq)
+    }
+  }
+
+  test("video keeps the documented stub features; a/v bytes pass resize unchanged") {
+    val vid = media.where(col("kind") === "video")
+    val feats = Multimodal.extractFeatures(vid, dim = 8).collect()
     feats.foreach { r =>
       val bytes = media.where(col("media_id") === r.getLong(0))
         .collect().head.getAs[Array[Byte]]("bytes")
       assert(r.getSeq[Float](2) === Multimodal.fakeDecode(bytes, 8).toSeq)
     }
-    val resized = Multimodal.resize(av.limit(4), 32, 24).collect()
+    val resized = Multimodal.resize(media.where(col("kind") =!= "image").limit(4), 32, 24).collect()
     resized.foreach { r =>
       val orig = media.where(col("media_id") === r.getLong(0))
         .collect().head.getAs[Array[Byte]]("bytes")
