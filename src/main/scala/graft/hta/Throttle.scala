@@ -1,7 +1,8 @@
 package graft.hta
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** F4 — throttle/cooldown filter (reference src/tools/throttle.cpp:57-92):
   * keep a sample only if `last_kept_time + cooldown < time`. The predicate
@@ -16,26 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Throttle {
 
+  private val outSchema = StructType(Seq(
+    StructField("metric", StringType, nullable = true),
+    StructField("time", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  // Row/RDD form rather than Dataset[(String, Long, Double)]: tuple encoders
+  // need runtime reflection that breaks under REPL/notebook classloaders,
+  // and a library entry point can't assume an application one.
   def throttle(points: DataFrame, cooldown: Long): DataFrame = {
     val spark = points.sparkSession
-    import spark.implicits._
     val cd = cooldown
-    points.select(col("metric"), col("time"), col("value"))
-      .as[(String, Long, Double)]
+    val rdd = points.select(col("metric"), col("time"), col("value"))
       .repartition(col("metric"))
       .sortWithinPartitions(col("metric"), col("time"))
-      .mapPartitions { it =>
+      .rdd.mapPartitions { it =>
         var curMetric: String = null
         var lastKept: Long = Long.MinValue
-        it.flatMap { case (m, t, v) =>
+        it.flatMap { r =>
+          val m = r.getString(0); val t = r.getLong(1)
           if (m != curMetric) { curMetric = m; lastKept = Long.MinValue }
           // keep iff first of its metric or beyond the cooldown window
           if (lastKept == Long.MinValue || lastKept + cd < t) {
             lastKept = t
-            Some((m, t, v))
+            Some(Row(m, t, r.getDouble(2)))
           } else None
         }
       }
-      .toDF("metric", "time", "value")
+    spark.createDataFrame(rdd, outSchema)
   }
 }

@@ -76,16 +76,26 @@ object Ann {
     * (≲ 10M × 64 dims ≈ 5 GB). Beyond that, route through [[lshTopK]]-style
     * bucketing — an unbucketed n² pass at 100 TB is a non-starter no matter
     * the constant. */
+  private val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vid_a",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("vid_b",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cosine",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  // Row/RDD form rather than Dataset[(Long, Array[Long])]: Product encoders
+  // need runtime reflection that breaks under REPL/notebook classloaders,
+  // and a library entry point can't assume an application one.
   def cosinePairsFast(corpus: DataFrame, threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
-      .as[(Long, Array[Long])]
-    val all = q.collect().sortBy(_._1)
+    val all = q.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
     val t = threshold
-    q.repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
+    val rdd = q.repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
         val mat = bc.value
         val norms = mat.map { case (_, v) =>
           var s = 0L; var i = 0
@@ -93,7 +103,9 @@ object Ann {
           math.sqrt(s.toDouble)
         }
         val ids = mat.map(_._1)
-        it.flatMap { case (ida, va) =>
+        it.flatMap { r =>
+          val ida = r.getLong(0)
+          val va = r.getSeq[Long](1).toArray
           var na = 0L; var i = 0
           while (i < va.length) { na += va(i) * va(i); i += 1 }
           val normA = math.sqrt(na.toDouble)
@@ -105,11 +117,11 @@ object Ann {
             var d = 0L; var k = 0
             while (k < va.length) { d += va(k) * vb(k); k += 1 }
             val cos = d.toDouble / (normA * norms(j))
-            if (cos >= t) Some((ida, ids(j), cos)) else None
+            if (cos >= t) Some(org.apache.spark.sql.Row(ida, ids(j), cos)) else None
           }
         }
       }
-      .toDF("vid_a", "vid_b", "cosine")
+    spark.createDataFrame(rdd, pairSchema)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids

@@ -16,10 +16,13 @@ import java.awt.image.BufferedImage
   * re-encoded as PNG. The AUDIO codec is real too: `javax.sound.sampled`
   * (also JDK built-in) decodes WAV/AIFF/AU PCM; features are time-sliced
   * mean amplitudes and [[resampleAudio]] is the resize analogue
-  * (nearest-neighbor resample re-encoded as 16-bit mono WAV). Only VIDEO
-  * remains STUBBED (`fakeDecode`) — the JDK ships no video codec and this
-  * container has no media libraries; the per-kind dispatch marks exactly
-  * where a real decoder plugs in. Every distribution concern (no driver
+  * (nearest-neighbor resample re-encoded as 16-bit mono WAV). The VIDEO
+  * codec is real for animated GIF — the one multi-frame format ImageIO
+  * ships a reader for; features pool the per-frame luminance histograms and
+  * [[framesToImages]] turns sampled frame rows into standalone PNG image
+  * rows. Everything else (mp4/webm/…, compressed audio) falls back to the
+  * deterministic stub (`fakeDecode`) — the per-kind dispatch marks exactly
+  * where a richer decoder plugs in. Every distribution concern (no driver
   * collect, narrow per-partition execution, bounded batch memory) is
   * independent of the codec choice.
   *
@@ -196,10 +199,76 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode for video (and bytes neither codec can read):
-    * deterministic pseudo-features from a rolling hash of the bytes. The
-    * JDK has no video codec — a real decoder replaces exactly this branch
-    * of the per-kind dispatch. */
+  /** Real video decode via ImageIO's multi-frame (GIF) reader. Returns raw
+    * frame rasters in index order — no disposal compositing, which is exact
+    * for full-frame GIFs (each frame a complete image, the shape a training
+    * transcode produces). None when no registered reader matches or the
+    * stream has no frames. */
+  private[pipeline] def decodeVideoFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None else Some((0 until n).map(reader.read))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Single-frame variant for [[framesToImages]]: decodes only frame `idx`
+    * (the reader seeks; earlier frames are not rasterized). */
+  private[pipeline] def decodeVideoFrame(bytes: Array[Byte], idx: Int): Option[BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            if (idx < 0 || idx >= reader.getNumImages(true)) None
+            else Some(reader.read(idx))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Video features: the luminance histogram pooled over ALL frames' pixels
+    * (same integer binning as [[imageFeatures]], long counts, one IEEE
+    * division per bin — bit-reproducible). */
+  private[pipeline] def videoFeatures(frames: Seq[BufferedImage], dim: Int): Array[Float] = {
+    val counts = new Array[Long](dim)
+    var total = 0L
+    frames.foreach { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          counts((lum * dim) / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      total += w.toLong * h
+    }
+    counts.map(c => if (total == 0) 0f else c.toFloat / total)
+  }
+
+  /** STUB decode for bytes no JDK codec can read (mp4/webm video,
+    * compressed audio, corrupt media): deterministic pseudo-features from a
+    * rolling hash of the bytes. A richer decoder replaces exactly this
+    * fallback branch of the per-kind dispatch. */
   private[pipeline] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -223,9 +292,9 @@ object Multimodal {
   }
 
   /** Feature extraction: media → (media_id, kind, features). Per-kind
-    * dispatch: images (ImageIO) and audio (javax.sound.sampled) decode for
-    * real and fall back to the stub only for undecodable bytes; video uses
-    * the stub (see [[fakeDecode]]). */
+    * dispatch: images (ImageIO), audio (javax.sound.sampled) and video
+    * (ImageIO multi-frame GIF) decode for real; the stub handles only bytes
+    * no JDK codec reads (see [[fakeDecode]]). */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -240,6 +309,8 @@ object Multimodal {
             decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(fakeDecode(bytes, dim))
           case "audio" =>
             decodeAudio(bytes).map(t => audioFeatures(t._2, dim)).getOrElse(fakeDecode(bytes, dim))
+          case "video" =>
+            decodeVideoFrames(bytes).map(videoFeatures(_, dim)).getOrElse(fakeDecode(bytes, dim))
           case _ => fakeDecode(bytes, dim)
         }
         Row(r.getLong(0), kind, feats.toSeq)
@@ -302,6 +373,40 @@ object Multimodal {
         explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(everyN))))
       .select(col("media_id"), col("frame_idx"), col("bytes"), col("meta"))
 
+  /** Frame extraction: [[sampleFrames]] rows → standalone image rows
+    * (kind="image", PNG bytes, image meta) keyed by (media_id, frame_idx),
+    * ready for the image operators (resize, extractFeatures). Decodes ONLY
+    * the requested frame per row. Frames no reader handles pass through
+    * unchanged (still kind="video") — same no-drop row contract as resize,
+    * so downstream operators never branch. */
+  def framesToImages(frames: DataFrame): DataFrame = {
+    val in = frames.select("media_id", "frame_idx", "bytes", "meta")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false),
+      mediaSchema("meta")))
+    mapBatches(in, out) { it =>
+      it.map { r =>
+        val idx = r.getInt(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        decodeVideoFrame(bytes, idx) match {
+          case Some(img) =>
+            // re-encode from TYPE_INT_RGB: writing the reader's indexed
+            // grayscale image directly makes the PNG encoder run a gray
+            // colorspace conversion that is NOT pixel-preserving
+            val w = img.getWidth; val h = img.getHeight
+            val rgb = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            rgb.setRGB(0, 0, w, h, img.getRGB(0, 0, w, h, null, 0, w), 0, w)
+            Row(r.getLong(0), idx, "image", encodePng(rgb),
+              Row(w, h, null, null, "image/png"))
+          case None => Row(r.getLong(0), idx, "video", bytes, r.getStruct(3))
+        }
+      }
+    }
+  }
+
   /** Deterministic PNG bytes for image id: pixel (x,y) is a fixed function
     * of (id, x, y). Real images for tests/bench without any media library. */
   private[pipeline] def patternPng(id: Long, w: Int, h: Int): Array[Byte] = {
@@ -336,11 +441,45 @@ object Multimodal {
     encodeWav(samples, rateHz)
   }
 
-  /** Synthetic media table for tests/bench: image rows carry REAL PNG bytes
-    * and audio rows REAL WAV bytes (deterministic patterns, decoded by the
-    * real codecs end-to-end); video rows carry opaque deterministic bytes
-    * for the stub tier. Built as a distributed Row RDD — media encoding
-    * happens per partition, never on the driver. */
+  /** Deterministic animated-GIF bytes for video id: frame f's pixel (x,y)
+    * is the grayscale value (id + x + 3y + 7f) mod 256. Frames are indexed
+    * grayscale (identity palette) so the GIF round-trips pixel-exact. Real
+    * multi-frame video for tests/bench without any media library. */
+  private[pipeline] def patternGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val gray = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, ((id + x + 3L * y + 7L * f) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Synthetic media table for tests/bench: image rows carry REAL PNG
+    * bytes, audio rows REAL WAV bytes and video rows REAL animated-GIF
+    * bytes (deterministic patterns, decoded by the real codecs
+    * end-to-end). Built as a distributed Row RDD — media encoding happens
+    * per partition, never on the driver. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long,
                      imgW: Int = 16, imgH: Int = 12): DataFrame = {
     val rdd = spark.range(n).rdd.map { id =>
@@ -350,13 +489,12 @@ object Multimodal {
       val bytes = kind match {
         case "image" => patternPng(id, imgW, imgH)
         case "audio" => patternWav(id, nSamples = 480, rateHz = 16000)
-        case _ => java.security.MessageDigest.getInstance("SHA-256")
-          .digest(id.toString.getBytes("UTF-8"))
+        case _ => patternGif(id, imgW, imgH, nFrames = 30)
       }
       val meta = kind match {
         case "image" => Row(imgW, imgH, null, null, "image/png")
         case "audio" => Row(null, null, Int.box(16000), Int.box(480), "audio/wav")
-        case _ => Row(null, null, Int.box(16000), Int.box(30), "application/octet-stream")
+        case _ => Row(imgW, imgH, null, Int.box(30), "image/gif")
       }
       Row(Long.box(id), kind, bytes, meta)
     }

@@ -913,11 +913,11 @@ object Registry {
       }),
 
     // ---- multimodal plumbing: binary columns + typed meta through resize,
-    //      audio resample, frame sampling, and partition-batched feature
-    //      extraction. Image (ImageIO) and audio (javax.sound.sampled)
-    //      codecs are real; video uses the documented deterministic stub,
-    //      and DuckDB has no media codecs either way, so no SQL oracle —
-    //      driver records the rows-only check (like q13). ----
+    //      audio resample, frame sampling + frame→image extraction, and
+    //      partition-batched feature extraction. Image (ImageIO), audio
+    //      (javax.sound.sampled) and video (multi-frame GIF) codecs are
+    //      real, but DuckDB has no media codecs, so no SQL oracle — driver
+    //      records the rows-only check (like q13). ----
     Entry("q36_multimodal",
       (s, _) => {
         val media = Multimodal.syntheticMedia(s, 300)
@@ -926,8 +926,9 @@ object Registry {
           .withColumn("feat_norm",
             sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
               lit(0.0), (acc, x) => acc + x)))
-        val frames = Multimodal.sampleFrames(media, everyN = 10)
-          .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+        val frames = Multimodal.framesToImages(Multimodal.sampleFrames(media, everyN = 10))
+          .groupBy("media_id").agg(
+            count(when(col("kind") === "image", 1)).as("n_frames_sampled"))
         feats.join(frames, Seq("media_id"), "left")
           .select(col("media_id"), col("kind"), round(col("feat_norm"), 6).as("feat_norm"),
             coalesce(col("n_frames_sampled"), lit(0L)).as("n_frames_sampled"))

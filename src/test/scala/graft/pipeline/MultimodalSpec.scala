@@ -4,10 +4,11 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing + the real codecs: schema, partition-batched decode
-  * (ImageIO for images, javax.sound.sampled for audio, stub for video),
-  * frame-sample explosion. Image features/resize are pinned pixel-exact and
-  * audio features/resample sample-exact against manual recomputation from
-  * the PNG/WAV bytes. */
+  * (ImageIO for images and multi-frame GIF video, javax.sound.sampled for
+  * audio; the stub only for bytes no JDK codec reads), frame-sample
+  * explosion and frame→image extraction. Features/resize/resample are
+  * pinned pixel/sample-exact against manual recomputation from the
+  * PNG/WAV/GIF bytes. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.syntheticMedia(spark, 300).cache()
@@ -102,14 +103,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("video keeps the documented stub features; a/v bytes pass resize unchanged") {
-    val vid = media.where(col("kind") === "video")
-    val feats = Multimodal.extractFeatures(vid, dim = 8).collect()
-    feats.foreach { r =>
-      val bytes = media.where(col("media_id") === r.getLong(0))
-        .collect().head.getAs[Array[Byte]]("bytes")
-      assert(r.getSeq[Float](2) === Multimodal.fakeDecode(bytes, 8).toSeq)
+  test("video decode is pixel-exact: GIF round-trips to the generating pattern") {
+    val id = 2L // media_id 2 is video (id % 3 == 2)
+    val bytes = media.where(col("media_id") === id).collect().head.getAs[Array[Byte]]("bytes")
+    val Some(frames) = Multimodal.decodeVideoFrames(bytes)
+    assert(frames.length === 30)
+    for (f <- Seq(0, 7, 29); y <- 0 until 12; x <- 0 until 16) {
+      val v = ((id + x + 3L * y + 7L * f) % 256).toInt
+      val rgb = frames(f).getRGB(x, y)
+      assert((rgb & 0xff) === v && ((rgb >> 8) & 0xff) === v && ((rgb >> 16) & 0xff) === v,
+        s"frame $f pixel ($x,$y)")
     }
+  }
+
+  test("video features are the exact luminance histogram pooled over all frames") {
+    val row = media.where(col("kind") === "video").orderBy("media_id").limit(1)
+    val bytes = row.collect().head.getAs[Array[Byte]]("bytes")
+    val Some(frames) = Multimodal.decodeVideoFrames(bytes)
+    val dim = 16
+    val counts = new Array[Long](dim)
+    var total = 0L
+    frames.foreach { img =>
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts((lum * dim) / 256) += 1
+      }
+      total += img.getWidth.toLong * img.getHeight
+    }
+    val expected = counts.map(_.toFloat / total).toSeq
+    val got = Multimodal.extractFeatures(row, dim).collect().head.getSeq[Float](2)
+    assert(got === expected)
+  }
+
+  test("framesToImages decodes exactly the sampled frame into a standalone PNG") {
+    val frames = Multimodal.sampleFrames(media.where(col("media_id") < 30), everyN = 10)
+    val srcBytes = media.where(col("kind") === "video" && col("media_id") < 30)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val imgs = Multimodal.framesToImages(frames).collect()
+    assert(imgs.length === srcBytes.size * 3) // frames 0,10,20 of 30
+    imgs.foreach { r =>
+      assert(r.getString(2) === "image")
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+      val Some(all) = Multimodal.decodeVideoFrames(srcBytes(r.getLong(0)))
+      val src = all(r.getInt(1))
+      for (y <- 0 until src.getHeight; x <- 0 until src.getWidth)
+        assert((png.getRGB(x, y) & 0xffffff) === (src.getRGB(x, y) & 0xffffff),
+          s"media ${r.getLong(0)} frame ${r.getInt(1)} pixel ($x,$y)")
+      assert(r.getStruct(4).getString(4) === "image/png")
+    }
+  }
+
+  test("undecodable bytes fall back to the stub; a/v bytes pass resize unchanged") {
+    import org.apache.spark.sql.Row
+    val junk = java.security.MessageDigest.getInstance("SHA-256").digest("junk".getBytes("UTF-8"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Long.box(0L), "video", junk,
+        Row(null, null, null, Int.box(30), "application/octet-stream"))),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(df, dim = 8).collect().head
+    assert(feats.getSeq[Float](2) === Multimodal.fakeDecode(junk, 8).toSeq)
     val resized = Multimodal.resize(media.where(col("kind") =!= "image").limit(4), 32, 24).collect()
     resized.foreach { r =>
       val orig = media.where(col("media_id") === r.getLong(0))
@@ -125,7 +180,7 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length === 300)
     assert(f1.forall(r => r.getSeq[Float](r.fieldIndex("features")).length === 16))
     assert(f1.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq ===
-      f2.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq) // deterministic stub
+      f2.map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq) // deterministic codecs
     // narrow plan: no shuffle exchange before the map
     val plan = Multimodal.extractFeatures(media, 16).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
