@@ -235,8 +235,33 @@ object Warehouse {
     * bucket hint for directory-level pruning (Scoped.scopedRange doc). */
   /** Levels table, tolerating a legitimately empty directory (a store whose
     * data span closes no interval: tests/basics.cpp:88-93). */
+  /** If a compact crashed between `rename(dst -> bak)` and
+    * `rename(tmp -> dst)`, `dst` is missing and the backup holds the only
+    * copy. Every reader and the next compact must restore it — otherwise
+    * `readLevels` would treat the missing dir as a legitimately empty store
+    * and a subsequent compact would delete the backup and commit an empty
+    * levels table. */
+  private def restoreInterruptedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dst: String): Unit = {
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val bakP = new org.apache.hadoop.fs.Path(dst + "_compact_bak")
+    if (!fs.exists(dstP) && fs.exists(bakP))
+      require(fs.rename(bakP, dstP), s"compact: restore $bakP -> $dst failed")
+  }
+
+  private def restoreStore(spark: SparkSession, root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreInterruptedSwap(fs, s"$root/levels")
+    restoreInterruptedSwap(fs, s"$root/raw")
+  }
+
   def readLevels(spark: SparkSession, root: String): DataFrame =
     try {
+      restoreInterruptedSwap(
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        s"$root/levels")
       val df0 = spark.read.parquet(s"$root/levels")
         .withColumn("interval", col("interval").cast("long"))
       // stores written before the home-only min/max columns (or converted
@@ -256,6 +281,7 @@ object Warehouse {
   def open(spark: SparkSession, root: String): Hta = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreInterruptedSwap(fs, s"$root/raw")
     val cat =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_metrics")))
         Some(spark.read.parquet(s"$root/_metrics"))
