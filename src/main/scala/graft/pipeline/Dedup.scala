@@ -196,19 +196,27 @@ object Dedup {
 
   /** SimHash band blocking: split the fingerprint into `bands` bit-slices;
     * docs sharing any slice value are candidates (pigeonhole: any pair with
-    * hamming < bands shares at least one slice → recall 1 for d < bands). */
+    * hamming < bands shares at least one slice → recall 1 for d < bands).
+    * Same capped-bucket shape as [[lshCandidates]]: ONE groupBy shuffle
+    * (not a both-sides self-join shuffle), and `maxBucket` bounds the
+    * quadratic within-bucket expansion — a degenerate corpus (thousands of
+    * near-identical docs in one slice value) stays a cap, not a blow-up. */
   def simhashBandPairs(sims: DataFrame, bands: Int = 4, bits: Int = 60,
-                       maxDist: Int = 3): DataFrame = {
+                       maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val w = bits / bands
     val mask = (1L << w) - 1
     val banded = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bkey")))
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
       .distinct()
     pairs.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .where(col("hamming") <= maxDist)

@@ -17,17 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Helper-column name guaranteed absent from `taken` — public library
+    * API, so a caller's own `_new`/`_sid` column must never be clobbered. */
+  private def fresh(base: String, taken: Seq[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
   /** Tag each row with its session ordinal per key (1-based within key,
     * ordered by time — the first row always opens session 1). */
   def withSessionId(df: DataFrame, key: String, time: String, gapNs: Long,
                     idCol: String = "session_id"): DataFrame = {
+    val flag = fresh("_new", df.columns.toSeq :+ idCol)
     val w = Window.partitionBy(key).orderBy(time)
-    df.withColumn("_new",
+    df.withColumn(flag,
         when(coalesce(lag(col(time), 1).over(w), lit(Long.MinValue))
           < col(time) - gapNs, 1L).otherwise(0L))
-      .withColumn(idCol, sum("_new").over(
+      .withColumn(idCol, sum(flag).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("_new")
+      .drop(flag)
   }
 
   /** One row per session: (key, session_start, session_end, n_events,
@@ -38,9 +46,10 @@ object Sessionize {
       min(col(time)).as("session_start"),
       max(col(time)).as("session_end"),
       count(lit(1)).as("n_events")) ++ aggs
-    withSessionId(df, key, time, gapNs, "_sid")
-      .groupBy(col(key), col("_sid"))
+    val sid = fresh("_sid", df.columns.toSeq)
+    withSessionId(df, key, time, gapNs, sid)
+      .groupBy(col(key), col(sid))
       .agg(all.head, all.tail: _*)
-      .drop("_sid")
+      .drop(sid)
   }
 }

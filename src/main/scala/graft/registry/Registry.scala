@@ -916,8 +916,13 @@ object Registry {
     //      audio resample, frame sampling + frame→image extraction, and
     //      partition-batched feature extraction. Image (ImageIO), audio
     //      (javax.sound.sampled) and video (multi-frame GIF) codecs are
-    //      real, but DuckDB has no media codecs, so no SQL oracle — driver
-    //      records the rows-only check (like q13). ----
+    //      real. DuckDB has no media codecs, but it doesn't need one: the
+    //      synthetic media are closed-form patterns (patternPng/Wav/Gif) and
+    //      every codec step is an exact integer roundtrip, so the oracle
+    //      recomputes the expected features ARITHMETICALLY — generate_series
+    //      over pixels/samples, the same integer luminance/resample/binning
+    //      math, float32 casts at the same points. A hash match proves the
+    //      real encode→decode→feature pipeline is bit-exact end-to-end. ----
     Entry("q36_multimodal",
       (s, _) => {
         val media = Multimodal.syntheticMedia(s, 300)
@@ -934,7 +939,62 @@ object Registry {
             coalesce(col("n_frames_sampled"), lit(0L)).as("n_frames_sampled"))
           .orderBy("media_id")
       },
-      None)
+      Some {
+        // Closed-form recompute of the Spark pipeline, per kind (id % 3):
+        //  image (0): patternPng 16×12 → nearest-resize 32×32 (src pixel
+        //    (x//2, y*12//32)) → 16-bin integer luminance histogram / 1024;
+        //  audio (1): sawtooth patternWav (period=id%50+2, amp=(id%17+8)*1000,
+        //    480 samples) → nearest-resample to 240 (sample 2i) → 16 bins of
+        //    15 |samples|, sum/ (15·32768) as float32;
+        //  video (2): patternGif gray v=(id+x+3y+7f)%256 over 30 16×12
+        //    frames → pooled histogram (lum of (v,v,v) is exactly v) / 5760.
+        // feat_norm folds f0²..f15² left-to-right in double, matching
+        // Spark's aggregate() order; n_frames_sampled = 3 video frames
+        // (indices 0,10,20 of 30) decoded to images, else 0.
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |imgv AS (
+           |  SELECT media_id, (lum * 16) // 256 AS bin,
+           |         CAST(CAST(count(*) AS REAL) / CAST(1024 AS REAL) AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id,
+           |           ((((i.media_id + (x.x // 2)) % 256) * 299
+           |             + ((i.media_id + ((y.y * 12) // 32)) % 256) * 587
+           |             + ((i.media_id + (x.x // 2) * ((y.y * 12) // 32)) % 256) * 114) // 1000) AS lum
+           |    FROM ids i, range(0, 32) x(x), range(0, 32) y(y)
+           |    WHERE i.media_id % 3 = 0)
+           |  GROUP BY 1, 2),
+           |audv AS (
+           |  SELECT media_id, bin, CAST(CAST(sum(a) AS DOUBLE) / 491520.0 AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id, t.i // 15 AS bin,
+           |           abs((((2 * t.i) % (i.media_id % 50 + 2)) * 2 * ((i.media_id % 17 + 8) * 1000))
+           |               // ((i.media_id % 50 + 2) - 1) - ((i.media_id % 17 + 8) * 1000)) AS a
+           |    FROM ids i, range(0, 240) t(i)
+           |    WHERE i.media_id % 3 = 1)
+           |  GROUP BY 1, 2),
+           |vidv AS (
+           |  SELECT media_id, bin, CAST(CAST(count(*) AS REAL) / CAST(5760 AS REAL) AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id,
+           |           (((i.media_id + x.x + 3 * y.y + 7 * f.f) % 256) * 16) // 256 AS bin
+           |    FROM ids i, range(0, 16) x(x), range(0, 12) y(y), range(0, 30) f(f)
+           |    WHERE i.media_id % 3 = 2)
+           |  GROUP BY 1, 2),
+           |allv AS (SELECT * FROM imgv UNION ALL SELECT * FROM audv UNION ALL SELECT * FROM vidv),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN allv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id,
+           |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |  round(sqrt($sq), 6) AS feat_norm,
+           |  CAST(CASE WHEN media_id % 3 = 2 THEN 3 ELSE 0 END AS BIGINT) AS n_frames_sampled
+           |FROM fm ORDER BY media_id""".stripMargin
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -45,6 +45,10 @@ object MultiWarehouse {
 
   def ingest(points: DataFrame, configs: Seq[(String, MetricConfig)], root: String,
              validate: Boolean = true): MultiHta = {
+    // fail fast, before ANY sub-store ingest runs: a bad name detected only
+    // at catalog-write time would abort post-ingest, leaving g=N data dirs
+    // with no catalog to open them
+    validateConfigNames(configs)
     val spark = points.sparkSession
     val tagged = points.withColumn("_g", configColumn(configs, col("metric"))).cache()
     try {
@@ -130,13 +134,19 @@ object MultiWarehouse {
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/g=$i/meta.json")))
   }
 
+  /** Names must survive the tab-separated catalog format; checked at
+    * [[ingest]] entry (fail-fast, before any data is written). */
+  private def validateConfigNames(configs: Seq[(String, MetricConfig)]): Unit =
+    configs.foreach { case (n, _) =>
+      require(!n.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"config name may not contain tab/newline: ${n.replaceAll("\\s", "?")}")
+    }
+
   // catalog (de)serialization: one tab-separated line per config, insertion
   // order preserved (resolution order is semantic — prefix.cpp:45-107)
   private def writeCatalog(configs: Seq[(String, MetricConfig)], root: String,
                            spark: SparkSession): Unit = {
     val body = configs.map { case (n, c) =>
-      require(!n.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
-        s"config name may not contain tab/newline: ${n.replaceAll("\\s", "?")}")
       Seq(n, c.isPrefix, c.mode, c.meta.intervalMin, c.meta.intervalMax,
         c.meta.intervalFactor).mkString("\t")
     }.mkString("\n")

@@ -245,11 +245,23 @@ object Warehouse {
       fs: org.apache.hadoop.fs.FileSystem, dst: String): Unit = {
     val dstP = new org.apache.hadoop.fs.Path(dst)
     val bakP = new org.apache.hadoop.fs.Path(dst + "_compact_bak")
-    if (!fs.exists(dstP) && fs.exists(bakP))
-      require(fs.rename(bakP, dstP), s"compact: restore $bakP -> $dst failed")
+    if (!fs.exists(dstP) && fs.exists(bakP)) {
+      // two concurrent readers can both pass the exists checks; the rename
+      // loser is fine as long as SOMEONE completed the restore — only a
+      // still-missing dst is a real failure
+      if (!fs.rename(bakP, dstP))
+        require(fs.exists(dstP), s"compact: restore $bakP -> $dst failed")
+    }
   }
 
-  private def restoreStore(spark: SparkSession, root: String): Unit = {
+  /** Restore both store directories after an interrupted compact swap.
+    * Called by every entry point that READS OR WRITES the store outside the
+    * per-read guards ([[compact]] before its rewrite, the streaming sinks
+    * before their first micro-batch): a writer that recreates a missing
+    * `raw/` before any reader runs would otherwise strand the backup — the
+    * restore then skips (dst exists) and the next compact deletes the only
+    * pre-crash copy. */
+  private[graft] def restoreStore(spark: SparkSession, root: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     restoreInterruptedSwap(fs, s"$root/levels")
@@ -301,6 +313,10 @@ object Warehouse {
     * micro-batches remain no-ops after compaction. */
   def compact(spark: SparkSession, root: String,
               filesPerPartition: Int = 8): Hta = {
+    // a previous compact may have crashed mid-swap — recover BOTH dirs
+    // before reading (readLevels guards levels itself, but the raw read
+    // below has no per-read guard) and before swap() deletes any backup
+    restoreStore(spark, root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Crash-safe swap: the live dir is moved aside BEFORE the tmp moves in,

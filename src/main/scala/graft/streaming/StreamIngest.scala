@@ -121,6 +121,10 @@ object StreamIngest {
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = samples.sparkSession
     import spark.implicits._
+    // recover an interrupted compact swap BEFORE writing anything: a sink
+    // that recreated a missing dir would strand the backup (restore skips
+    // when dst exists) and the next compact would delete the only copy
+    graft.store.Warehouse.restoreStore(spark, root)
     graft.store.Warehouse.writeMetaPublic(meta, root, spark)
     closedRows(samples, meta)
       .writeStream
@@ -132,28 +136,34 @@ object StreamIngest {
       .start()
   }
 
-  /** Idempotent batch-id-keyed publish of closed level rows:
+  /** Idempotent batch-id-keyed publish of closed level rows — see
+    * [[publishBatch]]. */
+  def publishLevelBatch(batch: org.apache.spark.sql.DataFrame, root: String,
+                        bid: Long): Unit =
+    publishBatch(batch, root, table = "levels", partitionCol = "interval", bid)
+
+  /** Idempotent batch-id-keyed publish into a partitioned store table:
     *  1. committed marker present → no-op (fully replayed batch);
-    *  2. write to `_stream_staging/bid=N` with Overwrite (restaging after a
-    *     crash is itself idempotent);
+    *  2. write to `_stream_staging/<table>/bid=N` with Overwrite (restaging
+    *     after a crash is itself idempotent);
     *  3. delete any `bid-N-*` files left by a partial publish, then rename
-    *     staged files to `levels/interval=…/bid-N-k.parquet`;
+    *     staged files to `<table>/<part>=…/bid-N-k.parquet`;
     *  4. write the commit marker last.
     * Any crash point replays into the same end state — exactly one copy of
-    * every closed row. Underscore-prefixed dirs are invisible to Spark's
-    * file index, so staging/markers never pollute the levels table. */
-  def publishLevelBatch(batch: org.apache.spark.sql.DataFrame, root: String,
-                        bid: Long): Unit = {
+    * every row. Underscore-prefixed dirs are invisible to Spark's file
+    * index, so staging/markers never pollute the table. */
+  private def publishBatch(batch: org.apache.spark.sql.DataFrame, root: String,
+                           table: String, partitionCol: String, bid: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$root/_stream_commits/$bid")
+    val marker = new Path(s"$root/_stream_commits/$table/$bid")
     if (fs.exists(marker)) return
-    val staging = new Path(s"$root/_stream_staging/bid=$bid")
-    batch.write.mode("overwrite").partitionBy("interval")
+    val staging = new Path(s"$root/_stream_staging/$table/bid=$bid")
+    batch.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
     for (ip <- fs.listStatus(staging) if ip.isDirectory) {
-      val target = new Path(s"$root/levels/${ip.getPath.getName}")
+      val target = new Path(s"$root/$table/${ip.getPath.getName}")
       fs.mkdirs(target)
       fs.listStatus(target)
         .filter(_.getPath.getName.startsWith(s"bid-$bid-"))
@@ -163,10 +173,10 @@ object StreamIngest {
         val dst = new Path(target, s"bid-$bid-$k.parquet")
         // abort WITHOUT the marker on a failed rename: the staged file would
         // be deleted below while the marker suppressed the replay, silently
-        // losing this micro-batch's closed rows
+        // losing this micro-batch's rows
         if (!fs.rename(f.getPath, dst))
           throw new java.io.IOException(
-            s"publishLevelBatch: rename ${f.getPath} -> $dst failed; batch $bid will replay")
+            s"publishBatch($table): rename ${f.getPath} -> $dst failed; batch $bid will replay")
         k += 1
       }
     }
@@ -177,18 +187,27 @@ object StreamIngest {
 
   /** Companion raw sink: append the sample stream itself into the
     * warehouse's time-bucketed raw layout. Run alongside [[sinkToWarehouse]]
-    * (separate checkpoint) for full store parity with batch ingest. */
+    * (separate checkpoint) for full store parity with batch ingest.
+    *
+    * Publishes through the same batch-id-keyed [[publishBatch]] as the level
+    * sink, NOT Spark's parquet file sink: the file sink's `_spark_metadata`
+    * log makes every later BATCH read of `root/raw` resolve against
+    * sink-committed files only — hiding batch-ingested history and breaking
+    * once compaction rewrites files out from under the log. */
   def sinkRawToWarehouse(samples: Dataset[Sample], meta: Meta, root: String,
                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
+    // same pre-start recovery as sinkToWarehouse: a sink that recreates a
+    // missing $root/raw would mask an interrupted compact swap
+    graft.store.Warehouse.restoreStore(samples.sparkSession, root)
     samples.toDF()
       .withColumn("tb", col("time") - pmod(col("time"), lit(meta.intervalMax)))
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .partitionBy("tb")
-      .format("parquet")
-      .option("path", s"$root/raw")
       .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        publishBatch(batch.toDF(), root, table = "raw", partitionCol = "tb", bid)
+      }
       .start()
   }
 

@@ -38,6 +38,20 @@ class PipelineSpec extends SparkSpec {
     assert(banded === brute) // pigeonhole: recall 1 for hamming < #bands
   }
 
+  test("simhash band blocking: maxBucket caps the quadratic bucket expansion") {
+    val sims = TextOps.simhash(docs).cache()
+    val dflt = Dedup.simhashBandPairs(sims, bands = 4, bits = 60, maxDist = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an effectively-unbounded cap changes nothing on a sane corpus
+    val wide = Dedup.simhashBandPairs(sims, bands = 4, bits = 60, maxDist = 3,
+        maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === dflt)
+    // cap 1 rejects every multi-doc bucket → zero candidate pairs, no blow-up
+    assert(Dedup.simhashBandPairs(sims, bands = 4, bits = 60, maxDist = 3,
+      maxBucket = 1).count() === 0)
+  }
+
   test("ANN LSH top-k hits are a subset of brute-force with decent recall") {
     val queries = emb.where(col("vec_id") < 10)
     val brute = Ann.bruteForceTopK(queries, emb, 5)

@@ -42,6 +42,19 @@ class SessionizeSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 1L, 2L, 3L))
   }
 
+  test("caller columns named _new/_sid survive (helper names are collision-proof)") {
+    val d = df(("u", 0L, 1.0), ("u", 5L, 2.0), ("u", 50L, 3.0))
+      .withColumn("_new", lit("keep"))
+      .withColumn("_sid", lit(9L))
+    val tagged = Sessionize.withSessionId(d, "user", "t", gapNs = 10L)
+    assert(tagged.columns.contains("_new"), "caller's _new column must survive")
+    assert(tagged.select("_new").distinct().collect().map(_.getString(0)).toSeq === Seq("keep"))
+    assert(tagged.orderBy("t").collect().map(_.getAs[Long]("session_id")).toSeq
+      === Seq(1L, 1L, 2L))
+    val sess = Sessionize.sessionize(d, "user", "t", gapNs = 10L)
+    assert(sess.count() === 2, "input _sid column must not perturb session grouping")
+  }
+
   test("library output matches the inline gaps-and-islands formulation (q31 parity)") {
     val d = df((for (u <- Seq("x", "y"); i <- 0 until 20)
       yield (u, i.toLong * (if (i % 5 == 0) 40L else 7L), i * 0.5)): _*)

@@ -50,4 +50,36 @@ class CompactionSpec extends SparkSpec {
     // store still passes the full check-tool invariants
     assert(graft.tools.Tools.check(after, tp(100000)).count() === 0)
   }
+
+  test("interrupted swap: open and a direct compact rerun both self-heal") {
+    val root = tmpDir("crashwh")
+    Warehouse.ingest(fixtureDf, meta, root)
+    val want = Warehouse.open(spark, root)
+    val wantLevels = want.levels.orderBy("interval", "metric", "time").collect().toSeq
+    val wantRaw = want.raw.drop("tb").orderBy("metric", "time").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate dying between rename(dst -> bak) and rename(tmp -> dst):
+    // dst missing, backup holds the only copy
+    def crash(dir: String): Unit =
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/$dir"),
+        new org.apache.hadoop.fs.Path(s"$root/${dir}_compact_bak")))
+
+    crash("levels")
+    val o1 = Warehouse.open(spark, root)
+    assert(o1.levels.orderBy("interval", "metric", "time").collect().toSeq === wantLevels)
+
+    // raw mid-swap crash, then a DIRECT compact() rerun (no reader between):
+    // compact reads raw itself, so it must restore before reading
+    crash("raw")
+    val o2 = Warehouse.compact(spark, root, filesPerPartition = 1)
+    assert(o2.raw.drop("tb").orderBy("metric", "time").collect().toSeq === wantRaw)
+    assert(o2.levels.orderBy("interval", "metric", "time").collect().toSeq === wantLevels)
+
+    crash("levels")
+    val o3 = Warehouse.compact(spark, root, filesPerPartition = 1)
+    assert(o3.levels.orderBy("interval", "metric", "time").collect().toSeq === wantLevels)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/levels_compact_bak")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw_compact_bak")))
+  }
 }

@@ -154,11 +154,15 @@ class MultiWarehouseSpec extends SparkSpec {
   test("config names with tab/newline are rejected at ingest (ADVICE r3: TSV round-trip)") {
     val bad = Seq("ok" -> MetricConfig(fineMeta),
       "evil\tname" -> MetricConfig(coarseMeta, isPrefix = true))
+    val root = tmpDir("multi_badname")
     val e = intercept[IllegalArgumentException] {
-      MultiWarehouse.ingest(fixtureDf.withColumn("metric", lit("ok")), bad,
-        tmpDir("multi_badname"))
+      MultiWarehouse.ingest(fixtureDf.withColumn("metric", lit("ok")), bad, root)
     }
     assert(e.getMessage.contains("tab/newline"))
+    // FAIL-FAST: rejected before ANY sub-store ingest ran — a post-ingest
+    // abort would leave g=N data dirs with no catalog to open them
+    val leftovers = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    assert(leftovers.isEmpty, s"bad name must abort before writing: ${leftovers.mkString(", ")}")
   }
 
   test("unmatched metric and read-only config are rejected (prefix.cpp modes)") {

@@ -88,12 +88,40 @@ class StreamIngestSpec extends SparkSpec {
     // commit), republish — still exactly one copy of every row
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/7"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/levels/7"), false)
     StreamIngest.publishLevelBatch(rows, root, bid = 7L)
     assert(spark.read.parquet(s"$root/levels").count() === once)
     // a different batch id appends (not overwrites)
     StreamIngest.publishLevelBatch(rows.limit(3), root, bid = 8L)
     assert(spark.read.parquet(s"$root/levels").count() === once + 3)
+  }
+
+  test("raw sink: restores an interrupted compact swap, coexists with batch reads") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = tmpDir("rawsinkwh")
+    // pre-crash store, then a compact that died mid-raw-swap: dst missing,
+    // backup holds the only copy
+    fixtureDf.withColumn("tb", lit(0L)).write.partitionBy("tb").parquet(s"$root/raw")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/raw"),
+      new org.apache.hadoop.fs.Path(s"$root/raw_compact_bak")))
+    val mem = MemoryStream[Sample]
+    val q = StreamIngest.sinkRawToWarehouse(mem.toDS(), meta, root, tmpDir("ckptraw"))
+    try {
+      mem.addData(Sample("foo", tp(500), 1.0), Sample("foo", tp(501), 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sink restored the backup BEFORE writing: pre-crash history and the
+    // new micro-batch are both visible to a plain batch read (no
+    // _spark_metadata log hijacking file resolution), backup consumed
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw_compact_bak")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw/_spark_metadata")))
+    val raw = s.read.parquet(s"$root/raw")
+    assert(raw.count() === fixture110.length + 2)
+    assert(raw.where(col("time") === tp(500)).count() === 1)
   }
 
   test("end-to-end MemoryStream query emits closed rows across micro-batches") {
