@@ -164,23 +164,27 @@ object Dedup {
     // distinct: duplicate grams cannot change a per-doc minhash MIN, and the
     // window shuffle already partitions by doc_id, so the 32-way min
     // aggregate needs no further shuffle — the signature build is one
-    // shuffle total.
-    val sh = shingleHashRows(docs, ngram, distinct = false).cache()
+    // shuffle total. NOT cached: corpus-sized, and the verify tier below
+    // re-derives its (tiny) slice from the candidate docs instead — at
+    // 100 TB, pinning corpus-sized shingle rows in the cache is the cost,
+    // not re-tokenizing a vanishing fraction of documents.
+    val sh = shingleHashRows(docs, ngram, distinct = false)
     // the candidate set is referenced three times (pair join + two candidate-
     // doc projections) — cache it so the sig+banding pipeline runs ONCE
     val candsDf = lshCandidates(
       minhashSignatures(sh, numHashes), bands, numHashes / bands).cache()
     val cands = broadcast(candsDf)
-    // exact-verify tier works on CANDIDATE DOCS ONLY: semi-join the raw
-    // shingle rows down first, dedup that tiny slice (Jaccard needs set
-    // semantics), and derive set sizes from it — never an O(#docs)
-    // broadcast and never a corpus-wide dedup shuffle
-    // no distinct: the left-semi probe dedups inherently, and the broadcast
-    // list is pair-count-sized either way — one less shuffle stage
+    // exact-verify tier works on CANDIDATE DOCS ONLY: semi-join the corpus
+    // down to candidate docs and re-shingle just those with per-doc dedup
+    // (Jaccard needs set semantics) — never an O(#docs) broadcast, never a
+    // corpus-wide dedup shuffle, and no corpus-sized cached frame
+    // no distinct on the list: the left-semi probe dedups inherently, and
+    // the broadcast is pair-count-sized either way — one less shuffle stage
     val candDocs = candsDf.select(col("doc_a").as("doc_id"))
       .unionByName(candsDf.select(col("doc_b").as("doc_id")))
-    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .distinct().cache()
+    val candSh = shingleHashRows(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), ngram,
+      distinct = true).cache()
     val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = candSh.select(col("doc_id").as("doc_a"), col("gram"))
     val b = candSh.select(col("doc_id").as("doc_b"), col("gram"))
