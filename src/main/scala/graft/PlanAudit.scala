@@ -63,6 +63,17 @@ object PlanAudit {
           sum("value").as("s"), count("value").as("c"))
         .explain("formatted")
     }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    section("q15 nearDupPairs (expect: ONE corpus shuffle to signatures; " +
+      "candidate-side frames all BroadcastExchange; no corpus-sized InMemoryRelation)") {
+      graft.pipeline.Dedup.nearDupPairs(docs).explain("formatted")
+    }
+    section("q18 simhashBandPairs (expect: ONE groupBy shuffle on (band,bkey), " +
+      "capped bucket explode — no both-sides self-join exchange)") {
+      graft.pipeline.Dedup.simhashBandPairs(
+        graft.pipeline.TextOps.simhash(docs)).explain("formatted")
+    }
     spark.stop()
   }
 }
