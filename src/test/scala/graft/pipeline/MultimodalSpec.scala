@@ -198,4 +198,55 @@ class MultimodalSpec extends SparkSpec {
     assert(r.schema === media.schema)
     assert(r.select("meta.width").distinct().collect().head.getInt(0) === 32)
   }
+
+  /** The q36 oracle's claim, pinned at `sbt test` time: the whole
+    * pattern→encode→decode→resize/resample→feature pipeline equals a
+    * closed-form arithmetic recompute (the same recompute the DuckDB oracle
+    * SQL performs — if patternPng/Wav/Gif or a feature formula changes, this
+    * fails here instead of at driver-verify time). */
+  test("q36 closed-form parity: codec roundtrips are arithmetic-exact end-to-end") {
+    import org.apache.spark.sql.functions.{aggregate => sqlAggregate, _}
+    val m = Multimodal.syntheticMedia(spark, 60)
+    val prepped = Multimodal.resampleAudio(Multimodal.resize(m, 32, 32), 8000)
+    val got = Multimodal.extractFeatures(prepped, dim = 16)
+      .withColumn("feat_norm",
+        round(sqrt(sqlAggregate(transform(col("features"), x => x.cast("double") * x),
+          lit(0.0), (acc, x) => acc + x)), 6))
+      .orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("feat_norm")).toMap
+
+    def norm(f: Array[Float]): Double = {
+      val s = f.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      BigDecimal(math.sqrt(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def expected(id: Long): Double = (id % 3) match {
+      case 0 => // image: 16×12 pattern nearest-resized to 32×32, 16-bin histogram
+        val counts = new Array[Long](16)
+        for (y <- 0 until 32; x <- 0 until 32) {
+          val sx = x / 2; val sy = y * 12 / 32
+          val r = ((id + sx) % 256).toInt
+          val g = ((id + sy) % 256).toInt
+          val b = ((id + sx.toLong * sy) % 256).toInt
+          counts((r * 299 + g * 587 + b * 114) / 1000 * 16 / 256) += 1
+        }
+        norm(counts.map(_.toFloat / 1024))
+      case 1 => // audio: sawtooth resampled 480→240 (sample 2i), 16 bins of 15
+        val period = (id % 50 + 2).toInt
+        val amp = (id % 17 + 8).toInt * 1000
+        val f = (0 until 16).map { j =>
+          val s = (j * 15 until (j + 1) * 15).map { i =>
+            math.abs((2 * i % period) * 2 * amp / (period - 1) - amp).toLong
+          }.sum
+          (s.toDouble / 491520L).toFloat
+        }.toArray
+        norm(f)
+      case _ => // video: 30 frames of gray (id + x + 3y + 7f) % 256, lum == v
+        val counts = new Array[Long](16)
+        for (fr <- 0 until 30; y <- 0 until 12; x <- 0 until 16)
+          counts((((id + x + 3 * y + 7 * fr) % 256) / 16).toInt) += 1
+        norm(counts.map(_.toFloat / 5760))
+    }
+    for (id <- 0L until 60L)
+      assert(got(id) === expected(id), s"media_id $id (kind ${id % 3})")
+  }
 }
