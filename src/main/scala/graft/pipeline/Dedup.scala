@@ -118,25 +118,49 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Shared band-bucket pair expansion with a BOUNDED-MEMORY cap. A window
+    * COUNT over the (band, bkey) shuffle partitions sizes every bucket
+    * BEFORE anything is materialized (WindowExec's row buffer spills to
+    * disk; a `collect_list` aggregation buffer cannot — capping after the
+    * collect would still assemble one unbounded array per degenerate
+    * bucket), oversized buckets are dropped wholesale, and only surviving
+    * (≤ maxBucket) buckets are collected and exploded into distinct
+    * `a.doc_id < b.doc_id` pairs. The groupBy reuses the window's
+    * hash-partitioning, so the cap costs a sort, not a second shuffle.
+    *
+    * Dropping a bucket trades recall for the bound: pairs inside an
+    * over-cap bucket are NOT emitted. At production caps an over-cap bucket
+    * means thousands of near-identical documents — content that exact dedup
+    * ([[exactDupGroups]]) removes more cheaply than any pairwise pass. */
+  private def cappedBucketPairs(banded: DataFrame, payload: Column,
+                                maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val buckets = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") > 1 && col("_n") <= maxBucket)
+      .groupBy("band", "bkey")
+      .agg(collect_list(payload).as("ids"))
+    buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
   /** LSH banding: candidate pairs = docs sharing any (band, band-signature)
     * bucket. `bands * rowsPerBand == numHashes`. Returns distinct (doc_a <
     * doc_b) pairs. The within-bucket pair expansion is the only quadratic
-    * step and is bounded by bucket size — salt/penalize giant buckets at
-    * production scale (a bucket of k docs yields k²/2 pairs; cap k). */
+    * step; [[cappedBucketPairs]] bounds it (buckets over `maxBucket` are
+    * dropped — see its recall note). */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucket: Int = 1000): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*)).as(Seq("band", "bkey")))
-    val buckets = banded.groupBy("band", "bkey")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    buckets
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .where(col("doc_a") < col("doc_b"))
-      .distinct()
+    cappedBucketPairs(banded, struct(col("doc_id")), maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle sets. */
@@ -200,11 +224,10 @@ object Dedup {
 
   /** SimHash band blocking: split the fingerprint into `bands` bit-slices;
     * docs sharing any slice value are candidates (pigeonhole: any pair with
-    * hamming < bands shares at least one slice → recall 1 for d < bands).
-    * Same capped-bucket shape as [[lshCandidates]]: ONE groupBy shuffle
-    * (not a both-sides self-join shuffle), and `maxBucket` bounds the
-    * quadratic within-bucket expansion — a degenerate corpus (thousands of
-    * near-identical docs in one slice value) stays a cap, not a blow-up. */
+    * hamming < bands shares at least one slice → recall 1 for d < bands,
+    * PROVIDED no shared bucket exceeds `maxBucket` — [[cappedBucketPairs]]
+    * drops over-cap buckets to bound the quadratic expansion; see its
+    * recall note). One groupBy shuffle, not a both-sides self-join. */
   def simhashBandPairs(sims: DataFrame, bands: Int = 4, bits: Int = 60,
                        maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val w = bits / bands
@@ -212,18 +235,9 @@ object Dedup {
     val banded = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bkey")))
-    val buckets = banded.groupBy("band", "bkey")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    val pairs = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id"))
+    cappedBucketPairs(banded, struct(col("doc_id"), col("simhash")), maxBucket)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct()
-    pairs.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
   }
 }

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Helper-column name guaranteed absent from `taken` — public library
-    * API, so a caller's own `_new`/`_sid` column must never be clobbered. */
-  private def fresh(base: String, taken: Seq[String]): String =
+    * API, so a caller's own `_new`/`_sid` column must never be clobbered.
+    * Case-insensitive: Spark resolves column names case-insensitively by
+    * default, so a caller's `_New` would collide with `_new` too. */
+  private def fresh(base: String, taken: Seq[String]): String = {
+    val t = taken.map(_.toLowerCase)
     Iterator.from(0)
       .map(i => if (i == 0) base else s"$base$i")
-      .find(n => !taken.contains(n)).get
+      .find(n => !t.contains(n.toLowerCase)).get
+  }
 
   /** Tag each row with its session ordinal per key (1-based within key,
     * ordered by time — the first row always opens session 1). */

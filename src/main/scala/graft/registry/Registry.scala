@@ -230,7 +230,10 @@ object Registry {
       |         ELSE [text] END AS st
       |       FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents))""".stripMargin
 
-  private val simhashSql: String = {
+  /** Brute-force simhash pairs at a hamming threshold. Valid oracle for the
+    * banded scale path too (q38): banding has recall exactly 1 for
+    * maxDist < bands, so banded output == the all-pairs truth. */
+  private def simhashSql(maxDist: Int): String = {
     val sums = (0 until 60).map(j => s"sum(((h >> $j) & 1)*2 - 1) AS s$j").mkString(", ")
     val fp = (0 until 60).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -240,7 +243,7 @@ object Registry {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
        |ORDER BY 1, 2""".stripMargin
   }
 
@@ -784,7 +787,16 @@ object Registry {
     Entry("q18_simhash_pairs",
       (s, d) => TextOps.simhashPairs(TextOps.simhash(docs(s, d)), maxDist = 4)
         .orderBy("doc_a", "doc_b"),
-      Some(simhashSql)),
+      Some(simhashSql(4))),
+
+    // the 100 TB path for the same operator: capped band blocking instead
+    // of all-pairs. maxDist=3 < bands=4 → pigeonhole recall 1, so the
+    // brute-force SQL is an exact oracle for the banded plan.
+    Entry("q38_simhash_banded",
+      (s, d) => Dedup.simhashBandPairs(TextOps.simhash(docs(s, d)),
+          bands = 4, bits = 60, maxDist = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(simhashSql(3))),
 
     // ---- LLM pipeline: similarity search ----
     Entry("q19_ann_top5",

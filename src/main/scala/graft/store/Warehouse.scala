@@ -254,6 +254,32 @@ object Warehouse {
     }
   }
 
+  /** Guard for [[compact]]: streaming publishes land as
+    * `<table>/<part>=…/bid-N-k.parquet` with a commit marker written LAST
+    * (StreamIngest.publishBatch). A bid file whose marker is missing is a
+    * crash mid-publish that the stream WILL replay on restart; its cleanup
+    * keys on the `bid-N-` file names, which compaction would erase. */
+  private def assertNoUncommittedPublishes(
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Unit = {
+    val bidName = "bid-(\\d+)-.*".r
+    for (table <- Seq("raw", "levels")) {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$table")
+      if (fs.exists(dir)) {
+        val bids = for {
+          part <- fs.listStatus(dir).toSeq if part.isDirectory
+          f <- fs.listStatus(part.getPath)
+          m <- bidName.findPrefixMatchOf(f.getPath.getName)
+        } yield m.group(1)
+        for (bid <- bids.distinct)
+          require(
+            fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/$table/$bid")),
+            s"compact: uncommitted streaming batch $bid in $table/ — restart the " +
+              s"stream so it replays batch $bid (or remove the partial bid-$bid-* " +
+              "files) before compacting")
+      }
+    }
+  }
+
   /** Restore both store directories after an interrupted compact swap.
     * Called by every entry point that READS OR WRITES the store outside the
     * per-read guards ([[compact]] before its rewrite, the streaming sinks
@@ -319,6 +345,12 @@ object Warehouse {
     restoreStore(spark, root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed stream may have left a PARTIAL publish (bid-N-k files with
+    // no commit marker). Compacting would rewrite those into anonymous
+    // part-files, so the restarted stream's replay cleanup (delete bid-N-*,
+    // republish) would find nothing to delete and DUPLICATE the rows —
+    // refuse until the stream has replayed (or the partials are removed).
+    assertNoUncommittedPublishes(fs, root)
     // Crash-safe swap: the live dir is moved aside BEFORE the tmp moves in,
     // so no crash point leaves the store without data — worst case the
     // backup dir survives and the next compact (or a manual rename) recovers

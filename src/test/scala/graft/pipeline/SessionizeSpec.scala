@@ -53,6 +53,13 @@ class SessionizeSpec extends SparkSpec {
       === Seq(1L, 1L, 2L))
     val sess = Sessionize.sessionize(d, "user", "t", gapNs = 10L)
     assert(sess.count() === 2, "input _sid column must not perturb session grouping")
+    // Spark resolves column names case-insensitively by default — a caller
+    // column differing only in case must survive too
+    val dCase = df(("u", 0L, 1.0), ("u", 50L, 2.0)).withColumn("_New", lit(7L))
+    val taggedCase = Sessionize.withSessionId(dCase, "user", "t", gapNs = 10L)
+    assert(taggedCase.select("_New").distinct().collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(taggedCase.orderBy("t").collect().map(_.getAs[Long]("session_id")).toSeq
+      === Seq(1L, 2L))
   }
 
   test("library output matches the inline gaps-and-islands formulation (q31 parity)") {

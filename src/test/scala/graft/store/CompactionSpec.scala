@@ -82,4 +82,26 @@ class CompactionSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/levels_compact_bak")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/raw_compact_bak")))
   }
+
+  test("compact refuses while a crashed stream has an unreplayed partial publish") {
+    val root = tmpDir("compactbid")
+    Warehouse.ingest(fixtureDf, meta, root)
+    // a committed streaming batch: bid files + marker — compaction-safe
+    val rows = graft.hta.AggOps.levelBuild(fixtureDf, 10 * S)
+      .withColumn("interval", org.apache.spark.sql.functions.lit(10 * S))
+    graft.streaming.StreamIngest.publishLevelBatch(rows.limit(3), root, bid = 5L)
+    Warehouse.compact(spark, root, filesPerPartition = 1) // fine: marker present
+    // crash mid-publish: bid files present, marker missing → replay debt.
+    // Compacting now would rewrite the bid files into anonymous part-files
+    // and the replay would duplicate them — must refuse.
+    graft.streaming.StreamIngest.publishLevelBatch(rows.limit(3), root, bid = 6L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/levels/6"), false)
+    val e = intercept[IllegalArgumentException](Warehouse.compact(spark, root))
+    assert(e.getMessage.contains("uncommitted streaming batch 6"))
+    // replay finishes (marker restored) → compact proceeds again
+    graft.streaming.StreamIngest.publishLevelBatch(rows.limit(3), root, bid = 6L)
+    Warehouse.compact(spark, root, filesPerPartition = 1)
+  }
 }
