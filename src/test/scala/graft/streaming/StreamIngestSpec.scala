@@ -96,6 +96,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/levels").count() === once + 3)
   }
 
+  test("publish crash-point matrix: every interrupted state converges on replay") {
+    val root = tmpDir("crashmatrix")
+    val rows = AggOps.levelBuild(fixtureDf, 10 * S).withColumn("interval", lit(10 * S))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def levelsCount = spark.read.parquet(s"$root/levels").count()
+    def bidFiles(bid: Long) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/levels")).filter(_.getName.startsWith(s"bid-$bid-"))
+    }
+    StreamIngest.publishLevelBatch(rows, root, bid = 1L)
+    val want = levelsCount // per-batch row count; each distinct bid adds this
+
+    // crash A: staged but nothing renamed (staging dir exists, no bid files)
+    rows.write.mode("overwrite").partitionBy("interval")
+      .parquet(s"$root/_stream_staging/levels/bid=2")
+    StreamIngest.publishLevelBatch(rows, root, bid = 2L) // replay
+    assert(levelsCount === 2 * want, "state A must converge")
+
+    // crash B: SOME bid files renamed in, marker missing
+    StreamIngest.publishLevelBatch(rows, root, bid = 3L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/levels/3"), false)
+    assert(bidFiles(3L).head.delete()) // lose one published file too
+    StreamIngest.publishLevelBatch(rows, root, bid = 3L) // replay
+    assert(levelsCount === 3 * want, "state B must converge")
+
+    // crash C: everything renamed, marker missing (pure marker loss)
+    StreamIngest.publishLevelBatch(rows, root, bid = 4L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/levels/4"), false)
+    StreamIngest.publishLevelBatch(rows, root, bid = 4L)
+    assert(levelsCount === 4 * want, "state C must converge")
+
+    // crash D: marker present, stale staging left behind → replay must no-op
+    rows.write.mode("overwrite").partitionBy("interval")
+      .parquet(s"$root/_stream_staging/levels/bid=4")
+    StreamIngest.publishLevelBatch(rows, root, bid = 4L)
+    assert(levelsCount === 4 * want, "state D must stay a no-op")
+  }
+
   test("raw sink: restores an interrupted compact swap, coexists with batch reads") {
     val s = spark
     import s.implicits._
