@@ -17,14 +17,16 @@ import java.awt.image.BufferedImage
   * (also JDK built-in) decodes WAV/AIFF/AU PCM; features are time-sliced
   * mean amplitudes and [[resampleAudio]] is the resize analogue
   * (nearest-neighbor resample re-encoded as 16-bit mono WAV). The VIDEO
-  * codec is real for animated GIF — the one multi-frame format ImageIO
-  * ships a reader for; features pool the per-frame luminance histograms and
-  * [[framesToImages]] turns sampled frame rows into standalone PNG image
-  * rows. Everything else (mp4/webm/…, compressed audio) falls back to the
-  * deterministic stub (`fakeDecode`) — the per-kind dispatch marks exactly
-  * where a richer decoder plugs in. Every distribution concern (no driver
-  * collect, narrow per-partition execution, bounded batch memory) is
-  * independent of the codec choice.
+  * codec is real for animated GIF (ImageIO's one multi-frame reader) AND
+  * for AVI containers via the built-in RIFF parser ([[parseAvi]]):
+  * uncompressed DIB frames decode pixel-exact, MJPEG frames through
+  * ImageIO's JPEG reader. Features pool the per-frame luminance histograms
+  * and [[framesToImages]] turns sampled frame rows into standalone PNG
+  * image rows. Everything else (mp4/webm/…, compressed audio) falls back
+  * to the deterministic stub (`fakeDecode`) — the per-kind dispatch marks
+  * exactly where a richer decoder plugs in. Every distribution concern (no
+  * driver collect, narrow per-partition execution, bounded batch memory)
+  * is independent of the codec choice.
   *
   * Scale notes:
   *  - media bytes stay columnar parquet binary; never json/base64;
@@ -199,46 +201,192 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real video decode via ImageIO's multi-frame (GIF) reader. Returns raw
-    * frame rasters in index order — no disposal compositing, which is exact
-    * for full-frame GIFs (each frame a complete image, the shape a training
-    * transcode produces). None when no registered reader matches or the
-    * stream has no frames. */
-  private[pipeline] def decodeVideoFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+  /** Real video decode: ImageIO's multi-frame (GIF) reader first, then the
+    * built-in RIFF/AVI parser ([[parseAvi]] — uncompressed DIB frames
+    * decoded pixel-exact, MJPEG frames via ImageIO's JPEG reader). GIF
+    * returns raw frame rasters in index order — no disposal compositing,
+    * which is exact for full-frame GIFs (each frame a complete image, the
+    * shape a training transcode produces). None when no decoder matches or
+    * the stream has no frames. */
+  private[pipeline] def decodeVideoFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] = {
+    val viaImageIO =
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            if (n <= 0) None else Some((0 until n).map(reader.read))
-          } finally reader.dispose()
-        }
-      } finally iis.close()
-    } catch { case _: Exception => None }
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              if (n <= 0) None else Some((0 until n).map(reader.read))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    viaImageIO.orElse(
+      parseAvi(bytes).map { case (w, h, frames) =>
+        frames.indices.flatMap(i => decodeAviPayload(frames(i), w, h))
+      }.filter(_.nonEmpty))
+  }
 
   /** Single-frame variant for [[framesToImages]]: decodes only frame `idx`
-    * (the reader seeks; earlier frames are not rasterized). */
-  private[pipeline] def decodeVideoFrame(bytes: Array[Byte], idx: Int): Option[BufferedImage] =
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    * (the GIF reader seeks; the AVI parser walks chunk headers and
+    * rasterizes only the requested payload). */
+  private[pipeline] def decodeVideoFrame(bytes: Array[Byte], idx: Int): Option[BufferedImage] = {
+    val viaImageIO =
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            if (idx < 0 || idx >= reader.getNumImages(true)) None
-            else Some(reader.read(idx))
-          } finally reader.dispose()
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (idx < 0 || idx >= reader.getNumImages(true)) None
+              else Some(reader.read(idx))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    viaImageIO.orElse(
+      parseAvi(bytes).filter(t => idx >= 0 && idx < t._3.length)
+        .flatMap { case (w, h, frames) => decodeAviPayload(frames(idx), w, h) })
+  }
+
+  // ---------------- RIFF/AVI container (pure JDK, no ImageIO plugin) -----
+  //
+  // ImageIO ships no AVI reader, but the container is a flat little-endian
+  // chunk list — ~60 lines to walk. Covers the two AVI payloads training
+  // corpora actually contain: '00db' uncompressed bottom-up BGR DIB
+  // (decoded here, pixel-exact) and '00dc' MJPEG (each frame is a complete
+  // JPEG — ImageIO decodes it). Anything else still falls to fakeDecode.
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Walk the RIFF tree: returns (width, height, frame payloads in stream
+    * order, each tagged compressed=true for '00dc'/MJPEG). None unless the
+    * bytes are an AVI with a 'strf' BITMAPINFOHEADER and ≥1 frame chunk. */
+  private[pipeline] def parseAvi(
+      bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[(Array[Byte], Boolean)])] =
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") None
+      else {
+        var w = 0; var h = 0
+        val frames = IndexedSeq.newBuilder[(Array[Byte], Boolean)]
+        def walk(from: Int, to: Int): Unit = {
+          var p = from
+          while (p + 8 <= to) {
+            val id = fourcc(bytes, p)
+            val sz = le32(bytes, p + 4)
+            if (sz < 0 || p + 8 + sz > to) return // torn chunk: stop, keep parsed frames
+            if (id == "LIST") walk(p + 12, p + 8 + sz) // skip the list-type fourcc
+            else if (id == "strf" && sz >= 40) { w = le32(bytes, p + 8 + 4); h = le32(bytes, p + 8 + 8) }
+            else if (id.endsWith("db") || id.endsWith("dc")) {
+              if (sz > 0)
+                frames += ((java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz), id.endsWith("dc")))
+            }
+            p += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
         }
-      } finally iis.close()
+        walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))
+        val fs = frames.result()
+        if (w > 0 && h != 0 && fs.nonEmpty) Some((w, h, fs)) else None
+      }
     } catch { case _: Exception => None }
+
+  /** One AVI frame payload → image: MJPEG via ImageIO, DIB as 24-bit BGR
+    * rows padded to 4 bytes (BI_RGB layout; positive biHeight = bottom-up
+    * rows, negative = top-down). */
+  private def decodeAviPayload(frame: (Array[Byte], Boolean), w: Int, h: Int): Option[BufferedImage] = {
+    val (data, compressed) = frame
+    if (compressed) decodeImage(data)
+    else {
+      val hh = math.abs(h)
+      val stride = (w * 3 + 3) & ~3
+      if (data.length < stride * hh) None
+      else {
+        val img = new BufferedImage(w, hh, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < hh) {
+          val row = (if (h > 0) hh - 1 - y else y) * stride
+          var x = 0
+          while (x < w) {
+            val o = row + 3 * x
+            img.setRGB(x, y, ((data(o + 2) & 0xff) << 16) | ((data(o + 1) & 0xff) << 8) | (data(o) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        Some(img)
+      }
+    }
+  }
+
+  /** Minimal standard-compliant AVI writer (single 'vids' stream) used by
+    * tests/bench: `mjpeg = false` emits uncompressed BI_RGB DIB frames
+    * (pixel-exact roundtrip through [[parseAvi]]), `mjpeg = true` emits
+    * one complete JPEG per frame ('00dc', ImageIO-encoded). */
+  private[pipeline] def encodeAvi(frames: Seq[BufferedImage], fps: Int,
+                                  mjpeg: Boolean = false): Array[Byte] = {
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    val bos = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val payloads = frames.map { img =>
+      if (mjpeg) {
+        val b = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", b)
+        b.toByteArray
+      } else {
+        val stride = (w * 3 + 3) & ~3
+        val data = new Array[Byte](stride * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          val o = (h - 1 - y) * stride + 3 * x
+          data(o) = (rgb & 0xff).toByte
+          data(o + 1) = ((rgb >> 8) & 0xff).toByte
+          data(o + 2) = ((rgb >> 16) & 0xff).toByte
+        }
+        data
+      }
+    }
+    val cc = if (mjpeg) "00dc" else "00db"
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val avih = le(1000000 / fps) ++ le(0) ++ le(0) ++ le(0x10) ++ le(frames.length) ++
+      le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+      le(0) ++ le(0) ++ le(0) ++ le(1) ++ le(fps) ++ le(0) ++ le(frames.length) ++
+      le(0) ++ le(-1) ++ le(0) ++ le(0) ++ le(0)
+    val strf = le(40) ++ le(w) ++ le(h) ++ Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+      le(if (mjpeg) 0x47504a4d else 0) ++ le(((w * 3 + 3) & ~3) * h) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviBody = payloads.map(p => chunk(cc, p)).reduce(_ ++ _)
+    val movi = list("movi", moviBody)
+    // idx1 so standard players can seek; offsets are relative to 'movi'+4
+    var off = 4
+    val idxEntries = payloads.map { p =>
+      val e = cc.getBytes("US-ASCII") ++ le(0x10) ++ le(off) ++ le(p.length)
+      off += 8 + p.length + (p.length & 1)
+      e
+    }.reduce(_ ++ _)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ chunk("idx1", idxEntries)
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le(riffBody.length)); bos.write(riffBody)
+    bos.toByteArray
+  }
 
   /** Video features: the luminance histogram pooled over ALL frames' pixels
     * (same integer binning as [[imageFeatures]], long counts, one IEEE
