@@ -101,14 +101,24 @@ object Multimodal {
   }
 
   /** Real audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
-    * containers, 8/16-bit PCM). Returns (sample rate Hz, mono samples on the
-    * signed-16-bit scale); multi-channel input is channel-averaged in
-    * integer arithmetic so the result is platform-exact. None for bytes no
-    * registered reader handles (compressed codecs, non-audio bytes). */
+    * containers; 8/16-bit PCM directly, μ-law/A-law telephony encodings via
+    * the JDK's own deterministic table-driven transcode to 16-bit PCM).
+    * Returns (sample rate Hz, mono samples on the signed-16-bit scale);
+    * multi-channel input is channel-averaged in integer arithmetic so the
+    * result is platform-exact. None for bytes no registered reader handles
+    * (perceptual codecs, non-audio bytes). */
   private[pipeline] def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
     import javax.sound.sampled._
     try {
-      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val ais0 = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val ais =
+        if (ais0.getFormat.getEncoding == AudioFormat.Encoding.ULAW ||
+            ais0.getFormat.getEncoding == AudioFormat.Encoding.ALAW) {
+          val f = ais0.getFormat
+          AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+              f.getChannels, 2 * f.getChannels, f.getSampleRate, false), ais0)
+        } else ais0
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
@@ -310,7 +320,10 @@ object Multimodal {
     else {
       val hh = math.abs(h)
       val stride = (w * 3 + 3) & ~3
-      if (data.length < stride * hh) None
+      // Long arithmetic + dimension bound: a crafted strf with a huge width
+      // must not overflow the size check into an out-of-bounds rasterize
+      if (w <= 0 || hh <= 0 || w > 32768 || hh > 32768 ||
+          data.length < stride.toLong * hh) None
       else {
         val img = new BufferedImage(w, hh, BufferedImage.TYPE_INT_RGB)
         var y = 0

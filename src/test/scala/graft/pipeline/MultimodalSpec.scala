@@ -250,6 +250,52 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Multimodal.videoFeatures(frames, 16), "features must come from the real AVI decode")
   }
 
+  test("u-law WAV decodes through the JDK transcode (telephony path)") {
+    import javax.sound.sampled._
+    val rate = 8000f
+    val n = 200
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val v = (math.sin(i * 0.1) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val src = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false), n.toLong)
+    val ulaw = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.ULAW, rate, 8, 1, 1, rate, false), src)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, bos)
+    val bytes = bos.toByteArray
+    val got = Multimodal.decodeAudio(bytes)
+    assert(got.isDefined, "u-law WAV must decode, not fall to the stub")
+    assert(got.get._1 === 8000 && got.get._2.length === n)
+    // expected: the JDK's own table-driven ulaw -> pcm16 transcode
+    val back = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false),
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+    val data = back.readAllBytes()
+    val want = (0 until n).map(i => (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toArray
+    assert(got.get._2 === want)
+  }
+
+  test("video decoders never throw on arbitrary or truncated bytes (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    for (i <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      if (i % 3 == 0 && b.length >= 12) { // adversarial: valid magic, garbage body
+        "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+        "AVI ".getBytes("US-ASCII").copyToArray(b, 8)
+      }
+      Multimodal.decodeVideoFrames(b)
+      Multimodal.decodeVideoFrame(b, 1)
+    }
+    // a real AVI truncated at every 16th byte: the parser must stop cleanly
+    val avi = Multimodal.encodeAvi((0 until 3).map(f => patternFrame(1L, f)), fps = 10)
+    for (cut <- 12 until avi.length by 16)
+      Multimodal.decodeVideoFrames(java.util.Arrays.copyOf(avi, cut))
+  }
+
   /** The q36 oracle's claim, pinned at `sbt test` time: the whole
     * pattern→encode→decode→resize/resample→feature pipeline equals a
     * closed-form arithmetic recompute (the same recompute the DuckDB oracle
