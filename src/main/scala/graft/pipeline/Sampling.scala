@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * Everything here keys on a CONTENT-DERIVED hash, never on `rand()`:
+  * a training split must be reproducible run-to-run, stable under
+  * repartitioning, and consistent across incremental corpus refreshes (a
+  * document's split assignment never changes when other documents come and
+  * go — the property random sampling cannot give). The hash is the same
+  * 60-bit md5 prefix the dedup tier uses ([[TextOps.md5Long]]), so results
+  * are exactly reproducible in any engine with md5 (the DuckDB oracles
+  * render the identical arithmetic).
+  *
+  * Scale notes: [[hashSample]] and [[hashSplit]] are pure narrow column
+  * expressions — no shuffle, fully codegen'd, filter-pushdown-friendly.
+  * [[perKeyCap]] is one shuffle on the key (the quota is per key, so
+  * partition width is bounded by the per-key row count, not corpus size).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) derived from the key column (+ salt so
+    * independent samples decorrelate: different salt → different subset). */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    pmod(TextOps.md5Long(concat(key.cast("string"), lit(salt))), lit(Buckets))
+
+  /** Keep rows whose key hashes under `fraction`: a deterministic,
+    * repartition-stable Bernoulli sample over KEYS (all rows of one key are
+    * kept or dropped together — sampling documents, not row fragments). */
+  def hashSample(df: DataFrame, key: String, fraction: Double,
+                 salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    df.where(hashBucket(col(key), salt) < (fraction * Buckets).toLong)
+  }
+
+  /** Assign every row a split label by hash range: `weights` are relative
+    * (normalized internally), cut points are exact integer bucket bounds so
+    * the assignment is bit-reproducible. Appends `splitCol`. */
+  def hashSplit(df: DataFrame, key: String, weights: Seq[Double],
+                labels: Seq[String], splitCol: String = "split",
+                salt: String = ""): DataFrame = {
+    require(weights.length == labels.length && weights.nonEmpty,
+      "weights and labels must align")
+    require(weights.forall(_ >= 0) && weights.sum > 0, "weights must be non-negative, sum > 0")
+    val total = weights.sum
+    // integer cut points: cumulative weight scaled to the bucket space
+    val cuts = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => (c / total * Buckets).toLong)
+    val b = hashBucket(col(key), salt)
+    val expr = labels.zip(cuts).reverse.foldLeft(lit(labels.last): Column) {
+      case (acc, (label, cut)) => when(b < cut, lit(label)).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Per-key quota: keep at most `k` rows per key, the first `k` by
+    * `order` with a deterministic total order (ties broken by the tie
+    * columns — pass a unique id for bit-reproducibility). The classic
+    * per-domain/per-source cap of corpus curation. */
+  def perKeyCap(df: DataFrame, key: String, order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"cap $k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*)
+    val rn = Sessionize.freshName("_rn", df.columns.toSeq)
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= k)
+      .drop(rn)
+  }
+}

@@ -21,7 +21,7 @@ object Sessionize {
     * API, so a caller's own `_new`/`_sid` column must never be clobbered.
     * Case-insensitive: Spark resolves column names case-insensitively by
     * default, so a caller's `_New` would collide with `_new` too. */
-  private def fresh(base: String, taken: Seq[String]): String = {
+  private[pipeline] def freshName(base: String, taken: Seq[String]): String = {
     val t = taken.map(_.toLowerCase)
     Iterator.from(0)
       .map(i => if (i == 0) base else s"$base$i")
@@ -32,7 +32,7 @@ object Sessionize {
     * ordered by time — the first row always opens session 1). */
   def withSessionId(df: DataFrame, key: String, time: String, gapNs: Long,
                     idCol: String = "session_id"): DataFrame = {
-    val flag = fresh("_new", df.columns.toSeq :+ idCol)
+    val flag = freshName("_new", df.columns.toSeq :+ idCol)
     val w = Window.partitionBy(key).orderBy(time)
     df.withColumn(flag,
         when(coalesce(lag(col(time), 1).over(w), lit(Long.MinValue))
@@ -50,7 +50,7 @@ object Sessionize {
       min(col(time)).as("session_start"),
       max(col(time)).as("session_end"),
       count(lit(1)).as("n_events")) ++ aggs
-    val sid = fresh("_sid", df.columns.toSeq)
+    val sid = freshName("_sid", df.columns.toSeq)
     withSessionId(df, key, time, gapNs, sid)
       .groupBy(col(key), col(sid))
       .agg(all.head, all.tail: _*)

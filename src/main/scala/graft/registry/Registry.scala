@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Dedup, Multimodal, TextOps}
+import graft.pipeline.{Ann, Dedup, Multimodal, Sampling, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -797,6 +797,36 @@ object Registry {
           bands = 4, bits = 60, maxDist = 3)
         .orderBy("doc_a", "doc_b"),
       Some(simhashSql(3))),
+
+    // deterministic corpus splitting: content-hash buckets, not rand() —
+    // reproducible run-to-run and stable under corpus refresh. The oracle
+    // renders the identical 60-bit md5-prefix arithmetic.
+    Entry("q39_hash_split",
+      (s, d) => Sampling.hashSplit(docs(s, d).select("doc_id"), "doc_id",
+          weights = Seq(0.9, 0.05, 0.05), labels = Seq("train", "val", "test"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 900000 THEN 'train'
+             |       WHEN b < 950000 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |          % 1000000 AS b
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // per-key quota (the per-domain/source cap of corpus curation): first
+    // 50 events per metric by time. Time is strictly increasing per metric
+    // (F5 contract), so the row_number order is total and deterministic.
+    Entry("q40_per_key_cap",
+      (s, d) => Sampling.perKeyCap(ev(s, d).select("metric", "time", "cents"),
+          "metric", Seq(col("time")), k = 50)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte
+              |SELECT metric, time, cents
+              |FROM (SELECT metric, time, cents,
+              |        row_number() OVER (PARTITION BY metric ORDER BY time) AS rn
+              |      FROM pts)
+              |WHERE rn <= 50 ORDER BY metric, time""".stripMargin)),
 
     // ---- LLM pipeline: similarity search ----
     Entry("q19_ann_top5",

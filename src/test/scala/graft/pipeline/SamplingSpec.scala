@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling: reproducibility, repartition stability, nesting,
+  * split coverage, and quota semantics over the driver's documents/events
+  * testdata. */
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("hashSample is reproducible and stable under repartitioning") {
+    val a = ids(Sampling.hashSample(docs, "doc_id", 0.3))
+    val b = ids(Sampling.hashSample(docs, "doc_id", 0.3))
+    val c = ids(Sampling.hashSample(docs.repartition(17), "doc_id", 0.3))
+    assert(a === b && a === c)
+    assert(a.nonEmpty && a.size < docs.count())
+    // fraction within a loose Chernoff-ish band of the target
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.45, s"0.3-sample kept $frac")
+  }
+
+  test("samples nest: fraction f subset of fraction g for f < g; salt decorrelates") {
+    val f = ids(Sampling.hashSample(docs, "doc_id", 0.2))
+    val g = ids(Sampling.hashSample(docs, "doc_id", 0.6))
+    assert(f.subsetOf(g), "bucket predicate must nest")
+    val salted = ids(Sampling.hashSample(docs, "doc_id", 0.2, salt = "v2"))
+    assert(salted !== f, "different salt must pick a different subset")
+  }
+
+  test("hashSplit covers every row exactly once with ~weight fractions") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum === docs.count(), "every row gets exactly one label")
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel("train") > byLabel.getOrElse("val", 0L))
+    // weights are relative: (8,1,1) must equal (0.8,0.1,0.1)
+    val rel = Sampling.hashSplit(docs, "doc_id",
+      weights = Seq(8, 1, 1), labels = Seq("train", "val", "test"))
+    assert(rel.orderBy("doc_id").collect().toSeq === split.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("perKeyCap keeps the first k per key in order") {
+    val d = pointsDf((1L to 20L).map(i => (tp(i), i.toDouble)), metric = "a")
+      .unionByName(pointsDf((1L to 3L).map(i => (tp(i), -i.toDouble)), metric = "b"))
+    val capped = Sampling.perKeyCap(d, "metric", Seq(col("time")), k = 5)
+    val byKey = capped.groupBy("metric").agg(count(lit(1)).as("n"), max("time").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKey("a") === ((5L, tp(5))), "cap keeps the EARLIEST 5")
+    assert(byKey("b") === ((3L, tp(3))), "under-cap keys pass through whole")
+    // helper column name collides with nothing the caller owns
+    val withRn = d.withColumn("_rn", lit("keep"))
+    val cappedRn = Sampling.perKeyCap(withRn, "metric", Seq(col("time")), k = 5)
+    assert(cappedRn.columns.contains("_rn"))
+    assert(cappedRn.select("_rn").distinct().collect().map(_.getString(0)).toSeq === Seq("keep"))
+  }
+}
