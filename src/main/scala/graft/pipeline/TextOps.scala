@@ -89,6 +89,20 @@ object TextOps {
     *
     * Computed as 60 codegen'd conditional sums over one exploded token pass —
     * at scale this is one narrow map + one partial-aggregated groupBy(doc). */
+  /** Corpus vocabulary: token → total frequency (`tf`) and document
+    * frequency (`df`), top-k by (tf desc, token asc) — a TOTAL order, so
+    * the k-cut is deterministic. The input to tokenizer/BPE training and
+    * data-driven stopword lists. One token-groupBy shuffle with map-side
+    * partial aggregation; the result is vocabulary-sized (not corpus-
+    * sized) and the top-k runs as TakeOrdered, never a full global sort
+    * materialization. */
+  def vocabulary(docs: DataFrame, topK: Int, text: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col(text))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+
   def simhash(docs: DataFrame, text: String = "text", bits: Int = 60): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col(text))).as("tok"))
       .withColumn("h", md5Long(col("tok")))

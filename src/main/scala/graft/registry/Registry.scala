@@ -828,6 +828,17 @@ object Registry {
               |      FROM pts)
               |WHERE rn <= 50 ORDER BY metric, time""".stripMargin)),
 
+    // corpus vocabulary: the (tf desc, token) order is total, so the
+    // top-100 cut is deterministic in both engines
+    Entry("q41_vocabulary",
+      (s, d) => TextOps.vocabulary(docs(s, d), topK = 100),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |            FROM documents)
+             |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM tok GROUP BY token
+             |ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
+
     // ---- LLM pipeline: similarity search ----
     Entry("q19_ann_top5",
       (s, d) => {

@@ -52,6 +52,20 @@ class PipelineSpec extends SparkSpec {
       maxBucket = 1).count() === 0)
   }
 
+  test("vocabulary is a deterministic top-k with df <= tf and monotone counts") {
+    val k = 10
+    val v1 = TextOps.vocabulary(docs, topK = k).collect()
+    val v2 = TextOps.vocabulary(docs, topK = k).collect()
+    assert(v1.toSeq === v2.toSeq, "top-k must be deterministic (total order)")
+    assert(v1.length === k, "synthetic corpus has more than k distinct tokens")
+    val tfs = v1.map(_.getAs[Long]("tf"))
+    assert(tfs.sameElements(tfs.sorted(Ordering[Long].reverse)), "sorted by tf desc")
+    assert(v1.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")))
+    // the top-k is a prefix of a larger top-k (the order is total)
+    val wide = TextOps.vocabulary(docs, topK = 3 * k).collect()
+    assert(wide.take(k).toSeq === v1.toSeq)
+  }
+
   test("ANN LSH top-k hits are a subset of brute-force with decent recall") {
     val queries = emb.where(col("vec_id") < 10)
     val brute = Ann.bruteForceTopK(queries, emb, 5)
