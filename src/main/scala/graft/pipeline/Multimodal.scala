@@ -48,11 +48,15 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("mime", StringType))))))
 
-  /** Real image decode via the JDK's ImageIO. None for undecodable bytes
-    * (ImageIO returns null when no registered reader matches). */
-  private[pipeline] def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+  /** Real image decode via the JDK's ImageIO. None for undecodable bytes —
+    * ImageIO returns null when no registered reader matches, and its
+    * plugins throw RuntimeExceptions (not just IOException) on corrupt
+    * JPEG/PNG structures, so the catch is deliberately wide: untrusted
+    * corpus bytes must degrade to the stub, never kill the task. */
+  private[pipeline] def decodeImage(bytes: Array[Byte], off: Int = 0, len: Int = -1): Option[BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes, off, if (len < 0) bytes.length - off else len)))
+    catch { case _: Exception => None }
 
   /** Image features: `dim`-bin luminance histogram, normalized by pixel
     * count. Integer luminance (BT.601 weights ×1000) keeps the binning
@@ -236,9 +240,13 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
     viaImageIO.orElse(
-      parseAvi(bytes).map { case (w, h, frames) =>
-        frames.indices.flatMap(i => decodeAviPayload(frames(i), w, h))
-      }.filter(_.nonEmpty))
+      try parseAvi(bytes).map { case (w, h, frames) =>
+        // undecodable frames are skipped: histogram pooling tolerates gaps
+        // (per-INDEX access is decodeVideoFrame, which keys on container
+        // frame numbers — the contract sampleFrames/framesToImages use)
+        frames.indices.flatMap(i => decodeAviPayload(bytes, frames(i), w, h))
+      }.filter(_.nonEmpty)
+      catch { case _: Exception => None })
   }
 
   /** Single-frame variant for [[framesToImages]]: decodes only frame `idx`
@@ -262,8 +270,9 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
     viaImageIO.orElse(
-      parseAvi(bytes).filter(t => idx >= 0 && idx < t._3.length)
-        .flatMap { case (w, h, frames) => decodeAviPayload(frames(idx), w, h) })
+      try parseAvi(bytes).filter(t => idx >= 0 && idx < t._3.length)
+        .flatMap { case (w, h, frames) => decodeAviPayload(bytes, frames(idx), w, h) }
+      catch { case _: Exception => None })
   }
 
   // ---------------- RIFF/AVI container (pure JDK, no ImageIO plugin) -----
@@ -280,59 +289,70 @@ object Multimodal {
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
-  /** Walk the RIFF tree: returns (width, height, frame payloads in stream
-    * order, each tagged compressed=true for '00dc'/MJPEG). None unless the
-    * bytes are an AVI with a 'strf' BITMAPINFOHEADER and ≥1 frame chunk. */
+  /** Walk the RIFF tree: returns (width, height, frame payload slices
+    * `(offset, length, compressed)` in stream order — slices, not copies,
+    * so single-frame decode never materializes the other payloads). The
+    * BITMAPINFOHEADER is taken only from the 'strf' that FOLLOWS a 'vids'
+    * stream header (an audio stream's 40-byte WAVEFORMATEXTENSIBLE strf
+    * must not clobber the video dimensions), and list recursion is
+    * depth-bounded (real AVIs nest ~3 deep; adversarial nesting must not
+    * overflow the stack). None unless the bytes are an AVI with video
+    * dimensions and ≥1 frame chunk. */
   private[pipeline] def parseAvi(
-      bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[(Array[Byte], Boolean)])] =
+      bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[(Int, Int, Boolean)])] =
     try {
       if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") None
       else {
         var w = 0; var h = 0
-        val frames = IndexedSeq.newBuilder[(Array[Byte], Boolean)]
-        def walk(from: Int, to: Int): Unit = {
+        var inVids = false
+        val frames = IndexedSeq.newBuilder[(Int, Int, Boolean)]
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          if (depth > 16) return
           var p = from
           while (p + 8 <= to) {
             val id = fourcc(bytes, p)
             val sz = le32(bytes, p + 4)
             if (sz < 0 || p + 8 + sz > to) return // torn chunk: stop, keep parsed frames
-            if (id == "LIST") walk(p + 12, p + 8 + sz) // skip the list-type fourcc
-            else if (id == "strf" && sz >= 40) { w = le32(bytes, p + 8 + 4); h = le32(bytes, p + 8 + 8) }
+            if (id == "LIST") walk(p + 12, p + 8 + sz, depth + 1) // skip the list-type fourcc
+            else if (id == "strh" && sz >= 4) inVids = fourcc(bytes, p + 8) == "vids"
+            else if (id == "strf" && sz >= 40 && inVids && w == 0) {
+              w = le32(bytes, p + 8 + 4); h = le32(bytes, p + 8 + 8)
+            }
             else if (id.endsWith("db") || id.endsWith("dc")) {
-              if (sz > 0)
-                frames += ((java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz), id.endsWith("dc")))
+              if (sz > 0) frames += ((p + 8, sz, id.endsWith("dc")))
             }
             p += 8 + sz + (sz & 1) // chunks are word-aligned
           }
         }
-        walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))
+        walk(12, math.min(bytes.length, 8 + le32(bytes, 4)), 0)
         val fs = frames.result()
         if (w > 0 && h != 0 && fs.nonEmpty) Some((w, h, fs)) else None
       }
     } catch { case _: Exception => None }
 
-  /** One AVI frame payload → image: MJPEG via ImageIO, DIB as 24-bit BGR
-    * rows padded to 4 bytes (BI_RGB layout; positive biHeight = bottom-up
-    * rows, negative = top-down). */
-  private def decodeAviPayload(frame: (Array[Byte], Boolean), w: Int, h: Int): Option[BufferedImage] = {
-    val (data, compressed) = frame
-    if (compressed) decodeImage(data)
+  /** One AVI frame payload slice → image: MJPEG via ImageIO (reading the
+    * slice in place), DIB as 24-bit BGR rows padded to 4 bytes (BI_RGB
+    * layout; positive biHeight = bottom-up rows, negative = top-down). */
+  private def decodeAviPayload(bytes: Array[Byte], frame: (Int, Int, Boolean),
+                               w: Int, h: Int): Option[BufferedImage] = {
+    val (off, len, compressed) = frame
+    if (compressed) decodeImage(bytes, off, len)
     else {
       val hh = math.abs(h)
       val stride = (w * 3 + 3) & ~3
       // Long arithmetic + dimension bound: a crafted strf with a huge width
       // must not overflow the size check into an out-of-bounds rasterize
       if (w <= 0 || hh <= 0 || w > 32768 || hh > 32768 ||
-          data.length < stride.toLong * hh) None
+          len.toLong < stride.toLong * hh) None
       else {
         val img = new BufferedImage(w, hh, BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < hh) {
-          val row = (if (h > 0) hh - 1 - y else y) * stride
+          val row = off + (if (h > 0) hh - 1 - y else y) * stride
           var x = 0
           while (x < w) {
             val o = row + 3 * x
-            img.setRGB(x, y, ((data(o + 2) & 0xff) << 16) | ((data(o + 1) & 0xff) << 8) | (data(o) & 0xff))
+            img.setRGB(x, y, ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff))
             x += 1
           }
           y += 1
@@ -348,6 +368,7 @@ object Multimodal {
     * one complete JPEG per frame ('00dc', ImageIO-encoded). */
   private[pipeline] def encodeAvi(frames: Seq[BufferedImage], fps: Int,
                                   mjpeg: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAvi: at least one frame required")
     val w = frames.head.getWidth; val h = frames.head.getHeight
     val bos = new java.io.ByteArrayOutputStream()
     def le(v: Int): Array[Byte] =

@@ -24,9 +24,14 @@ object Sampling {
   private val Buckets = 1000000L
 
   /** Uniform bucket in [0, 1e6) derived from the key column (+ salt so
-    * independent samples decorrelate: different salt → different subset). */
+    * independent samples decorrelate: different salt → different subset).
+    * A NULL key hashes as the empty string — deterministic and CONSISTENT
+    * across [[hashSample]] and [[hashSplit]] (a null bucket would otherwise
+    * fail every comparison: silently dropped by sample, pushed into the
+    * last split label by split). */
   def hashBucket(key: Column, salt: String = ""): Column =
-    pmod(TextOps.md5Long(concat(key.cast("string"), lit(salt))), lit(Buckets))
+    pmod(TextOps.md5Long(concat(coalesce(key.cast("string"), lit("")), lit(salt))),
+      lit(Buckets))
 
   /** Keep rows whose key hashes under `fraction`: a deterministic,
     * repartition-stable Bernoulli sample over KEYS (all rows of one key are

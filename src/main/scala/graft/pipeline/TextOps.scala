@@ -82,13 +82,6 @@ object TextOps {
           .otherwise("fr"))
   }
 
-  /** 60-bit SimHash over the document's token multiset (Charikar 2002,
-    * "Similarity estimation techniques from rounding algorithms"):
-    * bit j of the fingerprint is 1 iff sum over tokens of ±1 (sign of bit j
-    * of the token hash) is positive.
-    *
-    * Computed as 60 codegen'd conditional sums over one exploded token pass —
-    * at scale this is one narrow map + one partial-aggregated groupBy(doc). */
   /** Corpus vocabulary: token → total frequency (`tf`) and document
     * frequency (`df`), top-k by (tf desc, token asc) — a TOTAL order, so
     * the k-cut is deterministic. The input to tokenizer/BPE training and
@@ -103,6 +96,13 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
 
+  /** 60-bit SimHash over the document's token multiset (Charikar 2002,
+    * "Similarity estimation techniques from rounding algorithms"):
+    * bit j of the fingerprint is 1 iff sum over tokens of ±1 (sign of bit j
+    * of the token hash) is positive.
+    *
+    * Computed as 60 codegen'd conditional sums over one exploded token pass —
+    * at scale this is one narrow map + one partial-aggregated groupBy(doc). */
   def simhash(docs: DataFrame, text: String = "text", bits: Int = 60): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col(text))).as("tok"))
       .withColumn("h", md5Long(col("tok")))

@@ -278,6 +278,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got.get._2 === want)
   }
 
+  test("AVI parser survives adversarial structures (nesting, audio strf, corrupt JPEG)") {
+    def le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 5000-deep nested LISTs: recursion must be depth-bounded, not StackOverflow
+    val depth = 5000
+    val inner = Array.fill[Byte](4)(0)
+    val nested = (0 until depth).foldLeft(inner) { (body, _) =>
+      "LIST".getBytes("US-ASCII") ++ le(body.length + 4) ++ "xxxx".getBytes("US-ASCII") ++ body
+    }
+    val bomb = "RIFF".getBytes("US-ASCII") ++ le(nested.length + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ nested
+    assert(Multimodal.decodeVideoFrames(bomb).isEmpty) // no frames, no crash
+
+    // an audio stream's 40-byte strf after the video strl must NOT clobber
+    // the video dimensions (regression: last-strf-wins)
+    val frames = (0 until 3).map(f => patternFrame(6L, f))
+    val avi = Multimodal.encodeAvi(frames, fps = 10)
+    val audioStrl = "strh".getBytes("US-ASCII") ++ le(8) ++
+      "auds".getBytes("US-ASCII") ++ "    ".getBytes("US-ASCII") ++
+      "strf".getBytes("US-ASCII") ++ le(40) ++ le(1) ++ le(1) ++ le(48000) ++ le(96000) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val body = avi.drop(8) ++ audioStrl
+    val mixed = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+    val got = Multimodal.decodeVideoFrames(mixed)
+    assert(got.isDefined && got.get.length === 3)
+    assert(pixels(got.get(0)) === pixels(frames(0)), "video dims must survive the audio strf")
+
+    // corrupt MJPEG payload: the bad frame degrades, nothing throws
+    val mj = Multimodal.encodeAvi(frames, fps = 10, mjpeg = true)
+    val corrupt = mj.clone()
+    val mid = corrupt.length / 2
+    for (i <- mid until math.min(mid + 40, corrupt.length)) corrupt(i) = 0x7f
+    Multimodal.decodeVideoFrames(corrupt) // must not throw
+    Multimodal.decodeVideoFrame(corrupt, 1)
+  }
+
   test("video decoders never throw on arbitrary or truncated bytes (fuzz)") {
     val rnd = new scala.util.Random(42)
     for (i <- 0 until 300) {

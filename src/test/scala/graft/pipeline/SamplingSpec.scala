@@ -47,6 +47,24 @@ class SamplingSpec extends SparkSpec {
     assert(rel.orderBy("doc_id").collect().toSeq === split.orderBy("doc_id").collect().toSeq)
   }
 
+  test("null keys hash deterministically and consistently across sample and split") {
+    val s = spark
+    val withNull = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L)),
+        org.apache.spark.sql.Row(null.asInstanceOf[java.lang.Long])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    // full-fraction sample keeps EVERY row, null key included
+    assert(Sampling.hashSample(withNull, "doc_id", 1.0).count() === 2)
+    // split labels every row, and the null row's label is stable
+    val sp = Sampling.hashSplit(withNull, "doc_id", Seq(0.5, 0.5), Seq("a", "b"))
+    assert(sp.count() === 2)
+    val nullLabel = sp.where(col("doc_id").isNull).select("split").collect()
+    assert(nullLabel.length === 1 && nullLabel(0).getString(0) != null)
+  }
+
   test("perKeyCap keeps the first k per key in order") {
     val d = pointsDf((1L to 20L).map(i => (tp(i), i.toDouble)), metric = "a")
       .unionByName(pointsDf((1L to 3L).map(i => (tp(i), -i.toDouble)), metric = "b"))
