@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Dedup, Multimodal, Sampling, TextOps}
+import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -827,6 +827,22 @@ object Registry {
               |        row_number() OVER (PARTITION BY metric ORDER BY time) AS rn
               |      FROM pts)
               |WHERE rn <= 50 ORDER BY metric, time""".stripMargin)),
+
+    // sequence packing: global prefix sum computed WITHOUT a global window
+    // (range partition + local windows + broadcast offsets); the result is
+    // partition-invariant, so the single-window SQL is an exact oracle
+    Entry("q42_pack_sequences",
+      (s, d) => Packing.packSequences(docs(s, d), budget = 512)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        sum(n_tokens) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+             |      FROM t)
+             |SELECT doc_id, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // corpus vocabulary: the (tf desc, token) order is total, so the
     // top-100 cut is deterministic in both engines

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Concat-and-chunk sequence packing: the distributed prefix sum must be
+  * partition-invariant and equal the single-threaded reference fold. */
+class PackingSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, t) => Row(Long.box(id), t) }: _*),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private def collectPack(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("packing equals the sequential reference fold (docs straddle boundaries)") {
+    // token counts 3,4,5,... against budget 7: several straddles
+    val d = docsDf((1L to 12L).map(i => i -> Seq.fill(2 + i.toInt)("w").mkString(" ")): _*)
+    val got = collectPack(Packing.packSequences(d, budget = 7))
+    var cum = 0L
+    val want = (1L to 12L).map { i =>
+      val n = 2 + i
+      val r = (i, n, cum / 7, cum % 7)
+      cum += n
+      r
+    }
+    assert(got === want)
+  }
+
+  test("result is partition-count invariant (the scalable prefix sum is exact)") {
+    val d = docsDf((1L to 200L).map(i => i -> Seq.fill(1 + (i % 13).toInt)("t").mkString(" ")): _*)
+    val one = collectPack(Packing.packSequences(d.coalesce(1), budget = 64))
+    val many = collectPack(Packing.packSequences(d.repartition(17), budget = 64))
+    assert(one === many)
+    // budget-multiple edge: a doc starting exactly at a cut has offset 0
+    assert(one.exists(_._4 == 0L))
+  }
+
+  test("empty input yields an empty, correctly-shaped result") {
+    val empty = docsDf()
+    val out = Packing.packSequences(empty, budget = 128)
+    assert(out.columns.toSeq === Seq("doc_id", "n_tokens", "seq_id", "seq_offset"))
+    assert(out.count() === 0)
+  }
+}
