@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for LLM training: concatenate documents in a
@@ -13,10 +12,11 @@ import org.apache.spark.sql.functions._
   * The core is a GLOBAL prefix sum over the corpus, computed WITHOUT a
   * global window (a single-partition window over 100 TB is the canonical
   * scale-killer): range-partition by the order key, run a PARTITION-LOCAL
-  * running sum (each window is bounded by a partition), collect one row per
+  * running sum as a narrow sorted mapPartitions fold, collect one row per
   * partition (the partition totals — #partitions rows, driver-bounded),
-  * prefix-sum those on the driver, and broadcast the offsets back. The
-  * result is partition-count-INVARIANT: the cumulative sum in key order is
+  * prefix-sum those on the driver, and broadcast the offsets back. ONE
+  * corpus shuffle total (the range partition). The result is
+  * partition-count-INVARIANT: the cumulative sum in key order is
   * well-defined no matter where the range boundaries fall (pinned by
   * PackingSpec).
   */
@@ -31,11 +31,28 @@ object Packing {
     require(budget > 0, s"budget $budget must be positive")
     val base = docs.select(col(key), nTokens(col(text)).as("n_tokens"))
       .repartitionByRange(col(key))
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy("_pid").orderBy(key)
-    val local = base.withColumn("_cum_local",
-      sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        - col("n_tokens"))
+      .sortWithinPartitions(key)
+    // Partition-local running sum as a NARROW mapPartitions, not a window:
+    // a Window over _pid would force Spark to re-shuffle the whole corpus
+    // by hashpartitioning(_pid) (it cannot see that range partitioning
+    // already isolates each partition id) — one full-corpus exchange for
+    // nothing. The fold below runs on the already-range-sorted partitions.
+    val outSchema = org.apache.spark.sql.types.StructType(base.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_cum_local",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val local = base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = 0L
+      it.map { r =>
+        val n = r.getLong(1)
+        val out = org.apache.spark.sql.Row(r.get(0), n, pid, cum)
+        cum += n
+        out
+      }
+    }(enc)
     // one row per partition; range partitions are ordered by key, so the
     // driver-side scan in pid order IS the global prefix
     val totals = local.groupBy("_pid").agg(sum("n_tokens").as("_total"))
