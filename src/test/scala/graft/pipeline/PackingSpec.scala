@@ -41,6 +41,12 @@ class PackingSpec extends SparkSpec {
     assert(one.exists(_._4 == 0L))
   }
 
+  test("null text packs as zero tokens instead of crashing") {
+    val d = docsDf(1L -> "a b c", 2L -> null, 3L -> "d e")
+    val got = collectPack(Packing.packSequences(d, budget = 4))
+    assert(got === Seq((1L, 3L, 0L, 0L), (2L, 0L, 0L, 3L), (3L, 2L, 0L, 3L)))
+  }
+
   test("empty input yields an empty, correctly-shaped result") {
     val empty = docsDf()
     val out = Packing.packSequences(empty, budget = 128)
