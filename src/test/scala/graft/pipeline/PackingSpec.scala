@@ -53,4 +53,34 @@ class PackingSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("doc_id", "n_tokens", "seq_id", "seq_offset"))
     assert(out.count() === 0)
   }
+
+  test("property: random corpora equal the sequential fold at random budgets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val genCase = for {
+      n <- Gen.choose(1, 120)
+      budget <- Gen.choose(1L, 40L)
+      sizes <- Gen.listOfN(n, Gen.choose(0, 25)) // incl. empty docs
+      parts <- Gen.choose(1, 9)
+    } yield (budget, sizes, parts)
+    for (seed <- 0L until 25L) {
+      val (budget, sizes, parts) = sample(genCase, seed)
+      val d = docsDf(sizes.zipWithIndex.map { case (sz, i) =>
+        (i + 1L) -> Seq.fill(sz)("w").mkString(" ")
+      }: _*)
+      val got = collectPack(Packing.packSequences(d.repartition(parts), budget))
+      var cum = 0L
+      val want = sizes.zipWithIndex.map { case (sz, i) =>
+        // a zero-word doc still tokenizes to one empty-string token ("" split
+        // by " " is [""]), matching DuckDB's string_split — mirror that here
+        val n = math.max(sz, 1).toLong
+        val r = ((i + 1L), n, cum / budget, cum % budget)
+        cum += n
+        r
+      }
+      assert(got === want, s"seed=$seed budget=$budget parts=$parts")
+    }
+  }
 }
