@@ -29,6 +29,21 @@ object Dedup {
       .select("doc_id", "content_hash", "group_size")
   }
 
+  /** STREAMING exact dedup: keep the first occurrence of each content hash,
+    * with state BOUNDED by the event-time watermark — the plain
+    * `dropDuplicates` alternative accumulates one state row per distinct
+    * document forever, which on an unbounded corpus stream is an OOM with a
+    * delay. Duplicates arriving within `delay` of the first copy are
+    * dropped; a re-arrival after the watermark evicted its hash passes
+    * through (the standard horizon trade — size the delay to the dedup
+    * window the pipeline needs, and run batch [[exactDupGroups]] over the
+    * landed corpus for the global pass). */
+  def streamingExactDedup(docs: DataFrame, eventTime: String, delay: String,
+                          text: String = "text"): DataFrame =
+    docs.withColumn("content_hash", md5(col(text)))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Word n-gram shingles, one row per DISTINCT (doc_id, gram) — the
     * exploded form every consumer actually needs. Built with posexplode +
     * lead windows (codegen'd) rather than per-element array lambdas

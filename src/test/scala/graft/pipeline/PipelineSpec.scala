@@ -127,6 +127,26 @@ class PipelineSpec extends SparkSpec {
     assert(Ann.lshCosinePairs(emb, -1.0, h = 4, dim = 64).count() > 0)
   }
 
+  test("streaming exact dedup keeps first copies, drops in-watermark duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val in = mem.toDF().toDF("doc_id", "t_sec", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(col("t_sec")))
+    val q = Dedup.streamingExactDedup(in, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      mem.addData((1L, 100L, "alpha"), (2L, 110L, "beta"), (3L, 120L, "alpha"))
+      q.processAllAvailable()
+      // duplicate of "alpha" in a later batch, still inside the watermark
+      mem.addData((4L, 130L, "alpha"), (5L, 140L, "gamma"))
+      q.processAllAvailable()
+      val got = s.table("streamdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L, 5L), "first copies pass, later duplicates drop")
+    } finally q.stop()
+  }
+
   test("exact dedup finds no duplicates in clean corpus, finds planted ones") {
     assert(Dedup.exactDupGroups(docs).count() === 0)
     val withDup = docs.select("doc_id", "text")
