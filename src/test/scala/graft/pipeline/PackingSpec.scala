@@ -54,6 +54,59 @@ class PackingSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("re-execution of the same plan is identical and nothing is pinned") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = docsDf((1L to 150L).map(i => i -> Seq.fill(1 + (i % 11).toInt)("t").mkString(" ")): _*)
+    val out = Packing.packSequences(d.repartition(7), budget = 32)
+    val first = collectPack(out)
+    // Nothing is persisted, so a second action re-executes the FULL lineage
+    // — including the bucket shuffle — against the pass-1 offsets captured
+    // at build time. This is exactly the cache-loss / task-retry scenario
+    // that broke the RangePartitioner-based design: it must be a no-op now
+    // because every row's bucket is a literal-driven function of its key.
+    val second = collectPack(out)
+    assert(first === second)
+    var cum = 0L
+    val want = (1L to 150L).map { i =>
+      val n = 1 + (i % 11)
+      val r = (i, n, cum / 32, cum % 32)
+      cum += n
+      r
+    }
+    assert(first === want)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, "packSequences must not pin any cache")
+  }
+
+  test("explicit numBuckets values all agree with the sequential fold") {
+    val sizes = (1L to 90L).map(i => (i * 7 % 13).toInt)
+    val d = docsDf(sizes.zipWithIndex.map { case (sz, i) =>
+      (i + 1L) -> Seq.fill(sz)("w").mkString(" ")
+    }: _*)
+    var cum = 0L
+    val want = sizes.zipWithIndex.map { case (sz, i) =>
+      val n = math.max(sz, 1).toLong
+      val r = ((i + 1L), n, cum / 10, cum % 10)
+      cum += n
+      r
+    }
+    for (k <- Seq(1, 2, 5, 13, 64)) {
+      val got = collectPack(Packing.packSequences(d.repartition(3), budget = 10, numBuckets = k))
+      assert(got === want, s"numBuckets=$k")
+    }
+  }
+
+  test("string keys pack in lexicographic order") {
+    val rows = Seq("b" -> "x y", "a" -> "x", "c" -> "x y z")
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, t) => Row(id, t) }: _*),
+      StructType(Seq(StructField("doc_id", StringType), StructField("text", StringType))))
+    val got = Packing.packSequences(d, budget = 4, key = "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("a", 1L, 0L, 0L), ("b", 2L, 0L, 1L), ("c", 3L, 0L, 3L)))
+  }
+
   test("property: random corpora equal the sequential fold at random budgets") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
