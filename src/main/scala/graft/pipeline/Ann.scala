@@ -87,9 +87,19 @@ object Ann {
   // Row/RDD form rather than Dataset[(Long, Array[Long])]: Product encoders
   // need runtime reflection that breaks under REPL/notebook classloaders,
   // and a library entry point can't assume an application one.
-  def cosinePairsFast(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairsFast(corpus: DataFrame, threshold: Double,
+                      maxExact: Long = 10000000L): DataFrame = {
     val spark = corpus.sparkSession
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+    // enforce the documented exact-tier cap BEFORE collecting: a silent
+    // driver-side materialization of an oversized corpus OOMs the driver;
+    // failing fast with the routing hint is the contract
+    val n = q.count()
+    require(n <= maxExact,
+      s"cosinePairsFast broadcasts the quantized corpus ($n vectors > cap " +
+        s"$maxExact): this exact tier is for corpora whose matrix fits an " +
+        "executor — route through Ann.lshCosinePairs (bucketed, never " +
+        "collected) instead, or raise maxExact deliberately")
     val all = q.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)

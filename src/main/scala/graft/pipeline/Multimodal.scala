@@ -77,6 +77,16 @@ object Multimodal {
       y += 1
     }
     val n = w.toLong * h
+    // INVARIANT (q36 oracle parity): the oracle recomputes c/n in DOUBLE and
+    // casts to float32, while this side divides in float — double rounding
+    // would diverge only if a true quotient c/n sat EXACTLY on a float
+    // midpoint, i.e. c/n = m/2^k with m odd needing k beyond float's 24-bit
+    // significand. That requires n's odd part to divide c exactly such that
+    // the reduced denominator is a power of two; any pixel count n whose odd
+    // part exceeds 1 and does not divide c keeps the quotient off every
+    // midpoint, so both rounding routes agree bit-for-bit. If this division
+    // or the histogram change, re-derive the argument (IMPLEMENTATION.md
+    // "closed-form oracle" note) or q36 fails at driver-verify time.
     counts.map(c => if (n == 0) 0f else c.toFloat / n)
   }
 
@@ -294,10 +304,11 @@ object Multimodal {
     * so single-frame decode never materializes the other payloads). The
     * BITMAPINFOHEADER is taken only from the 'strf' that FOLLOWS a 'vids'
     * stream header (an audio stream's 40-byte WAVEFORMATEXTENSIBLE strf
-    * must not clobber the video dimensions), and list recursion is
-    * depth-bounded (real AVIs nest ~3 deep; adversarial nesting must not
-    * overflow the stack). None unless the bytes are an AVI with video
-    * dimensions and ≥1 frame chunk. */
+    * must not clobber the video dimensions), frame chunks are taken only
+    * from THAT stream's number ('NNdb'/'NNdc' — a second stream must not
+    * interleave), and list recursion is depth-bounded (real AVIs nest ~3
+    * deep; adversarial nesting must not overflow the stack). None unless
+    * the bytes are an AVI with video dimensions and ≥1 frame chunk. */
   private[pipeline] def parseAvi(
       bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[(Int, Int, Boolean)])] =
     try {
@@ -305,6 +316,8 @@ object Multimodal {
       else {
         var w = 0; var h = 0
         var inVids = false
+        var nStreams = 0
+        var vidsIdx = -1 // stream number of the FIRST vids stream (strl order)
         val frames = IndexedSeq.newBuilder[(Int, Int, Boolean)]
         def walk(from: Int, to: Int, depth: Int): Unit = {
           if (depth > 16) return
@@ -314,12 +327,26 @@ object Multimodal {
             val sz = le32(bytes, p + 4)
             if (sz < 0 || p + 8 + sz > to) return // torn chunk: stop, keep parsed frames
             if (id == "LIST") walk(p + 12, p + 8 + sz, depth + 1) // skip the list-type fourcc
-            else if (id == "strh" && sz >= 4) inVids = fourcc(bytes, p + 8) == "vids"
+            else if (id == "strh" && sz >= 4) {
+              inVids = fourcc(bytes, p + 8) == "vids"
+              if (inVids && vidsIdx < 0) vidsIdx = nStreams
+              nStreams += 1
+            }
             else if (id == "strf" && sz >= 40 && inVids && w == 0) {
               w = le32(bytes, p + 8 + 4); h = le32(bytes, p + 8 + 8)
             }
             else if (id.endsWith("db") || id.endsWith("dc")) {
-              if (sz > 0) frames += ((p + 8, sz, id.endsWith("dc")))
+              // only the vids stream's payload chunks: ids are 'NNdb'/'NNdc'
+              // with NN the zero-based decimal stream number (strl order) —
+              // a second stream's frames (another video track, or a muxer
+              // quirk) must not interleave into the primary frame list,
+              // where same-sized foreign frames would pool into features
+              // and shift container frame indices
+              val sid =
+                if (id(0).isDigit && id(1).isDigit)
+                  (id(0) - '0') * 10 + (id(1) - '0')
+                else -1
+              if (sz > 0 && sid == vidsIdx) frames += ((p + 8, sz, id.endsWith("dc")))
             }
             p += 8 + sz + (sz & 1) // chunks are word-aligned
           }

@@ -39,7 +39,9 @@ object Sampling {
   def hashSample(df: DataFrame, key: String, fraction: Double,
                  salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
-    df.where(hashBucket(col(key), salt) < (fraction * Buckets).toLong)
+    // rint, not truncation: 0.3 * 1e6 is 299999.999… in binary floating
+    // point, and a .toLong cut of 299999 under-selects one bucket forever
+    df.where(hashBucket(col(key), salt) < math.rint(fraction * Buckets).toLong)
   }
 
   /** Assign every row a split label by hash range: `weights` are relative
@@ -52,9 +54,12 @@ object Sampling {
       "weights and labels must align")
     require(weights.forall(_ >= 0) && weights.sum > 0, "weights must be non-negative, sum > 0")
     val total = weights.sum
-    // integer cut points: cumulative weight scaled to the bucket space
+    // integer cut points: cumulative weight scaled to the bucket space;
+    // rint so intended integer boundaries are hit exactly whichever side of
+    // the integer the float product lands (truncation would shift a cut
+    // whose product rounds just under, e.g. 0.3 → 299999)
     val cuts = weights.scanLeft(0.0)(_ + _).tail
-      .map(c => (c / total * Buckets).toLong)
+      .map(c => math.rint(c / total * Buckets).toLong)
     val b = hashBucket(col(key), salt)
     val expr = labels.zip(cuts).reverse.foldLeft(lit(labels.last): Column) {
       case (acc, (label, cut)) => when(b < cut, lit(label)).otherwise(acc)

@@ -270,12 +270,19 @@ object Warehouse {
           f <- fs.listStatus(part.getPath)
           m <- bidName.findPrefixMatchOf(f.getPath.getName)
         } yield m.group(1)
-        for (bid <- bids.distinct)
-          require(
-            fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/$table/$bid")),
+        for (bid <- bids.distinct) {
+          // legacy fallback: pre-per-table stores marked LEVEL commits flat
+          // at _stream_commits/<bid> (see StreamIngest.publishBatch) — an
+          // upgraded store must not be refused as "uncommitted"
+          val committed =
+            fs.exists(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/$table/$bid")) ||
+              (table == "levels" &&
+                fs.isFile(new org.apache.hadoop.fs.Path(s"$root/_stream_commits/$bid")))
+          require(committed,
             s"compact: uncommitted streaming batch $bid in $table/ — restart the " +
               s"stream so it replays batch $bid (or remove the partial bid-$bid-* " +
               "files) before compacting")
+        }
       }
     }
   }

@@ -158,7 +158,13 @@ object StreamIngest {
     val fs = new Path(root)
       .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$root/_stream_commits/$table/$bid")
-    if (fs.exists(marker)) return
+    // pre-per-table stores wrote LEVEL markers flat at _stream_commits/<bid>
+    // (the raw sink, and with it the <table>/ namespacing, came later) —
+    // honor them so an old store keeps its replay suppression instead of
+    // duplicating every historical batch on the first restart after upgrade
+    if (fs.exists(marker) ||
+        (table == "levels" && fs.isFile(new Path(s"$root/_stream_commits/$bid"))))
+      return
     val staging = new Path(s"$root/_stream_staging/$table/bid=$bid")
     batch.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)

@@ -305,6 +305,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got.isDefined && got.get.length === 3)
     assert(pixels(got.get(0)) === pixels(frames(0)), "video dims must survive the audio strf")
 
+    // a SECOND stream's frame chunks ('01db' — e.g. another video track)
+    // must not interleave into the primary frame list even when their size
+    // matches a valid DIB frame (regression: any-stream-number match)
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    val stride = (w * 3 + 3) & ~3
+    val foreign = "01db".getBytes("US-ASCII") ++ le(stride * h) ++
+      Array.fill[Byte](stride * h)(0xff.toByte)
+    val body2 = avi.drop(8) ++ foreign
+    val twoStreams = "RIFF".getBytes("US-ASCII") ++ le(body2.length) ++ body2
+    val got2 = Multimodal.decodeVideoFrames(twoStreams)
+    assert(got2.isDefined && got2.get.length === 3,
+      "foreign-stream frames must be excluded from the frame list")
+    assert(pixels(got2.get(2)) === pixels(frames(2)))
+
     // corrupt MJPEG payload: the bad frame degrades, nothing throws
     val mj = Multimodal.encodeAvi(frames, fps = 10, mjpeg = true)
     val corrupt = mj.clone()

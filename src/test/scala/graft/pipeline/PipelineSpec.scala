@@ -110,6 +110,13 @@ class PipelineSpec extends SparkSpec {
     slow.zip(fast).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("cosinePairsFast refuses an oversized corpus with the LSH routing hint") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosinePairsFast(emb, 0.3, maxExact = 3)
+    }
+    assert(e.getMessage.contains("lshCosinePairs"))
+  }
+
   test("lshCosinePairs fast path is bit-identical to the expression reference") {
     val ref = Ann.lshCosinePairsExpr(emb, 0.3, h = 4, dim = 64)
       .orderBy("vid_a", "vid_b").collect()

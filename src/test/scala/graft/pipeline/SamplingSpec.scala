@@ -33,6 +33,17 @@ class SamplingSpec extends SparkSpec {
     assert(salted !== f, "different salt must pick a different subset")
   }
 
+  test("fraction cuts land on exact integer buckets (no truncation drift)") {
+    // 0.3 * 1e6 floats to 299999.999…: a truncated cut of 299999 would
+    // silently drop bucket 299999 from the sample and shift the split
+    val sampled = ids(Sampling.hashSample(docs, "doc_id", 0.3))
+    val exact = ids(docs.where(Sampling.hashBucket(col("doc_id")) < 300000L))
+    assert(sampled === exact)
+    val sp = Sampling.hashSplit(docs, "doc_id", Seq(0.3, 0.7), Seq("a", "b"))
+    assert(ids(sp.where(col("split") === "a")) === exact,
+      "split's first cut must be the same exact 300000-bucket boundary")
+  }
+
   test("hashSplit covers every row exactly once with ~weight fractions") {
     val split = Sampling.hashSplit(docs, "doc_id",
       weights = Seq(0.8, 0.1, 0.1), labels = Seq("train", "val", "test"))

@@ -96,6 +96,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/levels").count() === once + 3)
   }
 
+  test("legacy flat commit markers still suppress replay and satisfy compact") {
+    val root = tmpDir("legacymarker")
+    val rows = AggOps.levelBuild(fixtureDf, 10 * S).withColumn("interval", lit(10 * S))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a store written before per-table markers: publish, then move
+    // the marker to the old flat location _stream_commits/<bid>
+    StreamIngest.publishLevelBatch(rows, root, bid = 9L)
+    val once = spark.read.parquet(s"$root/levels").count()
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/_stream_commits/levels/9"),
+      new org.apache.hadoop.fs.Path(s"$root/_stream_commits/9")))
+    // replay with only the legacy marker present must stay a no-op
+    StreamIngest.publishLevelBatch(rows, root, bid = 9L)
+    assert(spark.read.parquet(s"$root/levels").count() === once,
+      "legacy marker must suppress the replay")
+    // and compact's uncommitted-publish guard must accept the legacy marker
+    fixtureDf.withColumn("tb", lit(0L)).write.partitionBy("tb").parquet(s"$root/raw")
+    graft.store.Warehouse.writeMetaPublic(meta, root, spark)
+    graft.store.Warehouse.compact(spark, root)
+    assert(spark.read.parquet(s"$root/levels").count() === once)
+  }
+
   test("publish crash-point matrix: every interrupted state converges on replay") {
     val root = tmpDir("crashmatrix")
     val rows = AggOps.levelBuild(fixtureDf, 10 * S).withColumn("interval", lit(10 * S))
