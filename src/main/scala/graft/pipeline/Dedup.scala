@@ -1,7 +1,21 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One (doc, band-bucket) membership row of the streaming LSH tier. */
+case class BucketDoc(band: Int, bkey: Long, doc_id: Long, ts: java.sql.Timestamp)
+
+/** Per-bucket streaming state: docs seen in the bucket (capped) and the
+  * latest event time, which anchors the state's eviction timeout. */
+case class LshBucketState(ids: List[Long], maxTs: Long)
+
+/** A near-dup candidate pair emitted by the streaming LSH tier. The same
+  * pair can surface from several bands (`band` says which) — downstream
+  * exact-set consumers dedup on (doc_a, doc_b), e.g. per micro-batch or
+  * with a watermark-bounded dropDuplicates. */
+case class CandidatePair(doc_a: Long, doc_b: Long, band: Int, ts: java.sql.Timestamp)
 
 /** Document deduplication for training-data pipelines.
   *
@@ -43,6 +57,124 @@ object Dedup {
     docs.withColumn("content_hash", md5(col(text)))
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Append `out` = MinHash signature of `text`, computed PER ROW —
+    * bit-identical to [[minhashSignatures]] over [[shingleHashRows]] (pinned
+    * by PipelineSpec) but needing no window and no aggregation, because one
+    * row already holds the whole document. This is what makes the signature
+    * computable inside a streaming micro-batch with no extra stateful
+    * operator.
+    *
+    * Built from higher-order array functions (interpreted, not codegen'd) —
+    * the right trade for streaming micro-batches; the batch pipeline keeps
+    * its codegen'd explode+window form for full-corpus passes. Each
+    * intermediate (tokens → token hashes → gram hashes → signature) is a
+    * SEPARATE projection column, which matters enormously for interpreted
+    * evaluation: inlined into one expression, the token-hash array is
+    * re-evaluated by every `element_at` of every gram of every one of the
+    * `numHashes` minima — O(numHashes · tokens²) md5 calls per document
+    * (measured: minutes for 500 small docs). Staged, each array is computed
+    * once per row and the lambdas only read attributes: O(tokens) md5 calls.
+    * Catalyst's CollapseProject keeps the stages apart because each helper
+    * is a non-cheap expression referenced more than once downstream. */
+  private[pipeline] def withRowSignature(df: DataFrame, text: String,
+                                         out: String, n: Int,
+                                         numHashes: Int): DataFrame = {
+    val taken = df.columns.toSeq :+ out
+    val tkN = Sessionize.freshName("_sig_tk", taken)
+    val thN = Sessionize.freshName("_sig_th", taken)
+    val hxN = Sessionize.freshName("_sig_hx", taken)
+    df.withColumn(tkN, TextOps.tokens(col(text)))
+      .withColumn(thN, transform(col(tkN), t => TextOps.md5Long(t)))
+      // gram hashes: same per-token md5 + positional rotate-XOR combine as
+      // shingleHashRows; docs shorter than n tokens hash their whole text
+      .withColumn(hxN,
+        when(size(col(tkN)) >= n,
+          transform(sequence(lit(0), size(col(tkN)) - n), i =>
+            pmod((0 until n).map(j =>
+              TextOps.rot60(element_at(col(thN), i + j + 1), (7 * j) % 60))
+              .reduce(_ bitwiseXOR _), lit(P))))
+          .otherwise(array(pmod(TextOps.md5Long(col(text)), lit(P)))))
+      .withColumn(out, array((0 until numHashes).map { k =>
+        val (a, b) = hashCoef(k)
+        array_min(transform(col(hxN), x => pmod(x * a + b, lit(P))))
+      }: _*))
+      .drop(tkN, thN, hxN)
+  }
+
+  /** STREAMING MinHash-LSH near-dup tier: incremental candidate pairs per
+    * micro-batch, with state BOUNDED by the event-time watermark (the same
+    * horizon contract as [[streamingExactDedup]]).
+    *
+    * Shape: the signature is a per-row projection ([[withRowSignature]] — no
+    * aggregation), bands explode to (band, bkey) membership rows, and ONE
+    * stateful operator keyed on the bucket holds the doc ids seen there.
+    * A new doc emits a pair with every doc already in its bucket; a
+    * replayed doc (same id re-delivered inside the horizon) emits nothing,
+    * so candidate output is stable under source replay. Bucket state is
+    * dropped once the watermark passes the bucket's last arrival + `delay`.
+    *
+    * Capacity contract vs batch [[lshCandidates]]: batch drops an over-cap
+    * bucket WHOLESALE (it sees the full bucket up front); a stream cannot
+    * retract, so this tier stops admitting docs once a bucket holds
+    * `maxBucket` ids — the first `maxBucket` arrivals keep their pairs.
+    * Below the cap the two tiers emit the same distinct (doc_a, doc_b)
+    * set on the same corpus (pinned by PipelineSpec). The same pair may
+    * arrive from several bands; dedup downstream on (doc_a, doc_b). */
+  def streamingNearDupCandidates(docs: DataFrame, eventTime: String,
+                                 delay: String, ngram: Int = 3,
+                                 numHashes: Int = 32, bands: Int = 16,
+                                 maxBucket: Int = 1000,
+                                 text: String = "text"): Dataset[CandidatePair] = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // watermark AFTER the projections: a cast/rename mints a new attribute
+    // without the event-time tag, which would strip the watermark the
+    // stateful operator below requires
+    val banded = withRowSignature(
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          col(eventTime).cast("timestamp").as("ts"), col(text)),
+        text, "sig", ngram, numHashes)
+      .select("doc_id", "ts", "sig")
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*))
+          .as(Seq("band", "bkey")))
+      .as[BucketDoc]
+    banded.groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[BucketDoc],
+         state: org.apache.spark.sql.streaming.GroupState[LshBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(LshBucketState(Nil, 0L))
+            var ids = st.ids
+            var seen = ids.toSet
+            var maxTs = st.maxTs
+            val out = List.newBuilder[CandidatePair]
+            // deterministic intra-batch order: micro-batch iterators are
+            // unordered, so sort by (ts, doc_id) before folding
+            for (d <- it.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))) {
+              maxTs = math.max(maxTs, d.ts.getTime)
+              if (!seen.contains(d.doc_id) && ids.size < maxBucket) {
+                for (o <- ids)
+                  out += CandidatePair(math.min(o, d.doc_id),
+                    math.max(o, d.doc_id), key._1, d.ts)
+                ids = d.doc_id :: ids
+                seen += d.doc_id
+              }
+            }
+            state.update(LshBucketState(ids, maxTs))
+            // evict once no doc inside the dedup horizon can still pair here
+            state.setTimeoutTimestamp(maxTs, delay)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Word n-gram shingles, one row per DISTINCT (doc_id, gram) — the
     * exploded form every consumer actually needs. Built with posexplode +

@@ -154,6 +154,52 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row minhash signature is bit-identical to the batch build") {
+    val batch = Dedup.minhashSignatures(Dedup.shingleHashRows(docs, distinct = false))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val perRow = Dedup.withRowSignature(docs.select("doc_id", "text"),
+        "text", "sig", 3, 32)
+      .select("doc_id", "sig")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(perRow === batch)
+  }
+
+  test("streaming near-dup candidates match batch LSH and are replay-stable") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchCands = Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingleHashRows(docs, distinct = false), 32),
+        bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCands.nonEmpty, "testdata should contain planted near-duplicates")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val in = mem.toDF().toDF("doc_id", "t_sec", "text")
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val q = Dedup.streamingNearDupCandidates(in, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("streamlsh").outputMode("append").start()
+    try {
+      // split the corpus across micro-batches: pairs whose docs arrive in
+      // DIFFERENT batches can only surface through the bucket state
+      val (first, second) = corpus.splitAt(corpus.length / 2)
+      mem.addData(first.map { case (id, t) => (id, 100L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.map { case (id, t) => (id, 200L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = s.table("streamlsh").select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchCands, "stream and batch candidate sets must agree")
+      // full corpus replay inside the horizon: already-seen docs emit nothing
+      val emitted = s.table("streamlsh").count()
+      mem.addData(corpus.map { case (id, t) => (id, 210L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(s.table("streamlsh").count() === emitted,
+        "replayed docs must not re-emit candidate pairs")
+    } finally q.stop()
+  }
+
   test("exact dedup finds no duplicates in clean corpus, finds planted ones") {
     assert(Dedup.exactDupGroups(docs).count() === 0)
     val withDup = docs.select("doc_id", "text")
