@@ -74,6 +74,13 @@ object PlanAudit {
       graft.pipeline.Dedup.simhashBandPairs(
         graft.pipeline.TextOps.simhash(docs)).explain("formatted")
     }
+    section("q43 persisted IVF probe (expect: PartitionFilters list_id IN (...) " +
+      "on the vectors scan — nprobe/nlist of the corpus read, broadcast query side)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val idx = Registry.ivfIndexFor(spark, sfDir)
+      graft.pipeline.Ann.ivfProbeTopK(emb.where(col("vec_id") < 3), idx,
+        k = 5, nprobe = 4).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -262,6 +262,100 @@ object Ann {
       .select("qid", "vid", "rnk", "cosine")
   }
 
+  // ======================= persisted IVF index ==========================
+
+  /** Handle to a persisted IVF index: the (tiny) coarse quantizer lives on
+    * the driver, the inverted lists stay on disk as a `list_id=`-partitioned
+    * parquet layout that probes read with partition pruning. */
+  final case class IvfIndex(root: String, centroids: Array[(Long, Array[Long])])
+
+  private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("list_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ce",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))))
+
+  /** Materialize the IVF index [[ivfTopK]] only documents:
+    *   `root/centroids/`        — (list_id, ce) parquet, nlist rows
+    *   `root/vectors/list_id=N/` — (vid, ve, vn) parquet, partitioned
+    * `partitionBy(list_id)` is the point: a probe turns into a
+    * partition-PRUNED scan of nprobe/nlist of the corpus (asserted by
+    * PipelineSpec/PlanAudit), the same layout discipline as the warehouse's
+    * `interval=` levels. Norms are precomputed at write time so probes do
+    * no corpus-side sqrt work. One assignment pass over the corpus, one
+    * shuffle into the list partitions — both linear. */
+  def writeIvfIndex(corpus: DataFrame, root: String, nlist: Int = 16,
+                    kmeansIters: Int = 3): IvfIndex = {
+    val spark = corpus.sparkSession
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
+      else ivfCentroids(corpus, nlist)
+    // list_id is the centroid's ARRAY INDEX (what ivfAssign emits), not the
+    // seed vector's vec_id
+    val cRows = cents.zipWithIndex.map { case ((_, v), i) =>
+      org.apache.spark.sql.Row(i.toLong, v.toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(cRows: _*), centroidSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    ivfAssign(corpus, cents)
+      .withColumn("vn", normQ(col("ve")))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$root/vectors")
+    IvfIndex(root, cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
+  }
+
+  /** Open a persisted index: only the nlist-row quantizer is read eagerly
+    * (it must sit on the driver to route probes); the inverted lists stay
+    * on disk until a probe prunes into them. */
+  def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   root: String): IvfIndex =
+    IvfIndex(root, spark.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1))
+
+  /** Top-k probe against a persisted index — same scoring/ranking contract
+    * as [[ivfTopK]] (bit-identical results for the same centroids, pinned by
+    * PipelineSpec). Queries are the SMALL side by contract (every ANN tier
+    * here broadcasts them), so probe-list selection runs on the driver and
+    * the vectors scan gets a LITERAL `list_id` IN-filter — static partition
+    * pruning visible in the plan, no runtime DPP dependence: the scan reads
+    * at most `nprobe × nqueries` of the nlist partitions. */
+  def ivfProbeTopK(queries: DataFrame, index: IvfIndex, k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val qs = queries.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cs = index.centroids
+    val probes = qs.flatMap { case (id, v) =>
+      cs.map { case (li, c) =>
+        var d = 0L; var kk = 0
+        while (kk < v.length) { val t = v(kk) - c(kk); d += t * t; kk += 1 }
+        (d, li)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map { case (_, li) => (id, v, li) }
+    }
+    // prune on the raw (partition-inferred int) column, then normalize type
+    val lists = probes.map(_._3.toInt).distinct.sorted
+    val vecs = spark.read.parquet(s"${index.root}/vectors")
+      .where(col("list_id").isin(lists: _*))
+      .withColumn("list_id", col("list_id").cast("long"))
+    val qRows = probes.map { case (id, v, li) =>
+      org.apache.spark.sql.Row(id, v.toSeq, li)
+    }
+    val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*),
+      org.apache.spark.sql.types.StructType(ivfAssignSchema.fields.toSeq.map {
+        f => f.copy(name = f.name match {
+          case "vid" => "qid"; case "ve" => "qe"; case other => other })
+      }))
+    val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
+    val scored = vecs.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
+      .withColumn("cosine",
+        dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "vid", "rnk", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * zero-mean int derived from md5(p:j) — reproducible without a RNG
     * (public so the DuckDB oracle can render the same planes). */

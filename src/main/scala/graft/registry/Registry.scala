@@ -120,6 +120,18 @@ object Registry {
         graft.model.Meta(5 * I1u, 500 * I1u, 10), s"/tmp/graft_wh_$digest")
     })
 
+  /** Persisted IVF index over the embeddings table (sampled centroids —
+    * kmeansIters=0 — so the q43 oracle can recompute the quantizer in SQL);
+    * written once per JVM per sfDir, like [[warehouseFor]]. */
+  private val ivfCache = scala.collection.concurrent.TrieMap[String, graft.pipeline.Ann.IvfIndex]()
+  def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
+    ivfCache.getOrElseUpdate(d, {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("ivf:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      graft.pipeline.Ann.writeIvfIndex(Tables.embeddings(s, d),
+        s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0)
+    })
+
   // ================= exact-integer HTA builders (Spark side) =============
 
   /** A2+A3+A4 — tumbling level build with exact integer outputs.
@@ -867,6 +879,50 @@ object Registry {
               |        CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
               |          / (q.n * v.n) AS cosine
               |      FROM nrm q JOIN nrm v ON q.vec_id < 3 AND v.vec_id != q.vec_id),
+              |r AS (SELECT qid, vid, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+              |      FROM p)
+              |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
+
+    // ---- persisted IVF index: write-once (memoized per sfDir), then a
+    //      partition-pruned probe. kmeansIters=0 → centroids are the first
+    //      nlist vectors by vec_id, which DuckDB can recompute, so the whole
+    //      assign→probe→rank path gets an exact SQL oracle; the kmeans
+    //      variant of the same probe plan is pinned Spark-vs-Spark in
+    //      PipelineSpec ----
+    Entry("q43_ivf_probe",
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.ivfProbeTopK(e.where(col("vec_id") < 3), ivfIndexFor(s, d),
+            k = 5, nprobe = 4)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $quantCte,
+              |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+              |           e AS ce
+              |         FROM nrm ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT vec_id, list_id FROM (
+              |          SELECT v.vec_id, c.list_id,
+              |            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |              list_sum(list_transform(list_zip(v.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |              c.list_id) AS rn
+              |          FROM nrm v, cent c)
+              |        WHERE rn = 1),
+              |probe AS (SELECT qid, list_id FROM (
+              |           SELECT q.vec_id AS qid, c.list_id,
+              |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |               list_sum(list_transform(list_zip(q.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |               c.list_id) AS rn
+              |           FROM nrm q, cent c WHERE q.vec_id < 3)
+              |         WHERE rn <= 4),
+              |p AS (SELECT pr.qid, a.vec_id AS vid,
+              |        CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |          / (q.n * v.n) AS cosine
+              |      FROM probe pr
+              |        JOIN asg a ON a.list_id = pr.list_id
+              |        JOIN nrm q ON q.vec_id = pr.qid
+              |        JOIN nrm v ON v.vec_id = a.vec_id
+              |      WHERE v.vec_id != pr.qid),
               |r AS (SELECT qid, vid, cosine,
               |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
               |      FROM p)

@@ -200,6 +200,32 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("persisted IVF index round-trips and probes with partition pruning") {
+    val root = tmpDir("ivf")
+    val idx = Ann.writeIvfIndex(emb, root, nlist = 16, kmeansIters = 3)
+    val queries = emb.where(col("vec_id") < 3)
+    val direct = Ann.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 4,
+        kmeansIters = 3)
+      .orderBy("qid", "rnk").collect()
+    assert(direct.nonEmpty)
+    val probe = Ann.ivfProbeTopK(queries, idx, k = 5, nprobe = 4)
+    assert(probe.orderBy("qid", "rnk").collect() === direct,
+      "persisted probe must equal the in-memory plan bit-for-bit")
+    // reopen from disk: quantizer and results survive the round-trip
+    val reopened = Ann.openIvfIndex(spark, root)
+    assert(reopened.centroids.map(_._1).toSeq === idx.centroids.map(_._1).toSeq)
+    assert(reopened.centroids.map(_._2.toSeq).toSeq ===
+      idx.centroids.map(_._2.toSeq).toSeq)
+    val probe2 = Ann.ivfProbeTopK(queries, reopened, k = 5, nprobe = 4)
+    assert(probe2.orderBy("qid", "rnk").collect() === direct)
+    // the probe scan must be partition-PRUNED to the probed lists — reading
+    // all nlist inverted lists would defeat the index
+    val plan = probe2.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"probe scan must show list_id partition pruning:\n$plan")
+  }
+
   test("exact dedup finds no duplicates in clean corpus, finds planted ones") {
     assert(Dedup.exactDupGroups(docs).count() === 0)
     val withDup = docs.select("doc_id", "text")
