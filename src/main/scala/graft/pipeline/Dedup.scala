@@ -310,6 +310,38 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
+  /** Benchmark decontamination: for every corpus document, count its
+    * distinct word n-grams that also occur anywhere in `benchmark` (the
+    * eval/test set a training corpus must not leak). Returns one row per
+    * corpus doc — (doc_id, n_grams, n_overlap, contam_frac, contaminated) —
+    * so the caller can threshold (the common rule: drop on ANY shared
+    * 13-gram, or on contam_frac for shorter n).
+    *
+    * Shape at scale: grams are the 8-byte hashes of [[shingleHashRows]]
+    * (one md5 per token, distinct per doc); the benchmark's distinct gram
+    * set is BROADCAST — eval benchmarks are small by nature, and the
+    * corpus-side probe is then a map-side semi-join: ONE doc_id-keyed
+    * shuffle for the per-doc counts, the corpus never shuffles on gram.
+    * Docs shorter than n tokens fall back to their whole-text hash,
+    * mirroring the shingle pipeline. Counts are hash-invariant, so the
+    * DuckDB oracle counts textual grams (q15's argument). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    text: String = "text"): DataFrame = {
+    val corpusGrams = shingleHashRows(corpus, n, text)
+    val benchGrams = shingleHashRows(benchmark, n, text)
+      .select("gram").distinct()
+    val perDoc = corpusGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contam_frac",
+        col("n_overlap").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Exact Jaccard verification of candidate pairs against shingle sets. */
   def verifyJaccard(cands: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
     val a = shingled.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))

@@ -67,6 +67,32 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic mixture resampling: keep each row with a PER-GROUP
+    * fraction — the corpus-mixing step of training-data curation (down-weight
+    * an over-represented crawl source, up-weight books/code/wiki) expressed
+    * as one reproducible filter. `weights` maps group values (of `groupCol`)
+    * to keep-fractions in [0,1]; unlisted groups use `default`. Like every
+    * sampler here it keys on the content hash of `key`, never `rand()`:
+    * repartition-stable, refresh-stable, and a row's fate is independent of
+    * every other row. A pure narrow codegen'd filter — no shuffle, and the
+    * group→cut mapping folds into the scan as a literal `when`-chain
+    * (weights tables are small by nature; a million-entry mixture belongs in
+    * a broadcast join, not a literal plan). */
+  def mixtureSample(df: DataFrame, groupCol: String, key: String,
+                    weights: Map[String, Double], default: Double = 1.0,
+                    salt: String = ""): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1),
+      "mixture fractions must lie in [0,1]")
+    // rint for the same exact-integer-cut reason as hashSample
+    val cut = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.rint(default * Buckets).toLong): Column) {
+        case (acc, (g, w)) =>
+          when(col(groupCol) === g, lit(math.rint(w * Buckets).toLong))
+            .otherwise(acc)
+      }
+    df.where(hashBucket(col(key), salt) < cut)
+  }
+
   /** Per-key quota: keep at most `k` rows per key, the first `k` by
     * `order` with a deterministic total order (ties broken by the tie
     * columns — pass a unique id for bit-reproducibility). The classic

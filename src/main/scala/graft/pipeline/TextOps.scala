@@ -96,6 +96,66 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1.3, the
+    * published repetition filters): per document,
+    *   - `top_token_cnt` / `top_token_frac`  — occurrences of the most
+    *     frequent token, and its fraction of all tokens;
+    *   - `top_bigram_cnt` / `top_bigram_frac` — same for word 2-grams
+    *     (fraction of the n-1 bigram instances; NULL when n < 2);
+    *   - `dup_trigram_cnt` / `dup_trigram_frac` — trigram instances whose
+    *     trigram occurs ≥ 2 times in the doc, over the n-2 instances
+    *     (NULL when n < 3).
+    * High values flag boilerplate/spam for corpus filtering.
+    *
+    * Shape at scale: ONE pos-exploded pass builds token/bigram/trigram
+    * hashes off the same lead window (tokens md5-hashed once; gram keys are
+    * 8-byte rot-XOR combines, never strings), the three gram kinds union
+    * into one (doc, kind, gram) groupBy, and a final doc-keyed aggregate
+    * picks maxima — three doc-scoped shuffles total, all map-side combined,
+    * no partition ever wider than one document's gram set. Counts are
+    * hash-invariant (injective-enough 60-bit grams), so the DuckDB oracle
+    * counts TEXTUAL grams and must agree exactly — q15's argument. */
+  def repetitionStats(docs: DataFrame, text: String = "text"): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = docs.select(col("doc_id"), size(tokens(col(text))).as("n"),
+        posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .withColumn("th", md5Long(col("tok")))
+      // leads materialize BEFORE the explode below — window functions are
+      // not allowed inside a generator expression
+      .withColumn("th1", lead(col("th"), 1).over(win))
+      .withColumn("th2", lead(col("th"), 2).over(win))
+    def gram(hs: Seq[Column]): Column =
+      hs.zipWithIndex.map { case (h, i) => rot60(h, (7 * i) % 60) }
+        .reduce(_ bitwiseXOR _)
+    val grams = tok
+      .select(col("doc_id"), col("n"), explode(array(
+        struct(lit(0).as("kind"), col("th").as("g")),
+        struct(lit(1).as("kind"),
+          when(col("pos") <= col("n") - 2,
+            gram(Seq(col("th"), col("th1")))).as("g")),
+        struct(lit(2).as("kind"),
+          when(col("pos") <= col("n") - 3,
+            gram(Seq(col("th"), col("th1"), col("th2")))).as("g")))).as("kg"))
+      .select(col("doc_id"), col("n"), col("kg.kind").as("kind"), col("kg.g").as("g"))
+      .where(col("g").isNotNull)
+    val counts = grams.groupBy("doc_id", "n", "kind", "g")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id", "n")
+      .agg(
+        max(when(col("kind") === 0, col("c"))).as("top_token_cnt"),
+        max(when(col("kind") === 1, col("c"))).as("top_bigram_cnt"),
+        coalesce(sum(when(col("kind") === 2 && col("c") >= 2, col("c"))), lit(0L))
+          .as("dup_trigram_cnt"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("top_token_cnt"), col("top_bigram_cnt"), col("dup_trigram_cnt"),
+        (col("top_token_cnt").cast("double") / col("n")).as("top_token_frac"),
+        (col("top_bigram_cnt").cast("double") / (col("n") - 1))
+          .as("top_bigram_frac"),
+        when(col("n") >= 3, col("dup_trigram_cnt").cast("double") / (col("n") - 2))
+          .as("dup_trigram_frac"))
+  }
+
   /** 60-bit SimHash over the document's token multiset (Charikar 2002,
     * "Similarity estimation techniques from rounding algorithms"):
     * bit j of the fingerprint is 1 iff sum over tokens of ±1 (sign of bit j

@@ -867,6 +867,78 @@ object Registry {
              |FROM tok GROUP BY token
              |ORDER BY tf DESC, token LIMIT 100""".stripMargin)),
 
+    // ---- Gopher-style repetition quality signals: Spark counts 60-bit
+    //      gram hashes, the oracle counts textual grams — counts agree by
+    //      gram-hash injectivity (q15's argument) ----
+    Entry("q44_repetition",
+      (s, d) => TextOps.repetitionStats(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |t AS (SELECT doc_id, unnest(s) AS g FROM d),
+             |b AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+             |      FROM d WHERE len(s) >= 2),
+             |tr AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]) AS g
+             |       FROM d WHERE len(s) >= 3),
+             |tc AS (SELECT doc_id, max(c) AS top_token_cnt
+             |       FROM (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1),
+             |bc AS (SELECT doc_id, max(c) AS top_bigram_cnt
+             |       FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1),
+             |dc AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+             |       FROM (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2) GROUP BY 1)
+             |SELECT d.doc_id, CAST(len(d.s) AS BIGINT) AS n_tokens,
+             |  tc.top_token_cnt, bc.top_bigram_cnt,
+             |  CAST(coalesce(dc.dup3, 0) AS BIGINT) AS dup_trigram_cnt,
+             |  CAST(tc.top_token_cnt AS DOUBLE) / len(d.s) AS top_token_frac,
+             |  CAST(bc.top_bigram_cnt AS DOUBLE) / (len(d.s) - 1) AS top_bigram_frac,
+             |  CASE WHEN len(d.s) >= 3
+             |    THEN CAST(coalesce(dc.dup3, 0) AS DOUBLE) / (len(d.s) - 2) END AS dup_trigram_frac
+             |FROM d LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+             |  LEFT JOIN dc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic mixture resampling: per-source keep fractions over
+    //      the same md5 bucket arithmetic as q39 ----
+    Entry("q45_mixture_sample",
+      (s, d) => Sampling.mixtureSample(docs(s, d).select("doc_id", "source"),
+          "source", "doc_id", Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source
+             |FROM (SELECT doc_id, source,
+             |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |          % 1000000 AS b
+             |      FROM documents)
+             |WHERE b < CASE source WHEN 'src0' THEN 500000
+             |                      WHEN 'src1' THEN 250000 ELSE 100000 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- benchmark decontamination: corpus docs sharing any 8-gram with
+    //      the benchmark subset (doc_id % 11 = 0); Spark joins broadcast
+    //      gram hashes, the oracle joins textual grams ----
+    Entry("q46_decontaminate",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.decontaminate(
+            all.where(pmod(col("doc_id"), lit(11)) =!= 0),
+            all.where(pmod(col("doc_id"), lit(11)) === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+             |g8 AS (SELECT doc_id, CASE WHEN len(s) >= 8
+             |         THEN list_distinct([s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]
+             |                             for i in range(1, len(s)-6)])
+             |         ELSE [text] END AS st
+             |       FROM d),
+             |bench AS (SELECT DISTINCT unnest(st) AS g FROM g8 WHERE doc_id % 11 = 0),
+             |corp AS (SELECT doc_id, st FROM g8 WHERE doc_id % 11 != 0),
+             |cg AS (SELECT doc_id, unnest(st) AS g FROM corp),
+             |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             |         FROM cg JOIN bench USING (g) GROUP BY 1)
+             |SELECT c.doc_id, CAST(len(c.st) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+             |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(c.st) AS contam_frac,
+             |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+             |FROM corp c LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- LLM pipeline: similarity search ----
     Entry("q19_ann_top5",
       (s, d) => {

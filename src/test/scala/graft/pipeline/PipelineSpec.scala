@@ -242,6 +242,55 @@ class PipelineSpec extends SparkSpec {
       r.getAs[Double]("uniq_ratio") <= 1.0))
   }
 
+  test("repetition stats match hand-computed values on crafted docs") {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      // "a b a b a": tokens a×3 b×2; bigrams (a b)×2 (b a)×2; trigrams
+      // (a b a)×2 (b a b)×1 → dup instances 2
+      (1L, "a b a b a"),
+      // all-distinct: top token 1, top bigram 1, no dup trigrams
+      (2L, "p q r s t"),
+      // two tokens: trigram row must be NULL-fraction, not a crash
+      (3L, "x x")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(crafted).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") === 5)
+    assert(r(0).getAs[Long]("top_token_cnt") === 3)
+    assert(r(0).getAs[Long]("top_bigram_cnt") === 2)
+    assert(r(0).getAs[Long]("dup_trigram_cnt") === 2)
+    assert(r(0).getAs[Double]("top_token_frac") === 3.0 / 5)
+    assert(r(0).getAs[Double]("top_bigram_frac") === 2.0 / 4)
+    assert(r(0).getAs[Double]("dup_trigram_frac") === 2.0 / 3)
+    assert(r(1).getAs[Long]("top_token_cnt") === 1)
+    assert(r(1).getAs[Long]("dup_trigram_cnt") === 0)
+    assert(r(2).getAs[Long]("top_token_cnt") === 2)
+    assert(r(2).getAs[Long]("top_bigram_cnt") === 1)
+    assert(r(2).isNullAt(r(2).fieldIndex("dup_trigram_frac")))
+  }
+
+  test("decontamination flags planted benchmark overlap and nothing else") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // shares the 8-gram w2..w9
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), // disjoint
+      (3L, "short doc")).toDF("doc_id", "text") // whole-text fallback, clean
+    val bench = Seq(
+      (100L, "v0 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, bench, n = 8)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Boolean]("contaminated")).toSeq ===
+      Seq(true, false, false))
+    assert(r(0).getAs[Long]("n_overlap") === 1)
+    assert(r(0).getAs[Long]("n_grams") === 3)
+    assert(r(0).getAs[Double]("contam_frac") === 1.0 / 3)
+    // whole-text fallback doc matches itself when planted into the benchmark
+    val r2 = Dedup.decontaminate(corpus, corpus.where(col("doc_id") === 3), n = 8)
+      .orderBy("doc_id").collect()
+    assert(r2.map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("contaminated")))
+      .toSeq === Seq((1L, false), (2L, false), (3L, true)))
+  }
+
   test("fingerprints are deterministic across evaluations") {
     val f1 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()

@@ -76,6 +76,24 @@ class SamplingSpec extends SparkSpec {
     assert(nullLabel.length === 1 && nullLabel(0).getString(0) != null)
   }
 
+  test("mixtureSample applies per-group fractions consistently with hashSample") {
+    val w = Map("src0" -> 0.5, "src1" -> 0.0)
+    val kept = Sampling.mixtureSample(docs, "source", "doc_id", w, default = 1.0)
+    // weight 0 drops the whole group; weight 1 (default) keeps whole groups
+    assert(kept.where(col("source") === "src1").count() === 0)
+    val othersIn = docs.where(col("source") =!= "src0" && col("source") =!= "src1")
+    assert(kept.where(col("source") =!= "src0" && col("source") =!= "src1").count()
+      === othersIn.count())
+    // a group's fraction selects EXACTLY the docs hashSample at that
+    // fraction would: mixing never re-rolls the per-doc bucket
+    val src0 = docs.where(col("source") === "src0")
+    assert(ids(kept.where(col("source") === "src0"))
+      === ids(Sampling.hashSample(src0, "doc_id", 0.5)))
+    // deterministic and repartition-stable like every sampler here
+    assert(ids(kept) === ids(Sampling.mixtureSample(docs.repartition(17),
+      "source", "doc_id", w, default = 1.0)))
+  }
+
   test("perKeyCap keeps the first k per key in order") {
     val d = pointsDf((1L to 20L).map(i => (tp(i), i.toDouble)), metric = "a")
       .unionByName(pointsDf((1L to 3L).map(i => (tp(i), -i.toDouble)), metric = "b"))
