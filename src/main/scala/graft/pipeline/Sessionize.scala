@@ -42,6 +42,30 @@ object Sessionize {
       .drop(flag)
   }
 
+  /** STREAMING sessionization: one row per CLOSED session, emitted once the
+    * event-time watermark passes the session's end + gap — Spark's native
+    * `session_window` state store does the merging, so state is bounded by
+    * open sessions inside the watermark horizon, never total history.
+    *
+    * `time` must be a timestamp column; `gap`/`delay` are duration strings.
+    * Boundary semantics vs batch [[sessionize]]: the batch rule keeps a gap
+    * EQUAL to gapNs in one session (`<=`), while `session_window`'s
+    * half-open interval starts a new session at exactly `gap` — on
+    * microsecond-precision data, `gap = gapNs + 1 microsecond` makes the
+    * tiers agree exactly (pinned by SessionizeSpec). */
+  def streamingSessionize(df: DataFrame, key: String, time: String,
+                          gap: String, delay: String,
+                          aggs: Seq[Column] = Nil): DataFrame = {
+    val all = Seq(
+      min(col(time)).as("session_start"),
+      max(col(time)).as("session_end"),
+      count(lit(1)).as("n_events")) ++ aggs
+    df.withWatermark(time, delay)
+      .groupBy(col(key), session_window(col(time), gap))
+      .agg(all.head, all.tail: _*)
+      .drop("session_window")
+  }
+
   /** One row per session: (key, session_start, session_end, n_events,
     * custom aggregates…). */
   def sessionize(df: DataFrame, key: String, time: String, gapNs: Long,

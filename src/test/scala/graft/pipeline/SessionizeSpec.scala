@@ -62,6 +62,42 @@ class SessionizeSpec extends SparkSpec {
       === Seq(1L, 2L))
   }
 
+  test("streaming sessionize emits exactly the batch sessions once closed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // gap 10 with an exact-boundary pair (u2: 120→130) to pin the
+    // inclusive-gap alignment (+1 microsecond on the streaming side)
+    val events = Seq(("u1", 100L), ("u1", 105L), ("u1", 116L), ("u2", 100L),
+      ("u1", 130L), ("u2", 120L), ("u2", 130L))
+    val expected = Sessionize.sessionize(events.toDF("user", "t"), "user", "t", 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val in = mem.toDF().toDF("user", "t_sec")
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val q = Sessionize.streamingSessionize(in, "user", "ts",
+        gap = "10000001 microseconds", delay = "0 seconds")
+      .select(col("user"), col("session_start").cast("long").as("a"),
+        col("session_end").cast("long").as("b"), col("n_events"))
+      .writeStream.format("memory").queryName("streamsess")
+      .outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(4)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      // sessions close only when the watermark passes end + gap: a far-
+      // future event advances it; its own (still-open) session never emits
+      mem.addData(("zz", 100000L))
+      q.processAllAvailable()
+      val got = s.table("streamsess").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected, "closed streaming sessions must equal batch")
+    } finally q.stop()
+  }
+
   test("library output matches the inline gaps-and-islands formulation (q31 parity)") {
     val d = df((for (u <- Seq("x", "y"); i <- 0 until 20)
       yield (u, i.toLong * (if (i % 5 == 0) 40L else 7L), i * 0.5)): _*)
