@@ -156,6 +156,33 @@ object TextOps {
           .as("dup_trigram_frac"))
   }
 
+  /** Per-document top-k keywords by a tf-idf-STYLE score kept in exact
+    * integer arithmetic: `score = tf * 1e6 div df` — monotone in the same
+    * directions as tf·idf (more occurrences up, more common across the
+    * corpus down) but bit-reproducible in any engine, where `ln`-based idf
+    * is at the mercy of each libm's last-ulp rounding (a tie flipped by one
+    * ulp reorders a rank — unacceptable for a hash-compared gate). Ties
+    * break (score desc, token asc): a TOTAL order, so the k-cut is
+    * deterministic.
+    *
+    * Shape at scale: tf = one (doc, token) groupBy; df = one token groupBy
+    * OVER THE TF ROWS (they are exactly the distinct (doc, token) pairs, so
+    * no second corpus pass); the df join is token-keyed on a
+    * vocabulary-sized table (AQE broadcasts it when small); top-k is a
+    * doc-keyed window — partition width = one document's vocabulary. */
+  def keywords(docs: DataFrame, k: Int, text: String = "text"): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col(text))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rnk")
+  }
+
   /** 60-bit SimHash over the document's token multiset (Charikar 2002,
     * "Similarity estimation techniques from rounding algorithms"):
     * bit j of the fingerprint is 1 iff sum over tokens of ±1 (sign of bit j

@@ -895,6 +895,23 @@ object Registry {
              |  LEFT JOIN dc USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-doc top-k keywords; integer tf-idf-style score so both
+    //      engines rank identically (ln-based idf differs by libm ulps) ----
+    Entry("q47_keywords",
+      (s, d) => TextOps.keywords(docs(s, d), k = 5).orderBy("doc_id", "rnk"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |             FROM documents),
+             |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tok GROUP BY 1, 2),
+             |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT doc_id, token, tf, df, tf * 1000000 // df AS score
+             |       FROM tf JOIN df USING (token)),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |         ORDER BY score DESC, token) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT doc_id, token, tf, df, score, rnk FROM r
+             |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)),
+
     // ---- deterministic mixture resampling: per-source keep fractions over
     //      the same md5 bucket arithmetic as q39 ----
     Entry("q45_mixture_sample",

@@ -291,6 +291,21 @@ class PipelineSpec extends SparkSpec {
       .toSeq === Seq((1L, false), (2L, false), (3L, true)))
   }
 
+  test("keywords rank rare-but-frequent tokens first with a total order") {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      (1L, "rare rare common common common"), // rare: df 1; common: df 2
+      (2L, "common other")).toDF("doc_id", "text")
+    val r = TextOps.keywords(crafted, k = 2).orderBy("doc_id", "rnk").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("token"),
+        x.getAs[Long]("score"), x.getAs[Long]("rnk")))
+    // doc 1: rare tf2/df1 = 2e6 beats common tf3/df2 = 1.5e6
+    assert(r.toSeq === Seq((1L, "rare", 2000000L, 1L),
+      (1L, "common", 1500000L, 2L),
+      (2L, "other", 1000000L, 1L), (2L, "common", 500000L, 2L)))
+  }
+
   test("fingerprints are deterministic across evaluations") {
     val f1 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
