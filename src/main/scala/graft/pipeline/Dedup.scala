@@ -319,24 +319,23 @@ object Dedup {
     *
     * Shape at scale: grams are the 8-byte hashes of [[shingleHashRows]]
     * (one md5 per token, distinct per doc); the benchmark's distinct gram
-    * set is BROADCAST — eval benchmarks are small by nature, and the
-    * corpus-side probe is then a map-side semi-join: ONE doc_id-keyed
-    * shuffle for the per-doc counts, the corpus never shuffles on gram.
-    * Docs shorter than n tokens fall back to their whole-text hash,
-    * mirroring the shingle pipeline. Counts are hash-invariant, so the
-    * DuckDB oracle counts textual grams (q15's argument). */
+    * set is BROADCAST — eval benchmarks are small by nature — and probed
+    * with a LEFT join that marks hits, so gram total and overlap fall out
+    * of ONE pass over the corpus grams and ONE doc_id-keyed count shuffle;
+    * the corpus never shuffles on gram and is never read twice. Docs
+    * shorter than n tokens fall back to their whole-text hash, mirroring
+    * the shingle pipeline. Counts are hash-invariant, so the DuckDB oracle
+    * counts textual grams (q15's argument). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                     text: String = "text"): DataFrame = {
     val corpusGrams = shingleHashRows(corpus, n, text)
     val benchGrams = shingleHashRows(benchmark, n, text)
-      .select("gram").distinct()
-    val perDoc = corpusGrams.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    perDoc.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select("gram").distinct().withColumn("_hit", lit(1))
+    // bench grams are distinct → the left join never fans out: one output
+    // row per corpus gram, _hit non-null exactly on overlap
+    corpusGrams.join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_overlap"))
       .withColumn("contam_frac",
         col("n_overlap").cast("double") / col("n_grams"))
       .withColumn("contaminated", col("n_overlap") > 0)

@@ -111,8 +111,10 @@ object TextOps {
     * hashes off the same lead window (tokens md5-hashed once; gram keys are
     * 8-byte rot-XOR combines, never strings), the three gram kinds union
     * into one (doc, kind, gram) groupBy, and a final doc-keyed aggregate
-    * picks maxima — three doc-scoped shuffles total, all map-side combined,
-    * no partition ever wider than one document's gram set. Counts are
+    * picks maxima. ONE corpus shuffle total: the lead window's doc_id
+    * exchange already clusters every downstream grouping key (doc_id is a
+    * subset of both groupings), so Catalyst inserts no further exchange —
+    * plan-verified. No partition is ever wider than one document. Counts are
     * hash-invariant (injective-enough 60-bit grams), so the DuckDB oracle
     * counts TEXTUAL grams and must agree exactly — q15's argument. */
   def repetitionStats(docs: DataFrame, text: String = "text"): DataFrame = {
@@ -165,11 +167,19 @@ object TextOps {
     * break (score desc, token asc): a TOTAL order, so the k-cut is
     * deterministic.
     *
-    * Shape at scale: tf = one (doc, token) groupBy; df = one token groupBy
-    * OVER THE TF ROWS (they are exactly the distinct (doc, token) pairs, so
-    * no second corpus pass); the df join is token-keyed on a
-    * vocabulary-sized table (AQE broadcasts it when small); top-k is a
-    * doc-keyed window — partition width = one document's vocabulary. */
+    * Shape at scale: tf = one (doc, token) groupBy; df = a token groupBy
+    * over the tf rows (exactly the distinct (doc, token) pairs). Expressed
+    * as lineage, Spark recomputes the tf branch for df (pruned to distinct
+    * pairs — the pruning is also why exchange reuse cannot fire: the two
+    * subtrees differ), so the corpus is exploded twice, both passes
+    * map-side combined; a caller for whom the second scan dominates can
+    * persist/checkpoint tf and build df from it — the operator itself
+    * stays unpinned (corpus-scale default caches are the worse trade).
+    * A per-token df WINDOW would avoid the recompute but puts every
+    * occurrence of a stopword in one partition — the banned skew shape.
+    * The df join is token-keyed on a vocabulary-sized table (AQE
+    * broadcasts it when small); top-k is a doc-keyed window — partition
+    * width = one document's vocabulary. */
   def keywords(docs: DataFrame, k: Int, text: String = "text"): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(tokens(col(text))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
