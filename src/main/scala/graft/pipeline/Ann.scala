@@ -31,6 +31,20 @@ object Ann {
   private def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Dot product for the candidate-scoring JOINS: the codegen'd
+    * `graft_dot` expression when the session carries `GraftExtensions`
+    * (every graft entry point does), else the interpreted [[dotQ]] —
+    * bit-identical results either way (FunctionsSpec). The scoring join
+    * evaluates one dot per (query, candidate) pair, the only per-PAIR
+    * expression in the engine, so the interpreted HOF's constant
+    * (zipped-array allocation + two closures per element) multiplies by
+    * n·q — the codegen path is a primitive loop inside whole-stage
+    * codegen instead. */
+  private def dotFast(spark: org.apache.spark.sql.SparkSession)
+                     (a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dotQ(a, b)
+
   private def normQ(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x).cast("double"))
 
@@ -44,7 +58,8 @@ object Ann {
     val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
       .withColumn("vn", normQ(col("ve")))
     val scored = c.join(q, col("qid") =!= col("vid"))
-      .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+      .withColumn("cosine", dotFast(corpus.sparkSession)(col("qe"), col("ve"))
+        .cast("double") / (col("qn") * col("vn")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -255,7 +270,8 @@ object Ann {
       }))
     val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
     val scored = assigned.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
-      .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+      .withColumn("cosine", dotFast(spark)(col("qe"), col("ve"))
+        .cast("double") / (col("qn") * col("vn")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -348,8 +364,8 @@ object Ann {
       }))
     val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
     val scored = vecs.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
-      .withColumn("cosine",
-        dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+      .withColumn("cosine", dotFast(spark)(col("qe"), col("ve"))
+        .cast("double") / (col("qn") * col("vn")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -501,7 +517,8 @@ object Ann {
       .withColumn("qn", normQ(col("qe")))
       .withColumn("bucket", explode(array(probes: _*))))
     val scored = c.join(q, Seq("bucket")).where(col("qid") =!= col("vid"))
-      .withColumn("cosine", dotQ(col("qe"), col("ve")).cast("double") / (col("qn") * col("vn")))
+      .withColumn("cosine", dotFast(corpus.sparkSession)(col("qe"), col("ve"))
+        .cast("double") / (col("qn") * col("vn")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)

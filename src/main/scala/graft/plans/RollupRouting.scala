@@ -225,8 +225,11 @@ class RollupRoutingRule extends Rule[LogicalPlan] {
 }
 
 /** Config-driven entry point: `spark.sql.extensions=graft.plans.GraftExtensions`.
-  * Warehouses still need [[RollupRouting.install]] to publish their routes. */
+  * Warehouses still need [[RollupRouting.install]] to publish their routes.
+  * Also registers the engine's native expressions (`graft_dot`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new RollupRoutingRule)
+    ext.injectFunction(graft.functions.DotProductLong.descriptor)
+  }
 }
