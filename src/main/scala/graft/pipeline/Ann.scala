@@ -382,11 +382,27 @@ object Ann {
   }
 
   /** Sign-pattern bucket id of an embedding under `h` hyperplanes (dim
-    * components each). Pure column expression → computed at scan time. */
+    * components each). Pure column expression → computed at scan time.
+    * Note this form re-quantizes `e` once PER PLANE (h× interpreted
+    * transforms per row) — the internal call sites stage the quantized
+    * column once and use [[lshBucketFromQuantized]]; this stays as the
+    * self-contained public form. */
   def lshBucket(e: Column, h: Int, dim: Int): Column =
     (0 until h).map { p =>
       val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
       when(dotQ(quantize(e), plane) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** [[lshBucket]] over an ALREADY-quantized column attribute: the caller
+    * projects `quantize(embedding).as("e")` once and the h plane dots read
+    * that attribute (CollapseProject keeps the stages apart — `e` is
+    * non-cheap and multiply-referenced), through the codegen'd `graft_dot`
+    * when registered. Bit-identical bucket ids to [[lshBucket]]. */
+  private def lshBucketFromQuantized(spark: org.apache.spark.sql.SparkSession)
+                                    (q: Column, h: Int, dim: Int): Column =
+    (0 until h).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      when(dotFast(spark)(q, plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
   /** Embedding near-dup pairs at 100 TB scale: hyperplane-LSH bucketing, then
@@ -410,8 +426,8 @@ object Ann {
                      h: Int = 4, dim: Int = 64,
                      maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"),
-        lshBucket(col("embedding"), h, dim).as("bucket"))
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .withColumn("bucket", lshBucketFromQuantized(spark)(col("e"), h, dim))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket")
     val t = threshold
@@ -487,7 +503,7 @@ object Ann {
   private[graft] def lshCosinePairsExpr(corpus: DataFrame, threshold: Double,
                                         h: Int = 4, dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"),
-        lshBucket(col("embedding"), h, dim).as("bucket"))
+        lshBucket(col("embedding"), h, dim).as("bucket")) // reference form on purpose
       .withColumn("n", normQ(col("e")))
     val a = c.select(col("bucket"), col("vec_id").as("vid_a"),
       col("e").as("ea"), col("n").as("na"))
@@ -505,15 +521,16 @@ object Ann {
     * recovering most near-boundary misses. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               h: Int = 8, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"),
-        lshBucket(col("embedding"), h, dim).as("bucket"))
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
+      .withColumn("bucket", lshBucketFromQuantized(spark)(col("ve"), h, dim))
       .withColumn("vn", normQ(col("ve")))
     val probes = (0 to h).map { i =>
       if (i == 0) col("qb") else col("qb").bitwiseXOR(lit(1L << (i - 1)))
     }
     val q = broadcast(queries
-      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qe"),
-        lshBucket(col("embedding"), h, dim).as("qb"))
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qe"))
+      .withColumn("qb", lshBucketFromQuantized(spark)(col("qe"), h, dim))
       .withColumn("qn", normQ(col("qe")))
       .withColumn("bucket", explode(array(probes: _*))))
     val scored = c.join(q, Seq("bucket")).where(col("qid") =!= col("vid"))
