@@ -354,6 +354,39 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
 
+  /** Exact-Jaccard verification of a candidate-pair frame against the
+    * corpus, touching ONLY candidate documents: semi-join the corpus down
+    * to docs that appear in a pair, re-shingle just those with per-doc
+    * dedup (Jaccard needs set semantics), and count shared grams with a
+    * gram-equality join. Never an O(#docs) broadcast, never a corpus-wide
+    * dedup shuffle, and no corpus-sized cached frame — the candidate set
+    * is a vanishing fraction of the corpus by construction (that is the
+    * point of the candidate generators feeding this). Shared tail of
+    * [[nearDupPairs]] and [[jaccardJoin]]. */
+  private def verifyCandidatePairs(docs: DataFrame, candsDf: DataFrame,
+                                   threshold: Double, ngram: Int,
+                                   text: String): DataFrame = {
+    val cands = broadcast(candsDf)
+    // no distinct on the doc list: the left-semi probe dedups inherently,
+    // and the broadcast is pair-count-sized either way — one less shuffle
+    val candDocs = candsDf.select(col("doc_a").as("doc_id"))
+      .unionByName(candsDf.select(col("doc_b").as("doc_id")))
+    val candSh = shingleHashRows(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), ngram,
+      text, distinct = true).cache()
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = candSh.select(col("doc_id").as("doc_a"), col("gram"))
+    val b = candSh.select(col("doc_id").as("doc_b"), col("gram"))
+    cands.join(a, "doc_a").join(b, Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sb"))), "doc_b")
+      .withColumn("uni", col("_sa") + col("_sb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs at a Jaccard threshold.
     * Default 32 hashes / 16 bands of 2: P(candidate | j=0.8) ≈ 1 - 8e-8.
     * The verify step is a gram-equality join on the (tiny) candidate set —
@@ -375,29 +408,126 @@ object Dedup {
     // doc projections) — cache it so the sig+banding pipeline runs ONCE
     val candsDf = lshCandidates(
       minhashSignatures(sh, numHashes), bands, numHashes / bands).cache()
-    val cands = broadcast(candsDf)
-    // exact-verify tier works on CANDIDATE DOCS ONLY: semi-join the corpus
-    // down to candidate docs and re-shingle just those with per-doc dedup
-    // (Jaccard needs set semantics) — never an O(#docs) broadcast, never a
-    // corpus-wide dedup shuffle, and no corpus-sized cached frame
-    // no distinct on the list: the left-semi probe dedups inherently, and
-    // the broadcast is pair-count-sized either way — one less shuffle stage
-    val candDocs = candsDf.select(col("doc_a").as("doc_id"))
-      .unionByName(candsDf.select(col("doc_b").as("doc_id")))
-    val candSh = shingleHashRows(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), ngram,
-      distinct = true).cache()
-    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = candSh.select(col("doc_id").as("doc_a"), col("gram"))
-    val b = candSh.select(col("doc_id").as("doc_b"), col("gram"))
-    cands.join(a, "doc_a").join(b, Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sb"))), "doc_b")
-      .withColumn("uni", col("_sa") + col("_sb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+    verifyCandidatePairs(docs, candsDf, threshold, ngram, "text")
+  }
+
+  /** EXACT n-gram Jaccard similarity self-join at threshold `tau` — the
+    * non-approximate sibling of [[nearDupPairs]]: every pair with set
+    * Jaccard ≥ tau over distinct word n-grams is returned, none missed.
+    * Scales via PREFIX FILTERING (Chaudhuri et al., ICDE'06; Xiao et al.
+    * PPJoin, WWW'08) instead of an all-pairs join: order each document's
+    * grams by ascending global document frequency (rarest first — a TOTAL
+    * order, ties on the gram hash), index only the first
+    * `sz - ceil(tau·sz) + 1` grams, and join on those. Any pair with
+    * Jaccard ≥ tau needs ≥ ceil(tau·max(sa,sb)) shared grams, so under a
+    * GLOBAL gram order the two prefixes must intersect — recall is exactly
+    * 1, and the rarest-first order keeps prefix buckets small (a heavy
+    * gram enters prefixes only for documents where little else is rarer).
+    * A size filter (min ≥ tau·max, epsilon-slacked so float rounding can
+    * only ADD candidates) prunes further before the exact verify tier.
+    *
+    * Shape at scale: one gram-df shuffle (vocabulary-sized result joined
+    * back on gram), one doc_id window exchange for (rank, size), a
+    * prefix-only equi-join, then the shared candidate-docs-only verify —
+    * the corpus-sized gram frame is never self-joined and never cached. */
+  def jaccardJoin(docs: DataFrame, tau: Double, ngram: Int = 3,
+                  text: String = "text"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val grams = shingleHashRows(docs, ngram, text, distinct = true)
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("_df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df"), col("gram"))
+    val wSize = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = grams.join(dfreq, "gram")
+      .withColumn("_sz", count(lit(1)).over(wSize))
+      .withColumn("_rk", row_number().over(wRank))
+    // ceil on doubles can only round the true product DOWN across an
+    // integer boundary (never up past one), so the computed prefix is
+    // never shorter than the exact one — recall-safe
+    val prefix = ranked
+      .where(col("_rk") <= col("_sz") - ceil(lit(tau) * col("_sz")) + 1)
+      .select(col("doc_id"), col("gram"), col("_sz"))
+    val candsDf = prefix.select(col("doc_id").as("doc_a"), col("gram"),
+        col("_sz").as("_sa"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
+        col("_sz").as("_sb")), Seq("gram"))
+      .where(col("doc_a") < col("doc_b") &&
+        // J ≥ tau ⇒ min(sa,sb) ≥ tau·max(sa,sb); 1e-6 slack so double
+        // rounding of tau·max can only admit extra candidates, not drop one
+        least(col("_sa"), col("_sb")).cast("double") >=
+          greatest(col("_sa"), col("_sb")) * tau - 1e-6)
+      .select("doc_a", "doc_b").distinct().cache()
+    verifyCandidatePairs(docs, candsDf, tau, ngram, text)
+  }
+
+  /** Connected components of an undirected pair graph (columns `a`/`b`)
+    * by iterative min-label propagation: every vertex starts labelled with
+    * its own id; each round every vertex takes the minimum of its own and
+    * its neighbours' labels; at the fixpoint the label is the component's
+    * minimum id. Converges in O(graph diameter) rounds — for dedup
+    * cluster graphs (near-cliques by construction) that is 2-3 rounds; an
+    * adversarial long-path graph would want the O(log²) star-contraction
+    * variant (Kiveris et al., "Connected components in MapReduce", SoCC'14)
+    * instead. Each round is two shuffles over EDGE/VERTEX-sized frames
+    * (the corpus itself is never touched) plus one scalar convergence
+    * action; labels are deterministic values, so a recomputed partition
+    * after cache eviction reproduces them exactly — caching here is purely
+    * a performance choice, never a correctness dependency (the q42 lesson).
+    *
+    * Returns (doc_id, cluster_id) for every vertex that appears in an edge. */
+  def connectedComponents(edges: DataFrame, a: String = "doc_a",
+                          b: String = "doc_b", maxIters: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = labels.count() // materialize; enter the loop
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = sym
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("_lbl")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("_lbl").as("_nbr"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("_nbr"), lit(Long.MaxValue)) < col("cluster_id"))
+            .as("_chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.where(col("_chg")).count() // materializes `next`
+      labels.unpersist()
+      labels = next.drop("_chg")
+      iters += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds")
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTER assignment — the end of the dedup pipeline the pair
+    * generators feed: verified near-dup pairs → connected components →
+    * one canonical survivor per cluster (the minimum doc_id). Returns one
+    * row per corpus document: (doc_id, cluster_id, keep); filtering on
+    * `keep` yields the deduplicated corpus.
+    *
+    * The component frame is vertex-sized (only docs that appear in a
+    * verified pair — a vanishing fraction of the corpus), so the final
+    * assignment join is corpus × small; singleton docs keep themselves. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
+                      ngram: Int = 3, numHashes: Int = 32,
+                      bands: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold, ngram, numHashes, bands)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+    docs.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** SimHash band blocking: split the fingerprint into `bands` bit-slices;

@@ -193,6 +193,43 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "score", "rnk")
   }
 
+  /** PII patterns, written in the subset where Java regex (Spark) and RE2
+    * (DuckDB) agree exactly: plain character classes, bounded repetition,
+    * ASCII `\d` and `\b` — no backreferences, no lookaround (RE2 has
+    * neither), no alternation whose leftmost-first/leftmost-longest
+    * difference could matter. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction + text normalization — the scrub pass a training corpus
+    * runs before anything else sees the text. Per document: match counts
+    * for emails / IPv4 addresses / phone-shaped numbers (counted on the
+    * ORIGINAL text), `red_text` with the three patterns replaced by typed
+    * placeholders (email first — its matches can contain digits and dots
+    * that the narrower patterns would otherwise bite into — then IP, then
+    * phone), and `norm_text` = the redacted text lowercased with runs of
+    * spaces collapsed.
+    *
+    * Pure narrow column expressions — no shuffle, runs map-side at scan
+    * speed inside whole-stage codegen; at 100 TB this is a free rider on
+    * whatever pass reads the text anyway. */
+  def redactPii(docs: DataFrame, text: String = "text"): DataFrame = {
+    val t = col(text)
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("red_text"))
+      .withColumn("norm_text",
+        lower(regexp_replace(col("red_text"), " +", " ")))
+  }
+
   /** 60-bit SimHash over the document's token multiset (Charikar 2002,
     * "Similarity estimation techniques from rounding algorithms"):
     * bit j of the fingerprint is 1 iff sum over tokens of ±1 (sign of bit j
