@@ -346,7 +346,11 @@ object Multimodal {
                 if (id(0).isDigit && id(1).isDigit)
                   (id(0) - '0') * 10 + (id(1) - '0')
                 else -1
-              if (sz > 0 && sid == vidsIdx) frames += ((p + 8, sz, id.endsWith("dc")))
+              // vidsIdx >= 0 keeps malformed non-digit ids (sid = -1) from
+              // matching "no vids stream seen yet" (vidsIdx = -1) and
+              // admitting junk payloads ahead of the stream headers
+              if (sz > 0 && vidsIdx >= 0 && sid == vidsIdx)
+                frames += ((p + 8, sz, id.endsWith("dc")))
             }
             p += 8 + sz + (sz & 1) // chunks are word-aligned
           }

@@ -37,12 +37,21 @@ object Packing {
 
   /** Orders runtime key values on the driver exactly as Spark's ascending
     * NULLS FIRST sort does for atomic orderable types (numbers, strings,
-    * dates, timestamps, decimals — all `Comparable`). */
+    * dates, timestamps, decimals). Strings go through UTF8String: Java's
+    * String.compareTo is UTF-16 code-UNIT order, which disagrees with
+    * Spark's binary (code-point) order when supplementary characters mix
+    * with U+E000..U+FFFF — and a cut point sorted under one order but
+    * compared under the other (bucketOf's `key <= lit(bound)`) would make
+    * bucket ids non-monotone in key order, silently corrupting the global
+    * prefix sums. */
   private val keyOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = (a, b) match {
       case (null, null) => 0
       case (null, _)    => -1
       case (_, null)    => 1
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
       case (x: java.lang.Comparable[_], y) =>
         x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
       case _ => throw new IllegalArgumentException(

@@ -68,11 +68,21 @@ object Registry {
        |  CAST(sum(seg_len) AS BIGINT) AS active_time
        |  FROM segs WHERE bstart < last_t - last_t % $interval GROUP BY 1, 2)""".stripMargin
 
+  /** At-most-once per-key memoization. TrieMap.getOrElseUpdate may evaluate
+    * its thunk more than once under concurrent first access — two threads
+    * racing an ingest/index build against the same /tmp root (mode
+    * overwrite) while a third reads the half-written layout.
+    * ConcurrentHashMap.computeIfAbsent locks the bin: the builder runs
+    * exactly once per key, and concurrent callers block until it lands. */
+  private def memo[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
+                      k: String)(build: => V): V =
+    cache.computeIfAbsent(k, _ => build)
+
   /** Per-sfDir warehouse of the events table, ingested in the µs domain with
     * value := cents (exact-integer aggregates); memoized per JVM. */
-  private val whCache = scala.collection.concurrent.TrieMap[String, graft.store.Hta]()
+  private val whCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.Hta]()
   def warehouseFor(s: SparkSession, d: String): graft.store.Hta =
-    whCache.getOrElseUpdate(d, {
+    memo(whCache, d) {
       // collision-free dir encoding (String.hashCode collisions would make
       // two sf dirs share one root and corrupt the first's cached frames)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -86,15 +96,15 @@ object Registry {
         col("cents").cast("double").as("value"))
       graft.store.Warehouse.ingest(ev, graft.model.Meta(I1u, I2u, 10), root,
         validate = false)
-    })
+    }
 
   /** Multi-Meta warehouse (S7 wired to the store): 'click' gets a 1-hour
     * ladder via an exact config, every other metric a 6-hour ladder via the
     * catch-all prefix — so one store holds genuinely divergent ladders.
     * Memoized like [[warehouseFor]]. */
-  private val multiCache = scala.collection.concurrent.TrieMap[String, graft.store.MultiWarehouse.MultiHta]()
+  private val multiCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.MultiWarehouse.MultiHta]()
   def multiWarehouseFor(s: SparkSession, d: String): graft.store.MultiWarehouse.MultiHta =
-    multiCache.getOrElseUpdate(d, {
+    memo(multiCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(("multi:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val ev = Tables.events(s, d).select(
@@ -106,31 +116,31 @@ object Registry {
           "" -> graft.store.MetricConfig(graft.model.Meta(6 * I1u, 600 * I1u, 10),
             isPrefix = true)),
         s"/tmp/graft_wh_$digest", validate = false)
-    })
+    }
 
   /** T4 clone of [[warehouseFor]] under a 5×-coarser Meta; memoized like the
     * source store (the clone itself is the operation under test — its levels
     * are oracle-compared to a DuckDB recompute at the new interval). */
-  private val cloneCache = scala.collection.concurrent.TrieMap[String, graft.store.Hta]()
+  private val cloneCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.Hta]()
   def cloneFor(s: SparkSession, d: String): graft.store.Hta =
-    cloneCache.getOrElseUpdate(d, {
+    memo(cloneCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(("clone:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       graft.tools.Tools.clone(warehouseFor(s, d),
         graft.model.Meta(5 * I1u, 500 * I1u, 10), s"/tmp/graft_wh_$digest")
-    })
+    }
 
   /** Persisted IVF index over the embeddings table (sampled centroids —
     * kmeansIters=0 — so the q43 oracle can recompute the quantizer in SQL);
     * written once per JVM per sfDir, like [[warehouseFor]]. */
-  private val ivfCache = scala.collection.concurrent.TrieMap[String, graft.pipeline.Ann.IvfIndex]()
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Ann.IvfIndex]()
   def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
-    ivfCache.getOrElseUpdate(d, {
+    memo(ivfCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(("ivf:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       graft.pipeline.Ann.writeIvfIndex(Tables.embeddings(s, d),
         s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0)
-    })
+    }
 
   // ================= exact-integer HTA builders (Spark side) =============
 
@@ -853,7 +863,9 @@ object Registry {
              |        sum(n_tokens) OVER (ORDER BY doc_id
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
              |      FROM t)
-             |SELECT doc_id, n_tokens, cb // 512 AS seq_id, cb % 512 AS seq_offset
+             |SELECT doc_id, n_tokens,
+             |       CAST(cb // 512 AS BIGINT) AS seq_id,
+             |       CAST(cb % 512 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // corpus vocabulary: the (tf desc, token) order is total, so the
