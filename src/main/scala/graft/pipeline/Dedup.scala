@@ -373,7 +373,7 @@ object Dedup {
       .unionByName(candsDf.select(col("doc_b").as("doc_id")))
     val candSh = shingleHashRows(
       docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), ngram,
-      text, distinct = true).cache()
+      text, distinct = true).localCheckpoint()
     val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = candSh.select(col("doc_id").as("doc_a"), col("gram"))
     val b = candSh.select(col("doc_id").as("doc_b"), col("gram"))
@@ -405,9 +405,11 @@ object Dedup {
     // not re-tokenizing a vanishing fraction of documents.
     val sh = shingleHashRows(docs, ngram, distinct = false)
     // the candidate set is referenced three times (pair join + two candidate-
-    // doc projections) — cache it so the sig+banding pipeline runs ONCE
+    // doc projections) — localCheckpoint so the sig+banding pipeline runs
+    // ONCE, without pinning a CacheManager entry the caller cannot release
+    // (blocks go when the frame is GC'd)
     val candsDf = lshCandidates(
-      minhashSignatures(sh, numHashes), bands, numHashes / bands).cache()
+      minhashSignatures(sh, numHashes), bands, numHashes / bands).localCheckpoint()
     verifyCandidatePairs(docs, candsDf, threshold, ngram, "text")
   }
 
@@ -456,7 +458,11 @@ object Dedup {
         // rounding of tau·max can only admit extra candidates, not drop one
         least(col("_sa"), col("_sb")).cast("double") >=
           greatest(col("_sa"), col("_sb")) * tau - 1e-6)
-      .select("doc_a", "doc_b").distinct().cache()
+      // localCheckpoint, not cache: the candidate set is referenced three
+      // times downstream, but a CacheManager entry would pin storage until
+      // an explicit unpersist no caller can issue (the returned plan hides
+      // it). Checkpoint blocks are released when the frame is GC'd.
+      .select("doc_a", "doc_b").distinct().localCheckpoint()
     verifyCandidatePairs(docs, candsDf, tau, ngram, text)
   }
 
@@ -482,10 +488,17 @@ object Dedup {
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round is locally CHECKPOINTED, not persisted: `next` references
+    // `labels` twice (propagation join + carry), so the logical plan would
+    // DOUBLE per round — persist truncates recomputation but not plan
+    // analysis, and by ~10 rounds the analyzer walks 2^10 copies of the
+    // base plan (OOM on an adversarial path graph; spec-pinned).
+    // Checkpointing also leaves no CacheManager entry a caller could never
+    // release — blocks go when the superseded frame is GC'd.
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = labels.count() // materialize; enter the loop
+      .localCheckpoint()
+    var changed = labels.count() // any vertices? enter the loop
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       val prop = sym
@@ -497,9 +510,8 @@ object Dedup {
             .as("cluster_id"),
           (coalesce(col("_nbr"), lit(Long.MaxValue)) < col("cluster_id"))
             .as("_chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.where(col("_chg")).count() // materializes `next`
-      labels.unpersist()
+        .localCheckpoint()
+      changed = next.where(col("_chg")).count()
       labels = next.drop("_chg")
       iters += 1
     }
@@ -507,6 +519,72 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds")
     sym.unpersist()
     labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected components in MapReduce and
+    * beyond", SoCC'14): large-star hangs each vertex's larger neighbours
+    * off its minimum neighbour, small-star re-hangs the smaller ones; the
+    * edge set converges to a star forest rooted at each component's
+    * minimum id in O(log² n) rounds REGARDLESS of graph diameter. This is
+    * the safe variant for arbitrary graphs — [[connectedComponents]]'s
+    * O(diameter) label propagation is the right default only for the
+    * near-clique graphs dedup pair generators produce (a 10⁴-vertex path
+    * would need 10⁴ label rounds but ~15 star rounds; spec-pinned).
+    *
+    * Each round is two groupBy shuffles over an EDGE-sized frame; every
+    * round's result is locally checkpointed (the iterated plan would
+    * otherwise double in depth per round) and superseded checkpoint blocks
+    * are released when the previous frame is GC'd. Same output contract as
+    * [[connectedComponents]]: (doc_id, cluster_id) for every vertex that
+    * appears in an input edge. */
+  def connectedComponentsStars(edges: DataFrame, a: String = "doc_a",
+                               b: String = "doc_b",
+                               maxIters: Int = 64): DataFrame = {
+    // canonical undirected form: u > v, no self-loops, set semantics
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e) // u > v: every vertex's smaller neighbourhood
+      val m = dir.groupBy("u").agg(min("v").as("_m"))
+      dir.join(m, "u").select(col("v").as("u"), col("_m").as("v"))
+        .unionByName(m.select(col("u"), col("_m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    val verts = edges.select(col(a).as("doc_id"))
+      .unionByName(edges.select(col(b).as("doc_id"))).distinct()
+    var cur = canon(edges.select(col(a).as("u"), col(b).as("v")))
+      .localCheckpoint()
+    var iters = 0
+    var done = cur.isEmpty // edge-free input: nothing to contract
+    while (!done && iters < maxIters) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+      // fixpoint test on canonical SETS: equal count + no fresh edge
+      done = next.count() == cur.count() &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      cur = next
+      iters += 1
+    }
+    require(done,
+      s"connectedComponentsStars did not converge in $maxIters rounds")
+    // fixpoint = star forest: every canonical edge is (leaf, component min);
+    // vertices absent from the leaf side are roots (or singletons)
+    val nonRoot = cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = verts.join(cur.select(col("u").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    nonRoot.unionByName(roots)
   }
 
   /** Near-dup CLUSTER assignment — the end of the dedup pipeline the pair

@@ -1220,7 +1220,86 @@ object Registry {
            |  round(sqrt($sq), 6) AS feat_norm,
            |  CAST(CASE WHEN media_id % 3 = 2 THEN 3 ELSE 0 END AS BIGINT) AS n_frames_sampled
            |FROM fm ORDER BY media_id""".stripMargin
-      })
+      }),
+
+    // ---- EXACT Jaccard self-join via prefix filtering (PPJoin-style): the
+    //      operator is exact, so the brute-force all-pairs SQL is an exact
+    //      oracle — the recall-1 claim of the prefix filter becomes a
+    //      checked fact, not an argument. Counts are over hashed grams on
+    //      the Spark side and textual grams in SQL (q15's injectivity
+    //      argument). tau=0.5 keeps prefixes long enough to matter. ----
+    Entry("q48_jaccard_join",
+      (s, d) => Dedup.jaccardJoin(docs(s, d), tau = 0.5).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shCte
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+              |  CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS BIGINT) AS uni,
+              |  CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+              |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+              |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.5
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- the dedup pipeline's END: verified pairs → connected components
+    //      → one survivor per cluster. The oracle recomputes components
+    //      EXACTLY via a recursive transitive closure over the brute-force
+    //      pair set (q15's oracle is exact for the pair tier, so the
+    //      composition is exact too); component label = min reachable id,
+    //      matching min-label propagation's fixpoint. ----
+    Entry("q49_neardup_clusters",
+      (s, d) => Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shCte,
+              |pr AS (SELECT a.doc_id AS u, b.doc_id AS v
+              |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |       WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+              |         (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.8),
+              |e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+              |reach(s, t) AS (
+              |  SELECT u, u FROM e
+              |  UNION
+              |  SELECT r.s, e.v FROM reach r JOIN e ON r.t = e.u),
+              |cc AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s)
+              |SELECT d.doc_id,
+              |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+              |  (d.doc_id = coalesce(cc.cluster_id, d.doc_id)) AS keep
+              |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- PII scrub: counts + ordered regexp_replace parity. The corpus
+    //      text has no PII shapes, so deterministic PII is woven in from
+    //      doc_id IDENTICALLY on both sides (docs with doc_id % 3 = 0 stay
+    //      clean — the zero-count path is exercised too). Patterns live in
+    //      the Java/RE2-agreeing regex subset (TextOps.EmailRe notes). ----
+    Entry("q50_redact_pii",
+      (s, d) => {
+        val seeded = docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("text")).otherwise(concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 ext 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("text"))
+        TextOps.redactPii(seeded).orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 3 = 0 THEN text
+              |       ELSE text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              |            '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+              |            '.7 ext 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |  END AS text FROM documents),
+              |r AS (SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_email,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ip,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phone,
+              |  regexp_replace(regexp_replace(regexp_replace(text,
+              |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+              |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+              |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS red_text
+              |  FROM p)
+              |SELECT doc_id, n_email, n_ip, n_phone, red_text,
+              |       lower(regexp_replace(red_text, ' +', ' ', 'g')) AS norm_text
+              |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

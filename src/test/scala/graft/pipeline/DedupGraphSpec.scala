@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The graph end of the dedup pipeline — exact Jaccard join (prefix
+  * filtering), connected components (label propagation + star contraction),
+  * cluster/survivor assignment — checked against brute-force truth on both
+  * the driver testdata and seeded synthetic corpora/graphs. */
+class DedupGraphSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+
+  /** Driver-side union-find: ground truth for component labels. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  private def edgesDf(edges: Seq[(Long, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("doc_a", "doc_b")
+  }
+
+  private def labelMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** A seeded synthetic corpus with graded overlap: base docs from a small
+    * vocabulary plus mutated near-copies, so pair Jaccard spreads across
+    * (0, 1) instead of the testdata's bimodal split. */
+  private def syntheticDocs(n: Int, seed: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(seed)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val base = (0 until n).map { i =>
+      (i.toLong, Seq.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val mutated = (0 until n / 2).map { i =>
+      val toks = base(rng.nextInt(n))._2.split(" ").toSeq
+      val drop = rng.nextInt(math.max(1, toks.length / 3))
+      ((n + i).toLong, (toks.drop(drop) ++
+        Seq.fill(rng.nextInt(3))(vocab(rng.nextInt(vocab.length)))).mkString(" "))
+    }
+    (base ++ mutated).toDF("doc_id", "text")
+  }
+
+  /** Brute-force exact Jaccard pairs via textual shingle sets — the truth
+    * [[Dedup.jaccardJoin]]'s prefix filter must reproduce exactly. */
+  private def bruteJaccard(corpus: DataFrame, tau: Double): Set[Seq[Any]] = {
+    val ids = corpus.select(col("doc_id").as("doc_a"))
+      .join(corpus.select(col("doc_id").as("doc_b")),
+        col("doc_a") < col("doc_b"))
+    Dedup.verifyJaccard(ids, Dedup.shingles(corpus), tau)
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("jaccardJoin equals brute-force exact Jaccard on the testdata corpus") {
+    for (tau <- Seq(0.4, 0.8)) {
+      val truth = bruteJaccard(docs, tau)
+      val got = Dedup.jaccardJoin(docs, tau).collect().map(_.toSeq).toSet
+      assert(got === truth, s"tau=$tau")
+    }
+    assert(bruteJaccard(docs, 0.8).nonEmpty, "planted near-dups expected")
+  }
+
+  test("jaccardJoin recall/precision 1 on a graded synthetic corpus") {
+    val corpus = syntheticDocs(40, seed = 7L).cache()
+    for (tau <- Seq(0.2, 0.5, 0.9)) {
+      val truth = bruteJaccard(corpus, tau)
+      val got = Dedup.jaccardJoin(corpus, tau).collect().map(_.toSeq).toSet
+      assert(got === truth, s"tau=$tau")
+    }
+    // sanity: the graded corpus actually discriminates between thresholds
+    assert(bruteJaccard(corpus, 0.2).size > bruteJaccard(corpus, 0.9).size)
+  }
+
+  test("connectedComponents matches union-find on seeded random graphs") {
+    val rng = new scala.util.Random(13L)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val truth = bruteComponents(edges)
+      assert(labelMap(Dedup.connectedComponents(edgesDf(edges))) === truth)
+      assert(labelMap(Dedup.connectedComponentsStars(edgesDf(edges))) === truth)
+    }
+  }
+
+  test("connectedComponents is deterministic and leaves no pinned cache") {
+    val edges = Seq((5L, 2L), (2L, 9L), (14L, 3L), (7L, 7L))
+    val r1 = labelMap(Dedup.connectedComponents(edgesDf(edges)))
+    val r2 = labelMap(Dedup.connectedComponents(edgesDf(edges)))
+    assert(r1 === r2)
+    assert(r1(9L) === 2L && r1(14L) === 3L && r1(7L) === 7L)
+    // the loop's persists must all be released — a caller can never reach
+    // them (the returned plan is a different frame than the persisted one)
+    val cached = spark.sharedState.cacheManager
+    val probe = Dedup.connectedComponents(edgesDf(edges))
+    assert(cached.lookupCachedData(
+      probe.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty)
+  }
+
+  test("label propagation enforces its maxIters bound on a long path") {
+    // a 40-vertex path has diameter 39 > maxIters=10 → must refuse, not
+    // silently return half-converged labels
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edgesDf(path), maxIters = 10)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("star contraction handles a 10^4-vertex path in O(log^2) rounds") {
+    // the adversarial-diameter case label propagation cannot touch
+    // (it would need 10^4 rounds); star contraction stays within the
+    // default 64-round bound by the Kiveris SoCC'14 argument
+    val n = 10000L
+    val path = (0L until n).map(i => (i, i + 1))
+    val labels = labelMap(Dedup.connectedComponentsStars(edgesDf(path)))
+    assert(labels.size === n + 1)
+    assert(labels.values.forall(_ === 0L), "one component rooted at the min")
+  }
+
+  test("nearDupClusters assigns every doc, keeps exactly the cluster minima") {
+    val r = Dedup.nearDupClusters(docs, threshold = 0.8).cache()
+    assert(r.count() === docs.count(), "one row per corpus document")
+    // keep <=> doc is its cluster's minimum
+    val minPerCluster = r.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+    val bad = r.join(minPerCluster, "cluster_id")
+      .where(col("keep") =!= (col("doc_id") === col("mn")))
+    assert(bad.count() === 0)
+    // clusters reproduce the verified pair graph's components
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(p => (p.getLong(0), p.getLong(1)))
+    val truth = bruteComponents(pairs)
+    val got = labelMap(r.select("doc_id", "cluster_id"))
+    assert(truth.forall { case (v, c) => got(v) == c })
+    r.unpersist()
+  }
+}

@@ -306,6 +306,30 @@ class PipelineSpec extends SparkSpec {
       (2L, "other", 1000000L, 1L), (2L, "common", 500000L, 2L)))
   }
 
+  test("redactPii counts on original text and replaces email before IP before phone") {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      // the email's local+domain contain digit runs an IP/phone pattern
+      // could bite into — email MUST be replaced first so they don't
+      (1L, "mail 555-1234@10.0.0.1.example.com now"),
+      // standalone instances of each kind, plus case/space normalization
+      (2L, "Contact a@b.co  via 192.168.0.1 or 555-0000 TODAY"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(crafted).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("red_text") === "mail <EMAIL> now")
+    assert((r(0).getAs[Long]("n_email"), r(0).getAs[Long]("n_ip"),
+      r(0).getAs[Long]("n_phone")) === ((1L, 1L, 1L)),
+      "counts run on the ORIGINAL text, not the redacted one")
+    assert(r(1).getAs[String]("red_text") ===
+      "Contact <EMAIL>  via <IP> or <PHONE> TODAY")
+    assert(r(1).getAs[String]("norm_text") ===
+      "contact <email> via <ip> or <phone> today")
+    assert(r(2).getAs[String]("red_text") === "no pii here")
+    assert((r(2).getAs[Long]("n_email"), r(2).getAs[Long]("n_ip"),
+      r(2).getAs[Long]("n_phone")) === ((0L, 0L, 0L)))
+  }
+
   test("fingerprints are deterministic across evaluations") {
     val f1 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
