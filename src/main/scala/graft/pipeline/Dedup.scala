@@ -17,6 +17,25 @@ case class LshBucketState(ids: List[Long], maxTs: Long)
   * with a watermark-bounded dropDuplicates. */
 case class CandidatePair(doc_a: Long, doc_b: Long, band: Int, ts: java.sql.Timestamp)
 
+/** One (doc, band-bucket) membership row of the streaming VERIFIED tier:
+  * carries the full signature (for the minimal-band emission rule) and the
+  * distinct gram-hash set (for in-operator exact Jaccard). */
+case class SigGramDoc(band: Int, bkey: Long, doc_id: Long,
+                      ts: java.sql.Timestamp, sig: Seq[Long], grams: Seq[Long])
+
+/** A doc resident in a verify-tier bucket's state. */
+case class BucketMember(doc_id: Long, sig: Seq[Long], grams: Seq[Long])
+
+/** Per-bucket state of the streaming verified tier. */
+case class LshVerifyState(members: List[BucketMember], maxTs: Long)
+
+/** An exact-Jaccard-VERIFIED near-dup pair from the streaming tier — same
+  * columns and arithmetic as the batch verify tier, plus the event time of
+  * the later-arriving doc. Emitted exactly once per pair (minimal-band
+  * rule), so no downstream dedup is needed. */
+case class VerifiedPair(doc_a: Long, doc_b: Long, inter: Long, uni: Long,
+                        jaccard: Double, ts: java.sql.Timestamp)
+
 /** Document deduplication for training-data pipelines.
   *
   * Tiers (all shuffle-bucketed — nothing here ever does an O(n²) crossJoin,
@@ -80,26 +99,44 @@ object Dedup {
   private[pipeline] def withRowSignature(df: DataFrame, text: String,
                                          out: String, n: Int,
                                          numHashes: Int): DataFrame = {
-    val taken = df.columns.toSeq :+ out
+    val gramsN = Sessionize.freshName("_sig_gs", df.columns.toSeq :+ out)
+    withRowSigAndGrams(df, text, out, gramsN, n, numHashes).drop(gramsN)
+  }
+
+  /** Append BOTH the per-row minhash signature and the DISTINCT raw 60-bit
+    * gram-hash set in one staged projection chain (one md5 per token; the
+    * raw gram array is computed once and feeds both outputs — Catalyst
+    * prunes whichever output a caller drops). `sigOut` is bit-identical to
+    * [[minhashSignatures]] over [[shingleHashRows]] (spec-pinned);
+    * `gramsOut` holds the same raw gram values [[shingleHashRows]] emits
+    * (incl. the short-doc whole-text fallback), so an exact Jaccard over
+    * the arrays reproduces the batch verify tier's counts exactly. */
+  private[pipeline] def withRowSigAndGrams(df: DataFrame, text: String,
+                                           sigOut: String, gramsOut: String,
+                                           n: Int, numHashes: Int): DataFrame = {
+    val taken = df.columns.toSeq ++ Seq(sigOut, gramsOut)
     val tkN = Sessionize.freshName("_sig_tk", taken)
     val thN = Sessionize.freshName("_sig_th", taken)
+    val gxN = Sessionize.freshName("_sig_gx", taken)
     val hxN = Sessionize.freshName("_sig_hx", taken)
     df.withColumn(tkN, TextOps.tokens(col(text)))
       .withColumn(thN, transform(col(tkN), t => TextOps.md5Long(t)))
-      // gram hashes: same per-token md5 + positional rotate-XOR combine as
-      // shingleHashRows; docs shorter than n tokens hash their whole text
-      .withColumn(hxN,
+      // RAW gram hashes: same per-token md5 + positional rotate-XOR combine
+      // as shingleHashRows; docs shorter than n tokens hash their whole text
+      .withColumn(gxN,
         when(size(col(tkN)) >= n,
           transform(sequence(lit(0), size(col(tkN)) - n), i =>
-            pmod((0 until n).map(j =>
+            (0 until n).map(j =>
               TextOps.rot60(element_at(col(thN), i + j + 1), (7 * j) % 60))
-              .reduce(_ bitwiseXOR _), lit(P))))
-          .otherwise(array(pmod(TextOps.md5Long(col(text)), lit(P)))))
-      .withColumn(out, array((0 until numHashes).map { k =>
+              .reduce(_ bitwiseXOR _)))
+          .otherwise(array(TextOps.md5Long(col(text)))))
+      .withColumn(hxN, transform(col(gxN), x => pmod(x, lit(P))))
+      .withColumn(sigOut, array((0 until numHashes).map { k =>
         val (a, b) = hashCoef(k)
         array_min(transform(col(hxN), x => pmod(x * a + b, lit(P))))
       }: _*))
-      .drop(tkN, thN, hxN)
+      .withColumn(gramsOut, array_distinct(col(gxN)))
+      .drop(tkN, thN, gxN, hxN)
   }
 
   /** STREAMING MinHash-LSH near-dup tier: incremental candidate pairs per
@@ -170,6 +207,91 @@ object Dedup {
             }
             state.update(LshBucketState(ids, maxTs))
             // evict once no doc inside the dedup horizon can still pair here
+            state.setTimeoutTimestamp(maxTs, delay)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** STREAMING near-dup pairs, VERIFIED — the end-to-end streaming sibling
+    * of [[nearDupPairs]]: one stateful operator both discovers candidates
+    * (LSH bucket collision) and settles them (exact Jaccard over the two
+    * docs' distinct gram-hash sets, held in bucket state), so the stream
+    * emits finished `(doc_a, doc_b, inter, uni, jaccard)` rows with the
+    * batch tier's exact arithmetic — no reconciliation pass, no re-reading
+    * a landed corpus.
+    *
+    * Cross-band dedup without a second stateful operator: a colliding pair
+    * shares signature slots in EVERY band whose slots are equal, so it
+    * meets in each such band's bucket — and only the MINIMAL slot-equal
+    * band emits it. Exactly one emission per pair (a pure-hash bkey
+    * collision with no slot-equal band verifies nowhere — odds ~2⁻⁶⁴,
+    * and such a pair was never a real LSH candidate).
+    *
+    * State cost vs the candidates-only tier: each bucket holds its docs'
+    * signature + distinct gram hashes (~8 B/gram), i.e. the horizon's docs
+    * ×`bands` in gram footprint — the price of a stream that cannot
+    * re-scan its corpus; bounded by the watermark horizon and `maxBucket`,
+    * and sharded across executors by the (band, bkey) key. Same capacity
+    * contract as [[streamingNearDupCandidates]]: below the cap, output ==
+    * batch [[nearDupPairs]] on the same corpus (spec-pinned); a replayed
+    * doc emits nothing. */
+  def streamingNearDupPairs(docs: DataFrame, eventTime: String,
+                            delay: String, threshold: Double = 0.8,
+                            ngram: Int = 3, numHashes: Int = 32,
+                            bands: Int = 16, maxBucket: Int = 1000,
+                            text: String = "text"): Dataset[VerifiedPair] = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = withRowSigAndGrams(
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          col(eventTime).cast("timestamp").as("ts"), col(text)),
+        text, "sig", "grams", ngram, numHashes)
+      .select("doc_id", "ts", "sig", "grams")
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"), col("sig"), col("grams"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*))
+          .as(Seq("band", "bkey")))
+      .as[SigGramDoc]
+    banded.groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[SigGramDoc],
+         state: org.apache.spark.sql.streaming.GroupState[LshVerifyState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(LshVerifyState(Nil, 0L))
+            var members = st.members
+            var seen = members.iterator.map(_.doc_id).toSet
+            var maxTs = st.maxTs
+            val out = List.newBuilder[VerifiedPair]
+            for (d <- it.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))) {
+              maxTs = math.max(maxTs, d.ts.getTime)
+              if (!seen.contains(d.doc_id) && members.size < maxBucket) {
+                val dg = d.grams.toSet
+                for (o <- members) {
+                  // minimal slot-equal band rule: emit here only if this
+                  // band is the FIRST whose signature slots agree
+                  val minBand = (0 until bands).find(b =>
+                    (0 until rowsPerBand).forall(r =>
+                      d.sig(b * rowsPerBand + r) == o.sig(b * rowsPerBand + r)))
+                  if (minBand.contains(key._1)) {
+                    val inter = o.grams.count(dg.contains).toLong
+                    val uni = dg.size.toLong + o.grams.size - inter
+                    val j = inter.toDouble / uni
+                    if (j >= threshold)
+                      out += VerifiedPair(math.min(d.doc_id, o.doc_id),
+                        math.max(d.doc_id, o.doc_id), inter, uni, j, d.ts)
+                  }
+                }
+                members = BucketMember(d.doc_id, d.sig, d.grams) :: members
+                seen += d.doc_id
+              }
+            }
+            state.update(LshVerifyState(members, maxTs))
             state.setTimeoutTimestamp(maxTs, delay)
             out.result().iterator
           }

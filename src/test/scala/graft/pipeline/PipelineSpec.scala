@@ -200,6 +200,43 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming VERIFIED near-dup pairs equal batch nearDupPairs, once each") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batch = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.nonEmpty, "testdata should contain planted near-duplicates")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val in = mem.toDF().toDF("doc_id", "t_sec", "text")
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val q = Dedup.streamingNearDupPairs(in, "ts", "10 minutes", threshold = 0.8)
+      .writeStream.format("memory").queryName("streamverified")
+      .outputMode("append").start()
+    try {
+      // pairs split across micro-batches can only verify through state
+      val (first, second) = corpus.splitAt(corpus.length / 2)
+      mem.addData(first.map { case (id, t) => (id, 100L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.map { case (id, t) => (id, 200L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      val rows = s.table("streamverified")
+        .select("doc_a", "doc_b", "inter", "uni", "jaccard").collect()
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+      assert(got === batch, "stream-verified pairs must equal the batch tier")
+      assert(rows.length === got.size,
+        "minimal-band rule must emit each pair exactly once")
+      // full corpus replay inside the horizon: nothing re-emits
+      mem.addData(corpus.map { case (id, t) => (id, 210L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(s.table("streamverified").count() === rows.length)
+    } finally q.stop()
+  }
+
   test("persisted IVF index round-trips and probes with partition pruning") {
     val root = tmpDir("ivf")
     val idx = Ann.writeIvfIndex(emb, root, nlist = 16, kmeansIters = 3)
