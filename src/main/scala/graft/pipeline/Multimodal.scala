@@ -504,11 +504,24 @@ object Multimodal {
     df.mapPartitions(f)(enc)
   }
 
+  /** The EXTENSION SEAM for media the JDK cannot decode: a caller-supplied
+    * fallback tried after the built-in codecs and before [[fakeDecode]].
+    * Receives (kind, bytes, dim); returning None falls through to the
+    * stub. The function ships to executors, so it must be serializable
+    * (a top-level object or a closure over serializable state). This is
+    * where a real mp4/webm/MP3 decoder plugs in — no call site changes. */
+  type FallbackDecoder = (String, Array[Byte], Int) => Option[Array[Float]]
+
+  /** The default fallback: decline everything (bytes fall to the stub). */
+  val noFallback: FallbackDecoder = (_, _, _) => None
+
   /** Feature extraction: media → (media_id, kind, features). Per-kind
     * dispatch: images (ImageIO), audio (javax.sound.sampled) and video
-    * (ImageIO multi-frame GIF) decode for real; the stub handles only bytes
-    * no JDK codec reads (see [[fakeDecode]]). */
-  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    * (ImageIO multi-frame GIF) decode for real; bytes no JDK codec reads
+    * go to `fallback` ([[FallbackDecoder]], the registered-decoder seam)
+    * and only then to the deterministic stub ([[fakeDecode]]). */
+  def extractFeatures(media: DataFrame, dim: Int = 64,
+                      fallback: FallbackDecoder = noFallback): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -517,14 +530,15 @@ object Multimodal {
       it.map { r =>
         val kind = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
+        def last = fallback(kind, bytes, dim).getOrElse(fakeDecode(bytes, dim))
         val feats = kind match {
           case "image" =>
-            decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(fakeDecode(bytes, dim))
+            decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(last)
           case "audio" =>
-            decodeAudio(bytes).map(t => audioFeatures(t._2, dim)).getOrElse(fakeDecode(bytes, dim))
+            decodeAudio(bytes).map(t => audioFeatures(t._2, dim)).getOrElse(last)
           case "video" =>
-            decodeVideoFrames(bytes).map(videoFeatures(_, dim)).getOrElse(fakeDecode(bytes, dim))
-          case _ => fakeDecode(bytes, dim)
+            decodeVideoFrames(bytes).map(videoFeatures(_, dim)).getOrElse(last)
+          case _ => last
         }
         Row(r.getLong(0), kind, feats.toSeq)
       }

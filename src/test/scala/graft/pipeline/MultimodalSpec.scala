@@ -174,6 +174,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a registered fallback decoder plugs in at the stub seam, codecs still win") {
+    import org.apache.spark.sql.Row
+    // a stand-in mp4 decoder: claims bytes with an 'MP4X' magic, declines
+    // everything else — the extension contract a real decoder would follow
+    val magic = "MP4X".getBytes("UTF-8")
+    val custom: Multimodal.FallbackDecoder = (kind, bytes, dim) =>
+      if (kind == "video" && bytes.take(4).sameElements(magic))
+        Some(Array.tabulate(dim)(i => (bytes.length + i).toFloat))
+      else None
+    val mp4ish = magic ++ Array.fill(28)(0x5a.toByte)
+    val junk = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("junk".getBytes("UTF-8"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Long.box(0L), "video", mp4ish,
+        Row(null, null, null, Int.box(30), "video/mp4")),
+      Row(Long.box(1L), "video", junk,
+        Row(null, null, null, Int.box(30), "application/octet-stream"))),
+      Multimodal.mediaSchema)
+    val got = Multimodal.extractFeatures(df, dim = 8, fallback = custom)
+      .orderBy("media_id").collect()
+    assert(got(0).getSeq[Float](2) ===
+      Array.tabulate(8)(i => (mp4ish.length + i).toFloat).toSeq,
+      "magic bytes must route to the registered decoder")
+    assert(got(1).getSeq[Float](2) === Multimodal.fakeDecode(junk, 8).toSeq,
+      "declined bytes must still fall to the stub")
+    // a greedy fallback never shadows a working JDK codec: real media wins
+    val greedy: Multimodal.FallbackDecoder = (_, _, dim) =>
+      Some(Array.fill(dim)(-1f))
+    val real = Multimodal.extractFeatures(media, dim = 16, fallback = greedy)
+      .orderBy("media_id").collect()
+    val plain = Multimodal.extractFeatures(media, dim = 16)
+      .orderBy("media_id").collect()
+    assert(real.map(_.getSeq[Float](2).toList).toSeq ===
+      plain.map(_.getSeq[Float](2).toList).toSeq)
+  }
+
   test("feature extraction is a narrow per-partition map with stable output") {
     val f1 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id").collect()
