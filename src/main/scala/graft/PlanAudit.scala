@@ -81,6 +81,15 @@ object PlanAudit {
       graft.pipeline.Ann.ivfProbeTopK(emb.where(col("vec_id") < 3), idx,
         k = 5, nprobe = 4).explain("formatted")
     }
+    section("q48 jaccardJoin (expect: one gram-df shuffle for the global rank, " +
+      "one doc_id window exchange, prefix-only equi-join, broadcast verify side — " +
+      "the full gram frame is never self-joined)") {
+      graft.pipeline.Dedup.jaccardJoin(docs, tau = 0.5).explain("formatted")
+    }
+    section("q49 nearDupClusters tail (expect: edge/vertex-sized checkpointed " +
+      "frames only; final corpus join against a small broadcastable component map)") {
+      graft.pipeline.Dedup.nearDupClusters(docs, threshold = 0.8).explain("formatted")
+    }
     spark.stop()
   }
 }
