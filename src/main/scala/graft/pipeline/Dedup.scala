@@ -547,8 +547,10 @@ object Dedup {
     * GLOBAL gram order the two prefixes must intersect — recall is exactly
     * 1, and the rarest-first order keeps prefix buckets small (a heavy
     * gram enters prefixes only for documents where little else is rarer).
-    * A size filter (min ≥ tau·max, epsilon-slacked so float rounding can
-    * only ADD candidates) prunes further before the exact verify tier.
+    * A size filter (min ≥ tau·max) and ppjoin's POSITIONAL filter (overlap
+    * upper-bounded via the minimal shared prefix gram's ranks — see the
+    * inline proof) prune further before the exact verify tier; both are
+    * epsilon-slacked so float rounding can only ADD candidates.
     *
     * Shape at scale: one gram-df shuffle (vocabulary-sized result joined
     * back on gram), one doc_id window exchange for (rank, size), a
@@ -570,21 +572,39 @@ object Dedup {
     // never shorter than the exact one — recall-safe
     val prefix = ranked
       .where(col("_rk") <= col("_sz") - ceil(lit(tau) * col("_sz")) + 1)
-      .select(col("doc_id"), col("gram"), col("_sz"))
+      .select(col("doc_id"), col("gram"), col("_sz"), col("_rk"))
     val candsDf = prefix.select(col("doc_id").as("doc_a"), col("gram"),
-        col("_sz").as("_sa"))
+        col("_sz").as("_sa"), col("_rk").as("_ra"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
-        col("_sz").as("_sb")), Seq("gram"))
+        col("_sz").as("_sb"), col("_rk").as("_rb")), Seq("gram"))
       .where(col("doc_a") < col("doc_b") &&
         // J ≥ tau ⇒ min(sa,sb) ≥ tau·max(sa,sb); 1e-6 slack so double
         // rounding of tau·max can only admit extra candidates, not drop one
         least(col("_sa"), col("_sb")).cast("double") >=
           greatest(col("_sa"), col("_sb")) * tau - 1e-6)
+      // POSITIONAL filter (the ppjoin half the prefix filter needs for
+      // precision): each doc's grams are ranked in the SAME global (df,
+      // gram) order, so the minimal shared prefix gram — ranks (min _ra,
+      // min _rb); both minima land on the same gram because the orders
+      // agree — has every other shared gram ranking after it in BOTH
+      // docs, bounding total overlap by 1 + min(sa-ra0, sb-rb0). Any
+      // shared gram ranking before a prefix match is itself a prefix
+      // match in both docs (its ranks are smaller on both sides), so the
+      // bound is sound over ALL shared grams, and J ≥ tau needs overlap
+      // ≥ tau·(sa+sb)/(1+tau) — pairs whose bound falls short (the bulk:
+      // one mid-prefix collision between unrelated docs) never reach the
+      // verify tier. The groupBy also replaces the candidate distinct.
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("_sa")).as("_sa"), first(col("_sb")).as("_sb"),
+        min(col("_ra")).as("_ra0"), min(col("_rb")).as("_rb0"))
+      .where((lit(1L) + least(col("_sa") - col("_ra0"),
+          col("_sb") - col("_rb0"))).cast("double") >=
+        (col("_sa") + col("_sb")) * lit(tau / (1.0 + tau)) - 1e-6)
       // localCheckpoint, not cache: the candidate set is referenced three
       // times downstream, but a CacheManager entry would pin storage until
       // an explicit unpersist no caller can issue (the returned plan hides
       // it). Checkpoint blocks are released when the frame is GC'd.
-      .select("doc_a", "doc_b").distinct().localCheckpoint()
+      .select("doc_a", "doc_b").localCheckpoint()
     verifyCandidatePairs(docs, candsDf, tau, ngram, text)
   }
 
