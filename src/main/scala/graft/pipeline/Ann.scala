@@ -496,6 +496,31 @@ object Ann {
         org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
+  /** Embedding-level dup CLUSTERS — the embedding sibling of
+    * [[Dedup.nearDupClusters]] and the end of the embedding-dedup pipeline:
+    * LSH-bucketed cosine pairs at `threshold` → connected components →
+    * one canonical survivor (minimum vec_id) per cluster. Returns one row
+    * per corpus vector: (vec_id, cluster_id, keep); filter on `keep` for
+    * the deduplicated embedding set.
+    *
+    * The component frame is vertex-sized (vectors appearing in a pair —
+    * a vanishing fraction), so the final assignment join is corpus ×
+    * small; singleton vectors keep themselves. Same shapes as the text
+    * pipeline: bucketed pair generation ([[lshCosinePairs]] — no all-pairs
+    * join), edge-sized component rounds, nothing pinned. */
+  def embeddingDupClusters(emb: DataFrame, threshold: Double,
+                           h: Int = 4, dim: Int = 64,
+                           maxBucket: Int = 10000): DataFrame = {
+    val pairs = lshCosinePairs(emb, threshold, h, dim, maxBucket)
+      .select("vid_a", "vid_b")
+    val comp = Dedup.connectedComponents(pairs, "vid_a", "vid_b")
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select("vec_id").join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
+
   /** Reference (interpreted column-expression) form of [[lshCosinePairs]] —
     * identical integer math, no cap; kept for the bit-equality spec that
     * pins the fast path. Not for the hot path: per-pair zip_with/aggregate

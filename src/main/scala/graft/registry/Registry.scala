@@ -269,6 +269,17 @@ object Registry {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Hyperplane-LSH bucket id over the quantized embedding `e` — same
+    * md5-derived hyperplanes as Ann.lshBucket, rendered as literals.
+    * Shared by q32 and q51. */
+  private lazy val lshBucketSql: String = {
+    def plane(p: Int) =
+      (0 until 64).map(j => Ann.planeComponent(p, j)).mkString("[", ",", "]")
+    (0 until 4).map { p =>
+      s"""CASE WHEN list_sum(list_transform(list_zip(e, ${plane(p)}::BIGINT[]), t -> t[1]*t[2])) >= 0 THEN ${1L << p} ELSE 0 END"""
+    }.mkString(" + ")
+  }
+
   private val quantCte =
     // x is FLOAT: the multiply must be forced to DOUBLE or DuckDB computes
     // it in float precision and rounds boundary values differently than
@@ -1046,14 +1057,8 @@ object Registry {
       (s, d) => Ann.lshCosinePairs(emb(s, d), threshold = 0.3, h = 4, dim = 64)
         .orderBy("vid_a", "vid_b"),
       Some {
-        // same md5-derived hyperplanes as Ann.lshBucket, rendered as literals
-        def plane(p: Int) =
-          (0 until 64).map(j => Ann.planeComponent(p, j)).mkString("[", ",", "]")
-        val bucket = (0 until 4).map { p =>
-          s"""CASE WHEN list_sum(list_transform(list_zip(e, ${plane(p)}::BIGINT[]), t -> t[1]*t[2])) >= 0 THEN ${1L << p} ELSE 0 END"""
-        }.mkString(" + ")
         s"""WITH $quantCte,
-           |bk AS (SELECT vec_id, e, n, $bucket AS bucket FROM nrm)
+           |bk AS (SELECT vec_id, e, n, $lshBucketSql AS bucket FROM nrm)
            |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
            |  CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
            |    / (a.n * b.n) AS cosine
@@ -1061,6 +1066,33 @@ object Registry {
            |WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
            |    / (a.n * b.n) >= 0.3
            |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ---- embedding dup clustering end-to-end: LSH cosine pairs (q32's
+    //      exact oracle tier) → recursive transitive closure → min-id
+    //      survivor, the embedding sibling of q49 ----
+    Entry("q51_embedding_clusters",
+      (s, d) => Ann.embeddingDupClusters(emb(s, d), threshold = 0.3,
+          h = 4, dim = 64)
+        .orderBy("vec_id"),
+      Some {
+        s"""WITH RECURSIVE $quantCte,
+           |bk AS (SELECT vec_id, e, n, $lshBucketSql AS bucket FROM nrm),
+           |pr AS (SELECT a.vec_id AS u, b.vec_id AS v
+           |       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |       WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e), t -> t[1]*t[2])) AS DOUBLE)
+           |         / (a.n * b.n) >= 0.3),
+           |e2 AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+           |reach(s, t) AS (
+           |  SELECT u, u FROM e2
+           |  UNION
+           |  SELECT r.s, e2.v FROM reach r JOIN e2 ON r.t = e2.u),
+           |cc AS (SELECT s AS vec_id, min(t) AS cluster_id FROM reach GROUP BY s)
+           |SELECT em.vec_id,
+           |  coalesce(cc.cluster_id, em.vec_id) AS cluster_id,
+           |  (em.vec_id = coalesce(cc.cluster_id, em.vec_id)) AS keep
+           |FROM embeddings em LEFT JOIN cc ON em.vec_id = cc.vec_id
+           |ORDER BY em.vec_id""".stripMargin
       }),
 
     // ---- O2 level form: last closed row of a level (metric.cpp:497-505) ----

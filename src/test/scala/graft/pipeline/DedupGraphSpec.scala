@@ -134,6 +134,22 @@ class DedupGraphSpec extends SparkSpec {
     assert(labels.values.forall(_ === 0L), "one component rooted at the min")
   }
 
+  test("embeddingDupClusters matches union-find over the LSH pair graph") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val r = Ann.embeddingDupClusters(emb, threshold = 0.3).cache()
+    assert(r.count() === emb.count(), "one row per corpus vector")
+    val pairs = Ann.lshCosinePairs(emb, 0.3).select("vid_a", "vid_b")
+      .collect().map(p => (p.getLong(0), p.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should produce within-bucket pairs")
+    val truth = bruteComponents(pairs)
+    val got = labelMap(r.select("vec_id", "cluster_id"))
+    assert(truth.forall { case (v, c) => got(v) == c })
+    // keep <=> vector is its cluster's minimum; singletons keep themselves
+    assert(r.where(col("keep") =!= (col("vec_id") === col("cluster_id")))
+      .count() === 0)
+    r.unpersist(); emb.unpersist()
+  }
+
   test("nearDupClusters assigns every doc, keeps exactly the cluster minima") {
     val r = Dedup.nearDupClusters(docs, threshold = 0.8).cache()
     assert(r.count() === docs.count(), "one row per corpus document")
