@@ -193,6 +193,44 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "score", "rnk")
   }
 
+  /** Corpus-level line deduplication — boilerplate removal (the line-level
+    * filter of CCNet/RefinedWeb-style pipelines): a line whose trimmed
+    * content is non-empty and appears in >= `minDocs` DISTINCT documents is
+    * removed from every document; everything else (including blank lines)
+    * is kept in original order. Per document: `clean_text` (surviving lines
+    * re-joined with \n; "" when nothing survives), `n_lines` (original
+    * count), `n_removed`.
+    *
+    * Shape at scale: lines are keyed by their 60-bit md5 hash, so the
+    * frequency groupBy and the anti join shuffle 8-byte keys, never line
+    * text (the oracle matches textual lines and must agree — q15's
+    * injectivity argument). The frequent set is boilerplate-sized (lines
+    * crossing a cross-document threshold), orders of magnitude below
+    * corpus line count — AQE broadcasts the anti join. Reassembly is one
+    * doc_id shuffle whose partition width is a single document's lines. */
+  def lineDedup(docs: DataFrame, minDocs: Int, text: String = "text"): DataFrame = {
+    val ls = docs.select(col("doc_id"), split(col(text), "\n", -1).as("ls"))
+    val ex = ls.select(col("doc_id"),
+        posexplode(col("ls")).as(Seq("pos", "line")))
+      .withColumn("lh", md5Long(col("line")))
+    val frequent = ex.where(trim(col("line")) =!= "")
+      .groupBy("lh").agg(countDistinct("doc_id").as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select("lh")
+    val rebuilt = ex.join(frequent, Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    ls.select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** PII patterns, written in the subset where Java regex (Spark) and RE2
     * (DuckDB) agree exactly: plain character classes, bounded repetition,
     * ASCII `\d` and `\b` — no backreferences, no lookaround (RE2 has

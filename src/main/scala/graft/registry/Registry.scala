@@ -1331,7 +1331,46 @@ object Registry {
               |  FROM p)
               |SELECT doc_id, n_email, n_ip, n_phone, red_text,
               |       lower(regexp_replace(red_text, ' +', ' ', 'g')) AS norm_text
-              |FROM r ORDER BY doc_id""".stripMargin))
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus line dedup (boilerplate removal): testdata text is
+    //      single-line, so the query seeds deterministic multi-line docs —
+    //      two shared footers (frequent, removed) + a per-doc note line and
+    //      a blank line every 7th doc (kept) — q50's seeding pattern ----
+    Entry("q52_line_dedup",
+      (s, d) => {
+        val seeded = docs(s, d).select(col("doc_id"), concat(
+          col("text"), lit("\n"),
+          when(col("doc_id") % 7 === 0, lit("\n")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+              lit("copyright footer all rights reserved"))
+            .when(col("doc_id") % 3 === 1, lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("note "), col("doc_id").cast("string"))))
+          .as("text"))
+        TextOps.lineDedup(seeded, minDocs = 5).orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+              |  text || chr(10) ||
+              |  CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END ||
+              |  CASE WHEN doc_id % 3 = 0 THEN 'copyright footer all rights reserved'
+              |       WHEN doc_id % 3 = 1 THEN 'subscribe to our newsletter'
+              |       ELSE 'note ' || CAST(doc_id AS VARCHAR) END AS text
+              |  FROM documents),
+              |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+              |ex AS (SELECT doc_id, unnest(l) AS line,
+              |              unnest(range(1, len(l)+1)) AS pos FROM ls),
+              |freq AS (SELECT line FROM ex WHERE trim(line) <> ''
+              |         GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+              |rb AS (SELECT doc_id,
+              |              string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+              |              count(*) AS n_kept
+              |       FROM ex WHERE line NOT IN (SELECT line FROM freq)
+              |       GROUP BY doc_id)
+              |SELECT ls.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+              |       CAST(len(ls.l) AS BIGINT) AS n_lines,
+              |       CAST(len(ls.l) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM ls LEFT JOIN rb ON ls.doc_id = rb.doc_id
+              |ORDER BY ls.doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

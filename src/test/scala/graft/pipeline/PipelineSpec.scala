@@ -367,6 +367,31 @@ class PipelineSpec extends SparkSpec {
       r(2).getAs[Long]("n_phone")) === ((0L, 0L, 0L)))
   }
 
+  test("lineDedup removes cross-document boilerplate, keeps order and blanks") {
+    val s = spark
+    import s.implicits._
+    val boiler = "(c) footer"
+    val crafted = Seq(
+      (1L, s"alpha one\n$boiler\nalpha two"),
+      (2L, s"beta\n\n$boiler"),      // blank line must survive
+      (3L, s"$boiler\ngamma"),
+      (4L, boiler),                  // every line removed -> ""
+      (5L, "delta only")).toDF("doc_id", "text")
+    val r = TextOps.lineDedup(crafted, minDocs = 3).orderBy("doc_id").collect()
+      .map(x => (x.getAs[String]("clean_text"), x.getAs[Long]("n_lines"),
+        x.getAs[Long]("n_removed")))
+    assert(r.toSeq === Seq(
+      ("alpha one\nalpha two", 3L, 1L), // interior removal re-joins in order
+      ("beta\n", 3L, 1L),               // trailing blank kept
+      ("gamma", 2L, 1L),
+      ("", 1L, 1L),
+      ("delta only", 1L, 0L)))
+    // boiler is in 4 docs; above that threshold nothing is frequent ->
+    // identity on text
+    val id = TextOps.lineDedup(crafted, minDocs = 5).orderBy("doc_id").collect()
+    assert(id.map(_.getAs[Long]("n_removed")).forall(_ === 0L))
+  }
+
   test("fingerprints are deterministic across evaluations") {
     val f1 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
