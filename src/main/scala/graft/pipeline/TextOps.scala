@@ -32,7 +32,7 @@ object TextOps {
   val FrStop: Seq[String] =
     Seq("le", "la", "les", "des", "et", "est", "un", "une", "dans", "pour")
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
+  private[pipeline] def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")
 
   /** BPE-ish subword segmentation regex: letter runs, digit runs, and single

@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Dedup, Multimodal, Packing, Sampling, TextOps}
+import graft.pipeline.{Ann, Curate, Dedup, Multimodal, Packing, Sampling, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1370,7 +1370,53 @@ object Registry {
               |       CAST(len(ls.l) AS BIGINT) AS n_lines,
               |       CAST(len(ls.l) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
               |FROM ls LEFT JOIN rb ON ls.doc_id = rb.doc_id
-              |ORDER BY ls.doc_id""".stripMargin))
+              |ORDER BY ls.doc_id""".stripMargin)),
+
+    // ---- one-call corpus curation verdict: exact-dup survivor + quality +
+    //      Gopher repetition gates (integer-arithmetic comparisons), reason
+    //      = first failing gate, lang_pred as routing metadata ----
+    Entry("q53_curate",
+      (s, d) => Curate.curate(docs(s, d), topTokenPctMax = 15,
+          dupTrigramPctMax = 10)
+        .orderBy("doc_id"),
+      Some {
+        def hits(ws: Seq[String]) =
+          s"len(list_filter(s, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+           |fl AS (SELECT doc_id,
+           |  (${hits(TextOps.EnStop)} >= 1 AND len(s) >= 10) AS quality_ok,
+           |  CASE WHEN ${hits(TextOps.EnStop)} >= ${hits(TextOps.DeStop)}
+           |         AND ${hits(TextOps.EnStop)} >= ${hits(TextOps.FrStop)} THEN 'en'
+           |       WHEN ${hits(TextOps.DeStop)} >= ${hits(TextOps.FrStop)} THEN 'de'
+           |       ELSE 'fr' END AS lang_pred FROM d),
+           |cn AS (SELECT doc_id,
+           |  (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS canonical FROM d),
+           |tc AS (SELECT doc_id, max(c) AS topc
+           |       FROM (SELECT doc_id, g, count(*) AS c
+           |             FROM (SELECT doc_id, unnest(s) AS g FROM d) GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |dc AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+           |       FROM (SELECT doc_id, g, count(*) AS c
+           |             FROM (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+           |                                          for i in range(1, len(s)-1)]) AS g
+           |                   FROM d WHERE len(s) >= 3) GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |j AS (SELECT d.doc_id, len(d.s) AS n, fl.quality_ok, fl.lang_pred,
+           |             cn.canonical, tc.topc, coalesce(dc.dup3, 0) AS dup3
+           |      FROM d JOIN fl USING (doc_id) JOIN cn USING (doc_id)
+           |        JOIN tc USING (doc_id) LEFT JOIN dc USING (doc_id)),
+           |r AS (SELECT doc_id, lang_pred, canonical, quality_ok,
+           |        (topc * 100 <= n * 15 AND (n < 3 OR dup3 * 100 <= (n - 2) * 10))
+           |          AS rep_ok FROM j)
+           |SELECT doc_id, lang_pred, canonical, quality_ok, rep_ok,
+           |  (CASE WHEN NOT canonical THEN 'dup'
+           |        WHEN NOT quality_ok THEN 'quality'
+           |        WHEN NOT rep_ok THEN 'repetition' ELSE 'ok' END = 'ok') AS keep,
+           |  CASE WHEN NOT canonical THEN 'dup'
+           |       WHEN NOT quality_ok THEN 'quality'
+           |       WHEN NOT rep_ok THEN 'repetition' ELSE 'ok' END AS reason
+           |FROM r ORDER BY doc_id""".stripMargin
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

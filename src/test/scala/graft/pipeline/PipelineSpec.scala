@@ -392,6 +392,27 @@ class PipelineSpec extends SparkSpec {
     assert(id.map(_.getAs[Long]("n_removed")).forall(_ === 0L))
   }
 
+  test("curate applies dup > quality > repetition priority and exact-integer gates") {
+    val s = spark
+    import s.implicits._
+    val good = "the cat sat on a mat and it was warm for hours here"
+    val crafted = Seq(
+      (1L, good),                    // clean -> keep
+      (2L, good),                    // exact dup of 1 -> dropped as 'dup'
+      (3L, "tiny doc"),              // < 10 tokens, no stopword -> 'quality'
+      // >= 10 tokens with a stopword (passes quality) but one token is
+      // 4/12 = 33% > 15% of the doc -> 'repetition'
+      (4L, "the spam spam spam spam words words other other other more more"),
+      // dup AND low quality -> 'dup' wins (priority order)
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val r = Curate.curate(crafted).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Boolean]("keep"),
+        x.getAs[String]("reason")))
+    assert(r.toSeq === Seq(
+      (1L, true, "ok"), (2L, false, "dup"), (3L, false, "quality"),
+      (4L, false, "repetition"), (5L, false, "dup")))
+  }
+
   test("fingerprints are deterministic across evaluations") {
     val f1 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
