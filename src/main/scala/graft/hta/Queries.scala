@@ -214,6 +214,38 @@ object Queries {
     * pattern: tag both series, sort per key-space, carry the right value
     * forward with last(ignoreNulls) — one shuffle, no range join explosion.
     * At scale, partition-align both inputs on the time bucket first. */
+  /** Exact per-metric value percentiles over a time range WITHOUT a global
+    * sort — histogram selection: the p-th percentile (percentile_disc
+    * semantics) is the smallest value whose cumulative count reaches
+    * `ceil(n * p / 100)`. Rendered as `100 * cum >= n * p`, all-integer
+    * arithmetic — bit-reproducible in any engine, no interpolation floats.
+    *
+    * Shape at scale: ONE (metric, value)-keyed groupBy with map-side
+    * combine — shuffle volume is the DISTINCT-value histogram, not the
+    * point count — then cumulative windows over that histogram (partition
+    * width = a metric's distinct values, orders of magnitude below its row
+    * count for quantized domains like cents). For a pathological metric
+    * whose values are all distinct, coarsen first (e.g. group on
+    * `cents div g`) and refine within the selected bucket with a second
+    * pruned pass — same two-phase selection, documented rather than built
+    * because stored metric values are already grid-quantized. Percent
+    * ranks are exploded from a literal array: no join, no extra pass. */
+  def valueQuantiles(points: DataFrame, begin: Long, end: Long,
+                     ps: Seq[Int]): DataFrame = {
+    val hist = points.where(col("time") >= begin && col("time") < end)
+      .groupBy("metric", "cents").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("metric").orderBy("cents")))
+      .withColumn("n", sum("c").over(Window.partitionBy("metric")))
+    cum.select(col("metric"), col("cents"), col("cum"), col("n"),
+        explode(lit(ps.toArray)).as("p0"))
+      .withColumn("p", col("p0").cast("long"))
+      .where(col("cum") * 100 >= col("n") * col("p"))
+      .groupBy("metric", "p")
+      .agg(min("cents").as("q_cents"), min("n").as("n"))
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                valueName: String = "right_value"): DataFrame = {
     val cols = keys.map(col) ++ Seq(col("time"), col("value"))

@@ -1416,7 +1416,28 @@ object Registry {
            |       WHEN NOT quality_ok THEN 'quality'
            |       WHEN NOT rep_ok THEN 'repetition' ELSE 'ok' END AS reason
            |FROM r ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- exact per-metric percentiles over a range via histogram
+    //      selection — no global sort; all-integer rank arithmetic
+    //      (100*cum >= n*p <=> cum >= ceil(n*p/100)), percentile_disc
+    //      semantics. DuckDB's sum() OVER is HUGEINT — comparisons are
+    //      fine, but every emitted sum must CAST to BIGINT (q42 lesson) ----
+    Entry("q54_quantiles",
+      (s, d) => graft.hta.Queries.valueQuantiles(ev(s, d), B, E,
+          ps = Seq(50, 95, 99))
+        .orderBy("metric", "p"),
+      Some(s"""WITH $ptsCte,
+              |h AS (SELECT metric, cents, count(*) AS c FROM pts
+              |      WHERE time >= $B AND time < $E GROUP BY 1, 2),
+              |w AS (SELECT metric, cents,
+              |        sum(c) OVER (PARTITION BY metric ORDER BY cents) AS cum,
+              |        sum(c) OVER (PARTITION BY metric) AS n FROM h),
+              |x AS (SELECT metric, cents, cum, n, unnest([50, 95, 99]) AS p FROM w)
+              |SELECT metric, CAST(p AS BIGINT) AS p, min(cents) AS q_cents,
+              |       CAST(min(n) AS BIGINT) AS n
+              |FROM x WHERE 100 * cum >= n * p
+              |GROUP BY metric, p ORDER BY metric, p""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
