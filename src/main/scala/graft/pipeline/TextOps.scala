@@ -96,6 +96,34 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
 
+  /** [[vocabulary]] with dense integer ids assigned by rank (tf desc, token
+    * asc — the same TOTAL order, so ids are deterministic): id 0 is the most
+    * frequent token. The id window runs unpartitioned over the top-k table —
+    * vocabulary-sized by construction (k rows), never corpus-sized. */
+  def vocabularyWithIds(docs: DataFrame, topK: Int,
+                        text: String = "text"): DataFrame =
+    vocabulary(docs, topK, text).withColumn("tok_id",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("token"))) - 1).cast("long"))
+
+  /** Vocabulary encoding — the tokenization step between curation and
+    * sequence packing: each document becomes its (pos, tok_id) rows under
+    * a fixed vocabulary, out-of-vocabulary tokens mapping to -1 (the UNK
+    * id). Emitted exploded (doc_id, pos, tok_id) — the shape packing and
+    * any id-level analytics consume, and the shape that keeps every row a
+    * fixed-width triple at 100 TB.
+    *
+    * Shape at scale: the vocabulary is topK-sized and BROADCAST — encoding
+    * is a map-side hash-join on the exploded token stream, zero corpus
+    * shuffles; order survives in `pos` so consumers needing arrays
+    * re-assemble exactly like [[lineDedup]] does. */
+  def encodeDocs(docs: DataFrame, vocab: DataFrame,
+                 text: String = "text"): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col(text))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select("token", "tok_id")), Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1.3, the
     * published repetition filters): per document,
     *   - `top_token_cnt` / `top_token_frac`  — occurrences of the most

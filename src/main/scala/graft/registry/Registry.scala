@@ -1437,7 +1437,27 @@ object Registry {
               |SELECT metric, CAST(p AS BIGINT) AS p, min(cents) AS q_cents,
               |       CAST(min(n) AS BIGINT) AS n
               |FROM x WHERE 100 * cum >= n * p
-              |GROUP BY metric, p ORDER BY metric, p""".stripMargin))
+              |GROUP BY metric, p ORDER BY metric, p""".stripMargin)),
+
+    // ---- vocabulary encoding: docs -> (pos, tok_id) rows under the
+    //      rank-ordered top-20 vocabulary, OOV -> -1. topK=20 < corpus
+    //      vocab so the UNK path is exercised on real data ----
+    Entry("q55_encode",
+      (s, d) => TextOps.encodeDocs(docs(s, d),
+          TextOps.vocabularyWithIds(docs(s, d), topK = 20))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             |                    unnest(range(0, len(string_split(text, ' ')))) AS pos
+             |             FROM documents),
+             |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+             |vr AS (SELECT token,
+             |         CAST(row_number() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT)
+             |           AS tok_id
+             |       FROM (SELECT token, tf FROM v ORDER BY tf DESC, token LIMIT 20))
+             |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+             |       coalesce(vr.tok_id, -1) AS tok_id
+             |FROM tok t LEFT JOIN vr USING (token)
+             |ORDER BY doc_id, pos""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -413,6 +413,24 @@ class PipelineSpec extends SparkSpec {
       (4L, false, "repetition"), (5L, false, "dup")))
   }
 
+  test("encodeDocs assigns rank ids, position order, and -1 for OOV") {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      (1L, "b a a c"),   // tf: a=3, b=2, c=1  ->  ids a=0, b=1, c=2
+      (2L, "a b rare")).toDF("doc_id", "text")
+    val vocab = TextOps.vocabularyWithIds(crafted, topK = 2) // a, b only
+    assert(vocab.orderBy("tok_id").collect()
+      .map(x => (x.getAs[String]("token"), x.getAs[Long]("tok_id")))
+      .toSeq === Seq(("a", 0L), ("b", 1L)))
+    val r = TextOps.encodeDocs(crafted, vocab).orderBy("doc_id", "pos")
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("pos"),
+        x.getAs[Long]("tok_id")))
+    assert(r.toSeq === Seq(
+      (1L, 0L, 1L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, -1L), // c OOV
+      (2L, 0L, 0L), (2L, 1L, 1L), (2L, 2L, -1L)))              // rare OOV
+  }
+
   test("fingerprints are deterministic across evaluations") {
     val f1 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
