@@ -90,6 +90,40 @@ object PlanAudit {
       "frames only; final corpus join against a small broadcastable component map)") {
       graft.pipeline.Dedup.nearDupClusters(docs, threshold = 0.8).explain("formatted")
     }
+    section("q52 lineDedup (expect: one (line-hash) groupBy shuffle for the " +
+      "frequency table, broadcast/AQE anti join on the 8-byte key, one doc_id " +
+      "reassembly shuffle — line strings never shuffle for the join)") {
+      val seeded = docs.select(col("doc_id"),
+        concat(col("text"), lit("\nfooter")).as("text"))
+      graft.pipeline.TextOps.lineDedup(seeded, minDocs = 5).explain("formatted")
+    }
+    section("q53 curate (expect: quality+lang as ONE narrow projection; one " +
+      "content-hash window exchange; repetition's single gram shuffle; " +
+      "doc-keyed flag joins only)") {
+      graft.pipeline.Curate.curate(docs).explain("formatted")
+    }
+    section("q54 valueQuantiles (expect: EXACTLY two exchanges — partial-agg " +
+      "(metric,cents) groupBy = histogram-sized shuffle, then one metric " +
+      "exchange shared by both windows. Over the events VIEW the time filter " +
+      "stays above the scan (time is derived from ts); run it over " +
+      "warehouse raw for physical-time pushdown + tb pruning at scale)") {
+      graft.hta.Queries.valueQuantiles(ev, Registry.B, Registry.E, Seq(50, 95, 99))
+        .explain("formatted")
+    }
+    section("q54 over warehouse raw (the scale path: expect PushedFilters on " +
+      "physical time + PartitionFilters on tb)") {
+      val pre = hta.raw.where(
+        col("tb") >= Registry.B - Math.floorMod(Registry.B, meta.intervalMax) &&
+          col("tb") < Registry.E)
+      graft.hta.Queries.valueQuantiles(pre, Registry.B, Registry.E,
+        Seq(50, 95, 99), valueCol = "value").explain("formatted")
+    }
+    section("q55 encodeDocs (expect: BroadcastExchange on the vocabulary — " +
+      "the exploded token stream never shuffles)") {
+      graft.pipeline.TextOps.encodeDocs(docs,
+        graft.pipeline.TextOps.vocabularyWithIds(docs, topK = 20))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }

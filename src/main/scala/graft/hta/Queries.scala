@@ -231,19 +231,20 @@ object Queries {
     * because stored metric values are already grid-quantized. Percent
     * ranks are exploded from a literal array: no join, no extra pass. */
   def valueQuantiles(points: DataFrame, begin: Long, end: Long,
-                     ps: Seq[Int]): DataFrame = {
+                     ps: Seq[Int], valueCol: String = "cents"): DataFrame = {
     val hist = points.where(col("time") >= begin && col("time") < end)
-      .groupBy("metric", "cents").agg(count(lit(1)).as("c"))
+      .groupBy(col("metric"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum",
-        sum("c").over(Window.partitionBy("metric").orderBy("cents")))
+        sum("c").over(Window.partitionBy("metric").orderBy("v")))
       .withColumn("n", sum("c").over(Window.partitionBy("metric")))
-    cum.select(col("metric"), col("cents"), col("cum"), col("n"),
+    cum.select(col("metric"), col("v"), col("cum"), col("n"),
         explode(lit(ps.toArray)).as("p0"))
       .withColumn("p", col("p0").cast("long"))
       .where(col("cum") * 100 >= col("n") * col("p"))
       .groupBy("metric", "p")
-      .agg(min("cents").as("q_cents"), min("n").as("n"))
+      .agg(min("v").as(s"q_$valueCol"), min("n").as("n"))
   }
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
