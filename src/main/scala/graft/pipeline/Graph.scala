@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge-list DataFrames.
+  *
+  * Connected components (the dedup-cluster workhorse) lives in
+  * [[Dedup.connectedComponents]] / [[Dedup.connectedComponentsStars]];
+  * this object holds the rank/centrality side. Everything here is kept in
+  * EXACT INTEGER arithmetic so results are bit-reproducible across engines
+  * (the hash-compared oracle gate) and across cluster re-runs: a
+  * floating-point PageRank sums contributions in shuffle-arrival order,
+  * and float addition is not associative — two runs of the same job can
+  * legitimately disagree in the last ulp, which a hash compare fails.
+  * Scaled-integer ranks sum identically under ANY ordering.
+  */
+object Graph {
+
+  /** PageRank by fixed-iteration power method in scaled-integer
+    * arithmetic. Ranks are maintained as `rank_scaled = round-down of
+    * rank * scale`; one iteration is
+    *
+    *   contrib(v) = sum over in-neighbours u of (rank(u) div outdeg(u))
+    *   rank'(v)   = ((scale - damp) * scale) div scale
+    *                + (damp * contrib(v)) div scale
+    *
+    * with every division an INTEGER floor-div — monotone in the same
+    * direction as the real-valued recurrence and within ~iters ulps-of-
+    * scale of it (mass lost to floor-div simply damps slightly harder),
+    * but exactly reproducible: integer sums are order-independent, so the
+    * shuffle's nondeterministic arrival order cannot change a single bit.
+    * Dangling vertices (no out-edges) keep receiving the teleport term but
+    * redistribute nothing — the "drop dangling mass" variant, documented
+    * over the redistribute-uniformly variant because it needs no extra
+    * global aggregate per round.
+    *
+    * Shape at scale: the degree-annotated edge list is built ONCE
+    * (edge-sized, one groupBy shuffle) and locally checkpointed — each of
+    * the `iters` rounds is then one src-keyed join (rank frame is
+    * vertex-sized; AQE broadcasts it when small), one dst-keyed partial-
+    * aggregated sum shuffle, and one vertex-sized left join. Per-round
+    * results are locally checkpointed, NOT persisted: the iterated frame
+    * otherwise doubles the logical plan per round (the spec-pinned
+    * connectedComponents lesson), and checkpoint blocks free on GC where
+    * CacheManager entries would pin until an unpersist no caller can
+    * issue. The edge frame — the only corpus-scale object — is never
+    * re-derived inside the loop.
+    *
+    * @param edges directed edge list; pass both directions for an
+    *              undirected graph
+    * @param iters fixed iteration count (power-method rounds)
+    * @param scale rank fixed-point scale (default 1e6: rank 1.0 = 1000000)
+    * @param damp  damping numerator out of `scale` (default 0.85)
+    * @return (node, rank_scaled) for every vertex incident to an edge
+    */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+               iters: Int = 5, scale: Long = 1000000L,
+               damp: Long = 850000L): DataFrame = {
+    require(iters >= 1 && scale > 0 && damp >= 0 && damp <= scale)
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    // degree-annotated edges: built once, reused every round
+    val ed = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val teleport = ((scale - damp) * scale) / scale
+    var rank = nodes.withColumn("rank_scaled", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(rank.select(col("node").as("src"), col("rank_scaled")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_scaled div _deg")).as("_c"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($damp * coalesce(_c, 0L)) div $scale")).as("rank_scaled"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  /** Per-vertex degree summary of a directed edge list: out-degree,
+    * in-degree, and total. One shuffle per direction over edge-sized
+    * frames, vertex-sized output. */
+  def degrees(edges: DataFrame, src: String = "src",
+              dst: String = "dst"): DataFrame = {
+    val out = edges.groupBy(col(src).as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dst).as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+}

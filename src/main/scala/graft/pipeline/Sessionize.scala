@@ -80,4 +80,63 @@ object Sessionize {
       .agg(all.head, all.tail: _*)
       .drop(sid)
   }
+
+  /** Ordered funnel: how many users complete each prefix of `steps`, where
+    * completing step i means an event of type steps(i) STRICTLY after the
+    * user's completion time of step i-1 (earliest-completion semantics: the
+    * reach time of a step is the minimum valid event time, which maximizes
+    * who can reach later steps — the standard funnel definition). Returns
+    * one row per step: (step 1-based, event_type, n_users), monotone
+    * non-increasing in n_users.
+    *
+    * Shape at scale: one pass per step over the TYPE-FILTERED event slice
+    * (the `metric = steps(i)` filter pushes to the scan; each slice is a
+    * fraction of the corpus), joined to the previous reach frame — which is
+    * USER-sized, so AQE broadcasts it whenever the user dimension is small
+    * — then a user-keyed min aggregate. The per-step counts are scalar
+    * aggregates unioned driver-side; no corpus-wide shuffle anywhere. */
+  def funnel(events: DataFrame, steps: Seq[String], user: String = "user_id",
+             metric: String = "metric", time: String = "time"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    var reach = events.where(col(metric) === steps.head)
+      .groupBy(col(user)).agg(min(col(time)).as("_t"))
+    var counts = Vector(reach.count())
+    for (st <- steps.tail) {
+      reach = events.where(col(metric) === st)
+        .join(reach.select(col(user), col("_t").as("_prev")), user)
+        .where(col(time) > col("_prev"))
+        .groupBy(col(user)).agg(min(col(time)).as("_t"))
+      counts :+= reach.count()
+    }
+    import spark.implicits._
+    steps.zipWithIndex
+      .map { case (st, i) => ((i + 1).toLong, st, counts(i)) }
+      .toDF("step", "event_type", "n_users")
+  }
+
+  /** Cohort retention: users are cohorted by the day of their FIRST event
+    * (integer day index since epoch, from the ns time column), and each
+    * (cohort_day, day_offset) cell counts the distinct users of that cohort
+    * active `day_offset` days after their first day. The classic retention
+    * triangle; day_offset 0 always equals cohort size.
+    *
+    * Shape at scale: cohort assignment is one user-keyed min aggregate;
+    * the join back is user-keyed against a USER-sized frame (AQE
+    * broadcasts it when small); the cell count is one (cohort, offset)
+    * distinct-user aggregate — partial-aggregated on (cohort, offset,
+    * user), so the shuffle carries one row per user-day, already the
+    * output grain. No corpus-scale window, no skew (cells partition by
+    * cohort×offset, not by a global key). */
+  def retention(events: DataFrame, user: String = "user_id",
+                time: String = "time",
+                dayNs: Long = 86400000000000L): DataFrame = {
+    val days = events.select(col(user),
+      expr(s"$time div $dayNs").as("_day"))
+    val cohorts = days.groupBy(col(user)).agg(min(col("_day")).as("_cohort"))
+    days.join(cohorts, user)
+      .groupBy(col("_cohort").as("cohort_day"),
+        (col("_day") - col("_cohort")).as("day_offset"))
+      .agg(countDistinct(col(user)).as("n_users"))
+  }
 }

@@ -302,6 +302,34 @@ object Registry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** q56's oracle: the integer PageRank recurrence UNROLLED as chained
+    * CTEs (DuckDB's recursive CTEs disallow the grouped aggregate each
+    * round needs). Mirrors [[graft.pipeline.Graph.pageRank]] constant for
+    * constant: scale 1e6, damp 0.85e6, teleport 150000; sums are CAST to
+    * BIGINT because DuckDB widens integer SUM to HUGEINT (the q42
+    * dtype lesson). */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH f AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |                  CAST(o_custkey AS BIGINT) + 1000000 AS dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(p.r // dg.deg) AS BIGINT) AS s
+         |       FROM e JOIN dg ON e.src = dg.src
+         |       JOIN r${i - 1} p ON p.node = e.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |         CAST(150000 + (850000 * coalesce(c$i.s, 0)) // 1000000
+         |           AS BIGINT) AS r
+         |       FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // ---- S1/F1/Q1: scans + scope predicates ----
@@ -1457,7 +1485,79 @@ object Registry {
              |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
              |       coalesce(vr.tok_id, -1) AS tok_id
              |FROM tok t LEFT JOIN vr USING (token)
-             |ORDER BY doc_id, pos""".stripMargin))
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---- graph centrality: integer-arithmetic PageRank over the
+    //      undirected supplier<->customer graph from lineitem x orders
+    //      (customers offset by 1e6 to disjoin the key spaces). 5 power
+    //      iterations; the oracle UNROLLS them as chained CTEs — every
+    //      operation is BIGINT floor-div/sum, so both engines agree
+    //      bit-for-bit regardless of shuffle order ----
+    Entry("q56_pagerank",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").cast("long").as("src"),
+            (col("o_custkey").cast("long") + 1000000L).as("dst"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.pipeline.Graph.pageRank(edges, iters = 5).orderBy("node")
+      },
+      Some(pageRankOracleSql(5))),
+
+    // ---- event funnel: users completing signup -> view -> click ->
+    //      purchase in strict time order (earliest-completion reach) ----
+    Entry("q57_funnel",
+      (s, d) => {
+        val ev = s.read.parquet(s"$d/events.parquet").select(
+          col("event_type").as("metric"),
+          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
+            .as("time"),
+          col("user_id"))
+        graft.pipeline.Sessionize.funnel(ev, Seq("signup", "view", "click", "purchase"))
+          .orderBy("step")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |              epoch_us(ts)*1000 AS t FROM events),
+             |s1 AS (SELECT user_id, min(t) AS t FROM ev
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'view' AND e.t > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'click' AND e.t > s2.t GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+             |       JOIN s3 ON e.user_id = s3.user_id
+             |       WHERE e.event_type = 'purchase' AND e.t > s3.t GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+             |         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+             |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+             |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+             |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+             |ORDER BY step""".stripMargin)),
+
+    // ---- cohort retention triangle: first-event day cohorts x active-day
+    //      offsets, distinct users per cell. Day index by integer floor-div
+    //      of the us-grid ns time — exact on both engines ----
+    Entry("q58_retention",
+      (s, d) => {
+        val ev = s.read.parquet(s"$d/events.parquet").select(
+          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
+            .as("time"),
+          col("user_id"))
+        graft.pipeline.Sessionize.retention(ev).orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH d AS (SELECT user_id,
+             |             (epoch_us(ts)*1000) // 86400000000000 AS day
+             |           FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+             |SELECT c.cohort AS cohort_day, d.day - c.cohort AS day_offset,
+             |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+             |FROM d JOIN c ON d.user_id = c.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

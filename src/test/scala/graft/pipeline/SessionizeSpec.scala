@@ -35,6 +35,44 @@ class SessionizeSpec extends SparkSpec {
       === Seq(("a", 0L, 1L), ("a", 100L, 1L), ("b", 1L, 1L)))
   }
 
+  private def events(rows: (Long, String, Long)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (u, m, t) => Row(u, m, t) }: _*),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("metric", StringType), StructField("time", LongType))))
+
+  test("funnel requires strict time order through the steps") {
+    val d = events(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L), // completes all three
+      (2L, "A", 1L), (2L, "B", 0L),                // B before A: stops at A
+      (3L, "B", 5L),                               // never signs up
+      (4L, "A", 1L), (4L, "B", 1L))                // tie is NOT strictly after
+    val out = Sessionize.funnel(d, Seq("A", "B", "C"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "A", 3L), (2L, "B", 1L), (3L, "C", 1L)))
+  }
+
+  test("funnel uses earliest completion, not any-matching event") {
+    // B happens twice; the EARLIEST B after A (t=2) is what C must beat.
+    val d = events((1L, "A", 1L), (1L, "B", 2L), (1L, "B", 9L), (1L, "C", 3L))
+    val out = Sessionize.funnel(d, Seq("A", "B", "C")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("retention cohorts by first-event day and counts distinct users") {
+    val d = events(
+      (1L, "x", 5L), (1L, "x", 15L), (1L, "x", 17L), (1L, "x", 25L),
+      (2L, "x", 15L), (2L, "x", 35L))
+    val out = Sessionize.retention(d, time = "time", dayNs = 10L)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), // u1: days 0,1,2 (17 dedups)
+      (1L, 0L, 1L), (1L, 2L, 1L)))              // u2: days 1,3 -> offsets 0,2
+  }
+
   test("withSessionId assigns running ordinals per key") {
     val d = df(("u", 0L, 0.0), ("u", 5L, 0.0), ("u", 50L, 0.0), ("u", 100L, 0.0))
     val ids = Sessionize.withSessionId(d, "user", "t", gapNs = 10L)
