@@ -463,6 +463,65 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** [[decontaminate]]'s SCALE tier for benchmarks whose distinct gram set
+    * is too large to broadcast exactly (the exact tier ships 8 bytes per
+    * gram to every executor; past a few hundred million grams that
+    * broadcast is the bottleneck). Identical output, different shape:
+    *
+    *  1. build a Bloom filter of the benchmark grams DISTRIBUTED
+    *     (`stat.bloomFilter` tree-aggregates partial filters; the driver
+    *     only ever holds the merged ~`-log2(fpp)·1.44` bits/gram result —
+    *     ~6x smaller than the exact set at the default 1% fpp);
+    *  2. probe it with Spark's own codegen'd `BloomFilterMightContain`
+    *     (registered as `graft_might_contain`; interpreted-eval fallback
+    *     when the session lacks GraftExtensions) to cut the corpus gram
+    *     stream to candidates — the only rows that must SHUFFLE on gram;
+    *  3. exact-verify candidates against the benchmark grams with a
+    *     left-semi shuffle join, so Bloom false positives are removed and
+    *     the output matches the exact tier BIT FOR BIT (spec-pinned).
+    *
+    * The gram-keyed shuffle thus moves `overlap + fpp·|corpus|` rows
+    * instead of `|corpus|` — on a decontamination workload overlap is a
+    * vanishing fraction by construction. The corpus is scanned twice
+    * (per-doc totals, candidate extraction): the keywords trade — at
+    * corpus scale a second narrow scan beats materializing the gram
+    * stream anywhere. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 8, text: String = "text",
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    // benchmark-sized, referenced three times (count, filter build, verify
+    // join) — checkpoint rather than re-shingle thrice; blocks free on GC
+    val benchGrams = shingleHashRows(benchmark, n, text)
+      .select("gram").distinct().localCheckpoint()
+    val bloom = benchGrams.stat.bloomFilter(
+      "gram", math.max(benchGrams.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe =
+      if (spark.catalog.functionExists("graft_might_contain"))
+        call_function("graft_might_contain", lit(bytes), col("gram"))
+      else {
+        val b = spark.sparkContext.broadcast(bloom)
+        udf((g: Long) => b.value.mightContainLong(g)).apply(col("gram"))
+      }
+    val corpusGrams = shingleHashRows(corpus, n, text)
+    val totals = corpusGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val overlap = corpusGrams.where(probe)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contam_frac",
+        col("n_overlap").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Exact Jaccard verification of candidate pairs against shingle sets. */
   def verifyJaccard(cands: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
     val a = shingled.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))

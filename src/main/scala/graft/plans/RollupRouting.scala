@@ -231,5 +231,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new RollupRoutingRule)
     ext.injectFunction(graft.functions.DotProductLong.descriptor)
+    ext.injectFunction(graft.functions.BloomMightContain.descriptor)
   }
 }

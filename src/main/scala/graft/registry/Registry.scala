@@ -302,6 +302,28 @@ object Registry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** q46/q59's shared oracle: both tiers have the same output contract —
+    * the Bloom filter only prunes the overlap join's input and the exact
+    * verify removes every false positive, so one SQL covers both. */
+  private val decontamOracleSql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+      |g8 AS (SELECT doc_id, CASE WHEN len(s) >= 8
+      |         THEN list_distinct([s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]
+      |                             for i in range(1, len(s)-6)])
+      |         ELSE [text] END AS st
+      |       FROM d),
+      |bench AS (SELECT DISTINCT unnest(st) AS g FROM g8 WHERE doc_id % 11 = 0),
+      |corp AS (SELECT doc_id, st FROM g8 WHERE doc_id % 11 != 0),
+      |cg AS (SELECT doc_id, unnest(st) AS g FROM corp),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |         FROM cg JOIN bench USING (g) GROUP BY 1)
+      |SELECT c.doc_id, CAST(len(c.st) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(c.st) AS contam_frac,
+      |  coalesce(h.n_overlap, 0) > 0 AS contaminated
+      |FROM corp c LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q56's oracle: the integer PageRank recurrence UNROLLED as chained
     * CTEs (DuckDB's recursive CTEs disallow the grouped aggregate each
     * round needs). Mirrors [[graft.pipeline.Graph.pageRank]] constant for
@@ -989,23 +1011,20 @@ object Registry {
             all.where(pmod(col("doc_id"), lit(11)) === 0), n = 8)
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
-             |g8 AS (SELECT doc_id, CASE WHEN len(s) >= 8
-             |         THEN list_distinct([s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]
-             |                             for i in range(1, len(s)-6)])
-             |         ELSE [text] END AS st
-             |       FROM d),
-             |bench AS (SELECT DISTINCT unnest(st) AS g FROM g8 WHERE doc_id % 11 = 0),
-             |corp AS (SELECT doc_id, st FROM g8 WHERE doc_id % 11 != 0),
-             |cg AS (SELECT doc_id, unnest(st) AS g FROM corp),
-             |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-             |         FROM cg JOIN bench USING (g) GROUP BY 1)
-             |SELECT c.doc_id, CAST(len(c.st) AS BIGINT) AS n_grams,
-             |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
-             |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(c.st) AS contam_frac,
-             |  coalesce(h.n_overlap, 0) > 0 AS contaminated
-             |FROM corp c LEFT JOIN hits h USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(decontamOracleSql)),
+
+    // ---- the Bloom-probed scale tier of q46: same contract, same oracle —
+    //      the filter only prunes the gram join's input, the left-semi
+    //      verify removes every false positive (spec-pinned bit equality) ----
+    Entry("q59_decontaminate_bloom",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.decontaminateBloom(
+            all.where(pmod(col("doc_id"), lit(11)) =!= 0),
+            all.where(pmod(col("doc_id"), lit(11)) === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some(decontamOracleSql)),
 
     // ---- LLM pipeline: similarity search ----
     Entry("q19_ann_top5",

@@ -328,6 +328,28 @@ class PipelineSpec extends SparkSpec {
       .toSeq === Seq((1L, false), (2L, false), (3L, true)))
   }
 
+  test("bloom decontamination tier matches the exact tier bit for bit") {
+    val s = spark
+    import s.implicits._
+    // real corpus slice: varied doc lengths, overlap + disjoint + fallback
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 11 =!= 0)
+    val bench = docs.where(col("doc_id") % 11 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, n = 8)
+      .orderBy("doc_id").collect().toSeq
+    val viaBloom = Dedup.decontaminateBloom(corpus, bench, n = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaBloom === exact)
+    // the codegen'd graft_might_contain probe is live on this session;
+    // also pin the interpreted-UDF fallback a vanilla session would take
+    assert(spark.catalog.functionExists("graft_might_contain"))
+    val tiny = Seq((1L, "a b c d e f g h i"), (2L, "x y")).toDF("doc_id", "text")
+    val tb = Seq((9L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(Dedup.decontaminateBloom(tiny, tb, n = 8).orderBy("doc_id")
+      .collect().toSeq ===
+      Dedup.decontaminate(tiny, tb, n = 8).orderBy("doc_id").collect().toSeq)
+  }
+
   test("keywords rank rare-but-frequent tokens first with a total order") {
     val s = spark
     import s.implicits._
