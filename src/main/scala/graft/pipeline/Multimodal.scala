@@ -296,8 +296,115 @@ object Multimodal {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
+
+  /** ISO BMFF (mp4/mov) metadata probe: walks the box tree — boxes are
+    * `[be32 size][4cc type][payload]`, container boxes nest boxes directly
+    * — and pulls the video track's width/height from `tkhd` (16.16 fixed
+    * point at payload offset 76/80 for version 0, 88/92 for version 1)
+    * and the sample count from `stsz`. CODEC DECODE IS OUT OF SCOPE —
+    * this reads container structure only; the sample payloads (avc1/hevc
+    * bitstreams) still route to the fallback/stub seam. Lenient by
+    * design: torn boxes stop the walk and whatever was parsed so far
+    * stands; None when nothing video-shaped was found. */
+  private[pipeline] def parseMp4(
+      bytes: Array[Byte]): Option[(Int, Int, Option[Int])] =
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") None
+      else {
+        var w = 0; var h = 0
+        var nSamples = -1
+        val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          if (depth > 16) return
+          var p = from
+          while (p + 8 <= to) {
+            val sz = be32(bytes, p)
+            val tp = fourcc(bytes, p + 4)
+            if (sz < 8 || p + sz > to) return // torn box: keep what we have
+            if (containers(tp)) walk(p + 8, p + sz, depth + 1)
+            else if (tp == "tkhd" && sz >= 8 + 84 && w == 0) {
+              val ver = bytes(p + 8) & 0xff
+              val off = if (ver == 1) p + 8 + 88 else p + 8 + 76
+              if (off + 8 <= p + sz) {
+                val tw = be32(bytes, off) >>> 16 // 16.16 fixed -> integer px
+                val th = be32(bytes, off + 4) >>> 16
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            } else if (tp == "stsz" && sz >= 8 + 12 && nSamples < 0)
+              nSamples = be32(bytes, p + 8 + 8)
+            p += sz
+          }
+        }
+        walk(0, bytes.length, 0)
+        if (w > 0) Some((w, h, if (nSamples >= 0) Some(nSamples) else None))
+        else None
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** EBML varint at `o`: (value, widthBytes). `keepMarker` keeps the
+    * leading length bit (element IDs are conventionally compared with it;
+    * sizes strip it). Width 0 on malformed input. */
+  private def ebmlVarint(b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
+    if (o >= b.length) return (0L, 0)
+    val first = b(o) & 0xff
+    val width = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (width < 1 || width > 8 || o + width > b.length) return (0L, 0)
+    var v: Long = if (keepMarker) first else first & ((1 << (8 - width)) - 1)
+    var i = 1
+    while (i < width) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+    (v, width)
+  }
+
+  /** Matroska/WebM metadata probe: walks EBML elements (`[varint id]
+    * [varint size][payload]`), descending Segment → Tracks → TrackEntry →
+    * Video to read PixelWidth/PixelHeight, and reads the EBML header's
+    * DocType to tell webm from generic mkv. Frame count is None — counting
+    * SimpleBlocks means scanning Clusters across the whole file, which a
+    * metadata probe must not do. Codec payloads remain stubbed, as with
+    * [[parseMp4]]. */
+  private[pipeline] def parseWebm(
+      bytes: Array[Byte]): Option[(Int, Int, String)] =
+    try {
+      val (rootId, rw) = ebmlVarint(bytes, 0, keepMarker = true)
+      if (rw == 0 || rootId != 0x1A45DFA3L) None
+      else {
+        var w = 0; var h = 0
+        var docType = "matroska"
+        // id -> is-container we descend into
+        val containers = Set(0x18538067L, 0x1654AE6BL, 0xAEL, 0xE0L, 0x1A45DFA3L)
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          if (depth > 16) return
+          var p = from
+          while (p < to) {
+            val (id, iw) = ebmlVarint(bytes, p, keepMarker = true)
+            if (iw == 0) return
+            val (sz, sw) = ebmlVarint(bytes, p + iw, keepMarker = false)
+            if (sw == 0) return
+            val body = p + iw + sw
+            val end = body + sz.toInt
+            if (sz < 0 || end > to) return
+            if (containers(id)) walk(body, end, depth + 1)
+            else if (id == 0x4282L) // DocType (inside EBML header)
+              docType = new String(bytes, body, sz.toInt, "US-ASCII").trim
+            else if (id == 0xB0L || id == 0xBAL) {
+              var v = 0L; var i = body
+              while (i < end) { v = (v << 8) | (bytes(i) & 0xff); i += 1 }
+              if (id == 0xB0L) w = v.toInt else h = v.toInt
+            }
+            p = end
+          }
+        }
+        // the EBML header (a container here, for its DocType) and Segment
+        // are siblings at the top level — one walk covers both
+        walk(0, bytes.length, 0)
+        if (w > 0 && h > 0) Some((w, h, docType)) else None
+      }
+    } catch { case _: RuntimeException => None }
 
   /** Walk the RIFF tree: returns (width, height, frame payload slices
     * `(offset, length, compressed)` in stream order — slices, not copies,
@@ -632,6 +739,188 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** GIF frame count by block walk: header + logical screen descriptor
+    * (+ global color table), then 0x21 extensions / 0x2C image descriptors
+    * (+ local color table + LZW data sub-blocks) until the 0x3B trailer.
+    * Exact and allocation-free — the metadata probe's alternative to
+    * instantiating ImageIO's reader per row. -1 on malformed structure
+    * (callers treat as unknown, never as zero frames). */
+  private[pipeline] def gifFrameCount(bytes: Array[Byte]): Int =
+    try {
+      if (bytes.length < 13) return -1
+      var p = 6
+      val flags = bytes(p + 4) & 0xff
+      p += 7
+      if ((flags & 0x80) != 0) p += 3 * (1 << ((flags & 7) + 1))
+      var frames = 0
+      def subBlocks(): Boolean = { // advances p past len-prefixed sub-blocks
+        while (p < bytes.length && (bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+        if (p >= bytes.length) false else { p += 1; true }
+      }
+      while (p < bytes.length) {
+        (bytes(p) & 0xff) match {
+          case 0x2c =>
+            if (p + 10 > bytes.length) return -1
+            val lf = bytes(p + 9) & 0xff
+            p += 10
+            if ((lf & 0x80) != 0) p += 3 * (1 << ((lf & 7) + 1))
+            p += 1 // LZW minimum code size
+            if (!subBlocks()) return -1
+            frames += 1
+          case 0x21 =>
+            p += 2
+            if (!subBlocks()) return -1
+          case 0x3b => return frames
+          case _ => return -1
+        }
+      }
+      frames
+    } catch { case _: RuntimeException => -1 }
+
+  /** Container-metadata probe: sniffs the format from magic bytes and
+    * reads (mime, width, height, sample_rate, n_frames) from STRUCTURE
+    * ONLY — box/element/chunk headers, never codec payloads (those stay
+    * behind the [[FallbackDecoder]]/[[fakeDecode]] seam). Each field is
+    * None when the format doesn't carry it (e.g. WebM frame count lives in
+    * Clusters a header probe must not scan). None when no format
+    * matches. */
+  private[pipeline] def probeBytes(bytes: Array[Byte])
+      : Option[(String, Option[Int], Option[Int], Option[Int], Option[Int])] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    if (bytes.length < 12) None
+    else if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      Some(("image/png", Some(be32(bytes, 16)), Some(be32(bytes, 20)), None, None))
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8') {
+      val n = gifFrameCount(bytes)
+      Some(("image/gif", Some(u8(6) | (u8(7) << 8)), Some(u8(8) | (u8(9) << 8)),
+        None, if (n >= 0) Some(n) else None))
+    } else if (u8(0) == 'B' && u8(1) == 'M' && bytes.length >= 26)
+      Some(("image/bmp", Some(le32(bytes, 18)), Some(le32(bytes, 22)), None, None))
+    else if (u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff) {
+      // JPEG: walk FF-markers to the first SOFn for dimensions
+      var p = 2; var w = -1; var h = -1
+      while (p + 4 <= bytes.length && u8(p) == 0xff && w < 0) {
+        val m = u8(p + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (p + 9 <= bytes.length) {
+            h = (u8(p + 5) << 8) | u8(p + 6); w = (u8(p + 7) << 8) | u8(p + 8)
+          }
+        }
+        p += 2 + (if (p + 4 <= bytes.length) ((u8(p + 2) << 8) | u8(p + 3)) else bytes.length)
+      }
+      Some(("image/jpeg", if (w > 0) Some(w) else None,
+        if (h > 0) Some(h) else None, None, None))
+    } else if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WAVE")
+      decodeAudio(bytes).map { case (rate, samples) =>
+        ("audio/wav", None, None, Some(rate), Some(samples.length))
+      }
+    else if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ")
+      parseAvi(bytes).map { case (w, h, frames) =>
+        ("video/x-msvideo", Some(w), Some(h), None, Some(frames.length))
+      }
+    else if (fourcc(bytes, 4) == "ftyp")
+      parseMp4(bytes).map { case (w, h, n) => ("video/mp4", Some(w), Some(h), None, n) }
+    else if (u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3)
+      parseWebm(bytes).map { case (w, h, doc) =>
+        (if (doc == "webm") "video/webm" else "video/x-matroska",
+          Some(w), Some(h), None, None)
+      }
+    else None
+  }
+
+  /** Fill each row's `meta` struct by probing the bytes ([[probeBytes]]):
+    * successful probes REPLACE the meta (field-wise; a field the container
+    * doesn't carry falls back to the incoming value), failed probes pass
+    * the row through untouched — the uniform no-drop contract. A narrow
+    * per-partition map, no shuffle; at 100 TB this is the cheap first pass
+    * that lets later stages filter on meta (kind, dims, rate) with
+    * predicate pushdown instead of touching payload bytes again. */
+  def probeMeta(media: DataFrame): DataFrame = {
+    mapBatches(media.select("media_id", "kind", "bytes", "meta"),
+      StructType(mediaSchema.fields.toSeq)) { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val old = r.getStruct(3)
+        def keep(i: Int): Any = if (old == null) null else old.get(i)
+        probeBytes(bytes) match {
+          case Some((mime, w, h, rate, n)) =>
+            Row(r.getLong(0), r.getString(1), bytes, Row(
+              w.map(Int.box).getOrElse(keep(0)),
+              h.map(Int.box).getOrElse(keep(1)),
+              rate.map(Int.box).getOrElse(keep(2)),
+              n.map(Int.box).getOrElse(keep(3)),
+              mime))
+          case None => Row(r.getLong(0), r.getString(1), bytes, old)
+        }
+      }
+    }
+  }
+
+  /** Minimal-but-valid ISO BMFF bytes: ftyp + moov[trak[tkhd(w,h) +
+    * mdia[minf[stbl[stsz(n)]]]]] + an mdat of deterministic stub payload —
+    * REAL container structure around a stubbed codec stream, the fixture
+    * [[probeBytes]]/[[parseMp4]] are tested and oracle-checked against. */
+  private[pipeline] def patternMp4(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+    val tkhd = box("tkhd", new Array[Byte](4) ++ // version 0 + flags
+      new Array[Byte](72) ++ // times/id/duration/reserved/layer/volume/matrix
+      be(w << 16) ++ be(h << 16)) // 16.16 fixed-point dimensions
+    val stsz = box("stsz", new Array[Byte](4) ++ be(1) ++ be(nFrames))
+    val moov = box("moov", box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", stsz)))))
+    val junk = Array.tabulate(((id % 32) + 1).toInt)(i => ((id + i) % 256).toByte)
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++ "isom".getBytes("US-ASCII")) ++
+      moov ++ box("mdat", junk)
+  }
+
+  /** Minimal-but-valid Matroska/WebM bytes: EBML header (DocType) +
+    * Segment[Tracks[TrackEntry[Video[PixelWidth, PixelHeight]]]] + a stub
+    * Cluster — the EBML sibling of [[patternMp4]]. */
+  private[pipeline] def patternWebm(id: Long, w: Int, h: Int,
+                                    docType: String = "webm"): Array[Byte] = {
+    def size(n: Int): Array[Byte] =
+      if (n <= 126) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte) // up to 16383
+    def el(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] =
+      idBytes ++ size(body.length) ++ body
+    def u16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    val video = el(Array(0xe0.toByte),
+      el(Array(0xb0.toByte), u16(w)) ++ el(Array(0xba.toByte), u16(h)))
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte),
+      el(Array(0xae.toByte), video))
+    val junk = Array.tabulate(((id % 24) + 1).toInt)(i => ((id * 7 + i) % 256).toByte)
+    val cluster = el(Array(0x1f, 0x43, 0xb6, 0x75).map(_.toByte), junk)
+    val header = el(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),
+      el(Array(0x42, 0x82).map(_.toByte), docType.getBytes("US-ASCII")))
+    header ++ el(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte), tracks ++ cluster)
+  }
+
+  /** Like [[syntheticMedia]] but cycling five CONTAINER formats
+    * (png, wav, gif, mp4, webm by `id % 5`) with per-id dimensions — the
+    * fixture table for the metadata-probe query (q60): every field the
+    * probe emits is a closed-form function of media_id an SQL oracle can
+    * recompute. Meta is left NULL so the probe derives everything from
+    * bytes. */
+  def syntheticContainers(spark: org.apache.spark.sql.SparkSession,
+                          n: Long): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val w = (id % 7 + 2).toInt * 2
+      val h = (id % 5 + 1).toInt * 2
+      val (kind, bytes) = (id % 5) match {
+        case 0 => ("image", patternPng(id, w, h))
+        case 1 => ("audio", patternWav(id, nSamples = (id % 100 + 50).toInt,
+          rateHz = 8000 * (1 + (id % 3)).toInt))
+        case 2 => ("video", patternGif(id, w, h, nFrames = (id % 6 + 2).toInt))
+        case 3 => ("video", patternMp4(id, w, h, nFrames = (id % 90 + 10).toInt))
+        case _ => ("video", patternWebm(id, w, h))
+      }
+      Row(Long.box(id), kind, bytes, null)
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Deterministic PNG bytes for image id: pixel (x,y) is a fixed function

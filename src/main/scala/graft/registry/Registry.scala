@@ -1576,7 +1576,35 @@ object Registry {
              |SELECT c.cohort AS cohort_day, d.day - c.cohort AS day_offset,
              |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
              |FROM d JOIN c ON d.user_id = c.user_id
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- container-metadata probe over five formats (png/wav/gif/mp4/
+    //      webm): Spark parses REAL container structure from the bytes
+    //      (meta arrives NULL); the oracle recomputes every field closed-
+    //      form from media_id, q36-style. Codec payloads stay stubbed ----
+    Entry("q60_probe_meta",
+      (s, _) => Multimodal.probeMeta(Multimodal.syntheticContainers(s, 300))
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_frames").as("n_frames"), col("meta.mime").as("mime"))
+        .orderBy("media_id"),
+      Some("""WITH m AS (SELECT media_id, media_id % 5 AS k,
+             |  CAST((media_id % 7 + 2) * 2 AS INTEGER) AS w,
+             |  CAST((media_id % 5 + 1) * 2 AS INTEGER) AS h
+             |  FROM range(0, 300) t(media_id))
+             |SELECT media_id,
+             |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CASE WHEN k IN (0, 2, 3, 4) THEN w END AS width,
+             |  CASE WHEN k IN (0, 2, 3, 4) THEN h END AS height,
+             |  CASE WHEN k = 1 THEN CAST(8000 * (1 + media_id % 3) AS INTEGER) END AS sample_rate,
+             |  CASE WHEN k = 1 THEN CAST(media_id % 100 + 50 AS INTEGER)
+             |       WHEN k = 2 THEN CAST(media_id % 6 + 2 AS INTEGER)
+             |       WHEN k = 3 THEN CAST(media_id % 90 + 10 AS INTEGER) END AS n_frames,
+             |  CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             |         WHEN 2 THEN 'image/gif' WHEN 3 THEN 'video/mp4'
+             |         ELSE 'video/webm' END AS mime
+             |FROM m ORDER BY media_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

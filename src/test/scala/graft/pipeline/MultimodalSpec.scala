@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing + the real codecs: schema, partition-batched decode
@@ -431,5 +432,46 @@ class MultimodalSpec extends SparkSpec {
     }
     for (id <- 0L until 60L)
       assert(got(id) === expected(id), s"media_id $id (kind ${id % 3})")
+  }
+
+  test("mp4/webm probes read container structure; torn/foreign bytes degrade") {
+    // the builders' own output parses back exactly
+    assert(Multimodal.parseMp4(Multimodal.patternMp4(7L, 320, 240, 42))
+      === Some((320, 240, Some(42))))
+    assert(Multimodal.parseWebm(Multimodal.patternWebm(7L, 640, 360))
+      === Some((640, 360, "webm")))
+    // generic matroska DocType is distinguished from webm
+    assert(Multimodal.parseWebm(Multimodal.patternWebm(7L, 64, 48, "matroska"))
+      === Some((64, 48, "matroska")))
+    assert(Multimodal.probeBytes(Multimodal.patternWebm(1L, 64, 48, "matroska"))
+      .map(_._1) === Some("video/x-matroska"))
+    // version-1 tkhd (64-bit times): width/height shift by 12 bytes
+    val v0 = Multimodal.patternMp4(1L, 100, 50, 5)
+    // a torn mp4 (truncated mid-moov) keeps whatever parsed before the tear
+    val torn = v0.take(v0.length - 40)
+    assert(Multimodal.parseMp4(torn).isEmpty ||
+      Multimodal.parseMp4(torn).exists(_._1 == 100))
+    // foreign magic: no probe result
+    assert(Multimodal.probeBytes("not a container at all!!".getBytes).isEmpty)
+    // fuzz: arbitrary prefixes never throw
+    for (n <- Seq(0, 3, 9, 13, 27)) {
+      Multimodal.parseMp4(v0.take(n))
+      Multimodal.parseWebm(Multimodal.patternWebm(3L, 8, 8).take(n))
+      Multimodal.gifFrameCount(Multimodal.patternGif(3L, 8, 8, 3).take(n))
+    }
+  }
+
+  test("probeMeta fills meta from bytes and passes unknown rows untouched") {
+    val rows = java.util.Arrays.asList(
+      Row(Long.box(1L), "video", Multimodal.patternMp4(1L, 64, 32, 9), null),
+      Row(Long.box(2L), "video", "garbage-bytes-here!!".getBytes,
+        Row(Int.box(7), Int.box(8), null, Int.box(3), "video/unknown")))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.probeMeta(media).orderBy("media_id").collect()
+    val m1 = out(0).getStruct(3)
+    assert((m1.get(0), m1.get(1), m1.get(3), m1.get(4)) === ((64, 32, 9, "video/mp4")))
+    // unknown bytes: the original meta survives field-for-field
+    val m2 = out(1).getStruct(3)
+    assert((m2.get(0), m2.get(1), m2.get(3), m2.get(4)) === ((7, 8, 3, "video/unknown")))
   }
 }
