@@ -124,6 +124,43 @@ object PlanAudit {
         graft.pipeline.TextOps.vocabularyWithIds(docs, topK = 20))
         .explain("formatted")
     }
+    section("q56 pageRank final round (expect: the degree-annotated edge " +
+      "frame and per-round ranks enter as 'Scan ExistingRDD' checkpoint " +
+      "blocks — the degree groupBy is NOT re-derived inside the loop; one " +
+      "src join + one dst-keyed partial-agg sum + one vertex-sized left join)") {
+      val e = spark.range(0, 2000).select(
+        (col("id") % 97).as("src"), (col("id") % 89 + 100).as("dst"))
+      graft.pipeline.Graph.pageRank(e, iters = 2).explain("formatted")
+    }
+    section("q57 funnel (expect: per-step user-keyed partial-agg min " +
+      "shuffles over frames that only SHRINK step to step; AQE free to " +
+      "broadcast the reached-user side of each step join)") {
+      val fv = ev.select(col("metric"), col("time"),
+        (col("time") % 1000).as("user_id"))
+      graft.pipeline.Sessionize.funnel(fv, Seq("a", "b"))
+        .explain("formatted")
+    }
+    section("q58 retention (expect: EXACTLY the minimal shuffles — one " +
+      "user min-agg, one (cohort,offset,user) distinct + count rollup; " +
+      "cohort map joined back user-keyed, AQE-broadcastable)") {
+      val rv = ev.select(col("time"), (col("time") % 1000).as("user_id"))
+      graft.pipeline.Sessionize.retention(rv).explain("formatted")
+    }
+    section("q59 decontaminateBloom (expect: corpus gram stream filtered by " +
+      "graft_might_contain/BloomFilterMightContain BEFORE the gram join — " +
+      "only bloom survivors shuffle; left-semi verify join removes false " +
+      "positives; benchmark side broadcast)") {
+      graft.pipeline.Dedup.decontaminateBloom(
+        docs.where(pmod(col("doc_id"), lit(11)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(11)) === 0), n = 8)
+        .explain("formatted")
+    }
+    section("q60 probeMeta (expect: ZERO exchanges — container parsing is a " +
+      "narrow per-partition projection over the binary column)") {
+      graft.pipeline.Multimodal.probeMeta(
+        graft.pipeline.Multimodal.syntheticContainers(spark, 50))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
