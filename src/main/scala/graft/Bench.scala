@@ -59,13 +59,32 @@ object Bench {
         // true cold floor by more than jitter)
         (name, warm, math.min(cold, warm))
       }
-    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c) => s"\"" + k + "\":" + c }
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r04..r08 all show parsed:null —
+    // the full-precision warm+cold line was ~4 KB and never fit). Stdout
+    // gets a COMPACT line: centisecond-rounded warm values, scalar cold
+    // total, no per-query cold map — ~1.7 KB at 60 queries, inside the
+    // window even with sbt's trailing "[success]" line. Full precision
+    // (warm + cold per query) goes to BENCH_DETAIL.json in the repo.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON line
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(v))
+    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + r2(w) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$totalCold,"queries_cold":$qsCold}""")
+    val detail = {
+      val w = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val c = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$w,"sf":"$sfDir","cold_total":$totalCold,"queries_cold":$c}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL.json")), detail)
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r2(totalCold)}}""")
     spark.stop()
   }
 }

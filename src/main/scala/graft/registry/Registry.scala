@@ -773,9 +773,9 @@ object Registry {
     // ---- as-of join + sessionization (SURVEY §2.7 natural extensions) ----
     Entry("q30_asof_join",
       (s, d) => {
-        val base = s.read.parquet(s"$d/events.parquet").select(
-          col("user_id"),
-          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val base = raw.select(
+          col("user_id"), Tables.tsNs(raw).as("time"),
           col("value"), col("event_type"))
         Queries.asofJoin(
             base.where(col("event_type") === "click"),
@@ -797,9 +797,9 @@ object Registry {
 
     Entry("q31_sessionize",
       (s, d) => {
-        val base = s.read.parquet(s"$d/events.parquet").select(
-          col("user_id"),
-          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val base = raw.select(
+          col("user_id"), Tables.tsNs(raw).as("time"),
           round(col("value") * 100, 0).cast("long").as("cents"))
         graft.pipeline.Sessionize.sessionize(base, "user_id", "time",
             gapNs = 1800000000000L, // 30 min
@@ -1529,10 +1529,9 @@ object Registry {
     //      purchase in strict time order (earliest-completion reach) ----
     Entry("q57_funnel",
       (s, d) => {
-        val ev = s.read.parquet(s"$d/events.parquet").select(
-          col("event_type").as("metric"),
-          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
-            .as("time"),
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val ev = raw.select(
+          col("event_type").as("metric"), Tables.tsNs(raw).as("time"),
           col("user_id"))
         graft.pipeline.Sessionize.funnel(ev, Seq("signup", "view", "click", "purchase"))
           .orderBy("step")
@@ -1563,9 +1562,9 @@ object Registry {
     //      of the us-grid ns time — exact on both engines ----
     Entry("q58_retention",
       (s, d) => {
-        val ev = s.read.parquet(s"$d/events.parquet").select(
-          (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
-            .as("time"),
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val ev = raw.select(
+          Tables.tsNs(raw).as("time"),
           col("user_id"))
         graft.pipeline.Sessionize.retention(ev).orderBy("cohort_day", "day_offset")
       },

@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Canonical views over the driver's testdata (TESTDATA.md).
@@ -17,20 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Requires spark.sql.legacy.parquet.nanosAsLong=true (set by GraftSession /
-    * Verify / Bench) so the parquet ns-timestamp column arrives as LongType. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .select(
-        col("event_type").as("metric"),
-        // ns long, truncated to the µs grid: DuckDB (the oracle engine)
-        // coerces parquet ns-timestamps to µs, so oracle-compared queries
-        // must agree on the µs-truncated value. pmod keeps the arithmetic
-        // in the exact long domain (1.7e18 ns > 2^53 — no float division).
-        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("time"),
-        col("value"),
-        round(col("value") * 100, 0).cast("long").as("cents"),
-        col("event_id"))
+  /** `ts` → int64 POSIX ns on the µs grid, adapting to either testdata
+    * vintage. Older driver data wrote int64-ns (arriving as LongType under
+    * `nanosAsLong`); current data writes `timestamp[us]` (TIMESTAMP_NTZ).
+    * Both land on the identical µs-grid ns value the oracle computes with
+    * `epoch_us(ts)*1000`:
+    *  - LongType: truncate ns → µs grid via pmod (exact long arithmetic —
+    *    1.7e18 ns > 2^53, no float division);
+    *  - timestamp: `unix_micros * 1000` (already µs precision). The NTZ →
+    *    timestamp cast is wall-clock-preserving only under the UTC session
+    *    timezone, which GraftSession/Verify/Bench all pin. */
+  def tsNs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      col("ts") - pmod(col("ts"), lit(1000L))
+    case _ =>
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+  }
+
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.select(
+      col("event_type").as("metric"),
+      tsNs(raw).as("time"),
+      col("value"),
+      round(col("value") * 100, 0).cast("long").as("cents"),
+      col("event_id"))
+  }
 
   def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
