@@ -667,6 +667,56 @@ object Dedup {
     verifyCandidatePairs(docs, candsDf, tau, ngram, text)
   }
 
+  /** Edit-distance near-duplicate pairs: every (doc_a < doc_b) with
+    * Levenshtein distance ≤ `maxDist`, without the all-pairs product.
+    *
+    * Blocking is RECALL-1 by the length lower bound lev(a,b) ≥ |len(a) −
+    * len(b)|: with band width w = maxDist+1, a qualifying pair's length
+    * bands `len div w` differ by at most 1, so each doc is emitted to
+    * bands {bd, bd+1} and candidates meet on band equality. The pair is
+    * kept only where the meeting band equals greatest(bd_a, bd_b) — the
+    * single band both emission sets share when bands differ, and the lower
+    * of the two shared bands when they agree — so each candidate pair is
+    * produced EXACTLY once and no distinct shuffle is needed.
+    *
+    * Verification is Spark's codegen'd banded-DP `levenshtein(l, r,
+    * threshold)` — O(maxDist·min(len)) per pair, not O(len²) — over
+    * UNICODE CODE POINTS (`'中' → '国'` is distance 1, not the 3 a
+    * byte-level engine reports).
+    *
+    * Shape at scale: one window count + one equi-join, both keyed on the
+    * 8-byte band id — the text column shuffles once per side. Length-only
+    * blocking concentrates same-length docs in one bucket; `maxBucket`
+    * bounds the quadratic within-bucket expansion (buckets above it are
+    * dropped — the [[lshCandidates]] recall note), and callers with a
+    * natural partition key (language, source) should pre-filter or union
+    * per block, which also keeps cross-language "near-dups" out. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, text: String = "text",
+                        maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = maxDist + 1
+    val probe = docs
+      .select(col("doc_id"), col(text).as("_t"), length(col(text)).as("_len"))
+      .withColumn("_bd", expr(s"_len div $w"))
+      .select(col("doc_id"), col("_t"), col("_len"), col("_bd"),
+        explode(array(col("_bd"), col("_bd") + 1)).as("_bk"))
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("_bk")
+    val capped = probe.withColumn("_n", count(lit(1)).over(wnd))
+      .where(col("_n") <= maxBucket).drop("_n")
+    val a = capped.select(col("doc_id").as("doc_a"), col("_t").as("_ta"),
+      col("_len").as("_la"), col("_bd").as("_bda"), col("_bk"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("_t").as("_tb"),
+      col("_len").as("_lb"), col("_bd").as("_bdb"), col("_bk"))
+    a.join(b, Seq("_bk"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("_bk") === greatest(col("_bda"), col("_bdb")) &&
+        abs(col("_la") - col("_lb")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** Connected components of an undirected pair graph (columns `a`/`b`)
     * by iterative min-label propagation: every vertex starts labelled with
     * its own id; each round every vertex takes the minimum of its own and

@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Curate, Dedup, Multimodal, Packing, Sampling, TextOps}
+import graft.pipeline.{Ann, Curate, Dedup, Multimodal, Packing, Sampling, Sketches, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1603,7 +1603,45 @@ object Registry {
              |  CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
              |         WHEN 2 THEN 'image/gif' WHEN 3 THEN 'video/mp4'
              |         ELSE 'video/webm' END AS mime
-             |FROM m ORDER BY media_id""".stripMargin))
+             |FROM m ORDER BY media_id""".stripMargin)),
+
+    // ---- edit-distance near-dup over en docs. ASCII-sanitize first
+    //      (regex in the Java/RE2-agreeing subset, the q50 discipline):
+    //      Spark's levenshtein counts unicode code points, DuckDB's counts
+    //      BYTES — on pure ASCII the two agree exactly. Language blocking
+    //      is part of the query's contract (cross-language edit distance
+    //      is meaningless), not a recall loss ----
+    Entry("q61_edit_neardup",
+      (s, d) => {
+        val en = docs(s, d).where(col("lang") === "en")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^ -~]", "").as("text"))
+        Dedup.editDistancePairs(en, maxDist = 6).orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH en AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+             |            FROM documents WHERE lang = 'en'),
+             |l AS (SELECT doc_id, t, length(t) AS len FROM en),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+             |      FROM l a JOIN l b
+             |        ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 6)
+             |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 6
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- exact token heavy hitters via per-partition Misra-Gries
+    //      candidates + exact recount: the sketch prunes, SQL-identical
+    //      exact counts decide, so the plain GROUP BY oracle matches ----
+    Entry("q62_heavy_hitters",
+      (s, d) => Sketches.heavyHitters(
+          docs(s, d).select(explode(TextOps.tokens(col("text"))).as("token")),
+          "token", k = 40)
+        .orderBy(desc("cnt"), asc("value")),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS v
+             |           FROM documents),
+             |n AS (SELECT count(*) AS c FROM t)
+             |SELECT v AS value, CAST(count(*) AS BIGINT) AS cnt
+             |FROM t, n GROUP BY v, n.c HAVING count(*) * 40 > c
+             |ORDER BY cnt DESC, value""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

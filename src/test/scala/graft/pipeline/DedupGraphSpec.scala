@@ -166,4 +166,67 @@ class DedupGraphSpec extends SparkSpec {
     assert(truth.forall { case (v, c) => got(v) == c })
     r.unpersist()
   }
+
+  /** Brute-force edit-distance pairs: full cross product, no blocking. */
+  private def bruteEditPairs(corpus: DataFrame, k: Int): Set[(Long, Long, Long)] = {
+    val a = corpus.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = corpus.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .where(col("dist") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("editDistancePairs equals brute force on a mutated synthetic corpus") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(19L)
+    val alpha = "abcdefgh"
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(20 + rng.nextInt(40))(alpha(rng.nextInt(alpha.length))).mkString))
+    // near-copies at graded distances: j in-place substitutions + j appends
+    val mutated = (0 until 20).map { j =>
+      val (_, t) = base(rng.nextInt(base.length))
+      val chars = t.toCharArray
+      for (_ <- 0 until j % 4)
+        chars(rng.nextInt(chars.length)) = alpha(rng.nextInt(alpha.length))
+      ((30 + j).toLong, new String(chars) + "z" * (j % 3))
+    }
+    val corpus = (base ++ mutated).toDF("doc_id", "text").cache()
+    for (k <- Seq(0, 2, 5)) {
+      val truth = bruteEditPairs(corpus, k)
+      val got = Dedup.editDistancePairs(corpus, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === truth, s"maxDist=$k")
+    }
+    assert(bruteEditPairs(corpus, 5).nonEmpty, "planted near-copies expected")
+    corpus.unpersist()
+  }
+
+  test("editDistancePairs emits each pair exactly once and counts code points") {
+    val s = spark
+    import s.implicits._
+    // same-length docs land in ONE band pair (bd, bd+1): the greatest(bd)
+    // meeting rule must still emit each qualifying pair a single time
+    val same = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aabb")).toDF("doc_id", "text")
+    val rows = Dedup.editDistancePairs(same, maxDist = 2).collect()
+    assert(rows.length === rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+    assert(rows.length === 3)
+    // unicode: one CJK substitution is distance 1 (code points, not bytes)
+    val cjk = Seq((1L, "中文本"), (2L, "国文本")).toDF("doc_id", "text")
+    val d = Dedup.editDistancePairs(cjk, maxDist = 1).collect()
+    assert(d.length === 1 && d.head.getLong(2) === 1L)
+  }
+
+  test("editDistancePairs maxBucket drops oversized buckets, not others") {
+    val s = spark
+    import s.implicits._
+    // five same-length docs → one dense band; a distant short pair survives
+    val docs6 = ((1 to 5).map(i => (i.toLong, s"pair$i")) ++
+      Seq((10L, "xy"), (11L, "xz"))).toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(docs6, maxDist = 2, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((10L, 11L)))
+  }
 }
