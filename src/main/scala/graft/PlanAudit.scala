@@ -161,6 +161,23 @@ object PlanAudit {
         graft.pipeline.Multimodal.syntheticContainers(spark, 50))
         .explain("formatted")
     }
+    section("q61 editDistancePairs (expect: band-keyed window exchange per " +
+      "side — text shuffles once per side on the 8-byte band id; AQE " +
+      "broadcasts one side at this SF, SMJ + ReuseExchange dedupes the " +
+      "identical subplans at scale; levenshtein is the threshold " +
+      "(banded-DP) form inside the post-join filter, not a cross product)") {
+      graft.pipeline.Dedup.editDistancePairs(
+        docs.select(col("doc_id"), col("text")), maxDist = 6)
+        .explain("formatted")
+    }
+    section("q62 heavyHitters recount (expect: candidate isInCollection " +
+      "filter BELOW the partial-agg groupBy — only candidate rows reach " +
+      "the one exchange; MG pass itself is a separate collect job)") {
+      graft.pipeline.Sketches.heavyHitters(
+        docs.select(explode(graft.pipeline.TextOps.tokens(col("text")))
+          .as("token")), "token", k = 40)
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
