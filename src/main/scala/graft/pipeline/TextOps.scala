@@ -124,6 +124,76 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `numMerges`
+    * merge rules from the corpus, returned as the ordered merge table
+    * (rank, a, b, pair_count) — the model artifact a tokenizer trainer
+    * ships.
+    *
+    * The corpus is touched ONCE, to build the word-frequency table (one
+    * token shuffle) — the classic observation that BPE statistics factor
+    * through word counts. Every learning iteration then runs on the
+    * VOCABULARY-sized frame (words as symbol arrays + terminal `</w>`):
+    * adjacent-pair counts via a transform lambda, one freq-weighted
+    * partial-agg shuffle of pair rows, and a driver argmax of ONE row.
+    * The winning merge is applied with a greedy left-to-right
+    * `aggregate()` fold (non-overlapping occurrences, the reference
+    * semantics) and the result locally checkpointed — numMerges nested
+    * folds would otherwise stack in one plan (the pageRank lesson).
+    * Ties break on (count desc, a, b) so the learned table is
+    * bit-deterministic across partitionings and engines.
+    *
+    * At 100 TB the vocab frame is ~millions of rows regardless of corpus
+    * size — iteration cost is independent of the corpus after the first
+    * pass. Driver holds only the numMerges-row merge table.
+    *
+    * @param minCount stop early when no pair reaches this weighted count
+    *                 (2 = merge while anything repeats at all) */
+  def learnBpeMerges(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+                     text: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col(text))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vocab = words.select(col("freq"),
+        concat(filter(split(col("w"), ""), s => s =!= ""),
+          array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges = List.newBuilder[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, CAST(i AS INT)) AS a, " +
+            "element_at(syms, CAST(i + 1 AS INT)) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .where(col("cnt") >= minCount)
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        rank += 1
+        // checkpoint blocks of the superseded iterate free on GC
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "a", "b", "pair_count")
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1.3, the
     * published repetition filters): per document,
     *   - `top_token_cnt` / `top_token_frac`  — occurrences of the most

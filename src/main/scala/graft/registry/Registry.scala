@@ -1641,7 +1641,17 @@ object Registry {
              |n AS (SELECT count(*) AS c FROM t)
              |SELECT v AS value, CAST(count(*) AS BIGINT) AS cnt
              |FROM t, n GROUP BY v, n.c HAVING count(*) * 40 > c
-             |ORDER BY cnt DESC, value""".stripMargin))
+             |ORDER BY cnt DESC, value""".stripMargin)),
+
+    // ---- BPE merge learning: the tokenizer-training step upstream of
+    //      q55's encode. Iterative corpus-wide argmax is not SQL-
+    //      expressible, so no DuckDB oracle — BpeSpec pins the result
+    //      against a reference single-machine trainer instead (the one
+    //      registry entry on the weaker rows-only check) ----
+    Entry("q63_bpe_merges",
+      (s, d) => TextOps.learnBpeMerges(docs(s, d), numMerges = 30)
+        .orderBy("rank"),
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
