@@ -667,6 +667,65 @@ object Dedup {
     verifyCandidatePairs(docs, candsDf, tau, ngram, text)
   }
 
+  /** Cross-document duplicated spans at n-token granularity — the span
+    * form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at gram rather than
+    * suffix-array resolution): for every document, the maximal token
+    * ranges covered by n-grams that also occur in at least one OTHER
+    * document. Callers cut or down-weight the returned spans.
+    *
+    * Pipeline: positional n-gram hashes (one md5 per token, rot-XOR
+    * combine — the q23/q44 machinery, with `pos` kept), gram df over
+    * distinct docs, semi-join the positional stream down to duplicated
+    * grams, then per-doc island merge: hits are fixed-width intervals
+    * [pos, pos+n) in ascending pos, so a new span starts exactly where
+    * `pos >= lag(pos) + n` — one lag + running sum, no interval tree.
+    *
+    * Shape at scale: every shuffle key is 8 bytes (gram hash) or the
+    * doc id; the corpus token stream shuffles once for the lead window,
+    * once for the gram df, and the HIT stream (duplicated grams only — a
+    * vanishing fraction of a healthy corpus) once for the island merge.
+    * Docs shorter than n tokens have no n-gram and yield no spans.
+    * Gram-hash membership stands in for textual grams by the q15
+    * injectivity argument.
+    *
+    * @return (doc_id, span_start, span_end, n_grams) — token indexes,
+    *         end exclusive, n_grams = duplicated grams inside the span */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8,
+                      text: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tk = TextOps.tokens(col(text))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tokHashed = docs.where(size(tk) >= n)
+      .select(col("doc_id"), size(tk).as("_n"), posexplode(tk).as(Seq("pos", "tok")))
+      .withColumn("th", TextOps.md5Long(col("tok")))
+    val gramCol = (0 until n).map { i =>
+      val h = if (i == 0) col("th") else lead(col("th"), i).over(win)
+      TextOps.rot60(h, (7 * i) % 60)
+    }.reduce(_ bitwiseXOR _)
+    val grams = tokHashed.withColumn("gram", gramCol)
+      .where(col("pos") <= col("_n") - n)
+      .select(col("doc_id"), col("pos"), col("gram"))
+    val dup = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= 2)
+    val hits = grams.join(dup.select("gram"), Seq("gram"), "left_semi")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("_new", (col("pos") >=
+        coalesce(lag(col("pos"), 1).over(w2) + n, lit(-1))).cast("long"))
+      .withColumn("_sid", sum("_new").over(
+        w2.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "_sid")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
   /** Edit-distance near-duplicate pairs: every (doc_a < doc_b) with
     * Levenshtein distance ≤ `maxDist`, without the all-pairs product.
     *

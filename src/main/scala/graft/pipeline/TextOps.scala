@@ -124,6 +124,36 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
 
+  /** Keyword search: top-k documents for a bag of query terms by an
+    * exact-integer tf·idf score — the retrieval surface over a corpus
+    * (idf here is the q47 keywords scaling, `(N·1e6) div df`, because a
+    * log-based idf loses cross-engine bit parity to libm ulps; ranking
+    * order matches the log form whenever df ratios exceed one ulp).
+    *
+    * Shape at scale: the exploded token stream is filtered to QUERY terms
+    * before anything wide happens — only matching (doc, term) rows (a
+    * vanishing fraction) reach the tf groupBy; df and the corpus size
+    * come off the tf lineage and a scalar count, and the per-term idf
+    * table (≤ |query| rows) is broadcast back. Final top-k is a
+    * TakeOrdered with the deterministic (score desc, doc_id) tie-break.
+    *
+    * @return (doc_id, score) — the k best-scoring matching docs */
+  def searchTopK(docs: DataFrame, query: Seq[String], k: Int,
+                 text: String = "text"): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(text))).as("token"))
+      .where(col("token").isInCollection(query))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("token"), expr("(n_docs * 1000000) div df").as("idf_scaled"))
+    tf.join(broadcast(idf), "token")
+      .groupBy("doc_id").agg(sum(col("tf") * col("idf_scaled")).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
   /** Distributed BPE merge learning (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"): learn `numMerges`
     * merge rules from the corpus, returned as the ordered merge table

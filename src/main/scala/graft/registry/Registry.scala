@@ -1651,7 +1651,48 @@ object Registry {
     Entry("q63_bpe_merges",
       (s, d) => TextOps.learnBpeMerges(docs(s, d), numMerges = 30)
         .orderBy("rank"),
-      None)
+      None),
+
+    // ---- cross-document duplicated spans (gram-granular exact-substring
+    //      dedup). Spark marks 60-bit positional gram hashes, the oracle
+    //      marks textual grams — membership agrees by q15's injectivity
+    //      argument ----
+    Entry("q64_dup_spans",
+      (s, d) => Dedup.duplicatedSpans(docs(s, d), n = 8)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |g AS (SELECT doc_id, unnest([{'pos': i - 1,
+             |          'gram': array_to_string(s[i:i+7], ' ')}
+             |        for i in range(1, len(s) - 6)]) AS pg
+             |      FROM d WHERE len(s) >= 8),
+             |h AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+             |dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c
+             |                          FROM h GROUP BY 1) WHERE c >= 2),
+             |hit AS (SELECT doc_id, pos FROM h WHERE gram IN (SELECT gram FROM dup)),
+             |m AS (SELECT doc_id, pos, CASE WHEN pos >= coalesce(lag(pos) OVER
+             |        (PARTITION BY doc_id ORDER BY pos) + 8, -1) THEN 1 ELSE 0 END AS nw
+             |      FROM hit),
+             |sid AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM m)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+             |       CAST(count(*) AS BIGINT) AS n_grams
+             |FROM sid GROUP BY doc_id, s ORDER BY 1, 2""".stripMargin)),
+
+    // ---- keyword search: exact-integer tf-idf top-k (the q47 scaling) ----
+    Entry("q65_search",
+      (s, d) => TextOps.searchTopK(docs(s, d),
+        Seq("join", "filter", "vector"), k = 10),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('join', 'filter', 'vector') GROUP BY 1, 2),
+             |i AS (SELECT token,
+             |        ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf_scaled
+             |      FROM f GROUP BY token)
+             |SELECT doc_id, CAST(sum(f.tf * i.idf_scaled) AS BIGINT) AS score
+             |FROM f JOIN i USING (token) GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -458,4 +458,58 @@ class PipelineSpec extends SparkSpec {
     val f2 = TextOps.minFingerprint(docs).orderBy("doc_id").collect()
     assert(f1 === f2)
   }
+
+  test("duplicatedSpans marks shared ranges, merges islands, skips short docs") {
+    val s = spark
+    import s.implicits._
+    // docs 1/2 share tokens 0-9 (a0..a9); doc 1 also repeats c0..c7 at its
+    // tail (second island, gap between); doc 3 is unique; doc 4 too short
+    val shared = (0 until 10).map(i => s"a$i").mkString(" ")
+    val mid1 = (0 until 6).map(i => s"b$i").mkString(" ")
+    val dupTail = (0 until 8).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared $mid1 $dupTail"),
+      (2L, s"$shared x0 x1 x2"),
+      (3L, (0 until 20).map(i => s"u$i").mkString(" ")),
+      (4L, "w0 w1 w2"),
+      (5L, s"y0 y1 $dupTail")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 4)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: tokens 0..9 shared with doc2 (grams 0..6 -> span [0,10));
+    //       c-run at positions 16..23 shared with doc5 (grams 16..20 ->
+    //       span [16,24)) - two islands, not one
+    // doc2: span [0,10); doc5: c-run at 2..9 -> span [2,10)
+    assert(got === Array(
+      (1L, 0L, 10L, 7L), (1L, 16L, 24L, 5L),
+      (2L, 0L, 10L, 7L), (5L, 2L, 10L, 5L)))
+  }
+
+  test("duplicatedSpans island merge joins overlapping gram hits") {
+    val s = spark
+    import s.implicits._
+    // two docs sharing one long run: every gram duplicates, spans must
+    // coalesce into ONE maximal range per doc, n_grams = len - n + 1
+    val run = (0 until 15).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 0L, 15L, 11L), (2L, 0L, 15L, 11L)))
+  }
+
+  test("searchTopK scores by exact-integer tf-idf with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "join join join common"),
+      (2L, "join common common x"),
+      (3L, "rare common y z"),
+      (4L, "none of these w")).toDF("doc_id", "text")
+    val got = TextOps.searchTopK(corpus, Seq("join", "rare"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // df(join)=2, df(rare)=1, N=4: idf(join)=2000000, idf(rare)=4000000
+    assert(got === Array((1L, 6000000L), (3L, 4000000L), (2L, 2000000L)))
+    // non-matching docs never appear even with k to spare
+    assert(!got.map(_._1).contains(4L))
+  }
 }
