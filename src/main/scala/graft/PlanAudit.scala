@@ -178,6 +178,19 @@ object PlanAudit {
           .as("token")), "token", k = 40)
         .explain("formatted")
     }
+    section("q64 duplicatedSpans (expect: 8-byte gram keys everywhere — " +
+      "one doc_id lead-window exchange, one gram distinct+groupBy, " +
+      "left-semi gram join, and the island-merge window over HIT rows " +
+      "only; token strings never shuffle past the first window)") {
+      graft.pipeline.Dedup.duplicatedSpans(docs, n = 8).explain("formatted")
+    }
+    section("q65 searchTopK (expect: isInCollection query filter DIRECTLY " +
+      "over the exploded scan — only matching (doc,term) rows reach the " +
+      "tf groupBy; idf side BroadcastExchange; TakeOrderedAndProject " +
+      "for the top-k, never a global sort)") {
+      graft.pipeline.TextOps.searchTopK(docs,
+        Seq("join", "filter", "vector"), k = 10).explain("formatted")
+    }
     spark.stop()
   }
 }
