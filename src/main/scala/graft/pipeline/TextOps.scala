@@ -124,6 +124,33 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
 
+  /** Feature-hashed document vectors (hashing trick, Weinberger et al.
+    * 2009): each document becomes a dense `dim`-wide float vector of
+    * token counts bucketed by `md5Long(token) mod dim` — the bridge from
+    * raw text into the embedding tier ([[Ann]] cosine dedup / ANN run on
+    * the output unchanged, no external model needed; counts are raw, the
+    * consumers normalize).
+    *
+    * Shape at scale: token explode → (doc, bucket) partial-agg count →
+    * one doc-keyed map assembly; both shuffle keys are (doc_id, 8-byte
+    * bucket). The map→dense-array projection is narrow and the map's
+    * internal entry order (collect_list is partition-order-dependent)
+    * cannot reach the output — only `m[j]` lookups do, so the vector is
+    * deterministic under any partitioning. Integer counts cast to float32
+    * exactly, keeping the DuckDB oracle bit-comparable. */
+  def hashVectorize(docs: DataFrame, dim: Int = 64,
+                    text: String = "text"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    docs.select(col("doc_id"), explode(tokens(col(text))).as("tok"))
+      .select(col("doc_id"), pmod(md5Long(col("tok")), lit(dim.toLong)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(CAST(0 AS BIGINT), CAST(${dim - 1} AS BIGINT)), " +
+          "j -> CAST(coalesce(m[j], CAST(0 AS BIGINT)) AS FLOAT))").as("vec"))
+  }
+
   /** Keyword search: top-k documents for a bag of query terms by an
     * exact-integer tf·idf score — the retrieval surface over a corpus
     * (idf here is the q47 keywords scaling, `(N·1e6) div df`, because a

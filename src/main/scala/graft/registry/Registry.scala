@@ -1692,7 +1692,33 @@ object Registry {
              |      FROM f GROUP BY token)
              |SELECT doc_id, CAST(sum(f.tf * i.idf_scaled) AS BIGINT) AS score
              |FROM f JOIN i USING (token) GROUP BY doc_id
-             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- feature-hashed doc vectors: text -> the embedding tier with no
+    //      external model. The operator returns dense float arrays (what
+    //      Ann consumes); the registered query EXPLODES them to scalar
+    //      (doc_id, j, cnt) rows because the driver's hash compare (and
+    //      localcheck) cannot hash array cells — the integral float
+    //      elements cast back to BIGINT exactly, so the explode loses
+    //      nothing ----
+    Entry("q66_hash_vectorize",
+      (s, d) => TextOps.hashVectorize(docs(s, d), dim = 64)
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("j", "cnt")))
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          col("cnt").cast("long").as("cnt"))
+        .orderBy("doc_id", "j"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |b AS (SELECT doc_id,
+             |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS b
+             |      FROM t),
+             |c AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2),
+             |j AS (SELECT range AS j FROM range(0, 64))
+             |SELECT d.doc_id, j.j, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |CROSS JOIN j
+             |LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = j.j
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

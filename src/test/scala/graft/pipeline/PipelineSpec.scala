@@ -497,6 +497,35 @@ class PipelineSpec extends SparkSpec {
     assert(got === Set((1L, 0L, 15L, 11L), (2L, 0L, 15L, 11L)))
   }
 
+  test("hashVectorize: counts preserved, zero-filled, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a a a b"),
+      (2L, "a"),
+      (3L, "c d e f g h")).toDF("doc_id", "text")
+    val vecs = TextOps.hashVectorize(corpus, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.keySet === Set(1L, 2L, 3L))
+    assert(vecs.values.forall(_.length === 16))
+    // total mass = token count; doc1's 'a' bucket holds exactly 3
+    assert(vecs(1L).sum === 4f && vecs(2L).sum === 1f && vecs(3L).sum === 6f)
+    assert(vecs(1L).max === 3f)
+    // same token -> same bucket across docs
+    val aBucket = vecs(2L).indexWhere(_ > 0f)
+    assert(vecs(1L)(aBucket) === 3f)
+    val again = TextOps.hashVectorize(corpus.repartition(7), dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again === vecs)
+    // the bridge property: the vectors feed the embedding dedup tier as-is
+    val emb = TextOps.hashVectorize(corpus, dim = 16)
+      .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+    val top = Ann.bruteForceTopK(emb.where(col("vec_id") === 1L), emb, k = 1)
+      .collect()
+    assert(top.length === 1 && top.head.getLong(1) === 2L,
+      "doc2 (pure 'a') must be doc1's nearest neighbour")
+  }
+
   test("searchTopK scores by exact-integer tf-idf with deterministic ties") {
     val s = spark
     import s.implicits._
