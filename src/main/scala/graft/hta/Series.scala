@@ -1,0 +1,99 @@
+package graft.hta
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series post-processing the reference's users reach for next:
+  * visualization downsampling, counter rates, and grid resampling —
+  * PromQL/M4-shaped operations re-expressed as Spark plans over the same
+  * (metric, time ns, value) rows the HTA core serves.
+  *
+  * All three rely on the store's O1 invariant (time strictly monotonic per
+  * metric, `Warehouse` rejects violations), which makes every arg-min/
+  * arg-max and lag below DETERMINISTIC — no ties can exist on time.
+  */
+object Series {
+
+  /** M4 visualization aggregation (Jugel et al., VLDB 2014): per metric
+    * and per of `w` equal time buckets over [b, e), the four rows a
+    * pixel-perfect line rendering needs — first/last (by time) and
+    * min/max (by value). One partial-agg groupBy shuffle on
+    * (metric, bucket); `min_by`/`max_by` are deterministic because time
+    * is unique per metric (O1) and value ties break on the paired time.
+    *
+    * @return (metric, bucket, t_first, v_first, t_last, v_last, v_min,
+    *         v_max) — bucket = (time − b) div width */
+  def m4Downsample(points: DataFrame, b: Long, e: Long, w: Int): DataFrame = {
+    require(e > b && w >= 1, s"need e > b and w >= 1, got [$b,$e) w=$w")
+    // ceil width so w buckets always cover [b, e)
+    val width = (e - b + w - 1) / w
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("bucket", expr(s"(time - ${b}L) div ${width}L"))
+      .groupBy("metric", "bucket")
+      .agg(
+        min("time").as("t_first"),
+        min_by(col("value"), col("time")).as("v_first"),
+        max("time").as("t_last"),
+        max_by(col("value"), col("time")).as("v_last"),
+        min("value").as("v_min"),
+        max("value").as("v_max"))
+  }
+
+  /** Counter increase/rate over [b, e) — the monotone-counter read
+    * (PromQL `increase`/`rate` semantics at the sample level, without
+    * range-boundary extrapolation, which is documented out: extrapolated
+    * values are estimates, not sums of observed deltas). Per metric, sum
+    * adjacent deltas of the integer `cents` column; a decrease is a
+    * counter RESET and contributes the new value itself (the counter
+    * restarted from 0). First point contributes nothing (no prior
+    * sample). rate = increase / range-seconds, the single IEEE division
+    * of exact integers (oracle-parity safe).
+    *
+    * The lag window partitions by metric — correct for metric-cardinality
+    * ≫ per-metric density (the warehouse shape); a single hot metric at
+    * extreme density would chunk the lag like `AggOps.gapLiftChunked`.
+    *
+    * @return (metric, increase_cents, rate_cents_per_sec, n_samples) */
+  def counterRate(points: DataFrame, b: Long, e: Long): DataFrame = {
+    require(e > b, s"need e > b, got [$b,$e)")
+    val w = Window.partitionBy("metric").orderBy("time")
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("_prev", lag(col("cents"), 1).over(w))
+      .withColumn("_delta",
+        when(col("_prev").isNull, lit(0L))
+          .when(col("cents") >= col("_prev"), col("cents") - col("_prev"))
+          .otherwise(col("cents")))
+      .groupBy("metric")
+      .agg(sum("_delta").as("increase_cents"),
+        count(lit(1)).as("n_samples"))
+      .withColumn("rate_cents_per_sec",
+        col("increase_cents").cast("double") / ((e - b) / 1e9))
+  }
+
+  /** Forward-fill resampling onto a regular grid: one row per metric per
+    * grid time `b, b+step, …` in [b, e), carrying the latest raw value
+    * at-or-before that instant (NULL before a metric's first sample —
+    * leading values are unknown, not zero).
+    *
+    * The grid is generated distributed (per-metric sequence explode, grid
+    * rows = metrics × steps) and merged with the raw stream by the
+    * [[Queries.asofJoin]] union-and-carry — ONE keyed window shuffle, no
+    * per-grid-point probe join.
+    *
+    * @return (metric, time, value) — value nullable before first sample */
+  def resampleFfill(points: DataFrame, b: Long, e: Long,
+                    step: Long): DataFrame = {
+    require(e > b && step > 0, s"need e > b and step > 0, got [$b,$e) $step")
+    val metrics = points.select("metric").distinct()
+    val grid = metrics.select(col("metric"),
+      explode(sequence(lit(b), lit(e - 1), lit(step))).as("time"))
+      .withColumn("value", lit(null).cast("double"))
+    // asofJoin orders (time, _side=right-first, value): a raw point AT a
+    // grid instant is visible to it; grid rows carry value NULL and sort
+    // after real values, never shadowing them
+    Queries.asofJoin(grid, points.select("metric", "time", "value"),
+        keys = Seq("metric"), valueName = "ff")
+      .select(col("metric"), col("time"), col("ff").as("value"))
+  }
+}

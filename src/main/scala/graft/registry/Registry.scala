@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.hta.{AggOps, Queries, Scoped, Throttle}
+import graft.hta.{AggOps, Queries, Scoped, Series, Throttle}
 import graft.model.{IntervalScope, Scope}
 import graft.pipeline.{Ann, Curate, Dedup, Multimodal, Packing, Sampling, Sketches, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1718,7 +1718,57 @@ object Registry {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |CROSS JOIN j
              |LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = j.j
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- time-series post-processing tier (hta/Series.scala): M4
+    //      visualization downsampling, counter rate, grid resampling.
+    //      All deterministic because time is unique per metric (O1) ----
+    Entry("q67_m4_downsample",
+      (s, d) => Series.m4Downsample(ev(s, d), B, E, w = 48)
+        .orderBy("metric", "bucket"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, (time - $B) // ${(E - B + 47) / 48} AS bucket,
+              |             time, value
+              |      FROM pts WHERE time >= $B AND time < $E)
+              |SELECT metric, bucket,
+              |  min(time) AS t_first, arg_min(value, time) AS v_first,
+              |  max(time) AS t_last, arg_max(value, time) AS v_last,
+              |  min(value) AS v_min, max(value) AS v_max
+              |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Entry("q68_counter_rate",
+      (s, d) => Series.counterRate(ev(s, d), B, E)
+        .select("metric", "increase_cents", "n_samples", "rate_cents_per_sec")
+        .orderBy("metric"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents FROM pts
+              |      WHERE time >= $B AND time < $E),
+              |d AS (SELECT metric, cents,
+              |        lag(cents) OVER (PARTITION BY metric ORDER BY time) AS p
+              |      FROM f),
+              |a AS (SELECT metric,
+              |        CAST(sum(CASE WHEN p IS NULL THEN 0
+              |                 WHEN cents >= p THEN cents - p
+              |                 ELSE cents END) AS BIGINT) AS increase_cents,
+              |        CAST(count(*) AS BIGINT) AS n_samples
+              |      FROM d GROUP BY 1)
+              |SELECT metric, increase_cents, n_samples,
+              |       increase_cents / ((${E} - ${B}) / 1e9) AS rate_cents_per_sec
+              |FROM a ORDER BY metric""".stripMargin)),
+
+    Entry("q69_resample",
+      (s, d) => Series.resampleFfill(ev(s, d), B, E,
+          step = 6L * 3600000000000L)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |g AS (SELECT m.metric, t.range AS time
+              |      FROM (SELECT DISTINCT metric FROM pts) m,
+              |           range($B, $E, ${6L * 3600000000000L}) t)
+              |SELECT g.metric, g.time, p.value
+              |FROM g ASOF LEFT JOIN
+              |  (SELECT metric, time, value FROM pts) p
+              |  ON g.metric = p.metric AND p.time <= g.time
+              |ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

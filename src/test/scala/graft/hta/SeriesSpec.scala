@@ -1,0 +1,69 @@
+package graft.hta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** hta/Series.scala — M4 downsampling, counter rate, grid resampling —
+  * against hand-computed fixtures (times in ns via tp()). */
+class SeriesSpec extends SparkSpec {
+
+  private def pts(rows: Seq[(String, Long, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("metric", "time", "value")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+  }
+
+  test("m4Downsample keeps first/last/min/max per bucket, ceil width covers") {
+    // [0s, 100s) in 3 buckets -> ceil width 34s: buckets [0,34) [34,68) [68,100)
+    val df = pts(Seq(
+      ("m", tp(0), 5.0), ("m", tp(10), 1.0), ("m", tp(30), 9.0),
+      ("m", tp(40), 2.0),
+      ("m", tp(99), 7.0)))
+    val r = Series.m4Downsample(df, tp(0), tp(100), w = 3)
+      .orderBy("bucket").collect()
+    assert(r.length === 3)
+    val b0 = r(0)
+    assert(b0.getLong(1) === 0L && b0.getLong(2) === tp(0) &&
+      b0.getDouble(3) === 5.0 && b0.getLong(4) === tp(30) &&
+      b0.getDouble(5) === 9.0 && b0.getDouble(6) === 1.0 &&
+      b0.getDouble(7) === 9.0)
+    val b1 = r(1)
+    assert(b1.getLong(1) === 1L && b1.getDouble(3) === 2.0 &&
+      b1.getDouble(5) === 2.0 && b1.getDouble(6) === 2.0)
+    // last bucket (shorter than width) still appears
+    assert(r(2).getLong(1) === 2L && r(2).getDouble(3) === 7.0)
+  }
+
+  test("counterRate sums deltas, treats decreases as resets, skips first") {
+    // cents: 100 -> 250 (+150) -> 50 (reset: +50) -> 300 (+250) = 450
+    val df = pts(Seq(
+      ("c", tp(1), 1.0), ("c", tp(2), 2.5), ("c", tp(3), 0.5), ("c", tp(4), 3.0),
+      ("lone", tp(2), 9.0)))
+    val r = Series.counterRate(df, tp(0), tp(10))
+      .orderBy("metric").collect()
+    assert(r.length === 2)
+    assert(r(0).getString(0) === "c" &&
+      r(0).getLong(r(0).fieldIndex("increase_cents")) === 450L &&
+      r(0).getLong(r(0).fieldIndex("n_samples")) === 4L)
+    assert(r(0).getDouble(r(0).fieldIndex("rate_cents_per_sec")) === 45.0)
+    // a single sample has no prior: increase 0
+    assert(r(1).getString(0) === "lone" &&
+      r(1).getLong(r(1).fieldIndex("increase_cents")) === 0L)
+  }
+
+  test("resampleFfill carries at-or-before values, NULL before first sample") {
+    val df = pts(Seq(("m", tp(5), 1.0), ("m", tp(12), 2.0)))
+    // grid 0,10,20,30 in [0, 40): t0 -> null, t10 -> 1.0, t20/t30 -> 2.0
+    val r = Series.resampleFfill(df, tp(0), tp(40), step = 10L * S)
+      .orderBy("time").collect()
+    assert(r.length === 4)
+    assert(r(0).isNullAt(2))
+    assert(r(1).getDouble(2) === 1.0 && r(2).getDouble(2) === 2.0 &&
+      r(3).getDouble(2) === 2.0)
+    // a sample exactly AT a grid instant is visible to it
+    val at = Series.resampleFfill(pts(Seq(("m", tp(10), 4.0))),
+      tp(0), tp(20), step = 10L * S).orderBy("time").collect()
+    assert(at(1).getDouble(2) === 4.0)
+  }
+}
