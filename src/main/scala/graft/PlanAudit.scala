@@ -191,6 +191,18 @@ object PlanAudit {
       graft.pipeline.TextOps.searchTopK(docs,
         Seq("join", "filter", "vector"), k = 10).explain("formatted")
     }
+    section("q67 m4Downsample (expect: ONE (metric,bucket) partial-agg " +
+      "exchange — min_by/max_by fold map-side; time filter above the " +
+      "events view, pushed to the scan over warehouse raw)") {
+      graft.hta.Series.m4Downsample(ev, Registry.B, Registry.E, w = 48)
+        .explain("formatted")
+    }
+    section("q69 resampleFfill (expect: ONE metric-keyed window exchange " +
+      "for the union-and-carry — the grid generates distributed via " +
+      "sequence explode, no per-grid-point join)") {
+      graft.hta.Series.resampleFfill(ev, Registry.B, Registry.E,
+        step = 6L * 3600000000000L).explain("formatted")
+    }
     spark.stop()
   }
 }
