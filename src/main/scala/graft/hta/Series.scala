@@ -71,6 +71,41 @@ object Series {
         col("increase_cents").cast("double") / ((e - b) / 1e9))
   }
 
+  /** Robust outlier detection per metric over [b, e): flag samples whose
+    * absolute deviation from the metric's MEDIAN exceeds `kTenths/10 ×`
+    * the metric's MAD (median absolute deviation) — the
+    * median/MAD analogue of the z-score, insensitive to the outliers it
+    * hunts. Everything stays in the exact integer cents domain: both
+    * medians come from [[Queries.valueQuantiles]]'s histogram selection
+    * (percentile_disc semantics — an observed value, never an
+    * interpolated float) and the threshold is the integer cross-multiply
+    * `dev·10 > mad·kTenths` — no division, no float, bit-stable across
+    * engines and partitionings.
+    *
+    * Shape at scale: two histogram selections (shuffle volume = the
+    * DISTINCT-value histogram, q54's argument) and two broadcast joins of
+    * metric-cardinality maps; the corpus is scanned per tier but never
+    * shuffled corpus-wide. Callers looping many k values should persist
+    * the filtered slice.
+    *
+    * @return outlier rows (metric, time, cents, med, dev, mad) */
+  def madOutliers(points: DataFrame, b: Long, e: Long,
+                  kTenths: Long = 28L): DataFrame = {
+    require(e > b && kTenths >= 0, s"need e > b, kTenths >= 0")
+    val f = points.where(col("time") >= b && col("time") < e)
+    val med = Queries.valueQuantiles(f, b, e, Seq(50))
+      .select(col("metric"), col("q_cents").as("med"))
+    val dev = f.join(broadcast(med), "metric")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = Queries.valueQuantiles(
+        dev.select(col("metric"), col("time"), col("dev").as("cents")),
+        b, e, Seq(50))
+      .select(col("metric"), col("q_cents").as("mad"))
+    dev.join(broadcast(mad), "metric")
+      .where(col("dev") * 10 > col("mad") * kTenths)
+      .select("metric", "time", "cents", "med", "dev", "mad")
+  }
+
   /** Forward-fill resampling onto a regular grid: one row per metric per
     * grid time `b, b+step, …` in [b, e), carrying the latest raw value
     * at-or-before that instant (NULL before a metric's first sample —

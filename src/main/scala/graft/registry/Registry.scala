@@ -1768,6 +1768,35 @@ object Registry {
               |FROM g ASOF LEFT JOIN
               |  (SELECT metric, time, value FROM pts) p
               |  ON g.metric = p.metric AND p.time <= g.time
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- robust outliers: |cents - median| > 2.8 x MAD, all medians by
+    //      histogram selection (percentile_disc), threshold an integer
+    //      cross-multiply - exact on both engines ----
+    Entry("q70_mad_outliers",
+      (s, d) => Series.madOutliers(ev(s, d), B, E, kTenths = 28L)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents FROM pts
+              |      WHERE time >= $B AND time < $E),
+              |h AS (SELECT metric, cents, count(*) AS c FROM f GROUP BY 1, 2),
+              |w AS (SELECT metric, cents,
+              |        sum(c) OVER (PARTITION BY metric ORDER BY cents) AS cum,
+              |        sum(c) OVER (PARTITION BY metric) AS n FROM h),
+              |med AS (SELECT metric, min(cents) AS med FROM w
+              |        WHERE 2 * cum >= n GROUP BY 1),
+              |dev AS (SELECT f.metric, f.time, f.cents,
+              |          abs(f.cents - med.med) AS dev, med.med
+              |        FROM f JOIN med USING (metric)),
+              |h2 AS (SELECT metric, dev, count(*) AS c FROM dev GROUP BY 1, 2),
+              |w2 AS (SELECT metric, dev,
+              |         sum(c) OVER (PARTITION BY metric ORDER BY dev) AS cum,
+              |         sum(c) OVER (PARTITION BY metric) AS n FROM h2),
+              |mad AS (SELECT metric, min(dev) AS mad FROM w2
+              |        WHERE 2 * cum >= n GROUP BY 1)
+              |SELECT d.metric, d.time, d.cents, d.med, d.dev, mad.mad
+              |FROM dev d JOIN mad USING (metric)
+              |WHERE d.dev * 10 > mad.mad * 28
               |ORDER BY 1, 2""".stripMargin))
   )
 

@@ -52,6 +52,25 @@ class SeriesSpec extends SparkSpec {
       r(1).getLong(r(1).fieldIndex("increase_cents")) === 0L)
   }
 
+  test("madOutliers flags by exact median/MAD cross-multiply") {
+    // cents: 100,100,100,200,200,1000 -> median 100 (2*cum>=n at 100:
+    // cum 3, n 6), devs 0,0,0,100,100,900 -> MAD 100 (cum 3 of 6 at 0?
+    // no: 2*3>=6 holds at dev 0) -> MAD 0... choose values where MAD>0
+    val df = pts(Seq(
+      ("m", tp(1), 1.0), ("m", tp(2), 2.0), ("m", tp(3), 3.0),
+      ("m", tp(4), 4.0), ("m", tp(5), 50.0)))
+    // cents 100..400,5000: median=300 (cum 3 of 5); devs 200,100,0,100,4700
+    // -> sorted 0,100,100,200,4700, MAD=100 (cum 3 of 5 at 100)
+    // k=2.8: dev*10 > 100*28=2800 -> dev > 280 -> only the 5000 sample
+    val r = Series.madOutliers(df, tp(0), tp(10), kTenths = 28L).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === 5000L && r(0).getLong(3) === 300L &&
+      r(0).getLong(4) === 4700L && r(0).getLong(5) === 100L)
+    // k=0 flags everything with dev > 0 (strict compare: dev-0 rows stay out)
+    val all = Series.madOutliers(df, tp(0), tp(10), kTenths = 0L).collect()
+    assert(all.length === 4)
+  }
+
   test("resampleFfill carries at-or-before values, NULL before first sample") {
     val df = pts(Seq(("m", tp(5), 1.0), ("m", tp(12), 2.0)))
     // grid 0,10,20,30 in [0, 40): t0 -> null, t10 -> 1.0, t20/t30 -> 2.0
