@@ -71,6 +71,39 @@ object Series {
         col("increase_cents").cast("double") / ((e - b) / 1e9))
   }
 
+  /** Threshold alerting with hysteresis over [b, e): per metric, the
+    * alert turns ON at a sample with cents ≥ `hiCents`, OFF at ≤
+    * `loCents`, and HOLDS its state in the dead band between — the
+    * two-threshold debounce every alerting system uses so a value
+    * hovering at the line does not flap. Returns only the TRANSITIONS
+    * (the alert-state edges a notifier consumes), each with the sample
+    * that caused it; initial state is OFF.
+    *
+    * The state machine needs no sequential fold: state at a sample is
+    * simply the most recent DECISIVE sample's verdict, so one
+    * `last(_, ignoreNulls)` forward-fill window + one lag computes every
+    * edge. One metric-keyed window exchange (the q31/asof shape), exact
+    * integer compares, deterministic under O1's unique times.
+    *
+    * @return (metric, time, cents, alert) rows where the state changed */
+  def hysteresisAlerts(points: DataFrame, b: Long, e: Long,
+                       hiCents: Long, loCents: Long): DataFrame = {
+    require(e > b && hiCents > loCents,
+      s"need e > b and hiCents > loCents, got [$b,$e) hi=$hiCents lo=$loCents")
+    val wFill = Window.partitionBy("metric").orderBy("time")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy("metric").orderBy("time")
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("_dec",
+        when(col("cents") >= hiCents, lit(1L))
+          .when(col("cents") <= loCents, lit(0L)))
+      .withColumn("alert",
+        coalesce(last(col("_dec"), ignoreNulls = true).over(wFill), lit(0L)))
+      .withColumn("_prev", coalesce(lag(col("alert"), 1).over(wLag), lit(0L)))
+      .where(col("alert") =!= col("_prev"))
+      .select("metric", "time", "cents", "alert")
+  }
+
   /** Robust outlier detection per metric over [b, e): flag samples whose
     * absolute deviation from the metric's MEDIAN exceeds `kTenths/10 ×`
     * the metric's MAD (median absolute deviation) — the

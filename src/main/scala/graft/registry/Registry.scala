@@ -1797,7 +1797,32 @@ object Registry {
               |SELECT d.metric, d.time, d.cents, d.med, d.dev, mad.mad
               |FROM dev d JOIN mad USING (metric)
               |WHERE d.dev * 10 > mad.mad * 28
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- two-threshold alerting: ON at >= $150, OFF at <= $50, hold
+    //      between; only state edges emitted ----
+    Entry("q71_hysteresis",
+      (s, d) => Series.hysteresisAlerts(ev(s, d), B, E,
+          hiCents = 15000L, loCents = 5000L)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents FROM pts
+              |      WHERE time >= $B AND time < $E),
+              |d AS (SELECT metric, time, cents,
+              |        CASE WHEN cents >= 15000 THEN 1
+              |             WHEN cents <= 5000 THEN 0 END AS dec
+              |      FROM f),
+              |s AS (SELECT metric, time, cents,
+              |        coalesce(last_value(dec IGNORE NULLS) OVER (
+              |          PARTITION BY metric ORDER BY time
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |          0) AS alert
+              |      FROM d),
+              |t AS (SELECT *, coalesce(lag(alert) OVER (
+              |          PARTITION BY metric ORDER BY time), 0) AS prev
+              |      FROM s)
+              |SELECT metric, time, cents, CAST(alert AS BIGINT) AS alert
+              |FROM t WHERE alert != prev ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -52,6 +52,21 @@ class SeriesSpec extends SparkSpec {
       r(1).getLong(r(1).fieldIndex("increase_cents")) === 0L)
   }
 
+  test("hysteresisAlerts holds state in the dead band, emits edges only") {
+    // hi=500, lo=200: 600(ON) 350(hold) 150(OFF) 450(hold) 700(ON)
+    val df = pts(Seq(
+      ("m", tp(1), 6.0), ("m", tp(2), 3.5), ("m", tp(3), 1.5),
+      ("m", tp(4), 4.5), ("m", tp(5), 7.0),
+      // starts in the dead band: stays OFF until the first decisive sample
+      ("n", tp(1), 3.0), ("n", tp(2), 9.0)))
+    val r = Series.hysteresisAlerts(df, tp(0), tp(10), 500L, 200L)
+      .orderBy("metric", "time").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3)))
+    assert(r === Array(
+      ("m", tp(1), 1L), ("m", tp(3), 0L), ("m", tp(5), 1L),
+      ("n", tp(2), 1L)))
+  }
+
   test("madOutliers flags by exact median/MAD cross-multiply") {
     // cents: 100,100,100,200,200,1000 -> median 100 (2*cum>=n at 100:
     // cum 3, n 6), devs 0,0,0,100,100,900 -> MAD 100 (cum 3 of 6 at 0?
