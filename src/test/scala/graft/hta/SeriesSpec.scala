@@ -86,6 +86,53 @@ class SeriesSpec extends SparkSpec {
     assert(all.length === 4)
   }
 
+  test("Series ops match driver-side brute force on seeded random series") {
+    val rng = new scala.util.Random(41L)
+    val rows = for {
+      m <- Seq("a", "b", "c")
+      t <- (0 until 200).map(_ => rng.nextInt(1000)).distinct.sorted
+    } yield (m, tp(t), (rng.nextInt(2000) + 1) / 100.0)
+    val df = pts(rows)
+    val byM = rows.groupBy(_._1).map { case (m, rs) =>
+      m -> rs.map(r => (r._2, math.round(r._3 * 100))).sortBy(_._1)
+    }
+
+    // m4: per bucket first/last/min/max over values (doubles: cents/100)
+    val w = 7
+    val width = (tp(1000) - tp(0) + w - 1) / w
+    val m4 = Series.m4Downsample(df, tp(0), tp(1000), w)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    for ((m, rs) <- byM; (bkt, brs) <- rs.groupBy(r => (r._1 - tp(0)) / width)) {
+      val vs = brs.map(r => (r._1, r._2 / 100.0))
+      val expected = (vs.head._1, vs.head._2, vs.last._1, vs.last._2,
+        vs.map(_._2).min, vs.map(_._2).max)
+      assert(m4((m, bkt)) === expected, s"m4 $m bucket $bkt")
+    }
+
+    // counterRate: driver fold with reset rule
+    val cr = Series.counterRate(df, tp(0), tp(1000))
+      .collect().map(r => r.getString(0) ->
+        r.getLong(r.fieldIndex("increase_cents"))).toMap
+    for ((m, rs) <- byM) {
+      val cents = rs.map(_._2)
+      val inc = cents.zip(cents.drop(1))
+        .map { case (p, c) => if (c >= p) c - p else c }.sum
+      assert(cr(m) === inc, s"counterRate $m")
+    }
+
+    // resampleFfill: driver-side at-or-before lookup per grid instant
+    val step = 37L * S
+    val rs = Series.resampleFfill(df, tp(0), tp(1000), step)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    for ((m, series) <- byM; g <- tp(0) until tp(1000) by step) {
+      val expected = series.takeWhile(_._1 <= g).lastOption.map(_._2 / 100.0)
+      assert(rs((m, g)) === expected, s"resample $m @$g")
+    }
+  }
+
   test("resampleFfill carries at-or-before values, NULL before first sample") {
     val df = pts(Seq(("m", tp(5), 1.0), ("m", tp(12), 2.0)))
     // grid 0,10,20,30 in [0, 40): t0 -> null, t10 -> 1.0, t20/t30 -> 2.0
