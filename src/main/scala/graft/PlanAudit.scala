@@ -203,6 +203,18 @@ object PlanAudit {
       graft.hta.Series.resampleFfill(ev, Registry.B, Registry.E,
         step = 6L * 3600000000000L).explain("formatted")
     }
+    section("q70 madOutliers (expect: two histogram-sized selection " +
+      "exchanges (q54's shape) + BroadcastExchange for both " +
+      "metric-cardinality median maps — the corpus never shuffles wide)") {
+      graft.hta.Series.madOutliers(ev, Registry.B, Registry.E)
+        .explain("formatted")
+    }
+    section("q71 hysteresisAlerts (expect: ONE metric-keyed window " +
+      "exchange shared by the fill and lag windows — same sort order, " +
+      "Catalyst plans one Window node chain, no second exchange)") {
+      graft.hta.Series.hysteresisAlerts(ev, Registry.B, Registry.E,
+        hiCents = 15000L, loCents = 5000L).explain("formatted")
+    }
     spark.stop()
   }
 }
