@@ -71,6 +71,32 @@ object Series {
         col("increase_cents").cast("double") / ((e - b) / 1e9))
   }
 
+  /** One-sided CUSUM drift detection over [b, e) (Page 1954): per metric,
+    * the cumulative-sum statistic `s_t = max(0, s_{t-1} + (cents_t − k))`
+    * accumulates evidence that the level has drifted above the reference
+    * `driftCents` (k); rows where `s_t > thresholdCents` (h) are the
+    * alarm samples. The no-reset variant is computed (after an alarm the
+    * statistic keeps running rather than snapping to 0) — that is what
+    * makes the fold CLOSED-FORM: s_t = P_t − min(0, min_{j≤t} P_j) for
+    * the running sum P of (cents − k), so two stacked running windows
+    * (sum, then min) over ONE metric-keyed exchange replace the
+    * sequential recursion, and everything stays in exact integers.
+    *
+    * @return alarm rows (metric, time, cents, cusum) */
+  def cusum(points: DataFrame, b: Long, e: Long, driftCents: Long,
+            thresholdCents: Long): DataFrame = {
+    require(e > b && thresholdCents > 0,
+      s"need e > b and thresholdCents > 0, got [$b,$e) h=$thresholdCents")
+    val w = Window.partitionBy("metric").orderBy("time")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("_p", sum(col("cents") - driftCents).over(w))
+      .withColumn("_m", least(min(col("_p")).over(w), lit(0L)))
+      .withColumn("cusum", col("_p") - col("_m"))
+      .where(col("cusum") > thresholdCents)
+      .select("metric", "time", "cents", "cusum")
+  }
+
   /** Threshold alerting with hysteresis over [b, e): per metric, the
     * alert turns ON at a sample with cents ≥ `hiCents`, OFF at ≤
     * `loCents`, and HOLDS its state in the dead band between — the

@@ -1822,7 +1822,26 @@ object Registry {
               |          PARTITION BY metric ORDER BY time), 0) AS prev
               |      FROM s)
               |SELECT metric, time, cents, CAST(alert AS BIGINT) AS alert
-              |FROM t WHERE alert != prev ORDER BY 1, 2""".stripMargin))
+              |FROM t WHERE alert != prev ORDER BY 1, 2""".stripMargin)),
+
+    // ---- CUSUM drift alarms: the sequential fold has a window closed
+    //      form (running sum minus clamped running min), exact integers ----
+    Entry("q72_cusum",
+      (s, d) => Series.cusum(ev(s, d), B, E,
+          driftCents = 6000L, thresholdCents = 15000L)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents FROM pts
+              |      WHERE time >= $B AND time < $E),
+              |p AS (SELECT metric, time, cents,
+              |        sum(cents - 6000) OVER (PARTITION BY metric ORDER BY time
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+              |      FROM f),
+              |m AS (SELECT *, least(min(pp) OVER (PARTITION BY metric ORDER BY time
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS mn
+              |      FROM p)
+              |SELECT metric, time, cents, CAST(pp - mn AS BIGINT) AS cusum
+              |FROM m WHERE pp - mn > 15000 ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

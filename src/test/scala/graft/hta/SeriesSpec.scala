@@ -86,6 +86,27 @@ class SeriesSpec extends SparkSpec {
     assert(all.length === 4)
   }
 
+  test("cusum window closed form equals the sequential fold") {
+    val rng = new scala.util.Random(47L)
+    val rows = for {
+      m <- Seq("a", "b")
+      t <- 1 to 150
+    } yield (m, tp(t), (rng.nextInt(900) + 1) / 100.0)
+    val df = pts(rows)
+    val (k, h) = (400L, 900L)
+    val got = Series.cusum(df, tp(0), tp(200), k, h)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (m, rs) =>
+      var s = 0L
+      rs.sortBy(_._2).flatMap { case (_, t, v) =>
+        s = math.max(0L, s + (math.round(v * 100) - k))
+        if (s > h) Some((m, t, s)) else None
+      }
+    }.toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture should alarm")
+  }
+
   test("Series ops match driver-side brute force on seeded random series") {
     val rng = new scala.util.Random(41L)
     val rows = for {
