@@ -172,9 +172,12 @@ object PlanAudit {
     }
     section("q62 heavyHitters recount (expect: candidate isInCollection " +
       "filter BELOW the partial-agg groupBy — only candidate rows reach " +
-      "the one exchange; MG pass itself is a separate collect job)") {
+      "the one exchange; MG pass itself is a separate collect job). " +
+      "Audited over a 50-doc slice: heavyHitters EXECUTES its MG pass at " +
+      "construction, so a full-corpus call here would scan data just to " +
+      "print a plan") {
       graft.pipeline.Sketches.heavyHitters(
-        docs.select(explode(graft.pipeline.TextOps.tokens(col("text")))
+        docs.limit(50).select(explode(graft.pipeline.TextOps.tokens(col("text")))
           .as("token")), "token", k = 40)
         .explain("formatted")
     }

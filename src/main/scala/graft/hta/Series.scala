@@ -185,8 +185,13 @@ object Series {
       .withColumn("value", lit(null).cast("double"))
     // asofJoin orders (time, _side=right-first, value): a raw point AT a
     // grid instant is visible to it; grid rows carry value NULL and sort
-    // after real values, never shadowing them
-    Queries.asofJoin(grid, points.select("metric", "time", "value"),
+    // after real values, never shadowing them. Samples at time >= e can
+    // never be at-or-before a grid instant (< e) — drop them BEFORE the
+    // window shuffle so a small resample of a long-retention store
+    // shuffles the slice, not the history (pre-b rows must stay: they
+    // carry into the first grid instants)
+    Queries.asofJoin(grid,
+        points.where(col("time") < e).select("metric", "time", "value"),
         keys = Seq("metric"), valueName = "ff")
       .select(col("metric"), col("time"), col("ff").as("value"))
   }

@@ -330,22 +330,34 @@ object Dedup {
     * `distinct = false` skips the corpus-wide dedup shuffle — correct for
     * consumers whose aggregates are duplicate-insensitive (a per-doc MIN
     * cannot change under duplicates: the minhash path). */
-  def shingleHashRows(docs: DataFrame, n: Int = 3, text: String = "text",
-                      distinct: Boolean = true): DataFrame = {
+  /** Positional 60-bit gram hashes: (doc_id, pos, gram) for every n-gram
+    * start position, one md5 per token with the rotate-XOR combine. The
+    * shared kernel of [[shingleHashRows]] (which drops pos and adds the
+    * short-doc fallback) and [[duplicatedSpans]] (which keeps pos) — one
+    * place to touch if the hash schedule ever changes, including its
+    * `rot60Sql` oracle rendering. Docs shorter than n tokens emit nothing
+    * here. */
+  private def positionalGramHashes(docs: DataFrame, n: Int,
+                                   text: String): DataFrame = {
     val tk = TextOps.tokens(col(text))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val tokHashed = docs.where(size(tk) >= n)
-      .select(col("doc_id"), size(tk).as("n"), posexplode(tk).as(Seq("pos", "tok")))
+      .select(col("doc_id"), size(tk).as("_n"), posexplode(tk).as(Seq("pos", "tok")))
       .withColumn("th", TextOps.md5Long(col("tok")))
     val gram = (0 until n).map { i =>
       val h = if (i == 0) col("th") else lead(col("th"), i).over(win)
       TextOps.rot60(h, (7 * i) % 60)
     }.reduce(_ bitwiseXOR _)
-    val long = tokHashed
-      .withColumn("gram", gram)
-      .where(col("pos") <= col("n") - n)
-      .select("doc_id", "gram")
+    tokHashed.withColumn("gram", gram)
+      .where(col("pos") <= col("_n") - n)
+      .select("doc_id", "pos", "gram")
+  }
+
+  def shingleHashRows(docs: DataFrame, n: Int = 3, text: String = "text",
+                      distinct: Boolean = true): DataFrame = {
+    val tk = TextOps.tokens(col(text))
+    val long = positionalGramHashes(docs, n, text).select("doc_id", "gram")
     val short = docs.where(size(tk) < n)
       .select(col("doc_id"), TextOps.md5Long(col(text)).as("gram"))
     val all = long.unionByName(short)
@@ -679,7 +691,9 @@ object Dedup {
     * distinct docs, semi-join the positional stream down to duplicated
     * grams, then per-doc island merge: hits are fixed-width intervals
     * [pos, pos+n) in ascending pos, so a new span starts exactly where
-    * `pos >= lag(pos) + n` — one lag + running sum, no interval tree.
+    * `pos > lag(pos) + n` (strictly: an interval starting AT the previous
+    * end abuts it — contiguous coverage, one maximal span) — one lag +
+    * running sum, no interval tree.
     *
     * Shape at scale: every shuffle key is 8 bytes (gram hash) or the
     * doc id; the corpus token stream shuffles once for the lead window,
@@ -694,19 +708,7 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, n: Int = 8,
                       text: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val tk = TextOps.tokens(col(text))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val tokHashed = docs.where(size(tk) >= n)
-      .select(col("doc_id"), size(tk).as("_n"), posexplode(tk).as(Seq("pos", "tok")))
-      .withColumn("th", TextOps.md5Long(col("tok")))
-    val gramCol = (0 until n).map { i =>
-      val h = if (i == 0) col("th") else lead(col("th"), i).over(win)
-      TextOps.rot60(h, (7 * i) % 60)
-    }.reduce(_ bitwiseXOR _)
-    val grams = tokHashed.withColumn("gram", gramCol)
-      .where(col("pos") <= col("_n") - n)
-      .select(col("doc_id"), col("pos"), col("gram"))
+    val grams = positionalGramHashes(docs, n, text)
     val dup = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("_df"))
       .where(col("_df") >= 2)
@@ -714,7 +716,7 @@ object Dedup {
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     hits
-      .withColumn("_new", (col("pos") >=
+      .withColumn("_new", (col("pos") >
         coalesce(lag(col("pos"), 1).over(w2) + n, lit(-1))).cast("long"))
       .withColumn("_sid", sum("_new").over(
         w2.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -1616,7 +1616,11 @@ object Registry {
         val en = docs(s, d).where(col("lang") === "en")
           .select(col("doc_id"),
             regexp_replace(col("text"), "[^ -~]", "").as("text"))
-        Dedup.editDistancePairs(en, maxDist = 6).orderBy("doc_a", "doc_b")
+        // uncapped: the oracle's brute join has no bucket cap, and a
+        // silently-dropped dense band would hash-diverge; production
+        // callers pick a finite maxBucket for the recall/cost trade
+        Dedup.editDistancePairs(en, maxDist = 6, maxBucket = Int.MaxValue)
+          .orderBy("doc_a", "doc_b")
       },
       Some("""WITH en AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
              |            FROM documents WHERE lang = 'en'),
@@ -1669,7 +1673,7 @@ object Registry {
              |dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c
              |                          FROM h GROUP BY 1) WHERE c >= 2),
              |hit AS (SELECT doc_id, pos FROM h WHERE gram IN (SELECT gram FROM dup)),
-             |m AS (SELECT doc_id, pos, CASE WHEN pos >= coalesce(lag(pos) OVER
+             |m AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER
              |        (PARTITION BY doc_id ORDER BY pos) + 8, -1) THEN 1 ELSE 0 END AS nw
              |      FROM hit),
              |sid AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos

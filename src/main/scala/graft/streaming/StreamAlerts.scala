@@ -35,8 +35,11 @@ object StreamAlerts {
           var alert = state.getOption.map(_.alert).getOrElse(0L)
           val out = Seq.newBuilder[AlertEdge]
           for (s <- it.toSeq.sortBy(_.time)) {
-            // same integer encoding as Tables.events' cents column
-            val cents = math.round(s.value * 100)
+            // same integer encoding as Tables.events' cents column —
+            // HALF_UP like Spark's round() (math.round half-toward-+inf
+            // disagrees on negative .5 halves)
+            val cents = BigDecimal(s.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             val next =
               if (cents >= hi) 1L else if (cents <= lo) 0L else alert
             if (next != alert) {

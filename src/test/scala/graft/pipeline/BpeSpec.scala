@@ -17,7 +17,10 @@ class BpeSpec extends SparkSpec {
       wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1
     var vocab: Map[Vector[String], Long] =
       wordFreq.map { case (w, f) =>
-        (w.toCharArray.map(_.toString).toVector :+ "</w>") -> f
+        // code points, not UTF-16 units — Spark's split(w, "") yields one
+        // symbol per code point, and surrogate halves are not symbols
+        (w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))) :+ "</w>") -> f
       }.toMap
     val out = Seq.newBuilder[(String, String, Long)]
     var continue = true
@@ -80,6 +83,16 @@ class BpeSpec extends SparkSpec {
     val got = learned(texts, 10)
     assert(got === refBpe(texts, 10))
     assert(got.length < 10)
+  }
+
+  test("learnBpeMerges treats supplementary characters as single symbols") {
+    // U+1F600 is a surrogate pair in UTF-16; both the product (split by
+    // code point) and the reference must seed it as ONE symbol
+    val texts = Seq.fill(4)("😀ab 😀ab ab")
+    val got = learned(texts, 4)
+    assert(got === refBpe(texts, 4))
+    assert(got.exists { case (a, b, _) => (a + b).contains("😀") },
+      "a merge should involve the emoji symbol")
   }
 
   test("learnBpeMerges is partitioning-invariant") {

@@ -485,6 +485,21 @@ class PipelineSpec extends SparkSpec {
       (2L, 0L, 10L, 7L), (5L, 2L, 10L, 5L)))
   }
 
+  test("duplicatedSpans merges ABUTTING intervals into one maximal span") {
+    val s = spark
+    import s.implicits._
+    // doc1 "x y z w": dup grams (x y)@0 and (z w)@2 — intervals [0,2) and
+    // [2,4) abut (contiguous coverage) -> ONE span [0,4)
+    // doc2 "x y q z w": dup hits @0 and @3 — gap -> two spans
+    val corpus = Seq((1L, "x y z w"), (2L, "x y q z w")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 0L, 4L, 2L),
+      (2L, 0L, 2L, 1L), (2L, 3L, 5L, 1L)))
+  }
+
   test("duplicatedSpans island merge joins overlapping gram hits") {
     val s = spark
     import s.implicits._

@@ -45,4 +45,29 @@ class StreamAlertsSpec extends SparkSpec {
       assert(got === batch, s"slicing at $cut")
     }
   }
+
+  test("negative half-cent values round HALF_UP like the batch cents column") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // -2.125 * 100 = -212.5: HALF_UP (Spark round) gives -213, which is
+    // <= lo and must emit the OFF edge; half-toward-+infinity (-212)
+    // would hold in the dead band and diverge from batch
+    val all = Seq(Sample("neg", 1L, 6.0), Sample("neg", 2L, -2.125))
+    val batchDf = all.toDF().select(col("metric"), col("time"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val batch = graft.hta.Series.hysteresisAlerts(batchDf, 0L, 100L, 100L, -213L)
+      .orderBy("time").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch === Seq((1L, 600L, 1L), (2L, -213L, 0L)))
+    val mem = MemoryStream[Sample]
+    val q = StreamAlerts.alerts(mem.toDS(), 100L, -213L).toDF()
+      .writeStream.format("memory").queryName("al_neg")
+      .outputMode("append").start()
+    try { mem.addData(all: _*); q.processAllAvailable() } finally q.stop()
+    val got = s.table("al_neg").orderBy("time").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Long]("cents"),
+        r.getAs[Long]("alert"))).toSeq
+    assert(got === batch)
+  }
 }
