@@ -251,6 +251,69 @@ object TextOps {
     merges.result().toDF("rank", "a", "b", "pair_count")
   }
 
+  /** Tokenizer application — the other half of [[learnBpeMerges]]: segment
+    * every document into subword tokens under a learned merge table,
+    * producing `(doc_id, pos, spos, token)` rows (word position in the doc,
+    * subword position in the word).
+    *
+    * Scale shape: the merge table is tokenizer-sized by construction →
+    * collected once (rank order) and BAKED INTO THE PLAN; segmentation runs
+    * over the DISTINCT word table (vocabulary-sized — Heaps' law, millions
+    * of rows at 100 TB, never corpus-sized), and the corpus token stream
+    * joins back on the word (AQE broadcasts the segmented-vocab side at
+    * tokenizer scales). Tokenizing cost is therefore ∝ vocabulary, not
+    * corpus — the same economics as [[learnBpeMerges]].
+    *
+    * Each merge is ONE codegen'd `replace` call, not a lambda fold: a word
+    * is encoded as its symbols each wrapped in unit-separator (U+001F, "|"
+    * below) characters (`|s1||s2|…`), so the search string `|a||b|` can
+    * only match two whole
+    * ADJACENT symbols (a symbol ending in "a" never matches — the wrap
+    * demands a separator before the match) and the replacement `|ab|`
+    * restores the invariant. String replace scans left-to-right
+    * non-overlapping — exactly the greedy semantics of the learner's
+    * `aggregate()` fold (spec-pinned equal). Merges chain in rank order;
+    * every `batch` merges the vocab frame is locally checkpointed so plan
+    * depth stays bounded at tokenizer-scale merge counts.
+    *
+    * The U+001F character itself is dropped from word symbols (the wrap
+    * separator must never occur inside one); real tokenizers pre-filter
+    * control characters anyway.
+    *
+    * @param merges (rank, a, b) rows from [[learnBpeMerges]] (extra columns
+    *               ignored); applied in ascending rank order */
+  def applyBpe(docs: DataFrame, merges: DataFrame, text: String = "text",
+               batch: Int = 200): DataFrame = {
+    val SEP = "\u001f"
+    val ms = merges.select("rank", "a", "b").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = docs.select(explode(tokens(col(text))).as("w"))
+      .where(col("w") =!= "").distinct()
+    // |c1||c2|…|</w>| — every symbol wrapped; chars + the end-of-word mark
+    val seq0 = concat(lit(SEP),
+      array_join(concat(
+        filter(split(col("w"), ""), s => s =!= "" && s =!= SEP),
+        array(lit("</w>"))), SEP + SEP),
+      lit(SEP))
+    var seg = words.select(col("w"), seq0.as("seq"))
+    ms.grouped(math.max(batch, 1)).foreach { grp =>
+      val chained = grp.foldLeft(col("seq")) { case (c, (a, b)) =>
+        replace(c, lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP))
+      }
+      // checkpoint between batches: bounded plan/codegen depth, superseded
+      // blocks free on GC (vocab-sized frame — cheap)
+      seg = seg.withColumn("seq", chained)
+      if (ms.length > batch) seg = seg.localCheckpoint()
+    }
+    val toks = split(btrim(col("seq"), lit(SEP)), SEP + SEP)
+    seg.select(col("w"), posexplode(toks).as(Seq("spos", "token")))
+      .join(docs.select(col("doc_id"),
+          posexplode(tokens(col(text))).as(Seq("pos", "w")))
+        .where(col("w") =!= ""), "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("spos").cast("long").as("spos"), col("token"))
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1.3, the
     * published repetition filters): per document,
     *   - `top_token_cnt` / `top_token_frac`  — occurrences of the most

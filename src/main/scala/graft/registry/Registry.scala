@@ -302,6 +302,16 @@ object Registry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** q73's fixed merge table (rank order), shared by the Spark plan and the
+    * oracle's VALUES list. Chained merges (t+h → th+e → the+</w>) exercise
+    * the rank-ordered cascade; the `</w>` merges exercise the end-of-word
+    * symbol path. */
+  private val bpeApplyMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>",
+    "i" -> "n", "in" -> "g", "ing" -> "</w>",
+    "a" -> "n", "an" -> "d", "and" -> "</w>",
+    "o" -> "</w>", "e" -> "r", "er" -> "</w>")
+
   /** q46/q59's shared oracle: both tiers have the same output contract —
     * the Bloom filter only prunes the overlap join's input and the exact
     * verify removes every false positive, so one SQL covers both. */
@@ -1845,7 +1855,58 @@ object Registry {
               |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS mn
               |      FROM p)
               |SELECT metric, time, cents, CAST(pp - mn AS BIGINT) AS cusum
-              |FROM m WHERE pp - mn > 15000 ORDER BY 1, 2""".stripMargin))
+              |FROM m WHERE pp - mn > 15000 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- tokenizer APPLY (the other half of q63's learner): segment every
+    //      English doc into subword tokens under a fixed merge table. The
+    //      merge table is literal in BOTH plans (a learned table would need
+    //      the learner inside the oracle — q63's non-expressible part);
+    //      the apply semantics themselves get a full hash oracle via the
+    //      boundary-anchored replace chain, mirrored as a DuckDB recursive
+    //      CTE stepping rank-by-rank through the same replaces ----
+    Entry("q73_bpe_apply",
+      (s, d) => {
+        import s.implicits._
+        val merges = bpeApplyMerges.zipWithIndex
+          .map { case ((a, b), r) => (r.toLong, a, b) }
+          .toDF("rank", "a", "b")
+        // ASCII-sanitized like q61: Spark chars are code points, DuckDB
+        // bytes — identical on printable ASCII
+        val en = docs(s, d).where(col("lang") === "en")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^ -~]", "").as("text"))
+        TextOps.applyBpe(en, merges).orderBy("doc_id", "pos", "spos")
+      },
+      Some(s"""WITH RECURSIVE
+              |en AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+              |       FROM documents WHERE lang = 'en'),
+              |m AS (SELECT * FROM (VALUES ${bpeApplyMerges.zipWithIndex
+                 .map { case ((a, b), r) => s"($r,'$a','$b')" }
+                 .mkString(",")}) t(rank, a, b)),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+              |               unnest(range(0, len(string_split(text, ' ')))) AS pos
+              |        FROM en),
+              |tokf AS (SELECT * FROM tok WHERE w != ''),
+              |w0 AS (SELECT DISTINCT w FROM tokf),
+              |seq0 AS (SELECT w, chr(31) || array_to_string(
+              |           list_append(regexp_split_to_array(w, ''), '</w>'),
+              |           chr(31) || chr(31)) || chr(31) AS seq FROM w0),
+              |rec AS (SELECT w, seq, 0 AS step FROM seq0
+              |        UNION ALL
+              |        SELECT r.w, replace(r.seq,
+              |            chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+              |            chr(31) || m.a || m.b || chr(31)) AS seq,
+              |          r.step + 1 AS step
+              |        FROM rec r JOIN m ON m.rank = r.step),
+              |fin AS (SELECT w, seq FROM rec WHERE step = ${bpeApplyMerges.size}),
+              |segs AS (SELECT w, string_split(trim(seq, chr(31)),
+              |                 chr(31) || chr(31)) AS toks FROM fin),
+              |ex AS (SELECT w, unnest(toks) AS token,
+              |              unnest(range(0, len(toks))) AS spos FROM segs)
+              |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+              |       CAST(e.spos AS BIGINT) AS spos, e.token
+              |FROM tokf t JOIN ex e USING (w)
+              |ORDER BY doc_id, pos, spos""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
