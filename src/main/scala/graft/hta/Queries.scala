@@ -267,6 +267,66 @@ object Queries {
       .select(keys.map(col) ++ Seq(col("time"), col("value"), col(valueName)): _*)
   }
 
+  /** Interval (overlap) join — every point row matched to every interval of
+    * the same key containing it (`start <= t < end`), the relational core
+    * of "samples during an alert episode / session / maintenance window".
+    *
+    * Spark has no native range-join strategy, and the naive
+    * `a.join(b, cond)` with only inequality conditions is a broadcast
+    * nested loop. This instead TILES TIME: each point lands in exactly ONE
+    * `chunk`-wide tile, each interval is exploded onto every tile it
+    * overlaps, and the join is a plain (key, tile) EQUI-join (shuffle
+    * hash / sort-merge, AQE-skew-splittable) followed by the exact
+    * containment filter. A point sits in one tile, so each qualifying
+    * (point, interval) pair is produced exactly once — no distinct needed.
+    *
+    * Cost shape at 100 TB: interval rows replicate by
+    * `ceil(span / chunk) + 1 ≤ maxTiles` (guarded — a malformed unbounded
+    * interval would otherwise explode the build side); points never
+    * replicate. Pick `chunk` near the median interval span: tiles then
+    * hold O(1) interval copies and the equi-join stays balanced even when
+    * episodes cluster.
+    *
+    * Both frames keep all their other columns (names must not collide;
+    * interval frames carry their own schema). Times may be negative —
+    * tiling uses floor division, not truncation.
+    *
+    * @param intervals (key, `start`, `end`) rows; `end` exclusive. Empty
+    *                  intervals (end <= start) match nothing.
+    * @param maxTiles  per-interval replication bound; an interval spanning
+    *                  more tiles fails the job (raise_error) rather than
+    *                  silently exploding the shuffle */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   keys: Seq[String], chunk: Long,
+                   t: String = "time", start: String = "i_start",
+                   end: String = "i_end", maxTiles: Long = 1 << 20): DataFrame = {
+    require(chunk > 0, s"chunk must be > 0, got $chunk")
+    // exact negative-safe floor division: align down with pmod (exact long
+    // arithmetic), then `div` — truncation equals floor on the aligned
+    // value. Never `/`: double division is inexact past 2^53 (ns scale).
+    val pc = points
+      .withColumn("_ij_al", col(t) - pmod(col(t), lit(chunk)))
+      .withColumn("_tile", expr(s"_ij_al div ${chunk}L"))
+      .drop("_ij_al")
+    val ic = intervals
+      .where(col(end) > col(start))
+      .withColumn("_ij_sal", col(start) - pmod(col(start), lit(chunk)))
+      .withColumn("_ij_eal",
+        (col(end) - 1) - pmod(col(end) - 1, lit(chunk)))
+      .withColumn("_ij_lo", expr(s"_ij_sal div ${chunk}L"))
+      .withColumn("_ij_hi", expr(s"_ij_eal div ${chunk}L"))
+      .withColumn("_tile",
+        explode(when(col("_ij_hi") - col("_ij_lo") < lit(maxTiles),
+            sequence(col("_ij_lo"), col("_ij_hi")))
+          .otherwise(raise_error(concat(lit(
+            s"intervalJoin: interval spans more than $maxTiles tiles of $chunk ns: start="),
+            col(start), lit(" end="), col(end))))))
+      .drop("_ij_sal", "_ij_eal", "_ij_lo", "_ij_hi")
+    pc.join(ic, keys :+ "_tile")
+      .where(col(t) >= col(start) && col(t) < col(end))
+      .drop("_tile")
+  }
+
   /** Q3 — lift raw points to Row form: interval 0, aggregate of (v, gap to
     * previous returned point; first point gap 0) (src/metric.cpp:414-439).
     * `chunkWidth` (e.g. the store's bucket width) de-skews the gap lag for

@@ -130,6 +130,21 @@ object Series {
       .select("metric", "time", "cents", "alert")
   }
 
+  /** Collapse [[hysteresisAlerts]] edges into alert EPISODES — one
+    * `(metric, i_start, i_end)` interval per ON period, a still-open
+    * episode closing at `horizon`. Edges alternate per metric (ON, OFF,
+    * ON, …), so each ON edge pairs with its lead; the window runs over the
+    * edge stream (episode-sized, not sample-sized). The output feeds
+    * [[Queries.intervalJoin]] directly. */
+  def alertEpisodes(edges: DataFrame, horizon: Long): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("time")
+    edges
+      .withColumn("_nxt", lead(col("time"), 1).over(w))
+      .where(col("alert") === 1L)
+      .select(col("metric"), col("time").as("i_start"),
+        coalesce(col("_nxt"), lit(horizon)).as("i_end"))
+  }
+
   /** Robust outlier detection per metric over [b, e): flag samples whose
     * absolute deviation from the metric's MEDIAN exceeds `kTenths/10 ×`
     * the metric's MAD (median absolute deviation) — the

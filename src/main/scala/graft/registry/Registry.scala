@@ -1857,6 +1857,48 @@ object Registry {
               |SELECT metric, time, cents, CAST(pp - mn AS BIGINT) AS cusum
               |FROM m WHERE pp - mn > 15000 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- interval (overlap) join: every sample inside an alert episode.
+    //      Episodes come from q71's hysteresis edges (ON edge paired with
+    //      its OFF, open episodes closing at E); the join itself is the
+    //      TILED equi-join (Queries.intervalJoin) — never a nested loop.
+    //      DuckDB's native range join computes the same relation ----
+    Entry("q74_interval_join",
+      (s, d) => {
+        val points = ev(s, d).where(col("time") >= B && col("time") < E)
+          .select("metric", "time", "cents")
+        val eps = Series.alertEpisodes(
+          Series.hysteresisAlerts(ev(s, d), B, E, hiCents = 15000L,
+            loCents = 5000L), horizon = E)
+        Queries.intervalJoin(points, eps, Seq("metric"), chunk = I2)
+          .orderBy("metric", "time", "i_start")
+      },
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents FROM pts
+              |      WHERE time >= $B AND time < $E),
+              |d AS (SELECT metric, time, cents,
+              |        CASE WHEN cents >= 15000 THEN 1
+              |             WHEN cents <= 5000 THEN 0 END AS dec
+              |      FROM f),
+              |s AS (SELECT metric, time, cents,
+              |        coalesce(last_value(dec IGNORE NULLS) OVER (
+              |          PARTITION BY metric ORDER BY time
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |          0) AS alert
+              |      FROM d),
+              |t AS (SELECT *, coalesce(lag(alert) OVER (
+              |          PARTITION BY metric ORDER BY time), 0) AS prev
+              |      FROM s),
+              |edges AS (SELECT metric, time, alert FROM t WHERE alert != prev),
+              |eps AS (SELECT metric, time AS i_start,
+              |          coalesce(lead(time) OVER (PARTITION BY metric
+              |            ORDER BY time), $E) AS i_end, alert
+              |        FROM edges),
+              |sel AS (SELECT metric, i_start, i_end FROM eps WHERE alert = 1)
+              |SELECT f.metric, f.time, f.cents, e.i_start, e.i_end
+              |FROM f JOIN sel e ON f.metric = e.metric
+              |  AND f.time >= e.i_start AND f.time < e.i_end
+              |ORDER BY 1, 2, 4""".stripMargin)),
+
     // ---- tokenizer APPLY (the other half of q63's learner): segment every
     //      English doc into subword tokens under a fixed merge table. The
     //      merge table is literal in BOTH plans (a learned table would need
