@@ -145,6 +145,30 @@ object Series {
         coalesce(col("_nxt"), lit(horizon)).as("i_end"))
   }
 
+  /** Trailing-window aggregates at every sample — the PromQL
+    * `sum/count/min/max_over_time` family: for each sample, the aggregates
+    * over that metric's samples in `(t − window, t]` (inclusive of the
+    * sample itself, the at-or-before convention [[Queries.asofJoin]] uses).
+    *
+    * One metric-keyed RANGE-frame window over one exchange — the engine
+    * slides the frame in event-time order, so cost is O(samples × window
+    * density) per metric, bounded by the scoped read. All aggregates in
+    * exact integer cents — bit-stable under any partitioning.
+    *
+    * @return (metric, time, cents, roll_sum, roll_cnt, roll_min, roll_max) */
+  def rollingAgg(points: DataFrame, b: Long, e: Long, window: Long): DataFrame = {
+    require(e > b && window > 0,
+      s"need e > b and window > 0, got [$b,$e) window=$window")
+    val w = Window.partitionBy("metric").orderBy("time")
+      .rangeBetween(-(window - 1), 0)
+    points.where(col("time") >= b && col("time") < e)
+      .select(col("metric"), col("time"), col("cents"),
+        sum("cents").over(w).as("roll_sum"),
+        count(lit(1)).over(w).as("roll_cnt"),
+        min("cents").over(w).as("roll_min"),
+        max("cents").over(w).as("roll_max"))
+  }
+
   /** Robust outlier detection per metric over [b, e): flag samples whose
     * absolute deviation from the metric's MEDIAN exceeds `kTenths/10 ×`
     * the metric's MAD (median absolute deviation) — the
@@ -209,5 +233,60 @@ object Series {
         points.where(col("time") < e).select("metric", "time", "value"),
         keys = Seq("metric"), valueName = "ff")
       .select(col("metric"), col("time"), col("ff").as("value"))
+  }
+
+  /** Regular-grid resampling with LINEAR INTERPOLATION: at every grid
+    * instant, the value on the straight line between the nearest sample
+    * at-or-before (`prev`) and the nearest sample strictly after (`next`);
+    * a grid instant ON a sample returns that sample exactly (the lerp's
+    * `t − prev_t = 0` arm), before the first sample it is NULL, and after
+    * the last it forward-fills.
+    *
+    * Same union-and-carry shape as [[resampleFfill]], but BOTH directions
+    * ride ONE exchange: the two mirrored frames (last-before /
+    * first-after) share the (metric, time, side) sort, so Spark plans one
+    * window exchange with two window operators over it — no second
+    * shuffle, no self-join. The side ordinal makes at-instant visibility
+    * exact: a sample at grid time t sorts before the grid row, so it IS
+    * the prev and never the next (divide-by-zero impossible).
+    *
+    * Bit-determinism: cents and ns deltas are exact longs < 2^53, each
+    * cast to double exactly; the lerp is then three IEEE ops in fixed
+    * order (`pc + (nc−pc) · ((t−pt)/(nt−pt))`) — identical on any engine.
+    *
+    * The input is scanned unscoped so the carry into the first grid
+    * instant and the partner after the last are exact; pre-scope the
+    * frame to `[b − lookback, e + lookahead)` when the store's retention
+    * dwarfs the resample range. */
+  def resampleLerp(points: DataFrame, b: Long, e: Long,
+                   step: Long): DataFrame = {
+    require(e > b && step > 0, s"need e > b and step > 0, got [$b,$e) $step")
+    val metrics = points.select("metric").distinct()
+    val grid = metrics.select(col("metric"),
+        explode(sequence(lit(b), lit(e - 1), lit(step))).as("time"))
+      .withColumn("cents", lit(null).cast("long"))
+      .withColumn("_side", lit(1))
+    val pts = points.select("metric", "time", "cents")
+      .withColumn("_side", lit(0))
+    val wPrev = Window.partitionBy("metric").orderBy("time", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("metric").orderBy("time", "_side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sT = when(col("_side") === 0, col("time"))
+    val sC = when(col("_side") === 0, col("cents"))
+    grid.unionByName(pts)
+      .withColumn("pt", last(sT, ignoreNulls = true).over(wPrev))
+      .withColumn("pc", last(sC, ignoreNulls = true).over(wPrev))
+      .withColumn("nt", first(sT, ignoreNulls = true).over(wNext))
+      .withColumn("nc", first(sC, ignoreNulls = true).over(wNext))
+      .where(col("_side") === 1)
+      .select(col("metric"), col("time"),
+        when(col("pt").isNull, lit(null).cast("double"))
+          .when(col("nt").isNull, col("pc").cast("double"))
+          .otherwise(col("pc").cast("double") +
+            (col("nc") - col("pc")).cast("double") *
+              ((col("time") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+          .as("value"))
   }
 }

@@ -1899,6 +1899,61 @@ object Registry {
               |  AND f.time >= e.i_start AND f.time < e.i_end
               |ORDER BY 1, 2, 4""".stripMargin)),
 
+    // ---- trailing-window aggregates at every sample (PromQL
+    //      *_over_time): RANGE frame (t-12h, t], exact integer cents;
+    //      DuckDB's HUGEINT window sum cast at the output (q42 lesson) ----
+    Entry("q75_rolling",
+      (s, d) => Series.rollingAgg(ev(s, d), B, E, window = 12L * I1)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents FROM pts
+              |      WHERE time >= $B AND time < $E)
+              |SELECT metric, time, cents,
+              |  CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+              |  CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+              |  min(cents) OVER w AS roll_min,
+              |  max(cents) OVER w AS roll_max
+              |FROM f
+              |WINDOW w AS (PARTITION BY metric ORDER BY time
+              |  RANGE BETWEEN ${12L * I1 - 1} PRECEDING AND CURRENT ROW)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- linear-interpolation resampling: both carry directions ride one
+    //      union-and-carry exchange; the lerp is three IEEE ops over exact
+    //      integers, mirrored verbatim in the SQL ----
+    Entry("q76_resample_lerp",
+      (s, d) => Series.resampleLerp(ev(s, d), B, E,
+          step = 6L * 3600000000000L)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |g AS (SELECT m.metric, t.range AS time
+              |      FROM (SELECT DISTINCT metric FROM pts) m,
+              |           range($B, $E, ${6L * 3600000000000L}) t),
+              |u AS (SELECT metric, time, NULL::BIGINT AS cents, 1 AS side FROM g
+              |      UNION ALL
+              |      SELECT metric, time, cents, 0 AS side FROM pts),
+              |w AS (SELECT metric, time, side,
+              |        last_value(CASE WHEN side = 0 THEN time END IGNORE NULLS)
+              |          OVER wp AS pt,
+              |        last_value(CASE WHEN side = 0 THEN cents END IGNORE NULLS)
+              |          OVER wp AS pc,
+              |        first_value(CASE WHEN side = 0 THEN time END IGNORE NULLS)
+              |          OVER wn AS nt,
+              |        first_value(CASE WHEN side = 0 THEN cents END IGNORE NULLS)
+              |          OVER wn AS nc
+              |      FROM u
+              |      WINDOW wp AS (PARTITION BY metric ORDER BY time, side
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |        wn AS (PARTITION BY metric ORDER BY time, side
+              |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT metric, time,
+              |  CASE WHEN pt IS NULL THEN NULL
+              |       WHEN nt IS NULL THEN CAST(pc AS DOUBLE)
+              |       ELSE CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE) *
+              |         (CAST(time - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+              |  END AS value
+              |FROM w WHERE side = 1 ORDER BY 1, 2""".stripMargin)),
+
     // ---- tokenizer APPLY (the other half of q63's learner): segment every
     //      English doc into subword tokens under a fixed merge table. The
     //      merge table is literal in BOTH plans (a learned table would need

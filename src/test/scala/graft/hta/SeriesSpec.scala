@@ -168,4 +168,59 @@ class SeriesSpec extends SparkSpec {
       tp(0), tp(20), step = 10L * S).orderBy("time").collect()
     assert(at(1).getDouble(2) === 4.0)
   }
+
+  test("rollingAgg frame is (t-window, t] — hand case + brute force") {
+    // W = 10 s: at t=10 the frame is (0, 10] — the t=0 sample is OUT
+    val df = pts(Seq(
+      ("m", tp(0), 1.0), ("m", tp(5), 2.0), ("m", tp(10), 3.0),
+      ("m", tp(14), 4.0), ("m", tp(25), 5.0)))
+    val r = Series.rollingAgg(df, tp(0), tp(100), window = 10L * S)
+      .orderBy("time").collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(5),
+        x.getLong(6)))
+    assert(r(0) === (tp(0), 100L, 1L, 100L, 100L))
+    assert(r(2) === (tp(10), 500L, 2L, 200L, 300L), "t=0 excluded at t=10")
+    assert(r(3) === (tp(14), 900L, 3L, 200L, 400L), "frame (4,14] has 5,10,14")
+    assert(r(4) === (tp(25), 500L, 1L, 500L, 500L))
+
+    // brute force on a random workload
+    val rng = new scala.util.Random(31L)
+    val rows = for (m <- Seq("a", "b"); _ <- 0 until 80) yield
+      (m, tp(rng.nextInt(500)), rng.nextInt(1000) / 100.0)
+    val uniq = rows.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    val w = 37L * S
+    val got = Series.rollingAgg(pts(uniq), tp(0), tp(500), w)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    for ((m, t, _) <- uniq) {
+      val frame = uniq.filter(p => p._1 == m && p._2 > t - w && p._2 <= t)
+        .map(p => Math.round(p._3 * 100))
+      assert(got((m, t)) === (frame.sum, frame.length.toLong, frame.min,
+        frame.max), s"$m @$t")
+    }
+  }
+
+  test("resampleLerp interpolates, hits samples exactly, ffills the tail") {
+    // samples at 10 s (v=1.0) and 30 s (v=3.0); grid every 5 s in [0, 50)
+    val df = pts(Seq(("m", tp(10), 1.0), ("m", tp(30), 3.0)))
+    val r = Series.resampleLerp(df, tp(0), tp(50), step = 5L * S)
+      .orderBy("time").collect()
+    assert(r.length === 10)
+    assert(r(0).isNullAt(2) && r(1).isNullAt(2), "NULL before first sample")
+    assert(r(2).getDouble(2) === 100.0, "grid ON a sample is exact")
+    assert(r(3).getDouble(2) === 150.0, "15 s: 1/4 of the way")
+    assert(r(4).getDouble(2) === 200.0 && r(5).getDouble(2) === 250.0)
+    assert(r(6).getDouble(2) === 300.0)
+    assert(r(7).getDouble(2) === 300.0 && r(9).getDouble(2) === 300.0,
+      "forward-fill after the last sample")
+  }
+
+  test("resampleLerp uses the partner beyond the range end") {
+    // grid instant 45 s sits between 40 s and a sample at 60 s — past e
+    val df = pts(Seq(("m", tp(40), 1.0), ("m", tp(60), 3.0)))
+    val r = Series.resampleLerp(df, tp(0), tp(50), step = 45L * S)
+      .orderBy("time").collect()
+    assert(r.length === 2)
+    assert(r(1).getLong(1) === tp(45) && r(1).getDouble(2) === 150.0)
+  }
 }
