@@ -78,4 +78,56 @@ object Sketches {
         .groupBy("value").agg(count(lit(1)).as("cnt"))
         .where(col("cnt") * lit(k.toLong) > lit(n))
   }
+
+  /** HyperLogLog approximate distinct count per key group (Flajolet et al.
+    * 2007) — DETERMINISTIC, hence oracle-checkable: the hash is the md5
+    * 60-bit derivation every dedup operator here uses, the register table
+    * is pure integer arithmetic, and the harmonic sum is kept as the EXACT
+    * scaled integer `zi = Σ 2^((60−p)+1 − M_j)` (≤ m·2^52 < 2^63 at p=9 —
+    * overflow-free BIGINT on both engines). The only floats are one
+    * int→double conversion and two IEEE ops in fixed order, bit-identical
+    * everywhere.
+    *
+    * Shape at 100 TB: (keys, register) partial-agg shuffle — map-side
+    * combine reduces every partition to ≤ m rows per key group before the
+    * exchange — then a keys-sized rollup. The corpus never shuffles on the
+    * counted value; register tables merge by max, so the operator is also
+    * the MERGE of independently-built sketches.
+    *
+    * Returned `est_raw` is the raw HLL estimator α_m·m²/Z; the
+    * small-range linear-counting and large-range corrections are left to
+    * callers (they need `ln`, whose libm rounding is not bit-portable —
+    * `zero_regs` carries what linear counting needs). Standard error
+    * ≈ 1.04/√m (~4.6 % at p = 9).
+    *
+    * @param p register-index bits (m = 2^p registers), 4 ≤ p ≤ 16
+    * @return one row per key group: keys…, `zi`, `zero_regs`, `est_raw` */
+  def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+                     p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val wBits = 60 - p            // 51 low bits at p=9
+    val wMod = 1L << wBits        // 2^wBits
+    val maxRank = wBits + 1       // rank when the low bits are all zero
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // m^2 * 2^maxRank — a power-of-two product, exactly representable
+    val scale = math.pow(2.0, 2.0 * p + maxRank)
+    val h = graft.pipeline.TextOps.md5Long(col(valueCol).cast("string"))
+    val regs = df.where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ h.as("_h"): _*)
+      .withColumn("_j", expr(s"_h div ${wMod}L"))
+      .withColumn("_w", pmod(col("_h"), lit(wMod)))
+      .withColumn("_rank",
+        when(col("_w") === 0L, lit(maxRank.toLong))
+          .otherwise(lit(maxRank.toLong) - length(bin(col("_w")))))
+      .groupBy(keys.map(col) :+ col("_j"): _*)
+      .agg(max("_rank").as("_mj"))
+    regs.groupBy(keys.map(col): _*)
+      .agg(
+        (sum(expr(s"shiftleft(1L, $maxRank - _mj)")) +
+          (lit(m.toLong) - count(lit(1))) * lit(1L << maxRank)).as("zi"),
+        (lit(m.toLong) - count(lit(1))).as("zero_regs"))
+      .withColumn("est_raw",
+        lit(alpha) * (lit(scale) / col("zi").cast("double")))
+  }
 }

@@ -302,6 +302,17 @@ object Registry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  // q77's HLL geometry (p = 9): shared by the Spark plan and the SQL. The
+  // float constants interpolate via Scala's shortest-round-trip Double
+  // repr and are CAST to DOUBLE in the SQL (a bare decimal literal would
+  // be DuckDB DECIMAL arithmetic, not IEEE).
+  private val hllP = 9
+  private val hllM = 1 << hllP
+  private val hllWMod = 1L << (60 - hllP)
+  private val hllMaxRank = 60 - hllP + 1
+  private val hllAlpha = 0.7213 / (1.0 + 1.079 / hllM)
+  private val hllScale = math.pow(2.0, 2.0 * hllP + hllMaxRank)
+
   /** q73's fixed merge table (rank order), shared by the Spark plan and the
     * oracle's VALUES list. Chained merges (t+h → th+e → the+</w>) exercise
     * the rank-ordered cascade; the `</w>` merges exercise the end-of-word
@@ -1953,6 +1964,38 @@ object Registry {
               |         (CAST(time - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
               |  END AS value
               |FROM w WHERE side = 1 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- HyperLogLog approximate distinct users per metric: the register
+    //      table and scaled harmonic sum are exact integers, so even an
+    //      APPROXIMATE sketch is hash-oracle-checkable ----
+    Entry("q77_hll_distinct",
+      (s, d) => Sketches.approxDistinct(
+          s.read.parquet(s"$d/events.parquet")
+            .select(col("event_type").as("metric"), col("user_id")),
+          keys = Seq("metric"), valueCol = "user_id", p = hllP)
+        .orderBy("metric"),
+      Some(s"""WITH ev AS (SELECT event_type AS metric,
+              |              CAST(user_id AS VARCHAR) AS v
+              |            FROM events WHERE user_id IS NOT NULL),
+              |h AS (SELECT metric,
+              |        CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+              |      FROM ev),
+              |r AS (SELECT metric, h // $hllWMod AS j, h % $hllWMod AS w
+              |      FROM h),
+              |rk AS (SELECT metric, j,
+              |         CASE WHEN w = 0 THEN $hllMaxRank
+              |              ELSE $hllMaxRank - length(printf('%b', w)) END AS rank
+              |       FROM r),
+              |regs AS (SELECT metric, j, max(rank) AS mj FROM rk GROUP BY 1, 2),
+              |z AS (SELECT metric,
+              |        CAST(sum(1::BIGINT << ($hllMaxRank - mj))
+              |          + ($hllM - count(*)) * ${1L << hllMaxRank} AS BIGINT) AS zi,
+              |        CAST($hllM - count(*) AS BIGINT) AS zero_regs
+              |      FROM regs GROUP BY 1)
+              |SELECT metric, zi, zero_regs,
+              |  CAST('$hllAlpha' AS DOUBLE) *
+              |    (CAST('$hllScale' AS DOUBLE) / CAST(zi AS DOUBLE)) AS est_raw
+              |FROM z ORDER BY metric""".stripMargin)),
 
     // ---- tokenizer APPLY (the other half of q63's learner): segment every
     //      English doc into subword tokens under a fixed merge table. The

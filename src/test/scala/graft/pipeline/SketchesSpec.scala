@@ -68,4 +68,77 @@ class SketchesSpec extends SparkSpec {
     assert(hh(withNulls, 2) === Set(("a", 5L)))
     assert(hh(Seq.empty[String].toDF("v"), 5) === Set.empty)
   }
+
+  // ---- approxDistinct (HLL) ----
+
+  /** Driver-side reference HLL with the identical md5 60-bit derivation. */
+  private def refHll(values: Seq[String], p: Int): (Long, Long, Double) = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val maxRank = wBits + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = new Array[Long](m)
+    for (v <- values) {
+      val hex = md.digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val j = (h >>> wBits).toInt
+      val w = h & ((1L << wBits) - 1)
+      val rank = if (w == 0) maxRank.toLong
+        else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > regs(j)) regs(j) = rank
+    }
+    val zi = regs.map(mj => 1L << (maxRank - mj)).sum
+    val zeroRegs = regs.count(_ == 0L).toLong
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = math.pow(2.0, 2.0 * p + maxRank)
+    (zi, zeroRegs, alpha * (scale / zi.toDouble))
+  }
+
+  test("approxDistinct registers match the reference HLL bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11L)
+    val vals = (0 until 3000).map(_ => s"u${rng.nextInt(800)}")
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    for (p <- Seq(4, 9, 12)) {
+      val r = Sketches.approxDistinct(df, Seq("g"), "v", p).collect()
+      assert(r.length === 1)
+      val (zi, zr, est) = refHll(vals, p)
+      assert(r.head.getLong(1) === zi, s"zi p=$p")
+      assert(r.head.getLong(2) === zr, s"zero_regs p=$p")
+      assert(r.head.getDouble(3) === est, s"est_raw p=$p")
+    }
+  }
+
+  test("approxDistinct estimates within HLL error bounds, per group") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13L)
+    // group a: ~5000 distinct; group b: ~800 distinct (with repeats)
+    val rows = (0 until 20000).map(_ => ("a", s"x${rng.nextInt(5000)}")) ++
+      (0 until 5000).map(_ => ("b", s"y${rng.nextInt(800)}"))
+    val df = rows.toDF("g", "v")
+    val exact = df.groupBy("g").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.approxDistinct(df, Seq("g"), "v", p = 9)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((g, d) <- exact) {
+      val rel = math.abs(est(g) - d) / d
+      assert(rel < 0.15, s"group $g: est=${est(g)} exact=$d rel=$rel")
+    }
+  }
+
+  test("approxDistinct is partitioning-invariant and merges by max") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(19L)
+    val df = (0 until 4000).map(_ => ("g", s"k${rng.nextInt(1500)}"))
+      .toDF("g", "v")
+    val one = Sketches.approxDistinct(df.repartition(1), Seq("g"), "v")
+      .collect().map(_.toSeq).toSeq
+    val many = Sketches.approxDistinct(df.repartition(13), Seq("g"), "v")
+      .collect().map(_.toSeq).toSeq
+    assert(one === many)
+  }
 }
