@@ -66,6 +66,57 @@ object Ann {
       .select("qid", "vid", "rnk", "cosine")
   }
 
+  /** Sign-bit binary quantization: a dim-float embedding becomes
+    * ceil(dim/32) packed words (bit i of word w = 1 iff element
+    * 32w+i > 0) — a 32× size cut vs float32 that turns distance into
+    * XOR+popcount. Bits are packed 32 per int64 word rather than 64 so
+    * the identical arithmetic stays overflow-free in engines that check
+    * BIGINT overflow (the oracle builds words as Σ 2^i, and 2^63 has no
+    * unsigned escape hatch there); Hamming distances are unaffected.
+    *
+    * The word is accumulated as acc·2 + bit from the high bit down — no
+    * shift-by-column needed, pure integer ops, bit-identical everywhere.
+    * Elements beyond `dim` (ragged last word) contribute 0. */
+  def signBits(e: Column, dim: Int): Column = {
+    val nw = (dim + 31) / 32
+    transform(sequence(lit(0), lit(nw - 1)), w =>
+      aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, i) =>
+        acc * 2 + when(element_at(e, w * 32 + i + 1) > lit(0f), 1L)
+          .otherwise(0L)))
+  }
+
+  /** Exact Hamming top-k over sign-bit-quantized embeddings: the
+    * compressed-domain ANN tier. Semantics of [[bruteForceTopK]] with
+    * cosine replaced by Hamming distance between sign patterns (their
+    * angular-distance estimator, Charikar '02) — ranks are exact for the
+    * quantized representation, so the whole operator is
+    * integer-deterministic and hash-oracle-checkable, unlike recall-based
+    * float ANN.
+    *
+    * Shape at 100 TB: quantization is a narrow projection (precompute and
+    * store the array<long> column next to the corpus — it is 32× smaller
+    * than the floats and this scan then never touches them); queries
+    * broadcast; the corpus never shuffles — the only exchange is the
+    * per-query top-k window over partition-local candidates, identical to
+    * the brute-force tier. Distance is ceil(dim/32) XOR+popcounts per
+    * pair instead of dim float multiplies. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  dim: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      signBits(col("embedding"), dim).as("qb")))
+    val c = corpus.select(col("vec_id").as("vid"),
+      signBits(col("embedding"), dim).as("vb"))
+    val scored = c.join(q, col("qid") =!= col("vid"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("qb"), col("vb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "vid", "hamming", "rnk")
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup dedup).
     * Correctness tier is all-pairs; at scale route through [[lshBuckets]]
     * first exactly like Dedup.lshCandidates. */

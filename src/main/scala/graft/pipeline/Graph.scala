@@ -81,6 +81,62 @@ object Graph {
     rank
   }
 
+  /** Exact per-vertex triangle counts by degree-ordered orientation
+    * (Schank & Wagner 2005 "forward" / compact-forward of Latapy 2008).
+    *
+    * The undirected edge set is canonicalized (u < v, distinct) and each
+    * edge oriented from the endpoint that is SMALLER under the total order
+    * (degree, node-id) toward the larger. In the resulting DAG a triangle
+    * {x,y,z} with x < y < z in that order appears as exactly the edge
+    * triple x→y, y→z, x→z — so one wedge join (on the middle vertex) plus
+    * one closing semi-check counts every triangle once, no /6 or /3
+    * dedup division.
+    *
+    * Why degree ordering and not node-id: it bounds every vertex's
+    * OUT-degree by O(√m) on arbitrary graphs (a vertex keeps only edges
+    * toward higher-degree peers), so the wedge join's output — the one
+    * super-linear frame — is O(m^1.5) worst-case instead of
+    * O(Σ deg²), and the hub vertices that make co-occurrence graphs
+    * skewed contribute IN-edges only. Shape at scale: two edge-sized
+    * degree joins build the oriented list once; the wedge join shuffles
+    * on the middle vertex (out-degree-bounded partitions), the closing
+    * join on the (low, high) edge key; the per-node rollup is
+    * vertex-sized with map-side combine. Nothing is collected.
+    *
+    * Determinism: counts are integers and the orientation is a pure
+    * function of the edge set, so results are bit-stable under any
+    * partitioning or arrival order.
+    *
+    * @param edges undirected edge list (either or both directions;
+    *              self-loops dropped, duplicates collapsed)
+    * @return (node, n_tri): triangle participation count per vertex that
+    *         closes at least one triangle
+    */
+  def triangleCounts(edges: DataFrame, src: String = "src",
+                     dst: String = "dst"): DataFrame = {
+    val e0 = edges
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ann = e0
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = ann.select(
+      when(fwd, col("u")).otherwise(col("v")).as("a"),
+      when(fwd, col("v")).otherwise(col("u")).as("b"))
+    val e1 = o.select(col("a").as("x"), col("b").as("y"))
+    val e2 = o.select(col("a").as("y"), col("b").as("z"))
+    val e3 = o.select(col("a").as("x"), col("b").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Per-vertex degree summary of a directed edge list: out-degree,
     * in-degree, and total. One shuffle per direction over edge-sized
     * frames, vertex-sized output. */

@@ -2046,7 +2046,135 @@ object Registry {
               |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
               |       CAST(e.spos AS BIGINT) AS spos, e.token
               |FROM tokf t JOIN ex e USING (w)
-              |ORDER BY doc_id, pos, spos""".stripMargin))
+              |ORDER BY doc_id, pos, spos""".stripMargin)),
+
+    // ---- exact triangle counting over the co-purchase graph (parts that
+    //      share an order): degree-ordered orientation makes each triangle
+    //      a single DAG path + closing edge — one wedge join, no /3
+    //      dedup. The oracle runs the identical orientation in SQL; all
+    //      integers, so hash parity is exact ----
+    Entry("q78_triangles",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .where(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+          .where(col("src") < col("dst"))
+          .select("src", "dst")
+        graft.pipeline.Graph.triangleCounts(edges).orderBy("node")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+             |            WHERE l_orderkey % 4 = 0),
+             |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |        AND a.l_partkey < b.l_partkey),
+             |deg AS (SELECT node, count(*) AS dg
+             |        FROM (SELECT u AS node FROM e0
+             |              UNION ALL SELECT v FROM e0) GROUP BY 1),
+             |o AS (SELECT
+             |        CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+             |             THEN u ELSE v END AS a,
+             |        CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+             |             THEN v ELSE u END AS b
+             |      FROM e0 JOIN deg du ON du.node = u
+             |              JOIN deg dv ON dv.node = v),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM o e1 JOIN o e2 ON e1.b = e2.a
+             |        JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- compressed-domain ANN: sign-bit binary quantization (32 bits
+    //      per int64 word) + exact Hamming top-5. Pure sign tests and
+    //      integer XOR/popcount — an ANN tier whose ranks are
+    //      hash-oracle-checkable, and whose corpus scan touches 32× fewer
+    //      bytes than the float tier ----
+    Entry("q79_hamming_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.hammingTopK(e.where(col("vec_id") < 3), e, k = 5, dim = 64)
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH sb AS (SELECT vec_id,
+             |        list_transform(range(0, 2), w ->
+             |          CAST(list_sum([CASE WHEN embedding[w*32+i+1] > 0
+             |                         THEN (1::BIGINT << i) ELSE 0::BIGINT END
+             |                         for i in range(0, 32)]) AS BIGINT)) AS b
+             |      FROM embeddings),
+             |p AS (SELECT q.vec_id AS qid, v.vec_id AS vid,
+             |        CAST(list_sum([CAST(bit_count(xor(q.b[i+1], v.b[i+1])) AS BIGINT)
+             |                       for i in range(0, 2)]) AS BIGINT) AS hamming
+             |      FROM sb q JOIN sb v ON q.vec_id < 3 AND v.vec_id != q.vec_id),
+             |r AS (SELECT qid, vid, hamming,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY hamming, vid) AS BIGINT) AS rnk
+             |      FROM p)
+             |SELECT qid, vid, hamming, rnk FROM r WHERE rnk <= 5
+             |ORDER BY 1, 4""".stripMargin)),
+
+    // ---- OLAP hierarchy rollup (GROUPING SETS): revenue by
+    //      region > nation > order-year with all three supertotal levels
+    //      in one pass — Spark's rollup() lowers to a single Expand +
+    //      partial-agg, so the 4 grouping levels cost ONE shuffle, not
+    //      four scans. Exact cents; NULLS FIRST pinned in the oracle
+    //      (DuckDB defaults NULLS LAST, Spark FIRST) ----
+    Entry("q80_rollup_revenue",
+      // spark.sql, not Dataset.rollup: the DSL path trips Spark's
+      // DetectAmbiguousSelfJoin false positive (rollup's Expand duplicates
+      // the grouping attrs; a later sort-by-name then sees two dataset-id-
+      // tagged candidates). The SQL resolver carries no dataset-id
+      // metadata, and the plan is the identical single Expand + one
+      // partial-agg shuffle.
+      (s, d) => s.sql(
+        s"""WITH o AS (SELECT r_name, n_name,
+           |    CAST(year(o_orderdate) AS BIGINT) AS oyear,
+           |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           |  FROM parquet.`$d/orders.parquet`
+           |  JOIN parquet.`$d/customer.parquet` ON o_custkey = c_custkey
+           |  JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey
+           |  JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey)
+           |SELECT r_name, n_name, oyear, sum(cents) AS rev_cents,
+           |  count(*) AS n_orders
+           |FROM o GROUP BY ROLLUP (r_name, n_name, oyear)
+           |ORDER BY r_name, n_name, oyear""".stripMargin),
+      Some("""WITH o AS (SELECT r_name, n_name,
+             |    CAST(year(o_orderdate) AS BIGINT) AS oyear,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey)
+             |SELECT r_name, n_name, oyear,
+             |  CAST(sum(cents) AS BIGINT) AS rev_cents,
+             |  count(*) AS n_orders
+             |FROM o GROUP BY ROLLUP (r_name, n_name, oyear)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST,
+             |  oyear NULLS FIRST""".stripMargin)),
+
+    // ---- salted skew join: events (≈5 metrics over the whole corpus —
+    //      maximal key skew) joined to a per-metric dim through
+    //      Joins.saltedJoin, which splits each hot key across 8 reducer
+    //      partitions by an event_id-hashed salt. The result relation is
+    //      exactly the plain join, so the oracle is the unsalted SQL ----
+    Entry("q81_salted_join",
+      (s, d) => {
+        val e = ev(s, d).select("metric", "time", "cents", "event_id")
+        val dim = e.groupBy("metric")
+          .agg(sum("cents").as("metric_sum_cents"),
+            count(lit(1)).as("metric_cnt"))
+        graft.pipeline.Joins.saltedJoin(e, dim, Seq("metric"),
+            salts = 8, saltBy = col("event_id"))
+          .orderBy("metric", "time", "event_id")
+      },
+      Some(s"""WITH $ptsCte,
+              |dim AS (SELECT metric, CAST(sum(cents) AS BIGINT) AS metric_sum_cents,
+              |          count(*) AS metric_cnt
+              |        FROM pts GROUP BY 1)
+              |SELECT p.metric, p.time, p.cents, p.event_id,
+              |       d.metric_sum_cents, d.metric_cnt
+              |FROM pts p JOIN dim d USING (metric)
+              |ORDER BY 1, 2, 4""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

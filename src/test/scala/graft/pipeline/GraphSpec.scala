@@ -46,6 +46,58 @@ class GraphSpec extends SparkSpec {
     assert(out.values.forall(r => r >= 150000L && r <= 5L * 1000000L))
   }
 
+  test("triangleCounts: K4, pendant, and triangle-free cases") {
+    // K4: every vertex sits in C(3,2) = 3 triangles
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one triangle with a pendant vertex: pendant closes nothing
+    val tp = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val out2 = Graph.triangleCounts(tp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // 4-cycle: no triangles at all
+    val c4 = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(Graph.triangleCounts(c4).count() === 0L)
+  }
+
+  test("triangleCounts is invariant under direction and duplication") {
+    val base = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+    val messy = edges((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (4L, 3L), (2L, 4L), (4L, 2L))
+    val a = Graph.triangleCounts(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("triangleCounts matches driver brute force on a seeded random graph") {
+    // deterministic pseudo-random graph: edge (i,j) present iff
+    // md5-free LCG hash of the pair lands under p = 0.25
+    val n = 30
+    def h(i: Int, j: Int): Long = {
+      var x = i.toLong * 1000003L + j.toLong * 7919L + 12345L
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+      x & Long.MaxValue
+    }
+    val es = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if h(i, j) % 100 < 25
+    } yield (i.toLong, j.toLong)
+    val adj = es.toSet
+    def conn(a: Long, b: Long) = adj.contains((math.min(a, b), math.max(a, b)))
+    val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (x <- 0 until n; y <- x + 1 until n; z <- y + 1 until n
+         if conn(x, y) && conn(y, z) && conn(x, z)) {
+      brute(x) += 1; brute(y) += 1; brute(z) += 1
+    }
+    val got = Graph.triangleCounts(edges(es: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === brute.toMap)
+  }
+
   test("degrees counts directions separately and zero-fills") {
     val out = Graph.degrees(edges((1L, 2L), (1L, 3L), (2L, 1L)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

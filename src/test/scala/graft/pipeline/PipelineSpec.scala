@@ -80,6 +80,42 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("signBits packs the exact sign pattern, 32 bits per word") {
+    val rows = emb.select(col("vec_id"),
+        col("embedding"), Ann.signBits(col("embedding"), 64).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val got = r.getAs[scala.collection.Seq[Long]]("b")
+      val want = (0 until 2).map { w =>
+        (0 until 32).foldLeft(0L) { (acc, i) =>
+          acc | (if (e(32 * w + i) > 0f) 1L << i else 0L)
+        }
+      }
+      assert(got.toSeq === want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("hammingTopK matches driver brute force with (distance, vid) ties") {
+    val all = emb.select(col("vec_id"), Ann.signBits(col("embedding"), 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("b").toArray)
+    val byId = all.toMap
+    val qids = all.map(_._1).filter(_ < 5)
+    val want = qids.flatMap { q =>
+      all.filter(_._1 != q)
+        .map { case (v, b) =>
+          val d = b.zip(byId(q)).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+          (v, d)
+        }
+        .sortBy { case (v, d) => (d, v) }.take(5).zipWithIndex
+        .map { case ((v, d), i) => (q, v, d, i + 1L) }
+    }.toSet
+    val got = Ann.hammingTopK(emb.where(col("vec_id") < 5), emb, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("IVF top-k probes a fraction of the corpus with reasonable recall") {
     val queries = emb.where(col("vec_id") < 10)
     val brute = Ann.bruteForceTopK(queries, emb, 5)
