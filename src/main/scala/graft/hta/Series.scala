@@ -40,6 +40,123 @@ object Series {
         max("value").as("v_max"))
   }
 
+  /** Time-of-day seasonal profile: per metric and hour-of-day (UTC),
+    * exact integer min/max/sum/count of cents over [b, e) plus the mean
+    * as one IEEE division of those integers — the daily-rhythm baseline a
+    * monitoring user lays under live traffic (and the seasonal term
+    * anomaly detectors subtract first). Hour index by pure int64
+    * arithmetic on the ns timestamp (`time div 1h mod 24`), identical on
+    * any engine — no calendar library in the loop.
+    *
+    * ONE partial-agg shuffle on (metric, hour): at most 24× metric-
+    * cardinality rows cross the wire after map-side combine, whatever the
+    * corpus size.
+    *
+    * @return (metric, hour, n, min_cents, max_cents, sum_cents, mean) */
+  def hourOfDayProfile(points: DataFrame, b: Long, e: Long): DataFrame = {
+    require(e > b, s"need e > b, got [$b,$e)")
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("hour", expr("(time div 3600000000000L) % 24"))
+      .groupBy("metric", "hour")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+      .withColumn("mean",
+        col("sum_cents").cast("double") / col("n").cast("double"))
+  }
+
+  /** Equi-width value histogram per metric over [b, e): bucket =
+    * floor-div of cents by `widthCents`, count per bucket. Empty buckets
+    * are absent (sparse form — the dense grid is a caller-side join
+    * against a generated range; at 100 TB the sparse form is the only
+    * one that doesn't materialize empties × metrics). Same single
+    * partial-agg shuffle shape as [[hourOfDayProfile]]: the wire carries
+    * (metric, bucket) partials, never points. Negative cents truncate
+    * toward zero on BOTH engines (Spark `div` ≡ DuckDB integer `//`), so
+    * bucket −1 straddles (−width, 0) ∪ (0, width) mirrored — callers
+    * with signed values who want −∞-flooring should pre-shift.
+    *
+    * @return (metric, bucket, lo_cents, n) — lo_cents = bucket·width */
+  def valueHistogram(points: DataFrame, b: Long, e: Long,
+                     widthCents: Long): DataFrame = {
+    require(e > b && widthCents >= 1,
+      s"need e > b and widthCents >= 1, got [$b,$e) width=$widthCents")
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("bucket", expr(s"cents div ${widthCents}L"))
+      .groupBy("metric", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_cents", col("bucket") * widthCents)
+      .select("metric", "bucket", "lo_cents", "n")
+  }
+
+  /** Storage-cost analytics: what would this series cost under
+    * Gorilla-style delta-of-delta timestamp + zigzag-varint value-delta
+    * encoding, vs the reference's 16 B/point raw layout
+    * (reference include/hta/types.hpp:43-49 — int64 ns + float64)?
+    *
+    * Timestamps are quantized to `unitNs` (Gorilla uses seconds), then
+    * per metric in time order: dt_i = tu_i − tu_{i−1},
+    * dod_i = dt_i − dt_{i−1}, billed at the paper's class sizes
+    * (Pelkonen et al., VLDB 2015 §4.1.1): 0 → 1 bit, [−63,64] → 9,
+    * [−255,256] → 12, [−2047,2048] → 16, else 36; the stream head costs
+    * a 64-bit header and the first delta is billed at the 36-bit class
+    * (the paper's 14-bit aligned first delta is block-size-specific).
+    * Values are billed as zigzag varints of the integer cents delta:
+    * [−64,63] → 1 byte, [−8192,8191] → 2, [−2^20,2^20−1] → 3, else 5;
+    * the first value costs 8 raw bytes.
+    *
+    * Everything is exact integer arithmetic — the single double is the
+    * final compression-ratio division. Shape: ONE metric-keyed window
+    * exchange (two lags ride the same sort) and the per-metric rollup
+    * reuses that exchange (subset key). The hot-metric caveat of
+    * [[counterRate]] applies.
+    *
+    * @return per metric: n, class counts, total ts bits, total value
+    *         bytes, encoded vs 16·n raw bytes, and the ratio */
+  def deltaEncodingStats(points: DataFrame,
+                         unitNs: Long = 1000000000L): DataFrame = {
+    require(unitNs >= 1, s"unitNs must be >= 1, got $unitNs")
+    val w = Window.partitionBy("metric").orderBy("time")
+    val staged = points.select(col("metric"), col("time"), col("cents"))
+      .withColumn("tu", expr(s"time div ${unitNs}L"))
+      .withColumn("dt", col("tu") - lag("tu", 1).over(w))
+      .withColumn("dod", col("dt") - lag("dt", 1).over(w))
+      .withColumn("dc", col("cents") - lag("cents", 1).over(w))
+      .withColumn("ts_bits",
+        when(col("dt").isNull, 64L)
+          .when(col("dod").isNull, 36L)
+          .when(col("dod") === 0L, 1L)
+          .when(col("dod").between(-63L, 64L), 9L)
+          .when(col("dod").between(-255L, 256L), 12L)
+          .when(col("dod").between(-2047L, 2048L), 16L)
+          .otherwise(36L))
+      .withColumn("val_bytes",
+        when(col("dc").isNull, 8L)
+          .when(col("dc").between(-64L, 63L), 1L)
+          .when(col("dc").between(-8192L, 8191L), 2L)
+          .when(col("dc").between(-1048576L, 1048575L), 3L)
+          .otherwise(5L))
+    staged.groupBy("metric")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dod") === 0L, 1L).otherwise(0L)).as("c_dod0"),
+        sum(when(col("dod").isNotNull && col("dod") =!= 0L &&
+          col("dod").between(-63L, 64L), 1L).otherwise(0L)).as("c_dod9"),
+        sum(when(col("dod").isNotNull && !col("dod").between(-63L, 64L) &&
+          col("dod").between(-255L, 256L), 1L).otherwise(0L)).as("c_dod12"),
+        sum(when(col("dod").isNotNull && !col("dod").between(-255L, 256L) &&
+          col("dod").between(-2047L, 2048L), 1L).otherwise(0L)).as("c_dod16"),
+        sum(when(col("dod").isNotNull && !col("dod").between(-2047L, 2048L),
+          1L).otherwise(0L)).as("c_dod36"),
+        sum("ts_bits").as("ts_bits"),
+        sum("val_bytes").as("val_bytes"))
+      .withColumn("enc_bytes",
+        expr("(ts_bits + val_bytes * 8 + 7) div 8"))
+      .withColumn("raw_bytes", col("n") * 16L)
+      .withColumn("ratio",
+        col("enc_bytes").cast("double") / col("raw_bytes").cast("double"))
+  }
+
   /** Counter increase/rate over [b, e) — the monotone-counter read
     * (PromQL `increase`/`rate` semantics at the sample level, without
     * range-boundary extrapolation, which is documented out: extrapolated

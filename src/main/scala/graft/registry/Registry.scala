@@ -2174,7 +2174,86 @@ object Registry {
               |SELECT p.metric, p.time, p.cents, p.event_id,
               |       d.metric_sum_cents, d.metric_cnt
               |FROM pts p JOIN dim d USING (metric)
-              |ORDER BY 1, 2, 4""".stripMargin))
+              |ORDER BY 1, 2, 4""".stripMargin)),
+
+    // ---- time-of-day seasonal profile: per (metric, UTC hour-of-day)
+    //      exact integer stats + one IEEE mean division. Hour index is
+    //      pure int64 arithmetic on the ns grid — no calendar lib ----
+    Entry("q82_hour_profile",
+      (s, d) => Series.hourOfDayProfile(ev(s, d), B, E)
+        .orderBy("metric", "hour"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, (time // 3600000000000) % 24 AS hour,
+              |        cents FROM pts WHERE time >= $B AND time < $E)
+              |SELECT metric, hour, count(*) AS n,
+              |  min(cents) AS min_cents, max(cents) AS max_cents,
+              |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+              |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS mean
+              |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- equi-width value histogram (sparse): (metric, cents div w)
+    //      counts — one partial-agg shuffle, wire carries histogram rows
+    //      only. w = 2500 cents ≈ 20 buckets over this data's range ----
+    Entry("q83_value_histogram",
+      (s, d) => Series.valueHistogram(ev(s, d), B, E, widthCents = 2500L)
+        .orderBy("metric", "bucket"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, cents // 2500 AS bucket FROM pts
+              |      WHERE time >= $B AND time < $E)
+              |SELECT metric, bucket, bucket * 2500 AS lo_cents,
+              |  count(*) AS n
+              |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Gorilla-cost storage analytics: delta-of-delta timestamp +
+    //      zigzag-varint value-delta bit accounting per metric, vs the
+    //      reference's 16 B/point raw record (BASELINE.md row 2). All
+    //      integers; lag windows ORDER BY the unique ns time (the
+    //      second-grid tu ties — click has sub-second gaps) ----
+    Entry("q84_encoding_cost",
+      (s, d) => Series.deltaEncodingStats(ev(s, d)).orderBy("metric"),
+      Some(s"""WITH $ptsCte,
+              |q AS (SELECT metric, time, cents, time // 1000000000 AS tu
+              |      FROM pts),
+              |d1 AS (SELECT metric, time, cents, tu,
+              |         tu - lag(tu) OVER w AS dt,
+              |         cents - lag(cents) OVER w AS dc
+              |       FROM q WINDOW w AS (PARTITION BY metric ORDER BY time)),
+              |d2 AS (SELECT *, dt - lag(dt) OVER
+              |         (PARTITION BY metric ORDER BY time) AS dod
+              |       FROM d1),
+              |b AS (SELECT metric, dod,
+              |        CASE WHEN dt IS NULL THEN 64 WHEN dod IS NULL THEN 36
+              |             WHEN dod = 0 THEN 1
+              |             WHEN dod BETWEEN -63 AND 64 THEN 9
+              |             WHEN dod BETWEEN -255 AND 256 THEN 12
+              |             WHEN dod BETWEEN -2047 AND 2048 THEN 16
+              |             ELSE 36 END AS ts_bits,
+              |        CASE WHEN dc IS NULL THEN 8
+              |             WHEN dc BETWEEN -64 AND 63 THEN 1
+              |             WHEN dc BETWEEN -8192 AND 8191 THEN 2
+              |             WHEN dc BETWEEN -1048576 AND 1048575 THEN 3
+              |             ELSE 5 END AS val_bytes
+              |      FROM d2)
+              |SELECT metric, count(*) AS n,
+              |  CAST(sum(CASE WHEN dod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_dod0,
+              |  CAST(sum(CASE WHEN dod IS NOT NULL AND dod != 0
+              |    AND dod BETWEEN -63 AND 64 THEN 1 ELSE 0 END) AS BIGINT) AS c_dod9,
+              |  CAST(sum(CASE WHEN dod IS NOT NULL
+              |    AND dod NOT BETWEEN -63 AND 64
+              |    AND dod BETWEEN -255 AND 256 THEN 1 ELSE 0 END) AS BIGINT) AS c_dod12,
+              |  CAST(sum(CASE WHEN dod IS NOT NULL
+              |    AND dod NOT BETWEEN -255 AND 256
+              |    AND dod BETWEEN -2047 AND 2048 THEN 1 ELSE 0 END) AS BIGINT) AS c_dod16,
+              |  CAST(sum(CASE WHEN dod IS NOT NULL
+              |    AND dod NOT BETWEEN -2047 AND 2048 THEN 1 ELSE 0 END) AS BIGINT) AS c_dod36,
+              |  CAST(sum(ts_bits) AS BIGINT) AS ts_bits,
+              |  CAST(sum(val_bytes) AS BIGINT) AS val_bytes,
+              |  CAST((sum(ts_bits) + sum(val_bytes) * 8 + 7) // 8 AS BIGINT) AS enc_bytes,
+              |  count(*) * 16 AS raw_bytes,
+              |  CAST(CAST((sum(ts_bits) + sum(val_bytes) * 8 + 7) // 8 AS BIGINT) AS DOUBLE)
+              |    / CAST(count(*) * 16 AS DOUBLE) AS ratio
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

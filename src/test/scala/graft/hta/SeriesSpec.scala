@@ -35,6 +35,73 @@ class SeriesSpec extends SparkSpec {
     assert(r(2).getLong(1) === 2L && r(2).getDouble(3) === 7.0)
   }
 
+  test("hourOfDayProfile buckets by UTC hour with exact integer stats") {
+    // Offset = 1519130000 s = ...; hour index is (time div 1h) mod 24 —
+    // compute expected hours directly from the same arithmetic
+    def hr(sec: Long): Long = (tp(sec) / 3600000000000L) % 24
+    val df = pts(Seq(
+      ("m", tp(0), 1.0), ("m", tp(10), 3.0),          // same hour
+      ("m", tp(3600), 5.0),                            // next hour
+      ("n", tp(0), 7.0)))
+    val r = Series.hourOfDayProfile(df, tp(0), tp(7200))
+      .orderBy("metric", "hour").collect()
+    assert(r.length === 3)
+    val m0 = r(0)
+    assert(m0.getString(0) === "m" && m0.getLong(1) === hr(0) &&
+      m0.getLong(2) === 2L && m0.getLong(3) === 100L &&
+      m0.getLong(4) === 300L && m0.getLong(5) === 400L &&
+      m0.getDouble(6) === 200.0)
+    assert(r(1).getLong(1) === hr(3600) && r(1).getLong(2) === 1L)
+    assert(r(2).getString(0) === "n" && r(2).getLong(5) === 700L)
+    // hours from different days fold together
+    val folded = Series.hourOfDayProfile(
+      pts(Seq(("m", tp(0), 1.0), ("m", tp(86400), 2.0))), tp(0), tp(90000))
+      .collect()
+    assert(folded.length === 1 && folded(0).getLong(2) === 2L)
+  }
+
+  test("valueHistogram is the sparse equi-width bucket count") {
+    val df = pts(Seq(
+      ("m", tp(1), 0.05), ("m", tp(2), 0.10), // cents 5, 10 -> bucket 0
+      ("m", tp(3), 0.60),                     // cents 60 -> bucket 2
+      ("n", tp(1), 0.25)))                    // cents 25 -> bucket 1
+    val r = Series.valueHistogram(df, tp(0), tp(10), widthCents = 25L)
+      .orderBy("metric", "bucket").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(("m", 0L, 0L, 2L), ("m", 2L, 50L, 1L),
+      ("n", 1L, 25L, 1L)))
+    // range filter excludes out-of-window points: [0s,3s) drops m@3s
+    val filtered = Series.valueHistogram(df, tp(0), tp(3), widthCents = 25L)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(filtered === 3L)
+  }
+
+  test("deltaEncodingStats bills the hand-computed Gorilla classes") {
+    // seconds grid: dt = 10, 10, 5, 975 -> dod = _, 0, -5, 970
+    // ts_bits: 64 (head) + 36 (first delta) + 1 + 9 + 16 = 126
+    // cents:   100, 150, 10000, 10001, 5000
+    // dc:      _, 50, 9850, 1, -5001 -> val_bytes 8+1+3+1+2 = 15
+    // enc_bytes = (126 + 15*8 + 7) div 8 = 31; raw = 5*16 = 80
+    val df = pts(Seq(
+      ("g", tp(0), 1.0), ("g", tp(10), 1.5), ("g", tp(20), 100.0),
+      ("g", tp(25), 100.01), ("g", tp(1000), 50.0)))
+    val r = Series.deltaEncodingStats(df).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    def L(c: String) = row.getLong(row.fieldIndex(c))
+    assert(L("n") === 5L)
+    assert(L("c_dod0") === 1L && L("c_dod9") === 1L && L("c_dod12") === 0L &&
+      L("c_dod16") === 1L && L("c_dod36") === 0L)
+    assert(L("ts_bits") === 126L && L("val_bytes") === 15L)
+    assert(L("enc_bytes") === 31L && L("raw_bytes") === 80L)
+    assert(row.getDouble(row.fieldIndex("ratio")) === 31.0 / 80.0)
+    // sub-second points: dt collapses to 0 on the s grid, dod stays defined
+    val fine = Series.deltaEncodingStats(pts(Seq(
+      ("f", tp(0), 1.0), ("f", tp(0, 1000000L), 1.0),
+      ("f", tp(0, 2000000L), 1.0)))).collect()(0)
+    assert(fine.getLong(fine.fieldIndex("c_dod0")) === 1L)
+  }
+
   test("counterRate sums deltas, treats decreases as resets, skips first") {
     // cents: 100 -> 250 (+150) -> 50 (reset: +50) -> 300 (+250) = 450
     val df = pts(Seq(
