@@ -79,6 +79,64 @@ object Sketches {
         .where(col("cnt") * lit(k.toLong) > lit(n))
   }
 
+  /** Count–Min sketch register table (Cormode & Muthukrishnan 2005):
+    * depth×width counters, cell (j, h_j(v) mod width) incremented per
+    * occurrence, with h_j the engine-standard 60-bit md5 derivation over
+    * `v + "#" + j`. DETERMINISTIC and integer-exact, so the whole sketch
+    * is hash-oracle-checkable.
+    *
+    * Shape at 100 TB: the stream is exploded ×depth but the groupBy
+    * partial-aggregates map-side — each partition emits ≤ depth·width
+    * register partials whatever its row count, so the one shuffle carries
+    * registers, not data. Like [[approxDistinct]], register tables from
+    * independent runs MERGE (by cnt sum), making this also the combiner
+    * for pre-sketched shards.
+    *
+    * @return (j, cell, cnt) — absent cells are zero */
+  def countMinRegisters(df: DataFrame, valueCol: String, depth: Int = 4,
+                        width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad geometry d=$depth w=$width")
+    df.select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell", pmod(TextOps.md5Long(
+        concat(col("v"), lit("#"), col("j").cast("string"))),
+        lit(width.toLong)))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point-frequency estimates for a literal probe set, with the
+    * exact recount alongside: est(v) = min_j regs(j, h_j(v)), which
+    * overestimates (never under) by the classic ε = e/width bound on
+    * colliding mass. The exact column costs one candidate-only recount
+    * (isInCollection filter below the agg — probe-sized, not
+    * corpus-sized), turning the sketch demo into a checkable error
+    * report; at true scale callers drop it and keep the sketch-only
+    * plan, whose one corpus shuffle is register-sized.
+    *
+    * @return (value, est, exact_cnt) per probe, absent probes 0/0 */
+  def countMinEstimates(df: DataFrame, valueCol: String,
+                        probes: Seq[String], depth: Int = 4,
+                        width: Int = 64): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe value")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val regs = countMinRegisters(df, valueCol, depth, width)
+    val pc = probes.toDF("value")
+      .select(col("value"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell", pmod(TextOps.md5Long(
+        concat(col("value"), lit("#"), col("j").cast("string"))),
+        lit(width.toLong)))
+    val est = pc.join(broadcast(regs), Seq("j", "cell"), "left")
+      .groupBy("value").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = df.select(col(valueCol).cast("string").as("value"))
+      .where(col("value").isInCollection(probes))
+      .groupBy("value").agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("value"), "left")
+      .select(col("value"), col("est"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+  }
+
   /** HyperLogLog approximate distinct count per key group (Flajolet et al.
     * 2007) — DETERMINISTIC, hence oracle-checkable: the hash is the md5
     * 60-bit derivation every dedup operator here uses, the register table

@@ -2253,7 +2253,41 @@ object Registry {
               |  count(*) * 16 AS raw_bytes,
               |  CAST(CAST((sum(ts_bits) + sum(val_bytes) * 8 + 7) // 8 AS BIGINT) AS DOUBLE)
               |    / CAST(count(*) * 16 AS DOUBLE) AS ratio
-              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Count-Min sketch point estimates vs exact recount: width 64
+    //      forces collisions over the 150 distinct user_ids, so the
+    //      overestimate path is really exercised; probes 120-179 cover
+    //      present AND absent values. All integers (q77's md5 hash
+    //      family), full hash oracle despite being an approximate
+    //      structure ----
+    Entry("q85_count_min",
+      (s, d) => Sketches.countMinEstimates(
+          s.read.parquet(s"$d/events.parquet").select(col("user_id")),
+          "user_id", probes = (120L to 179L).map(_.toString),
+          depth = 4, width = 64)
+        .orderBy("value"),
+      Some("""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+             |            WHERE user_id IS NOT NULL),
+             |rws AS (SELECT v, j FROM ev, range(0, 4) t(j)),
+             |regs AS (SELECT j,
+             |          CAST('0x' || substr(md5(v || '#' || j), 1, 15) AS BIGINT)
+             |            % 64 AS cell,
+             |          count(*) AS cnt
+             |        FROM rws GROUP BY 1, 2),
+             |pr AS (SELECT CAST(p AS VARCHAR) AS value
+             |       FROM range(120, 180) t(p)),
+             |pc AS (SELECT value, j,
+             |         CAST('0x' || substr(md5(value || '#' || j), 1, 15) AS BIGINT)
+             |           % 64 AS cell
+             |       FROM pr, range(0, 4) t2(j)),
+             |est AS (SELECT value, CAST(min(coalesce(r.cnt, 0)) AS BIGINT) AS est
+             |        FROM pc LEFT JOIN regs r USING (j, cell) GROUP BY 1),
+             |ex AS (SELECT v AS value, count(*) AS exact_cnt FROM ev GROUP BY 1)
+             |SELECT e.value, e.est,
+             |       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+             |FROM est e LEFT JOIN ex x USING (value)
+             |ORDER BY value""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

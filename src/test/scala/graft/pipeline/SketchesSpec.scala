@@ -141,4 +141,45 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(one === many)
   }
+
+  private def cmsFixture: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7L)
+    (0 until 3000).map(_ => s"u${rng.nextInt(40)}").toDF("v")
+  }
+
+  test("countMin never underestimates and is exact at generous width") {
+    val df = cmsFixture
+    val probes = (0 until 45).map(i => s"u$i") // u40..u44 absent
+    // tight width: collisions certain (40 values in 16 cells)
+    val tight = Sketches.countMinEstimates(df, "v", probes,
+      depth = 4, width = 16).collect()
+    assert(tight.length === 45)
+    tight.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated ${r.getString(0)}")
+    }
+    // absent probes: exact 0 (est may still collide upward)
+    val absent = (40 until 45).map(i => s"u$i").toSet
+    assert(tight.filter(r => absent(r.getString(0))).forall(_.getLong(2) === 0L))
+    // generous width: whp no row has all-4 collisions -> est == exact
+    val wide = Sketches.countMinEstimates(df, "v", probes,
+      depth = 4, width = 4096).collect()
+    wide.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"width 4096 should be collision-free for ${r.getString(0)}"))
+  }
+
+  test("countMin registers: every depth row sums to n; partition-invariant") {
+    val df = cmsFixture
+    val regs = Sketches.countMinRegisters(df, "v", depth = 4, width = 16)
+    val perRow = regs.groupBy("j").agg(sum("cnt").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet === Set(0, 1, 2, 3))
+    assert(perRow.values.forall(_ === 3000L))
+    val a = regs.collect().map(_.toSeq).toSet
+    val b = Sketches.countMinRegisters(df.repartition(13), "v",
+      depth = 4, width = 16).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
