@@ -157,6 +157,53 @@ object Series {
         col("enc_bytes").cast("double") / col("raw_bytes").cast("double"))
   }
 
+  /** Cross-correlation of metric pairs at integer bucket lags: resample
+    * each metric to `step`-wide buckets (SUM of cents — extensive, no
+    * division), then for every unordered pair (a < b) and lag in
+    * [−maxLag, maxLag] compute the un-centered correlation of the two
+    * bucket series over their OVERLAP (pairwise-complete semantics:
+    * buckets one side lacks are absent, not zero):
+    *
+    *   corr = Σ xa·xb / (√Σ xa² · √Σ xb²)   — cosine of the overlap,
+    *
+    * with every Σ an exact int64 (products ≤ bucket-sum² stay far under
+    * 2^63 for sane step sizes) and the final three IEEE ops (two sqrts,
+    * one divide) in fixed order — oracle-bit-identical. Lead/lag
+    * relationships show as off-zero peaks (a leads b at positive lag).
+    *
+    * Shape: one (metric, bucket) partial-agg shuffle to the bucket grid
+    * (grid-sized from then on); the pair join is keyed on the bucket —
+    * every metric pair sharing a bucket meets, so output and join work
+    * are inherently quadratic in METRIC COUNT (not corpus size). Callers
+    * with wide metric spaces pre-filter the metric set; the corpus-sized
+    * frame never joins.
+    *
+    * @return (metric_a, metric_b, lag, n_overlap, num, sx2, sy2, corr) */
+  def crossCorrelation(points: DataFrame, b: Long, e: Long, step: Long,
+                       maxLag: Int): DataFrame = {
+    require(e > b && step >= 1 && maxLag >= 0,
+      s"bad args [$b,$e) step=$step maxLag=$maxLag")
+    val g = points.where(col("time") >= b && col("time") < e)
+      .withColumn("bucket", expr(s"(time - ${b}L) div ${step}L"))
+      .groupBy("metric", "bucket").agg(sum("cents").as("s"))
+    val lags = (-maxLag to maxLag).map(_.toLong)
+    val x = g.select(col("metric").as("metric_a"), col("bucket"),
+        col("s").as("xa"))
+      .withColumn("lag", explode(lit(lags.toArray)))
+      .withColumn("jb", col("bucket") + col("lag"))
+    val y = g.select(col("metric").as("metric_b"), col("bucket").as("jb"),
+      col("s").as("xb"))
+    x.join(y, "jb")
+      .where(col("metric_a") < col("metric_b"))
+      .groupBy("metric_a", "metric_b", "lag")
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("xa") * col("xb")).as("num"),
+        sum(col("xa") * col("xa")).as("sx2"),
+        sum(col("xb") * col("xb")).as("sy2"))
+      .withColumn("corr", col("num").cast("double") /
+        (sqrt(col("sx2").cast("double")) * sqrt(col("sy2").cast("double"))))
+  }
+
   /** Counter increase/rate over [b, e) — the monotone-counter read
     * (PromQL `increase`/`rate` semantics at the sample level, without
     * range-boundary extrapolation, which is documented out: extrapolated

@@ -2287,7 +2287,80 @@ object Registry {
              |SELECT e.value, e.est,
              |       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
              |FROM est e LEFT JOIN ex x USING (value)
-             |ORDER BY value""".stripMargin))
+             |ORDER BY value""".stripMargin)),
+
+    // ---- semi-structured extraction: the events.props JSON column,
+    //      schema-on-read via get_json_object (Jackson path eval inside
+    //      codegen — a narrow projection, no UDF), aggregated exactly.
+    //      DuckDB's json_extract is the oracle's parser ----
+    Entry("q86_json_props",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        raw.select(col("event_type").as("metric"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("metric", "k").agg(count(lit(1)).as("n"))
+          .orderBy("metric", "k")
+      },
+      Some("""SELECT event_type AS metric,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- pivot to wide form: per-metric bucket counts as COLUMNS.
+    //      Spark's pivot with an explicit value list lowers to one
+    //      conditional partial agg (no extra distinct job, one shuffle);
+    //      the oracle writes the lowering out as CASE sums ----
+    Entry("q87_pivot_props",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val base = raw.select(col("event_type").as("metric"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .withColumn("kb", expr("k div 25"))
+        val piv = base.groupBy("metric")
+          .pivot("kb", Seq(0L, 1L, 2L, 3L)).agg(count(lit(1)))
+          .select(col("metric"), col("0").as("b0"), col("1").as("b1"),
+            col("2").as("b2"), col("3").as("b3"))
+        val tot = base.groupBy("metric")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        piv.join(tot, "metric").orderBy("metric")
+      },
+      Some("""WITH b AS (SELECT event_type AS metric,
+             |    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             |    CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS kb
+             |  FROM events)
+             |SELECT metric,
+             |  CAST(sum(CASE WHEN kb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             |  CAST(sum(CASE WHEN kb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             |  CAST(sum(CASE WHEN kb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             |  CAST(sum(CASE WHEN kb = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+             |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- cross-correlation at bucket lags: 6h-bucket sums per metric,
+    //      un-centered cosine over the pairwise overlap for lag -3..3.
+    //      Integer sums + two sqrts and a divide in fixed order ----
+    Entry("q88_cross_corr",
+      (s, d) => Series.crossCorrelation(ev(s, d), B, E,
+          step = 6L * 3600000000000L, maxLag = 3)
+        .orderBy("metric_a", "metric_b", "lag"),
+      Some(s"""WITH $ptsCte,
+              |g AS (SELECT metric, (time - $B) // ${6L * 3600000000000L} AS bucket,
+              |        CAST(sum(cents) AS BIGINT) AS s
+              |      FROM pts WHERE time >= $B AND time < $E GROUP BY 1, 2),
+              |x AS (SELECT g.metric AS metric_a, g.s AS xa, l.lag,
+              |        g.bucket + l.lag AS jb
+              |      FROM g, (SELECT unnest(range(-3, 4)) AS lag) l),
+              |y AS (SELECT metric AS metric_b, bucket AS jb, s AS xb FROM g)
+              |SELECT metric_a, metric_b, lag, count(*) AS n_overlap,
+              |  CAST(sum(xa*xb) AS BIGINT) AS num,
+              |  CAST(sum(xa*xa) AS BIGINT) AS sx2,
+              |  CAST(sum(xb*xb) AS BIGINT) AS sy2,
+              |  CAST(CAST(sum(xa*xb) AS BIGINT) AS DOUBLE) /
+              |    (sqrt(CAST(CAST(sum(xa*xa) AS BIGINT) AS DOUBLE)) *
+              |     sqrt(CAST(CAST(sum(xb*xb) AS BIGINT) AS DOUBLE))) AS corr
+              |FROM x JOIN y USING (jb)
+              |WHERE metric_a < metric_b
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -102,6 +102,26 @@ class SeriesSpec extends SparkSpec {
     assert(fine.getLong(fine.fieldIndex("c_dod0")) === 1L)
   }
 
+  test("crossCorrelation peaks at the true alignment lag") {
+    // b is a copy of a shifted one bucket later -> perfect cosine at lag +1
+    val df = pts(Seq(
+      ("a", tp(0), 1.0), ("a", tp(1), 2.0), ("a", tp(2), 3.0),
+      ("b", tp(1), 1.0), ("b", tp(2), 2.0), ("b", tp(3), 3.0)))
+    val r = Series.crossCorrelation(df, tp(0), tp(10), step = S, maxLag = 2)
+      .orderBy("lag").collect()
+    val byLag = r.map(x => x.getLong(x.fieldIndex("lag")) ->
+      (x.getLong(x.fieldIndex("n_overlap")),
+        x.getDouble(x.fieldIndex("corr")))).toMap
+    // only (a, b) pairs, a < b
+    assert(r.forall(x => x.getString(0) === "a" && x.getString(1) === "b"))
+    assert(byLag(1L)._1 === 3L && byLag(1L)._2 === 1.0)
+    assert(byLag.values.map(_._2).max === 1.0)
+    assert(byLag(1L)._2 > byLag(0L)._2 && byLag(1L)._2 > byLag(2L)._2)
+    // num is the exact integer dot: lag 1 pairs (100,100)(200,200)(300,300)
+    val lag1 = r.find(_.getLong(2) === 1L).get
+    assert(lag1.getLong(lag1.fieldIndex("num")) === 140000L)
+  }
+
   test("counterRate sums deltas, treats decreases as resets, skips first") {
     // cents: 100 -> 250 (+150) -> 50 (reset: +50) -> 300 (+250) = 450
     val df = pts(Seq(
