@@ -200,6 +200,82 @@ object Ann {
     spark.createDataFrame(rdd, pairSchema)
   }
 
+  /** Product-quantization codebook: the sub-vectors of the first `ksub`
+    * corpus vectors by vec_id, on the integer grid — the same
+    * deterministic "sampled centroids" discipline as the IVF tier
+    * (kmeansIters=0), so a SQL oracle can recompute the codebook exactly;
+    * substitute per-subspace k-means at production scale, the code
+    * assignment and ADC scan below are unchanged. ksub × dim longs —
+    * driver-held, broadcast as a literal. */
+  def pqCentroids(corpus: DataFrame, ksub: Int): Seq[Seq[Long]] =
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
+      .orderBy("vec_id").limit(ksub).collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, PAMI 2011): the
+    * dim-dimensional grid vector is split into `m` subspaces of dim/m;
+    * each sub-vector is replaced by the id of its nearest codebook entry
+    * (squared-L2, ties to the smaller id) — m small ints instead of dim
+    * floats, a dim·4/m-fold compression (64-dim float32 → 4 bytes at
+    * m=4). Search is asymmetric distance computation (ADC): the query
+    * computes one m×ksub distance TABLE, and each corpus vector scores
+    * as m table lookups summed — no per-pair arithmetic beyond adds.
+    *
+    * Everything is exact int64 (grid L2² sub-distances), so codes, ADC
+    * distances and ranks are hash-oracle-checkable. Approximation error
+    * lives in the quantization itself, not the arithmetic.
+    *
+    * Shape at 100 TB: code assignment is a narrow projection (one pass,
+    * m·ksub·(dim/m) int ops per vector — precompute and STORE the codes
+    * column next to the corpus like [[signBits]]; the scan then reads
+    * m bytes/vector); queries broadcast with their tables; the corpus
+    * never shuffles — only the per-query top-k window moves candidates.
+    *
+    * @return (qid, vid, adist, rnk) top-k per query by (ADC dist, vid) */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+             ksub: Int = 16): DataFrame = {
+    val cent = pqCentroids(corpus, ksub)
+    require(cent.nonEmpty, "corpus smaller than one codebook entry")
+    val dim = cent.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(cent.length == ksub, s"corpus has fewer than ksub=$ksub rows")
+    val dsub = dim / m
+    val centLit = typedlit(cent)
+    // L2² between sub-vector j of `vec` and codebook entry c (1-based
+    // element_at positions; j, c are 0-based lambda ints)
+    def subDist(vec: Column, j: Column, c: Column): Column =
+      aggregate(sequence(lit(1), lit(dsub)), lit(0L), (acc, i) => {
+        val pos = j * dsub + i
+        val diff = element_at(vec, pos) -
+          element_at(element_at(centLit, c + 1), pos)
+        acc + diff * diff
+      })
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(ksub - 1)), c =>
+        subDist(col("ve"), j, c))
+      // first position of the min → smallest c on ties
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    val c = corpus.select(col("vec_id").as("vid"),
+        quantize(col("embedding")).as("ve"))
+      .withColumn("codes", codesCol).select("vid", "codes")
+    val dtabCol = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(ksub - 1)), cc =>
+        subDist(col("qe"), j, cc)))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+        quantize(col("embedding")).as("qe"))
+      .withColumn("dtab", dtabCol).select("qid", "dtab"))
+    val scored = c.join(q, col("qid") =!= col("vid"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(col("dtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "vid", "adist", "rnk")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * partitions the corpus into inverted lists; queries probe only the
     * `nprobe` nearest lists. Centroids here are a deterministic sample of

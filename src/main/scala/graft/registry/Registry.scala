@@ -2360,7 +2360,44 @@ object Registry {
               |     sqrt(CAST(CAST(sum(xb*xb) AS BIGINT) AS DOUBLE))) AS corr
               |FROM x JOIN y USING (jb)
               |WHERE metric_a < metric_b
-              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- product-quantization ANN: 4 subspaces × 16 sampled codebook
+    //      entries (first-16-by-vec_id, oracle-recomputable), exact
+    //      integer sub-distances → codes and ADC ranks hash-match. The
+    //      oracle unrolls assign + table-lookup as relational joins ----
+    Entry("q89_pq_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.pqTopK(e.where(col("vec_id") < 3), e, k = 5, m = 4, ksub = 16)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $quantCte,
+              |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+              |           AS BIGINT) AS c, e
+              |         FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 16)),
+              |cd AS (SELECT v.vec_id, t.j, ct.c,
+              |         CAST(list_sum([(v.e[t.j*16+i+1] - ct.e[t.j*16+i+1])
+              |                        * (v.e[t.j*16+i+1] - ct.e[t.j*16+i+1])
+              |                        for i in range(0, 16)]) AS BIGINT) AS dist
+              |       FROM emb v, range(0, 4) t(j), cent ct),
+              |cmin AS (SELECT vec_id, j, min(dist) AS md FROM cd GROUP BY 1, 2),
+              |codes AS (SELECT cd.vec_id, cd.j, min(cd.c) AS code
+              |          FROM cd JOIN cmin ON cd.vec_id = cmin.vec_id
+              |            AND cd.j = cmin.j AND cd.dist = cmin.md
+              |          GROUP BY 1, 2),
+              |qd AS (SELECT vec_id AS qid, j, c, dist FROM cd WHERE vec_id < 3),
+              |ad AS (SELECT qd.qid, co.vec_id AS vid,
+              |         CAST(sum(qd.dist) AS BIGINT) AS adist
+              |       FROM codes co JOIN qd ON qd.j = co.j AND qd.c = co.code
+              |       WHERE co.vec_id != qd.qid
+              |       GROUP BY 1, 2),
+              |r AS (SELECT qid, vid, adist,
+              |        CAST(row_number() OVER (PARTITION BY qid
+              |          ORDER BY adist, vid) AS BIGINT) AS rnk
+              |      FROM ad)
+              |SELECT qid, vid, adist, rnk FROM r WHERE rnk <= 5
+              |ORDER BY 1, 4""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

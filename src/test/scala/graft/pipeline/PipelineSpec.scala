@@ -116,6 +116,45 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("pqTopK matches a driver-side PQ replica exactly") {
+    val m = 4; val ksub = 16; val dsub = 16
+    val all = emb.select(col("vec_id"), Ann.quantize(col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val cent = all.take(ksub).map(_._2)
+    def subDist(v: Array[Long], c: Array[Long], j: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < dsub) {
+        val d = v(j * dsub + i) - c(j * dsub + i); s += d * d; i += 1
+      }
+      s
+    }
+    def codes(v: Array[Long]): Array[Int] =
+      Array.tabulate(m) { j =>
+        var best = 0; var bd = Long.MaxValue
+        for (c <- 0 until ksub) {
+          val d = subDist(v, cent(c), j)
+          if (d < bd) { bd = d; best = c } // strict < keeps smallest c on tie
+        }
+        best
+      }
+    val codeMap = all.map { case (id, v) => id -> codes(v) }.toMap
+    val qids = all.map(_._1).filter(_ < 3)
+    val want = qids.flatMap { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val dtab = Array.tabulate(m, ksub)((j, c) => subDist(qv, cent(c), j))
+      all.filter(_._1 != qid).map { case (vid, _) =>
+        val ad = (0 until m).map(j => dtab(j)(codeMap(vid)(j))).sum
+        (vid, ad)
+      }.sortBy { case (v, ad) => (ad, v) }.take(5).zipWithIndex
+        .map { case ((v, ad), i) => (qid, v, ad, i + 1L) }
+    }.toSet
+    val got = Ann.pqTopK(emb.where(col("vec_id") < 3), emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("IVF top-k probes a fraction of the corpus with reasonable recall") {
     val queries = emb.where(col("vec_id") < 10)
     val brute = Ann.bruteForceTopK(queries, emb, 5)
