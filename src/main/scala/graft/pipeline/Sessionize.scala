@@ -115,6 +115,34 @@ object Sessionize {
       .toDF("step", "event_type", "n_users")
   }
 
+  /** First-order transition counts (the Markov-chain view of user
+    * journeys): per user in (time, tiebreak) order, each consecutive
+    * event pair contributes one (from_type, to_type) transition; output
+    * is the global transition matrix in sparse form with an exact
+    * fixed-point row probability `p_e6 = n·10⁶ div Σ_to n`.
+    *
+    * Shape at scale: ONE user-keyed window exchange (the lead), then a
+    * transition-matrix-sized groupBy (|types|² rows max) whose partials
+    * combine map-side; the row-total join is matrix-sized. The tiebreak
+    * column makes the lead deterministic even if a data vintage ever
+    * carries equal timestamps for one user.
+    *
+    * @return (from_type, to_type, n, from_n, p_e6) */
+  def transitions(events: DataFrame, user: String = "user_id",
+                  time: String = "time", typeCol: String = "metric",
+                  tiebreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(col(time), col(tiebreak))
+    val t = events.select(col(user), col(time), col(tiebreak), col(typeCol))
+      .withColumn("_next", lead(typeCol, 1).over(w))
+      .where(col("_next").isNotNull)
+    val counts = t.groupBy(col(typeCol).as("from_type"),
+        col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("from_type").agg(sum("n").as("from_n"))
+    counts.join(tot, "from_type")
+      .withColumn("p_e6", expr("n * 1000000L div from_n"))
+  }
+
   /** Cohort retention: users are cohorted by the day of their FIRST event
     * (integer day index since epoch, from the ns time column), and each
     * (cohort_day, day_offset) cell counts the distinct users of that cohort

@@ -161,17 +161,20 @@ object Sketches {
     * @param p register-index bits (m = 2^p registers), 4 ≤ p ≤ 16
     * @return one row per key group: keys…, `zi`, `zero_regs`, `est_raw` */
   def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
-                     p: Int = 9): DataFrame = {
+                     p: Int = 9): DataFrame =
+    hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
+
+  /** The (keys…, _j, _mj) register table of [[approxDistinct]] — exposed
+    * shape so merge-style callers (the sliding window below) can reuse
+    * it. One (keys, j) partial-agg shuffle. */
+  private def hllRegisters(df: DataFrame, keys: Seq[String],
+                           valueCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
     val wBits = 60 - p            // 51 low bits at p=9
     val wMod = 1L << wBits        // 2^wBits
     val maxRank = wBits + 1       // rank when the low bits are all zero
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    // m^2 * 2^maxRank — a power-of-two product, exactly representable
-    val scale = math.pow(2.0, 2.0 * p + maxRank)
     val h = graft.pipeline.TextOps.md5Long(col(valueCol).cast("string"))
-    val regs = df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull)
       .select(keys.map(col) :+ h.as("_h"): _*)
       .withColumn("_j", expr(s"_h div ${wMod}L"))
       .withColumn("_w", pmod(col("_h"), lit(wMod)))
@@ -180,6 +183,16 @@ object Sketches {
           .otherwise(lit(maxRank.toLong) - length(bin(col("_w")))))
       .groupBy(keys.map(col) :+ col("_j"): _*)
       .agg(max("_rank").as("_mj"))
+  }
+
+  /** q77's exact-integer rollup of a register table keyed by `keys`. */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String],
+                          p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // m^2 * 2^maxRank — a power-of-two product, exactly representable
+    val scale = math.pow(2.0, 2.0 * p + maxRank)
     regs.groupBy(keys.map(col): _*)
       .agg(
         (sum(expr(s"shiftleft(1L, $maxRank - _mj)")) +
@@ -187,5 +200,44 @@ object Sketches {
         (lit(m.toLong) - count(lit(1))).as("zero_regs"))
       .withColumn("est_raw",
         lit(alpha) * (lit(scale) / col("zi").cast("double")))
+  }
+
+  /** Sliding-window distinct counts from MERGED daily sketches: one HLL
+    * register table per (keys, day), then for every observed day the
+    * registers of the trailing `windowDays` days merge by max and roll
+    * up to the q77 estimator — the mergeability property doing real
+    * work. This is how "distinct users, trailing 7 days, every day"
+    * stays sub-linear: the corpus is touched ONCE (daily-register
+    * build); the slide runs entirely on register tables
+    * (keys × days × ≤2^p rows), never re-reading data. Exact sliding
+    * distinct would re-scan every window; sketch merge replaces that
+    * with max() over sketch rows.
+    *
+    * All integers (the estimator divide is the only float) — the whole
+    * sliding pipeline is hash-oracle-checkable.
+    *
+    * @param windowDays trailing window size in days (≥ 1), window
+    *                   (day − windowDays, day]
+    * @return per (keys…, day): zi, zero_regs, est_raw of the merged
+    *         window sketch */
+  def approxDistinctSliding(df: DataFrame, keys: Seq[String],
+                            valueCol: String, timeCol: String,
+                            windowDays: Int, p: Int = 9,
+                            dayNs: Long = 86400000000000L): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val withDay = df.withColumn("_day", expr(s"$timeCol div ${dayNs}L"))
+    val daily = hllRegisters(withDay, keys :+ "_day", valueCol, p)
+      .withColumnRenamed("_day", "_rday")
+    val grid = withDay.select((keys.map(col) :+ col("_day")): _*).distinct()
+    val joinCond = keys.map(k => daily(k) === grid(k))
+      .reduce(_ && _) &&
+      daily("_rday") > grid("_day") - windowDays.toLong &&
+      daily("_rday") <= grid("_day")
+    val merged = grid.join(daily, joinCond)
+      .select((keys.map(grid(_)) :+ grid("_day").as("day") :+
+        daily("_j") :+ daily("_mj")): _*)
+      .groupBy((keys.map(col) :+ col("day") :+ col("_j")): _*)
+      .agg(max("_mj").as("_mj"))
+    hllEstimate(merged, keys :+ "day", p)
   }
 }

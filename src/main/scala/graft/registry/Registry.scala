@@ -2397,7 +2397,78 @@ object Registry {
               |          ORDER BY adist, vid) AS BIGINT) AS rnk
               |      FROM ad)
               |SELECT qid, vid, adist, rnk FROM r WHERE rnk <= 5
-              |ORDER BY 1, 4""".stripMargin))
+              |ORDER BY 1, 4""".stripMargin)),
+
+    // ---- first-order user-journey transition matrix with fixed-point
+    //      row probabilities: one user-keyed lead window, then
+    //      matrix-sized aggregates. Tiebreak on event_id keeps the lead
+    //      deterministic under any vintage ----
+    Entry("q90_transitions",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val f = raw.select(col("event_type").as("metric"),
+          Tables.tsNs(raw).as("time"), col("user_id"), col("event_id"))
+        graft.pipeline.Sessionize.transitions(f)
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+             |              epoch_us(ts)*1000 AS t FROM events),
+             |l AS (SELECT user_id, event_type,
+             |        lead(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY t, event_id) AS nxt
+             |      FROM ev),
+             |c AS (SELECT event_type AS from_type, nxt AS to_type,
+             |        count(*) AS n
+             |      FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n
+             |        FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n, t.from_n,
+             |  CAST(c.n * 1000000 // t.from_n AS BIGINT) AS p_e6
+             |FROM c JOIN tot t USING (from_type)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- sliding 7-day distinct users per metric-day from MERGED daily
+    //      HLL sketches: the corpus is read once into daily registers;
+    //      the slide is max() over register rows only. Same exact-integer
+    //      estimator as q77, so the whole window pipeline hash-matches ----
+    Entry("q91_sliding_hll",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val f = raw.select(col("event_type").as("metric"),
+          Tables.tsNs(raw).as("time"), col("user_id"))
+        Sketches.approxDistinctSliding(f, Seq("metric"), "user_id", "time",
+            windowDays = 7, p = hllP)
+          .orderBy("metric", "day")
+      },
+      Some(s"""WITH ev AS (SELECT event_type AS metric,
+              |              epoch_us(ts)*1000 AS t,
+              |              CAST(user_id AS VARCHAR) AS v
+              |            FROM events WHERE user_id IS NOT NULL),
+              |h AS (SELECT metric, t // 86400000000000 AS day,
+              |        CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+              |      FROM ev),
+              |r AS (SELECT metric, day, h // $hllWMod AS j, h % $hllWMod AS w
+              |      FROM h),
+              |rk AS (SELECT metric, day, j,
+              |         CASE WHEN w = 0 THEN $hllMaxRank
+              |              ELSE $hllMaxRank - length(printf('%b', w)) END AS rank
+              |       FROM r),
+              |regs AS (SELECT metric, day AS rday, j, max(rank) AS mj
+              |         FROM rk GROUP BY 1, 2, 3),
+              |grid AS (SELECT DISTINCT metric, day FROM h),
+              |mrg AS (SELECT g.metric, g.day, rg.j, max(rg.mj) AS mj
+              |        FROM grid g JOIN regs rg ON rg.metric = g.metric
+              |          AND rg.rday > g.day - 7 AND rg.rday <= g.day
+              |        GROUP BY 1, 2, 3),
+              |z AS (SELECT metric, day,
+              |        CAST(sum(1::BIGINT << ($hllMaxRank - mj))
+              |          + ($hllM - count(*)) * ${1L << hllMaxRank} AS BIGINT) AS zi,
+              |        CAST($hllM - count(*) AS BIGINT) AS zero_regs
+              |      FROM mrg GROUP BY 1, 2)
+              |SELECT metric, day, zi, zero_regs,
+              |  CAST('$hllAlpha' AS DOUBLE) *
+              |    (CAST('$hllScale' AS DOUBLE) / CAST(zi AS DOUBLE)) AS est_raw
+              |FROM z ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -155,4 +155,33 @@ class SessionizeSpec extends SparkSpec {
     assert(lib.orderBy("user", "session_start").collect().toSeq
       === inline.orderBy("user", "session_start").collect().toSeq)
   }
+
+  test("transitions counts consecutive pairs with exact row probabilities") {
+    val rows = Seq(
+      // user 1: a -> b -> a ; user 2: b -> a ; user 3: a -> a
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "a"),
+      (2L, 10L, 200L, "b"), (2L, 20L, 201L, "a"),
+      (3L, 10L, 300L, "a"), (3L, 20L, 301L, "a"))
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(Row.fromTuple): _*),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("time", LongType), StructField("event_id", LongType),
+        StructField("metric", StringType))))
+    val out = Sessionize.transitions(d).orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("a", "a", 1L, 2L, 500000L), ("a", "b", 1L, 2L, 500000L),
+      ("b", "a", 2L, 2L, 1000000L)))
+    // tiebreak: equal times order by event_id — swapping ids flips the pair
+    val tied = Seq((9L, 5L, 1L, "x"), (9L, 5L, 2L, "y"))
+    val dt = spark.createDataFrame(
+      java.util.Arrays.asList(tied.map(Row.fromTuple): _*),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("time", LongType), StructField("event_id", LongType),
+        StructField("metric", StringType))))
+    val tr = Sessionize.transitions(dt).collect()
+    assert(tr.length === 1 &&
+      tr(0).getString(0) === "x" && tr(0).getString(1) === "y")
+  }
 }

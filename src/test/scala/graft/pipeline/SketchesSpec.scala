@@ -142,6 +142,36 @@ class SketchesSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("approxDistinctSliding: window 1 == per-day sketches; wide window == global") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23L)
+    val day = 86400000000000L
+    val df = (0 until 2000).map { _ =>
+      ("g", rng.nextInt(10).toLong * day + rng.nextInt(1000).toLong,
+        s"u${rng.nextInt(300)}")
+    }.toDF("g", "time", "v")
+    val slide1 = Sketches.approxDistinctSliding(df, Seq("g"), "v", "time",
+        windowDays = 1).orderBy("day")
+      .collect().map(r => (r.getLong(r.fieldIndex("day")),
+        r.getLong(r.fieldIndex("zi")))).toSeq
+    val perDay = Sketches.approxDistinct(
+        df.withColumn("day", expr("time div 86400000000000L")),
+        Seq("g", "day"), "v").orderBy("day")
+      .collect().map(r => (r.getLong(r.fieldIndex("day")),
+        r.getLong(r.fieldIndex("zi")))).toSeq
+    assert(slide1 === perDay)
+    // a window covering the whole span: last day's merge == global sketch
+    val wide = Sketches.approxDistinctSliding(df, Seq("g"), "v", "time",
+        windowDays = 10).orderBy(col("day").desc)
+      .collect().head
+    val global = Sketches.approxDistinct(df, Seq("g"), "v").collect().head
+    assert(wide.getLong(wide.fieldIndex("zi")) ===
+      global.getLong(global.fieldIndex("zi")))
+    assert(wide.getDouble(wide.fieldIndex("est_raw")) ===
+      global.getDouble(global.fieldIndex("est_raw")))
+  }
+
   private def cmsFixture: DataFrame = {
     val s = spark
     import s.implicits._
