@@ -181,6 +181,35 @@ object TextOps {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * combine any number of rankings of the same id space by summing
+    * scale div (kConst + rank) per list — the standard way to merge a
+    * lexical ranking (tf-idf / BM25) with a semantic one (ANN) without
+    * score calibration, since only RANKS enter. The classic k = 60.
+    *
+    * Fixed-point integer contributions (floor-div) keep the fusion
+    * hash-oracle-checkable and engine-portable where 1/(k+r) floats
+    * would drift. Shape: each ranking is already top-N-sized; the union
+    * + groupBy moves ranking rows only, and the final cut is a
+    * TakeOrdered (never a global sort).
+    *
+    * @param rankings frames each carrying (idCol, rankCol) with rank
+    *                 1-based within that list
+    * @return (idCol, rrf, n_lists) — topK by (rrf desc, id) */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              rankCol: String = "rnk", kConst: Long = 60L, topK: Int = 20,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 0 && topK >= 1 && scale >= 1, "bad RRF parameters")
+    val scored = rankings
+      .map(_.select(col(idCol),
+        expr(s"${scale}L div (${kConst}L + $rankCol)").as("_c")))
+      .reduce(_ unionByName _)
+    scored.groupBy(idCol)
+      .agg(sum("_c").as("rrf"), count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf"), asc(idCol)).limit(topK)
+  }
+
   /** Distributed BPE merge learning (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"): learn `numMerges`
     * merge rules from the corpus, returned as the ordered merge table

@@ -2468,7 +2468,48 @@ object Registry {
               |SELECT metric, day, zi, zero_regs,
               |  CAST('$hllAlpha' AS DOUBLE) *
               |    (CAST('$hllScale' AS DOUBLE) / CAST(zi AS DOUBLE)) AS est_raw
-              |FROM z ORDER BY 1, 2""".stripMargin))
+              |FROM z ORDER BY 1, 2""".stripMargin)),
+
+    // ---- reciprocal rank fusion: tf-idf search ranking (q65's scorer,
+    //      top 100) fused with a length-prior ranking by n_chars — rank
+    //      arithmetic only, fixed-point contributions, k = 60 ----
+    Entry("q92_rrf_fuse",
+      (s, d) => {
+        val wSearch = Window.orderBy(desc("score"), asc("doc_id"))
+        val a = TextOps.searchTopK(docs(s, d),
+            Seq("join", "filter", "vector"), k = 100)
+          .withColumn("rnk", row_number().over(wSearch).cast("long"))
+        // TakeOrdered cut FIRST, then rank the 100-row frame — a global
+        // row_number over the full corpus would be a global sort
+        val wLen = Window.orderBy(desc("n_chars"), asc("doc_id"))
+        val b = docs(s, d).select(col("doc_id"), col("n_chars"))
+          .orderBy(desc("n_chars"), asc("doc_id")).limit(100)
+          .withColumn("rnk", row_number().over(wLen).cast("long"))
+        TextOps.rrfFuse(Seq(a.select("doc_id", "rnk"),
+          b.select("doc_id", "rnk")), topK = 20)
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('join', 'filter', 'vector') GROUP BY 1, 2),
+             |i AS (SELECT token,
+             |        ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf_scaled
+             |      FROM f GROUP BY token),
+             |sc AS (SELECT doc_id, CAST(sum(f.tf * i.idf_scaled) AS BIGINT) AS score
+             |       FROM f JOIN i USING (token) GROUP BY doc_id
+             |       ORDER BY score DESC, doc_id LIMIT 100),
+             |ra AS (SELECT doc_id, CAST(row_number() OVER
+             |         (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc),
+             |rb AS (SELECT doc_id, rnk FROM (
+             |         SELECT doc_id, CAST(row_number() OVER
+             |           (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+             |         FROM documents) WHERE rnk <= 100),
+             |u AS (SELECT doc_id, 1000000000000 // (60 + rnk) AS c FROM ra
+             |      UNION ALL
+             |      SELECT doc_id, 1000000000000 // (60 + rnk) AS c FROM rb)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf,
+             |       count(*) AS n_lists
+             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -80,6 +80,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("rrfFuse sums fixed-point reciprocal ranks across lists") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((3L, 1L), (1L, 2L), (9L, 3L)).toDF("doc_id", "rnk")
+    val out = TextOps.rrfFuse(Seq(a, b), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(r: Long) = 1000000000000L / (60L + r)
+    // doc 1: ranks 1,2; doc 3: ranks 3,1; doc 2: rank 2; doc 9: rank 3
+    val want = Seq(
+      (1L, c(1) + c(2), 2L), (3L, c(3) + c(1), 2L),
+      (2L, c(2), 1L), (9L, c(3), 1L))
+      .sortBy { case (id, s2, _) => (-s2, id) }
+    assert(out.toSeq === want)
+    // ties on rrf break by id: two singleton lists at the same rank
+    val t1 = Seq((5L, 1L)).toDF("doc_id", "rnk")
+    val t2 = Seq((4L, 1L)).toDF("doc_id", "rnk")
+    val tied = TextOps.rrfFuse(Seq(t1, t2), topK = 2).collect()
+    assert(tied.map(_.getLong(0)).toSeq === Seq(4L, 5L))
+  }
+
   test("signBits packs the exact sign pattern, 32 bits per word") {
     val rows = emb.select(col("vec_id"),
         col("embedding"), Ann.signBits(col("embedding"), 64).as("b"))
