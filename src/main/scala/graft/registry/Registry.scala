@@ -2509,7 +2509,36 @@ object Registry {
              |      SELECT doc_id, 1000000000000 // (60 + rnk) AS c FROM rb)
              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf,
              |       count(*) AS n_lists
-             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- one-pass data profiling over lineitem: stack-melt (narrow),
+    //      ONE (column, value) shuffle, column-sized rollup — vs one
+    //      scan per column or an Expand per distinct-agg ----
+    Entry("q93_profile",
+      (s, d) => graft.pipeline.Profile.profile(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          longCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber"),
+          stringCols = Seq("l_returnflag", "l_linestatus"))
+        .orderBy("column"),
+      Some("""WITH m AS (
+             |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS BIGINT) lv,
+             |         CAST(NULL AS VARCHAR) sv FROM lineitem
+             |  UNION ALL SELECT 'l_partkey', l_partkey, NULL FROM lineitem
+             |  UNION ALL SELECT 'l_suppkey', l_suppkey, NULL FROM lineitem
+             |  UNION ALL SELECT 'l_linenumber', l_linenumber, NULL FROM lineitem
+             |  UNION ALL SELECT 'l_returnflag', NULL, l_returnflag FROM lineitem
+             |  UNION ALL SELECT 'l_linestatus', NULL, l_linestatus FROM lineitem),
+             |g AS (SELECT c, lv, sv, coalesce(sv, CAST(lv AS VARCHAR)) AS vk,
+             |        count(*) AS cnt
+             |      FROM m GROUP BY 1, 2, 3, 4)
+             |SELECT c AS column, CAST(sum(cnt) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN vk IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  CAST(count(vk) AS BIGINT) AS n_distinct,
+             |  min(lv) AS min_long, max(lv) AS max_long,
+             |  min(sv) AS min_str, max(sv) AS max_str
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+class ProfileSpec extends SparkSpec {
+
+  private def fixture = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(1L, "x"), Row(2L, "y"), Row(2L, null), Row(null, "x")),
+    StructType(Seq(StructField("k", LongType), StructField("s", StringType))))
+
+  test("profile: one row per column with exact null/distinct/min/max") {
+    val out = Profile.profile(fixture, Seq("k"), Seq("s"))
+      .orderBy("column").collect()
+    assert(out.length === 2)
+    val k = out(0)
+    assert(k.getString(0) === "k" && k.getLong(1) === 4L &&
+      k.getLong(2) === 1L && k.getLong(3) === 2L &&
+      k.getLong(k.fieldIndex("min_long")) === 1L &&
+      k.getLong(k.fieldIndex("max_long")) === 2L &&
+      k.isNullAt(k.fieldIndex("min_str")))
+    val sCol = out(1)
+    assert(sCol.getString(0) === "s" && sCol.getLong(1) === 4L &&
+      sCol.getLong(2) === 1L && sCol.getLong(3) === 2L &&
+      sCol.getString(sCol.fieldIndex("min_str")) === "x" &&
+      sCol.getString(sCol.fieldIndex("max_str")) === "y" &&
+      sCol.isNullAt(sCol.fieldIndex("min_long")))
+  }
+
+  test("profile matches independent per-column aggregates on testdata") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = Profile.profile(li, Seq("l_orderkey"), Seq("l_returnflag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    import org.apache.spark.sql.functions._
+    val ok = li.agg(count(lit(1)), countDistinct(col("l_orderkey")),
+      min("l_orderkey"), max("l_orderkey")).collect()(0)
+    val r = out("l_orderkey")
+    assert(r.getLong(1) === ok.getLong(0) && r.getLong(3) === ok.getLong(1))
+    assert(r.getLong(r.fieldIndex("min_long")) === ok.getLong(2))
+    assert(r.getLong(r.fieldIndex("max_long")) === ok.getLong(3))
+    val rf = out("l_returnflag")
+    val fl = li.agg(countDistinct(col("l_returnflag")), min("l_returnflag"),
+      max("l_returnflag")).collect()(0)
+    assert(rf.getLong(3) === fl.getLong(0))
+    assert(rf.getString(rf.fieldIndex("min_str")) === fl.getString(1))
+    assert(rf.getString(rf.fieldIndex("max_str")) === fl.getString(2))
+  }
+}
