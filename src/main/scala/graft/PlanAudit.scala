@@ -218,6 +218,63 @@ object PlanAudit {
       graft.hta.Series.hysteresisAlerts(ev, Registry.B, Registry.E,
         hiCents = 15000L, loCents = 5000L).explain("formatted")
     }
+    section("q78 triangleCounts (expect: edge-sized degree joins build " +
+      "the oriented list once; the wedge join exchanges on the middle " +
+      "vertex (out-degree-bounded partitions), the closing join on the " +
+      "(x,z) edge key; per-node rollup partial-aggregates)") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .where(col("src") < col("dst")).select("src", "dst")
+      graft.pipeline.Graph.triangleCounts(edges).explain("formatted")
+    }
+    section("q79 hammingTopK (expect: corpus scan -> narrow signBits " +
+      "projection, BroadcastExchange on the query side, per-query " +
+      "top-k window as the only exchange — the corpus never shuffles)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Ann.hammingTopK(emb.where(col("vec_id") < 3), emb,
+        k = 5, dim = 64).explain("formatted")
+    }
+    section("q81 saltedJoin (expect: fact exchange hashpartitioning on " +
+      "(key, _salt) — the hot key split 8 ways; dim side exploded ×8 " +
+      "BEFORE its exchange/broadcast)") {
+      val e = ev.select("metric", "time", "cents", "event_id")
+      val dim = e.groupBy("metric").agg(sum("cents").as("s"),
+        count(lit(1)).as("c"))
+      graft.pipeline.Joins.saltedJoin(e, dim, Seq("metric"), 8,
+        col("event_id")).explain("formatted")
+    }
+    section("q84 deltaEncodingStats (expect: ONE metric window exchange " +
+      "carrying both lags, and the per-metric rollup riding the same " +
+      "exchange — subset-key clustering, no second shuffle)") {
+      graft.hta.Series.deltaEncodingStats(ev).explain("formatted")
+    }
+    section("q89 pqTopK (expect: code assignment as a narrow projection " +
+      "over the corpus scan (literal codebook, no join); query tables " +
+      "BroadcastExchange; only the top-k window exchanges)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Ann.pqTopK(emb.where(col("vec_id") < 3), emb, k = 5)
+        .explain("formatted")
+    }
+    section("q91 approxDistinctSliding (expect: corpus -> daily register " +
+      "partial-agg as the ONE corpus-sized exchange; grid join and " +
+      "window merge run on register-sized frames only)") {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val f = raw.select(col("event_type").as("metric"),
+        Tables.tsNs(raw).as("time"), col("user_id"))
+      graft.pipeline.Sketches.approxDistinctSliding(f, Seq("metric"),
+        "user_id", "time", windowDays = 7).explain("formatted")
+    }
+    section("q93 profile (expect: ONE stack projection over ONE scan — " +
+      "no per-column scans, no Expand —, one (column, value) partial-agg " +
+      "exchange, column-sized rollup)") {
+      graft.pipeline.Profile.profile(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey"), Seq("l_returnflag"))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
