@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog compaction shapes — the warehouse-maintenance half of a
+  * training-data pipeline: event streams arrive as append-only logs, but
+  * downstream consumers want either "the current row per key" (CDC
+  * latest-record merge, SCD type-1) or "the validity history per key"
+  * (SCD type-2 intervals). Both are one-pass distributed shapes; neither
+  * needs a mutable table format.
+  */
+object Cdc {
+
+  /** Latest-record compaction: ONE surviving row per key — the row with the
+    * lexicographically greatest `order` tuple. The order tuple must be
+    * unique within a key (pass a log-sequence/event-id column last) or the
+    * survivor is undefined; with a unique tuple the result is deterministic
+    * under any partitioning.
+    *
+    * Scale shape: `max_by(struct(cols), struct(order))` is an ordinary
+    * aggregate, so it PARTIALLY aggregates map-side — each task reduces its
+    * slice to one candidate row per key before the exchange, and the one
+    * shuffle moves at most (#keys × #tasks) rows regardless of how many
+    * updates each key accumulated. The window-function formulation
+    * (`row_number() = 1`) would shuffle the ENTIRE changelog and sort each
+    * partition; on a 100 TB log of hot keys that is the difference between
+    * a combiner-sized exchange and a full-log sort.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "need keys and an order tuple")
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(order.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("_r"))
+      .select(col("_r.*"))
+  }
+
+  /** SCD type-2 history: every change row becomes a validity interval
+    * `[valid_from, valid_to)`, with `valid_to` NULL on each key's current
+    * row. One per-key lead window — a single keyed shuffle whose partition
+    * width is one key's history (bounded by update rate, not corpus size).
+    * `order` columns must be unique per key, as in [[latestByKey]].
+    */
+  def scd2(df: DataFrame, keys: Seq[String], order: Seq[String],
+           validFrom: String): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "need keys and an order tuple")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+    df.withColumn("valid_from", col(validFrom))
+      .withColumn("valid_to", lead(col(validFrom), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -2538,7 +2538,53 @@ object Registry {
              |  CAST(count(vk) AS BIGINT) AS n_distinct,
              |  min(lv) AS min_long, max(lv) AS max_long,
              |  min(sv) AS min_str, max(sv) AS max_str
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- CDC latest-record compaction: one surviving event per user via
+    //      max_by(payload, (time, event_id)) — an ordinary aggregate, so
+    //      the exchange carries one map-side candidate per (key, task)
+    //      instead of the whole changelog a row_number window would sort ----
+    Entry("q94_cdc_latest",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val f = raw.select(col("user_id"), col("event_id"),
+          Tables.tsNs(raw).as("time"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        graft.pipeline.Cdc.latestByKey(f, Seq("user_id"),
+            Seq("time", "event_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts)*1000 AS time,
+             |              event_type, CAST(round(value*100) AS BIGINT) AS cents
+             |            FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY time DESC, event_id DESC) AS rn FROM ev)
+             |SELECT user_id, event_id, time, event_type, cents
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- SCD type-2 history: each change row becomes a [valid_from,
+    //      valid_to) interval, NULL-open on the current row; one per-key
+    //      lead window, partition width = one user's history ----
+    Entry("q95_scd2",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val f = raw.select(col("user_id"), col("event_id"),
+          Tables.tsNs(raw).as("time"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        graft.pipeline.Cdc.scd2(f, Seq("user_id"), Seq("time", "event_id"),
+            validFrom = "time")
+          .orderBy("user_id", "time", "event_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts)*1000 AS time,
+             |              event_type, CAST(round(value*100) AS BIGINT) AS cents
+             |            FROM events)
+             |SELECT user_id, event_id, time, event_type, cents,
+             |  time AS valid_from,
+             |  lead(time) OVER (PARTITION BY user_id
+             |    ORDER BY time, event_id) AS valid_to,
+             |  lead(time) OVER (PARTITION BY user_id
+             |    ORDER BY time, event_id) IS NULL AS is_current
+             |FROM ev ORDER BY user_id, time, event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
