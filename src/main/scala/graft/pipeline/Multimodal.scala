@@ -90,6 +90,61 @@ object Multimodal {
     counts.map(c => if (n == 0) 0f else c.toFloat / n)
   }
 
+  /** Perceptual average-hash (aHash) of one image: nearest-resize to 8×8,
+    * integer BT.601 luminance per cell, one bit per cell set iff the cell
+    * is STRICTLY brighter than the mean (`lum·64 > Σlum` — integer
+    * cross-multiply, no division, no rounding-mode choice). The 64 bits are
+    * returned as two 32-bit halves packed row-major (hi = cells 0-31 with
+    * cell 0 at bit 31, lo = cells 32-63) so every value stays < 2³² —
+    * non-negative in a Spark long AND inside DuckDB's overflow-checked
+    * BIGINT, which is what makes the hash oracle-recomputable (q96).
+    * Hamming distance = bit_count(hi⊕hi') + bit_count(lo⊕lo'). */
+  private[pipeline] def aHashHalves(img: BufferedImage): (Long, Long) = {
+    val small = nearestResize(img, 8, 8)
+    val lum = new Array[Long](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val rgb = small.getRGB(k % 8, k / 8)
+      lum(k) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+      sum += lum(k)
+      k += 1
+    }
+    var hi = 0L; var lo = 0L
+    k = 0
+    while (k < 64) {
+      if (lum(k) * 64 > sum) {
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Perceptual image hashes for a media table: (media_id, ahash_hi,
+    * ahash_lo) for every row whose bytes decode as an image; non-images
+    * and undecodable bytes are dropped (a dedup tier must never hash bytes
+    * it didn't understand — a constant stub hash would collapse them all
+    * into one "duplicate" class). Narrow per-partition decode, no shuffle;
+    * feed the halves into the q79 XOR+popcount machinery (exact Hamming
+    * top-k / banded blocking) for image near-dup at scale. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false)))
+    mapBatches(media.where(col("kind") === "image")
+        .select("media_id", "bytes"), out) { it =>
+      it.flatMap { r =>
+        decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+          val (hi, lo) = aHashHalves(img)
+          Row(r.getLong(0), hi, lo)
+        }
+      }
+    }
+  }
+
   /** Exact nearest-neighbor resample (manual loop, not Graphics2D — JDK
     * rendering hints vary by platform; integer source indexing doesn't). */
   private[pipeline] def nearestResize(img: BufferedImage, w: Int, h: Int): BufferedImage = {

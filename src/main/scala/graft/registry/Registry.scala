@@ -2584,7 +2584,50 @@ object Registry {
              |    ORDER BY time, event_id) AS valid_to,
              |  lead(time) OVER (PARTITION BY user_id
              |    ORDER BY time, event_id) IS NULL AS is_current
-             |FROM ev ORDER BY user_id, time, event_id""".stripMargin))
+             |FROM ev ORDER BY user_id, time, event_id""".stripMargin)),
+
+    // ---- perceptual image hashing: REAL PNG decode → 8×8 nearest-resize →
+    //      strict-mean aHash bits packed as two 32-bit halves (overflow-safe
+    //      in both engines' BIGINT) + Hamming distance to image 0 via
+    //      XOR+popcount. The synthetic images are closed-form patterns, so
+    //      the oracle recomputes decode→resize→hash arithmetically,
+    //      q36-style: a hash match proves the real codec path bit-exact ----
+    Entry("q96_image_ahash",
+      (s, _) => {
+        val media = Multimodal.syntheticMedia(s, 300)
+        val h = Multimodal.imageAHash(media)
+        val ref = h.where(col("media_id") === 0)
+          .select(col("ahash_hi").as("ref_hi"), col("ahash_lo").as("ref_lo"))
+        h.crossJoin(broadcast(ref))
+          .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+            (bit_count(col("ahash_hi").bitwiseXOR(col("ref_hi"))) +
+              bit_count(col("ahash_lo").bitwiseXOR(col("ref_lo"))))
+              .cast("long").as("hamming"))
+          .orderBy("media_id")
+      },
+      Some("""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)
+             |             WHERE media_id % 3 = 0),
+             |px AS (SELECT i.media_id, p.k,
+             |         (((i.media_id + 2 * (p.k % 8)) % 256) * 299
+             |          + ((i.media_id + ((p.k // 8) * 12) // 8) % 256) * 587
+             |          + ((i.media_id + 2 * (p.k % 8) * (((p.k // 8) * 12) // 8)) % 256) * 114)
+             |         // 1000 AS lum
+             |       FROM ids i, range(0, 64) p(k)),
+             |s AS (SELECT media_id, sum(lum) AS sl FROM px GROUP BY 1),
+             |b AS (SELECT px.media_id, px.k,
+             |        CASE WHEN px.lum * 64 > s.sl THEN 1 ELSE 0 END AS bit
+             |      FROM px JOIN s USING (media_id)),
+             |h AS (SELECT media_id,
+             |        CAST(sum(CASE WHEN k < 32
+             |          THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+             |        CAST(sum(CASE WHEN k >= 32
+             |          THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT) AS ahash_lo
+             |      FROM b GROUP BY 1),
+             |r AS (SELECT ahash_hi AS rh, ahash_lo AS rl FROM h WHERE media_id = 0)
+             |SELECT h.media_id, h.ahash_hi, h.ahash_lo,
+             |  CAST(bit_count(xor(h.ahash_hi, r.rh))
+             |       + bit_count(xor(h.ahash_lo, r.rl)) AS BIGINT) AS hamming
+             |FROM h, r ORDER BY media_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -461,6 +461,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash equals the manual 8×8 strict-mean hash; near-identical " +
+      "images land a small Hamming distance apart") {
+    // manual recompute from the decoded PNG pixels (independent of aHashHalves)
+    val rows = Multimodal.imageAHash(media).orderBy("media_id").limit(3).collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val bytes = media.where(col("media_id") === id).collect().head
+        .getAs[Array[Byte]]("bytes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val lum = (0 until 64).map { k =>
+        val sx = (k % 8) * img.getWidth / 8
+        val sy = (k / 8) * img.getHeight / 8
+        val rgb = img.getRGB(sx, sy)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+      val s = lum.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if lum(k) * 64 > s)
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      assert((r.getLong(1), r.getLong(2)) === ((hi, lo)), s"media_id=$id")
+    }
+
+    // perceptual property: a one-pixel edit moves the hash by at most the
+    // one cell it lands in (plus mean shift ~0); identity distance is 0
+    val base = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      media.where(col("media_id") === 0).collect().head.getAs[Array[Byte]]("bytes")))
+    val tweaked = new java.awt.image.BufferedImage(
+      base.getWidth, base.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until base.getHeight; x <- 0 until base.getWidth)
+      tweaked.setRGB(x, y, base.getRGB(x, y))
+    tweaked.setRGB(3, 3, 0xffffff)
+    val (h0, l0) = Multimodal.aHashHalves(base)
+    val (h1, l1) = Multimodal.aHashHalves(tweaked)
+    val dist = java.lang.Long.bitCount(h0 ^ h1) + java.lang.Long.bitCount(l0 ^ l1)
+    assert(dist <= 2, s"one-pixel edit moved $dist bits")
+    assert(java.lang.Long.bitCount(h0 ^ h0) + java.lang.Long.bitCount(l0 ^ l0) === 0)
+    // non-images and undecodable bytes are dropped, never stub-hashed
+    val n = Multimodal.imageAHash(media).count()
+    assert(n === media.where(col("kind") === "image").count())
+  }
+
   test("probeMeta fills meta from bytes and passes unknown rows untouched") {
     val rows = java.util.Arrays.asList(
       Row(Long.box(1L), "video", Multimodal.patternMp4(1L, 64, 32, 9), null),
