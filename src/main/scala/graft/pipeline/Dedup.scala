@@ -778,6 +778,52 @@ object Dedup {
       .select("doc_a", "doc_b", "dist")
   }
 
+  /** Record linkage: all (left, right) CROSS-TABLE pairs within a
+    * Levenshtein threshold — the R-S join form of [[editDistancePairs]]
+    * (entity resolution between two catalogs rather than self-dedup).
+    *
+    * Same recall-1 length-band blocking (`lev ≥ |Δlen|`, band width
+    * `maxDist+1`), different probe shape: the RIGHT side sits in its home
+    * band and the LEFT side probes `{bd−1, bd, bd+1}` — a qualifying pair's
+    * bands differ by at most one, and the 3-band probe set covers each
+    * possible right band EXACTLY once, so every pair is emitted exactly
+    * once with no dedup pass and no ownership rule. Cost: the left frame
+    * triples (vs q61's doubling); both sides still shuffle only on the
+    * 8-byte band key, and `maxBucket` caps each side's occupancy of a band
+    * (a capped band silently loses its pairs — the [[lshCandidates]]
+    * recall note; oracle queries pass Int.MaxValue).
+    *
+    * Output columns `left_id`/`right_id` carry the two tables' id columns;
+    * `dist` uses Spark's banded DP `levenshtein(l, r, threshold)` —
+    * O(maxDist·len) per comparison, code-point semantics. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame, maxDist: Int,
+                       text: String = "text", idCol: String = "doc_id",
+                       maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = maxDist + 1
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("_bk")
+    val l = left
+      .select(col(idCol).as("left_id"), col(text).as("_tl"),
+        length(col(text)).as("_ll"))
+      .withColumn("_bd", expr(s"_ll div $w"))
+      .select(col("left_id"), col("_tl"), col("_ll"),
+        explode(array(col("_bd") - 1, col("_bd"), col("_bd") + 1)).as("_bk"))
+      .withColumn("_n", count(lit(1)).over(wnd))
+      .where(col("_n") <= maxBucket).drop("_n")
+    val r = right
+      .select(col(idCol).as("right_id"), col(text).as("_tr"),
+        length(col(text)).as("_lr"))
+      .withColumn("_bk", expr(s"_lr div $w"))
+      .withColumn("_n", count(lit(1)).over(wnd))
+      .where(col("_n") <= maxBucket).drop("_n")
+    l.join(r, Seq("_bk"))
+      .where(abs(col("_ll") - col("_lr")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_tl"), col("_tr"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("left_id", "right_id", "dist")
+  }
+
   /** Connected components of an undirected pair graph (columns `a`/`b`)
     * by iterative min-label propagation: every vertex starts labelled with
     * its own id; each round every vertex takes the minimum of its own and

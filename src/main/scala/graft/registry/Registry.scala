@@ -2627,7 +2627,40 @@ object Registry {
              |SELECT h.media_id, h.ahash_hi, h.ahash_lo,
              |  CAST(bit_count(xor(h.ahash_hi, r.rh))
              |       + bit_count(xor(h.ahash_lo, r.rl)) AS BIGINT) AS hamming
-             |FROM h, r ORDER BY media_id""".stripMargin))
+             |FROM h, r ORDER BY media_id""".stripMargin)),
+
+    // ---- record linkage: cross-TABLE edit-distance join (entity
+    //      resolution between two catalogs) — q61's length-band blocking
+    //      with a 3-band probe on the left side so each pair is emitted
+    //      exactly once without an ownership rule. Same ASCII
+    //      sanitization: DuckDB's levenshtein is byte-based, Spark's
+    //      counts code points; on pure ASCII they agree exactly ----
+    Entry("q97_entity_link",
+      (s, d) => {
+        // the second catalog is derived deterministically (the q50/q52
+        // pattern): id-shifted rows whose 80-char ASCII prefix has every
+        // 'a' replaced — docs with few 'a's link back to their original
+        val en = docs(s, d).where(col("lang") === "en")
+          .select(col("doc_id"),
+            substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 80)
+              .as("text"))
+        val catalog = en.select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "a", "q").as("text"))
+        Dedup.editDistanceJoin(en, catalog, maxDist = 4,
+            maxBucket = Int.MaxValue)
+          .orderBy("left_id", "right_id")
+      },
+      Some("""WITH en AS (SELECT doc_id,
+             |              substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS t
+             |            FROM documents WHERE lang = 'en'),
+             |l AS (SELECT doc_id, t, length(t) AS len FROM en),
+             |r AS (SELECT doc_id + 1000000 AS doc_id, replace(t, 'a', 'q') AS t,
+             |             length(t) AS len FROM en),
+             |p AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             |             CAST(levenshtein(l.t, r.t) AS BIGINT) AS dist
+             |      FROM l JOIN r ON abs(l.len - r.len) <= 4)
+             |SELECT left_id, right_id, dist FROM p WHERE dist <= 4
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -219,6 +219,43 @@ class DedupGraphSpec extends SparkSpec {
     assert(d.length === 1 && d.head.getLong(2) === 1L)
   }
 
+  test("editDistanceJoin equals the brute cross join and emits pairs once") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23L)
+    val alpha = "abcdefgh"
+    val left = (0 until 25).map(i =>
+      (i.toLong, Seq.fill(15 + rng.nextInt(30))(alpha(rng.nextInt(alpha.length))).mkString))
+    // right catalog: mutated copies of left entries + unrelated strings
+    val right = (0 until 20).map { j =>
+      val (_, t) = left(rng.nextInt(left.length))
+      val chars = t.toCharArray
+      for (_ <- 0 until j % 5)
+        chars(rng.nextInt(chars.length)) = alpha(rng.nextInt(alpha.length))
+      ((100 + j).toLong, new String(chars) + "q" * (j % 3))
+    } ++ (0 until 5).map(j => ((200 + j).toLong, "zzzz" + "y" * j))
+    val lDf = left.toDF("doc_id", "text").cache()
+    val rDf = right.toDF("doc_id", "text").cache()
+    for (k <- Seq(0, 3, 6)) {
+      val truth = lDf.select(col("doc_id").as("left_id"), col("text").as("tl"))
+        .crossJoin(rDf.select(col("doc_id").as("right_id"), col("text").as("tr")))
+        .select(col("left_id"), col("right_id"),
+          levenshtein(col("tl"), col("tr")).cast("long").as("dist"))
+        .where(col("dist") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rows = Dedup.editDistanceJoin(lDf, rDf, k,
+          maxBucket = Int.MaxValue).collect()
+      // exactly-once: the 3-band probe covers each right band a single time
+      assert(rows.length === rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length,
+        s"maxDist=$k duplicated a pair")
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === truth, s"maxDist=$k")
+    }
+    assert(Dedup.editDistanceJoin(lDf, rDf, 6, maxBucket = Int.MaxValue)
+      .count() > 0, "planted cross-catalog matches expected")
+    lDf.unpersist(); rDf.unpersist()
+  }
+
   test("editDistancePairs maxBucket drops oversized buckets, not others") {
     val s = spark
     import s.implicits._
