@@ -2660,7 +2660,41 @@ object Registry {
              |             CAST(levenshtein(l.t, r.t) AS BIGINT) AS dist
              |      FROM l JOIN r ON abs(l.len - r.len) <= 4)
              |SELECT left_id, right_id, dist FROM p WHERE dist <= 4
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- multi-source BFS shortest paths on the q56 supplier↔customer
+    //      bipartite graph: frontier expansion, each round touching only
+    //      the frontier's out-edges + a visited-set anti join; oracle is
+    //      a DuckDB recursive CTE taking min(dist) over walk levels ----
+    Entry("q98_bfs_distances",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").cast("long").as("src"),
+            (col("o_custkey").cast("long") + 1000000L).as("dst"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.pipeline.Graph.bfsDistances(edges, Seq(1L, 2L), maxDepth = 6)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  UNION
+             |  SELECT DISTINCT CAST(o_custkey + 1000000 AS BIGINT),
+             |         CAST(l_suppkey AS BIGINT)
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |walk(node, dist) AS (
+             |  SELECT node, 0 FROM v WHERE node IN (1, 2)
+             |  UNION
+             |  SELECT e.dst, walk.dist + 1 FROM walk
+             |  JOIN e ON e.src = walk.node
+             |  WHERE walk.dist < 6)
+             |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

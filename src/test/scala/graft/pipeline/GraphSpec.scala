@@ -104,4 +104,51 @@ class GraphSpec extends SparkSpec {
       .sortBy(_._1)
     assert(out.toSeq === Seq((1L, 2L, 1L, 3L), (2L, 1L, 1L, 2L), (3L, 0L, 1L, 1L)))
   }
+
+  test("bfsDistances: hand case with an unreachable island and a depth cap") {
+    // 1→2→3→4, 1→3 shortcut; {9,10} island; 5 unreachable from 1
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L), (5L, 1L))
+    val out = Graph.bfsDistances(e, Seq(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // depth cap stops the walk
+    val capped = Graph.bfsDistances(e, Seq(1L), maxDepth = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // multi-source takes the minimum level per vertex
+    val multi = Graph.bfsDistances(e, Seq(1L, 9L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      9L -> 0L, 10L -> 1L))
+    // a source absent from the graph contributes nothing
+    val ghost = Graph.bfsDistances(e, Seq(77L)).count()
+    assert(ghost === 0L)
+  }
+
+  test("bfsDistances matches driver brute force on a seeded random graph") {
+    val rng = new scala.util.Random(41L)
+    val es = (0 until 220).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def bfs(srcs: Seq[Long]): Map[Long, Long] = {
+      val dist = scala.collection.mutable.Map(srcs.map(_ -> 0L): _*)
+      var frontier = srcs
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(dist(_) = d)
+      }
+      dist.toMap
+    }
+    val vertices = es.flatMap(t => Seq(t._1, t._2)).toSet
+    for (srcs <- Seq(Seq(0L), Seq(1L, 7L, 13L))) {
+      val truth = bfs(srcs).filter { case (n, _) => vertices.contains(n) }
+      val got = Graph.bfsDistances(edges(es: _*), srcs, maxDepth = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === truth, s"sources=$srcs")
+    }
+  }
 }
