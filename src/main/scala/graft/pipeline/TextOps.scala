@@ -181,6 +181,54 @@ object TextOps {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** BM25 top-k retrieval (Robertson & Walker SIGIR'94 tf saturation) in
+    * EXACT integer arithmetic. With the standard k1 = 1.2, b = 0.75 the
+    * per-(doc, term) saturation term
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *
+    * is a rational in (tf, dl, L = Σdl, N = #docs); multiplying through by
+    * 10·L makes it `22·tf·L / (10·tf·L + 3·L + 9·dl·N)`, held at fixed
+    * point 1e6 with floor-div — bit-identical on any engine, which a
+    * float BM25 (non-associative sums, libm log) can never be. The idf is
+    * q65's log-free `(N·1e6) div df` (ln would cost cross-engine bit
+    * parity for ulp-level gain); score = Σ idf_scaled·sat_e6.
+    *
+    * Headroom: `22·tf·L·1e6` must stay under 2⁶³ — fine to L·tf ≈ 4e11
+    * (every test SF and any per-shard run); a corpus beyond that drops
+    * the saturation scale to 1e3, trading 3 fixed-point digits.
+    *
+    * Shape at scale: the q65 discipline — the exploded stream is filtered
+    * to query terms before anything wide; dl needs the FULL per-doc token
+    * count, so the corpus is scanned twice narrow (the documented q47
+    * trade); (L, N) are scalar aggs crossed in as one broadcast row;
+    * per-term idf broadcasts; final cut is TakeOrdered, never a global
+    * sort.
+    *
+    * @return (doc_id, score) — the k best by (score desc, doc_id) */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+               text: String = "text"): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tok = docs.select(col("doc_id"), explode(tokens(col(text))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.where(col("token").isInCollection(query))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("token"), expr("(n_docs * 1000000) div df").as("idf_scaled"))
+    val totals = dl.agg(sum(col("dl")).as("big_l"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    tf.join(broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("_sat_e6", expr(
+        "(22 * tf * big_l * 1000000) div (10 * tf * big_l + 3 * big_l + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(sum(col("idf_scaled") * col("_sat_e6")).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
   /** Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * combine any number of rankings of the same id space by summing
     * scale div (kConst + rank) per list — the standard way to merge a

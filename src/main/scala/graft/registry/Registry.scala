@@ -2694,7 +2694,33 @@ object Registry {
              |  JOIN e ON e.src = walk.node
              |  WHERE walk.dist < 6)
              |SELECT node, CAST(min(dist) AS BIGINT) AS dist
-             |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- BM25 retrieval in exact integer arithmetic: Robertson tf
+    //      saturation as the rational 22·tf·L / (10·tf·L + 3·L + 9·dl·N)
+    //      at fixed point 1e6 (k1=1.2, b=0.75 multiplied through by 10·L),
+    //      q65's log-free integer idf — bit-identical across engines ----
+    Entry("q99_bm25",
+      (s, d) => TextOps.bm25TopK(docs(s, d),
+          Seq("join", "filter", "vector"), k = 20),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS L FROM dl),
+             |nn AS (SELECT count(*) AS N FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('join', 'filter', 'vector') GROUP BY 1, 2),
+             |i AS (SELECT token, (nn.N * 1000000) // count(*) AS idf_scaled
+             |      FROM f, nn GROUP BY token, nn.N),
+             |sc AS (SELECT f.doc_id,
+             |         CAST(sum(i.idf_scaled *
+             |           ((22 * f.tf * tot.L * 1000000)
+             |            // (10 * f.tf * tot.L + 3 * tot.L + 9 * dl.dl * nn.N)))
+             |           AS BIGINT) AS score
+             |       FROM f JOIN i USING (token) JOIN dl USING (doc_id), tot, nn
+             |       GROUP BY 1)
+             |SELECT doc_id, score FROM sc
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -652,4 +652,30 @@ class PipelineSpec extends SparkSpec {
     // non-matching docs never appear even with k to spare
     assert(!got.map(_._1).contains(4L))
   }
+
+  test("bm25TopK matches the hand-evaluated integer rational") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "join join join common"),      // dl 4
+      (2L, "join common common x"),       // dl 4
+      (3L, "rare common y z"),            // dl 4
+      (4L, "none of these w")).toDF("doc_id", "text") // dl 4
+    // N=4, L=16; df(join)=2 -> idf 2000000; df(rare)=1 -> idf 4000000
+    // sat_e6(tf, dl=4) = 22*tf*16*1e6 div (10*tf*16 + 3*16 + 9*4*4)
+    def sat(tf: Long): Long = (22L * tf * 16 * 1000000L) / (10 * tf * 16 + 48 + 144)
+    val expected = Map(
+      1L -> 2000000L * sat(3),                  // join tf=3
+      2L -> 2000000L * sat(1),                  // join tf=1
+      3L -> 4000000L * sat(1))                  // rare tf=1
+    val got = TextOps.bm25TopK(corpus, Seq("join", "rare"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+    // saturation: doc 1's tf=3 scores < 3x doc 2's tf=1 (unlike linear tf-idf)
+    assert(got(1L) < 3 * got(2L))
+    // determinism under repartition
+    val re = TextOps.bm25TopK(corpus.repartition(7), Seq("join", "rare"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(re === expected)
+  }
 }
