@@ -51,4 +51,42 @@ object Profile {
         min("lv").as("min_long"), max("lv").as("max_long"),
         min("sv").as("min_str"), max("sv").as("max_str"))
   }
+
+  /** Equal-frequency (quantile) discretization of an integer column into
+    * `k` buckets — the featurization step between profiling and model
+    * input. Bucket boundaries are the k-quantiles under q54's integer
+    * selection rule (`b_j` = smallest v with `k·cum ≥ n·j`), and a row's
+    * bucket is the count of boundaries STRICTLY below its value — exact
+    * integer arithmetic end to end, no percent_rank/ntile tie
+    * nondeterminism.
+    *
+    * Shape at scale: one (value)-keyed groupBy with map-side combine
+    * builds the distinct-value histogram (the only corpus-sized
+    * exchange); the cumulative window runs over the HISTOGRAM (bounded by
+    * the domain's distinct values — quantized/integer domains by
+    * construction); the k−1 boundaries are collected (k-row driver table,
+    * the q42 literal discipline) and baked into the plan as a when-chain,
+    * so the assignment pass is a NARROW projection — no join, no second
+    * shuffle, deterministic under recomputation and retry.
+    *
+    * @return df's id and value columns plus `bin` in [0, k) */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+        sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("v")))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+    val bounds = cum
+      .select(col("v"), explode(sequence(lit(1), lit(k - 1))).as("j"),
+        col("cum"), col("n"))
+      .where(col("cum") * k >= col("n") * col("j"))
+      .groupBy("j").agg(min("v").as("bv"))
+      .collect().map(_.getAs[Long]("bv")).sorted
+    val bin = bounds.map(b =>
+        when(col(valueCol).cast("long") > lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    df.select(col(idCol), col(valueCol), bin.as("bin"))
+  }
 }

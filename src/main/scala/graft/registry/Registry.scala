@@ -2720,7 +2720,29 @@ object Registry {
              |       FROM f JOIN i USING (token) JOIN dl USING (doc_id), tot, nn
              |       GROUP BY 1)
              |SELECT doc_id, score FROM sc
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- equal-frequency discretization: n_chars into 8 quantile
+    //      buckets under q54's integer selection rule; boundaries baked
+    //      as plan literals (q42 discipline) so assignment is narrow ----
+    Entry("q100_quantile_bins",
+      (s, d) => graft.pipeline.Profile.quantileBins(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT n_chars AS v, count(*) AS c
+             |           FROM documents GROUP BY 1),
+             |cw AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             |              sum(c) OVER () AS n
+             |       FROM h),
+             |b AS (SELECT j, min(v) AS bv
+             |      FROM cw, range(1, 8) t(j)
+             |      WHERE cum * 8 >= n * j GROUP BY 1)
+             |SELECT d.doc_id, d.n_chars,
+             |  CAST(sum(CASE WHEN d.n_chars > b.bv THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS bin
+             |FROM documents d CROSS JOIN b
+             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -47,4 +47,29 @@ class ProfileSpec extends SparkSpec {
     assert(rf.getString(rf.fieldIndex("min_str")) === fl.getString(1))
     assert(rf.getString(rf.fieldIndex("max_str")) === fl.getString(2))
   }
+
+  test("quantileBins: hand boundaries, skew collapse, partition invariance") {
+    val s = spark
+    import s.implicits._
+    // uniform 1..8, k=4: boundaries (2,4,6) -> bins {1,2}=0 {3,4}=1 {5,6}=2 {7,8}=3
+    val uni = (1L to 8L).map(v => (v, v)).toDF("doc_id", "v")
+    val got = Profile.quantileBins(uni, "v", k = 4, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+    // heavy tie at the median: the duplicated value stays in ONE bucket
+    val skew = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 9L), (6L, 10L))
+      .toDF("doc_id", "v")
+    val sk = Profile.quantileBins(skew, "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sk === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 1L))
+    // boundaries are literals of the data, not the partitioning
+    val re = Profile.quantileBins(uni.repartition(5), "v", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re === got)
+    // assignment pass is narrow: no exchange after the boundary collect
+    val plan = Profile.quantileBins(uni, "v", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "bin assignment must not shuffle")
+  }
 }
