@@ -606,6 +606,75 @@ object Dedup {
     verifyCandidatePairs(docs, candsDf, threshold, ngram, "text")
   }
 
+  /** Incremental (delta) near-dup: MinHash-LSH pairs between a NEW batch
+    * and an EXISTING corpus — the R-S join form of [[nearDupPairs]], for
+    * the pipeline that lands data continuously and must ask "is anything
+    * in this drop a near-copy of what we already have?" WITHOUT re-pairing
+    * the corpus against itself.
+    *
+    * Both sides run the same one-shuffle signature+banding pipeline
+    * (identical hash family, so a batch signature meets exactly the corpus
+    * buckets a self-join would have met — spec-pinned equal to the
+    * cross-set slice of [[nearDupPairs]] on the union); the candidate join
+    * is batch-bands ⋈ corpus-bands on (band, bkey) — the corpus side is
+    * capped per bucket with the usual recall note, and at scale its banded
+    * frame is the thing to PERSIST AS A TABLE (band, bkey, doc_id —
+    * append-only, 16 bytes/row/band) so each new drop joins against stored
+    * bands and signatures are never recomputed. Verify is the exact-
+    * Jaccard tier over candidate docs only, one side each.
+    *
+    * Doc-id spaces of the two inputs must be disjoint (they identify rows
+    * in the output pair). @return (batch_id, corpus_id, inter, uni,
+    * jaccard) at `threshold`. */
+  def nearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+                          threshold: Double = 0.8, ngram: Int = 3,
+                          numHashes: Int = 32, bands: Int = 16,
+                          maxBucket: Int = 1000,
+                          text: String = "text"): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    def bandRows(docs: DataFrame) =
+      minhashSignatures(shingleHashRows(docs, ngram, text, distinct = false),
+        numHashes)
+        .select(col("doc_id"),
+          posexplode(array((0 until bands).map(b =>
+            xxhash64(lit(b) +: (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+            .as(Seq("band", "bkey")))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val cb = bandRows(corpus)
+      .withColumn("_n", count(lit(1)).over(wB))
+      .where(col("_n") <= maxBucket).drop("_n")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    val bb = bandRows(batch)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
+    val cands = bb.join(cb, Seq("band", "bkey"))
+      .select("batch_id", "corpus_id").distinct()
+      .localCheckpoint()
+    // exact-Jaccard verify over candidate docs only, one side each
+    val bSh = shingleHashRows(
+      batch.join(broadcast(cands.select(col("batch_id").as("doc_id"))),
+        Seq("doc_id"), "left_semi"), ngram, text, distinct = true)
+      .localCheckpoint()
+    val cSh = shingleHashRows(
+      corpus.join(broadcast(cands.select(col("corpus_id").as("doc_id"))),
+        Seq("doc_id"), "left_semi"), ngram, text, distinct = true)
+      .localCheckpoint()
+    val bSz = bSh.groupBy("doc_id").agg(count(lit(1)).as("_sb_"))
+    val cSz = cSh.groupBy("doc_id").agg(count(lit(1)).as("_sc_"))
+    broadcast(cands)
+      .join(bSh.select(col("doc_id").as("batch_id"), col("gram")), "batch_id")
+      .join(cSh.select(col("doc_id").as("corpus_id"), col("gram")),
+        Seq("corpus_id", "gram"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(bSz.select(col("doc_id").as("batch_id"), col("_sb_"))), "batch_id")
+      .join(broadcast(cSz.select(col("doc_id").as("corpus_id"), col("_sc_"))), "corpus_id")
+      .withColumn("uni", col("_sb_") + col("_sc_") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "inter", "uni", "jaccard")
+  }
+
   /** EXACT n-gram Jaccard similarity self-join at threshold `tau` — the
     * non-approximate sibling of [[nearDupPairs]]: every pair with set
     * Jaccard ≥ tau over distinct word n-grams is returned, none missed.

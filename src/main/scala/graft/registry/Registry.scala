@@ -2742,7 +2742,31 @@ object Registry {
              |  CAST(sum(CASE WHEN d.n_chars > b.bv THEN 1 ELSE 0 END) AS BIGINT)
              |    AS bin
              |FROM documents d CROSS JOIN b
-             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+
+    // ---- incremental near-dup: a NEW batch (doc_id % 5 = 0) against the
+    //      EXISTING corpus (the rest) — the R-S LSH join; oracle is the
+    //      cross-set brute-force Jaccard (q15's argument) ----
+    Entry("q101_neardup_delta",
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.nearDupPairsAgainst(
+            all.where(pmod(col("doc_id"), lit(5)) =!= 0),
+            all.where(pmod(col("doc_id"), lit(5)) === 0),
+            threshold = 0.8)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(s"""WITH $shCte
+              |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+              |  CAST(len(list_intersect(b.st, c.st)) AS BIGINT) AS inter,
+              |  CAST(len(b.st) + len(c.st) - len(list_intersect(b.st, c.st)) AS BIGINT) AS uni,
+              |  CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+              |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) AS jaccard
+              |FROM sh b JOIN sh c
+              |  ON b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+              |WHERE CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+              |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) >= 0.8
+              |ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

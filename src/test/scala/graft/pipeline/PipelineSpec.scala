@@ -29,6 +29,25 @@ class PipelineSpec extends SparkSpec {
     assert(truth.nonEmpty, "testdata should contain planted near-duplicates")
   }
 
+  test("nearDupPairsAgainst equals the cross-set slice of nearDupPairs") {
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    // self-join on the union, sliced to cross-set pairs: the R-S tier uses
+    // the identical hash family, so candidates (and verified pairs) agree
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.nearDupPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .flatMap { case (a, b, i, u) =>
+        if (batchIds.contains(a) && !batchIds.contains(b)) Some((a, b, i, u))
+        else if (batchIds.contains(b) && !batchIds.contains(a)) Some((b, a, i, u))
+        else None
+      }.toSet
+    val delta = Dedup.nearDupPairsAgainst(corpus, batch, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(delta === full)
+    assert(delta.nonEmpty, "testdata should contain cross-set near-duplicates")
+  }
+
   test("simhash band blocking finds all pairs with hamming < bands") {
     val sims = TextOps.simhash(docs).cache()
     val brute = TextOps.simhashPairs(sims, maxDist = 3)
