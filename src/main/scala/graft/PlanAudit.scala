@@ -275,6 +275,44 @@ object PlanAudit {
         Seq("l_orderkey", "l_partkey"), Seq("l_returnflag"))
         .explain("formatted")
     }
+    section("q94 cdc latestByKey (expect: partial max_by BEFORE the one " +
+      "hashpartitioning(user_id) exchange — a combiner-sized shuffle; NO " +
+      "Window operator anywhere)") {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val f = raw.select(col("user_id"), col("event_id"),
+        Tables.tsNs(raw).as("time"), col("event_type"))
+      graft.pipeline.Cdc.latestByKey(f, Seq("user_id"),
+        Seq("time", "event_id")).explain("formatted")
+    }
+    section("q96 imageAHash (expect: one narrow mapPartitions over the " +
+      "media scan — decode+hash with NO exchange; the Hamming join " +
+      "BroadcastExchange on the 1-row reference)") {
+      val media = graft.pipeline.Multimodal.syntheticMedia(spark, 300)
+      val h = graft.pipeline.Multimodal.imageAHash(media)
+      val ref = h.where(col("media_id") === 0)
+        .select(col("ahash_hi").as("rh"), col("ahash_lo").as("rl"))
+      h.crossJoin(broadcast(ref))
+        .select(col("media_id"),
+          (bit_count(col("ahash_hi").bitwiseXOR(col("rh"))) +
+            bit_count(col("ahash_lo").bitwiseXOR(col("rl")))).as("d"))
+        .explain("formatted")
+    }
+    section("q99 bm25TopK (expect: the token stream FILTERED to query " +
+      "terms before any wide op; idf + (L, N) scalars as " +
+      "BroadcastExchange; final cut TakeOrderedAndProject, never a " +
+      "global Sort)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.TextOps.bm25TopK(docs,
+        Seq("join", "filter", "vector"), k = 20).explain("formatted")
+    }
+    section("q100 quantileBins (expect: the ASSIGNMENT plan is one narrow " +
+      "projection over the scan — boundaries are literals; the histogram " +
+      "exchange happened once in the boundary job)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Profile.quantileBins(
+        docs.select(col("doc_id"), col("n_chars")), "n_chars", k = 8)
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
