@@ -606,6 +606,83 @@ object Dedup {
     verifyCandidatePairs(docs, candsDf, threshold, ngram, "text")
   }
 
+  /** EXACT cosine-threshold similarity self-join over the corpus's sparse
+    * integer term-frequency vectors — the cosine member of the exact
+    * similarity-join family (Jaccard: [[jaccardJoin]]; edit distance:
+    * [[editDistancePairs]]): every pair with tf-vector cosine ≥ tau is
+    * returned, none missed, no LSH approximation.
+    *
+    * Scales by PREFIX FILTERING on the L2 mass (Bayardo, Ma & Srikant,
+    * "Scaling up all pairs similarity search", WWW'07): order each
+    * vector's terms by DESCENDING global df (commonest first, ties on
+    * term) and index a position only once the prefix's squared-norm share
+    * reaches tau² — any pair whose shared terms all sit in an un-indexed
+    * prefix U has cos ≤ ‖U‖·1 < tau (Cauchy–Schwarz), so every
+    * qualifying pair shares at least one INDEXED term of each side and
+    * the full ⋈ indexed join has recall exactly 1. Common terms carry the
+    * un-indexed mass, so inverted-index postings hold the rare tail —
+    * short lists where all-pairs would explode.
+    *
+    * Everything is EXACT INTEGER: tau is the rational tauNum/tauDen, the
+    * index condition is `psum·tauDen² ≥ tauNum²·n2` (prefix sum of w²
+    * against the vector's total), and the final acceptance is
+    * `dot²·tauDen² ≥ tauNum²·na2·nb2` — no float enters any decision, so
+    * a brute-force SQL oracle matches bit-for-bit. Headroom: token counts
+    * to ~1e4 per doc keep `dot²·tauDen²` under 2⁶³ for single-digit
+    * tauDen.
+    *
+    * Shape at scale: one term-df shuffle (inherent — the order is
+    * global), one doc_id window exchange carrying prefix sums AND totals,
+    * the full×indexed term equi-join (posting lists cappable via
+    * `maxPosting`, recall note as [[lshCandidates]]; oracles pass
+    * Int.MaxValue), then the candidate-docs-only exact verify. The corpus
+    * tf frame is never self-joined in full and never cached. */
+  def cosineJoin(docs: DataFrame, tauNum: Long, tauDen: Long,
+                 text: String = "text",
+                 maxPosting: Int = Int.MaxValue): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val W = org.apache.spark.sql.expressions.Window
+    val f = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
+    val dfTbl = f.groupBy("term").agg(count(lit(1)).as("_df"))
+    val wDoc = W.partitionBy("doc_id").orderBy(desc("_df"), asc("term"))
+    val withPs = f.join(dfTbl, "term")
+      .withColumn("_psum", sum(col("w") * col("w")).over(wDoc))
+      .withColumn("_n2", sum(col("w") * col("w")).over(W.partitionBy("doc_id")))
+    val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
+    val idx0 = withPs.where(col("_psum") * t2d >= col("_n2") * t2n)
+    val idx =
+      if (maxPosting == Int.MaxValue) idx0
+      else idx0.withColumn("_np", count(lit(1)).over(W.partitionBy("term")))
+        .where(col("_np") <= maxPosting).drop("_np")
+    val cands = withPs.select(col("doc_id").as("_fa"), col("term"))
+      .join(idx.select(col("doc_id").as("_fb"), col("term")), "term")
+      .where(col("_fa") =!= col("_fb"))
+      .select(least(col("_fa"), col("_fb")).as("doc_a"),
+        greatest(col("_fa"), col("_fb")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val candF = f.join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val n2 = candF.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    cands
+      .join(candF.select(col("doc_id").as("doc_a"), col("term"),
+        col("w").as("_wa")), "doc_a")
+      .join(candF.select(col("doc_id").as("doc_b"), col("term"),
+        col("w").as("_wb")), Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("_wa") * col("_wb")).as("dot"))
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .where(col("dot") * col("dot") * t2d >= col("na2") * col("nb2") * t2n)
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .select("doc_a", "doc_b", "dot", "na2", "nb2", "cosine")
+  }
+
   /** Incremental (delta) near-dup: MinHash-LSH pairs between a NEW batch
     * and an EXISTING corpus — the R-S join form of [[nearDupPairs]], for
     * the pipeline that lands data continuously and must ask "is anything

@@ -2766,7 +2766,31 @@ object Registry {
               |  ON b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
               |WHERE CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
               |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) >= 0.8
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- EXACT cosine-threshold similarity join (Bayardo all-pairs,
+    //      WWW'07): tf-vector cosine ≥ 4/5 with every decision an integer
+    //      comparison (index: psum·25 ≥ 16·n2; accept: dot²·25 ≥
+    //      16·na2·nb2) — so the brute-force SQL is an exact oracle and
+    //      the prefix filter's recall-1 claim is a checked fact ----
+    Entry("q102_cosine_join",
+      (s, d) => Dedup.cosineJoin(docs(s, d), tauNum = 4L, tauDen = 5L)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |f AS (SELECT doc_id, term, count(*) AS w FROM t GROUP BY 1, 2),
+             |n2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nn FROM f GROUP BY 1),
+             |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+             |       FROM f a JOIN f b ON a.term = b.term AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, dot, x.nn AS na2, y.nn AS nb2,
+             |  CAST(dot AS DOUBLE) /
+             |    sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE)) AS cosine
+             |FROM dt JOIN n2 x ON dt.doc_a = x.doc_id
+             |        JOIN n2 y ON dt.doc_b = y.doc_id
+             |WHERE dot * dot * 25 >= 16 * x.nn * y.nn
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

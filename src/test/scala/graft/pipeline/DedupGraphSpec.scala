@@ -219,6 +219,58 @@ class DedupGraphSpec extends SparkSpec {
     assert(d.length === 1 && d.head.getLong(2) === 1L)
   }
 
+  private def bruteCosine(corpus: DataFrame, tn: Long, td: Long) = {
+    val f = corpus
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
+    val n2 = f.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    f.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(f.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .where(col("dot") * col("dot") * (td * td) >=
+        col("na2") * col("nb2") * (tn * tn))
+      .select("doc_a", "doc_b", "dot", "na2", "nb2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+  }
+
+  test("cosineJoin equals brute force at two rational thresholds") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 150).cache()
+    for ((tn, td) <- Seq((4L, 5L), (7L, 10L))) {
+      val truth = bruteCosine(corpus, tn, td)
+      val got = Dedup.cosineJoin(corpus, tn, td)
+        .select("doc_a", "doc_b", "dot", "na2", "nb2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === truth, s"tau=$tn/$td")
+      assert(truth.nonEmpty, s"expected pairs at tau=$tn/$td")
+    }
+    corpus.unpersist()
+  }
+
+  test("cosineJoin maxPosting caps index lists, not the survivors' exactness") {
+    val s = spark
+    import s.implicits._
+    // two identical docs (cos 1) + many docs sharing one hub term
+    val hub = (10L to 30L).map(i => (i, s"hub unique$i"))
+    val corpus = (Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")) ++ hub)
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.cosineJoin(corpus, 9L, 10L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L)))
+    // a tiny cap drops the hub postings but the surviving pair stays exact
+    val capped = Dedup.cosineJoin(corpus, 9L, 10L, maxPosting = 5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("editDistanceJoin equals the brute cross join and emits pairs once") {
     val s = spark
     import s.implicits._
