@@ -2790,7 +2790,24 @@ object Registry {
              |FROM dt JOIN n2 x ON dt.doc_a = x.doc_id
              |        JOIN n2 y ON dt.doc_b = y.doc_id
              |WHERE dot * dot * 25 >= 16 * x.nn * y.nn
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- skew-safe per-group top-k: local top-k per (key, salt) shard,
+    //      then a global settle over k·salts survivors — the second
+    //      exchange is bounded by the ANSWER size, not the group size;
+    //      result equals the textbook single window (the oracle) ----
+    Entry("q103_per_source_topk",
+      (s, d) => graft.pipeline.TopK.perKeyTopK(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          Seq("source"), Seq(desc("n_chars"), asc("doc_id")), k = 5,
+          saltBy = col("doc_id"))
+        .orderBy("source", "rnk"),
+      Some("""WITH r AS (SELECT doc_id, source, n_chars,
+             |  CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+             |FROM documents)
+             |SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= 5
+             |ORDER BY source, rnk""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
