@@ -202,6 +202,62 @@ object Sketches {
         lit(alpha) * (lit(scale) / col("zi").cast("double")))
   }
 
+  /** Mergeable quantile sketch, HDR-histogram style (Tene's
+    * HdrHistogram; same log-bucket family as DDSketch, Masson et al.
+    * VLDB'19) — the quantile member of the sketch tier (HLL: distinct,
+    * Count-Min: frequency). Non-negative integers land in a bucket that
+    * keeps the leading `1 + m` bits: `B(v) = v` below 2^(m+1), else
+    * `(L−1−m)·2^m + (v >> (L−1−m))` with L = v's bit length — strictly
+    * monotone in v (bucket order = value order), PURE INTEGER (bit
+    * length via `length(bin(v))`, the HLL-rank trick), deterministic and
+    * order-independent, so register tables merge by (sum cnt, min vmin)
+    * — unlike GK/t-digest, whose arrival-order dependence would break
+    * hash-oracle parity. Relative bucket width ≤ 2^−m.
+    *
+    * Register rows: (keys…, _b, _cnt, _vmin) — one partial-agg shuffle,
+    * register-table-sized (≤ (64−m)·2^m rows per key, ~1.9k at m = 5). */
+  private[pipeline] def hdrRegisters(df: DataFrame, keys: Seq[String],
+                                     valueCol: String, m: Int): DataFrame = {
+    require(m >= 1 && m <= 20, s"m must be in [1,20], got $m")
+    val lim = 1L << (m + 1)
+    df.where(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("_v", col(valueCol).cast("long"))
+      .withColumn("_b", when(col("_v") < lim, col("_v")).otherwise(
+        expr(s"(length(bin(_v)) - 1 - $m) * ${1L << m}L" +
+          s" + (_v div shiftleft(1L, length(bin(_v)) - 1 - $m))")))
+      .groupBy(keys.map(col) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_cnt"), min("_v").as("_vmin"))
+  }
+
+  /** Approximate per-key percentiles from the merged HDR register table:
+    * for each p the FIRST bucket with `100·cum ≥ n·p` (q54's exact
+    * integer selection rule, applied to bucket counts), answered by that
+    * bucket's true minimum value — a real data point at most one bucket
+    * width (≤ 2^−m relative) below the exact percentile. The cumulative
+    * window runs over REGISTER rows per key; the corpus is touched once.
+    * Exact quantiles ([[graft.hta.Queries.valueQuantiles]]) shuffle the
+    * distinct-VALUE histogram; this sketch caps that at the register
+    * count and, unlike the exact form, merges across shards/days/stores
+    * without re-scanning (the q91 property, for quantiles).
+    *
+    * @return per (keys…, p): q_approx (bucket-min value), n */
+  def hdrQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                   ps: Seq[Int], m: Int = 5): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "ps in [1,100]")
+    val W = org.apache.spark.sql.expressions.Window
+    val regs = hdrRegisters(df, keys, valueCol, m)
+    val cum = regs
+      .withColumn("_cum",
+        sum("_cnt").over(W.partitionBy(keys.map(col): _*).orderBy("_b")))
+      .withColumn("n", sum("_cnt").over(W.partitionBy(keys.map(col): _*)))
+    cum.select(keys.map(col) ++ Seq(col("_b"), col("_vmin"), col("_cum"),
+        col("n"), explode(lit(ps.toArray)).as("_p0")): _*)
+      .withColumn("p", col("_p0").cast("long"))
+      .where(col("_cum") * 100 >= col("n") * col("p"))
+      .groupBy(keys.map(col) :+ col("p"): _*)
+      .agg(min_by(col("_vmin"), col("_b")).as("q_approx"), min("n").as("n"))
+  }
+
   /** Sliding-window distinct counts from MERGED daily sketches: one HLL
     * register table per (keys, day), then for every observed day the
     * registers of the trailing `windowDays` days merge by max and roll

@@ -2807,7 +2807,39 @@ object Registry {
              |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
              |FROM documents)
              |SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= 5
-             |ORDER BY source, rnk""".stripMargin))
+             |ORDER BY source, rnk""".stripMargin)),
+
+    // ---- mergeable HDR quantile sketch: per-source n_chars percentiles
+    //      from leading-(1+m)-bit buckets — pure integer (bit length via
+    //      bin/printf('%b')), order-independent, q54's selection rule on
+    //      register rows; answer = the chosen bucket's true min value ----
+    Entry("q104_hdr_quantiles",
+      (s, d) => Sketches.hdrQuantiles(
+          docs(s, d).select(col("source"), col("n_chars")),
+          Seq("source"), "n_chars", ps = Seq(50, 90, 99), m = 5)
+        .orderBy("source", "p"),
+      Some("""WITH v AS (SELECT source, n_chars AS v FROM documents
+             |           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+             |bk AS (SELECT source, v,
+             |         CASE WHEN v < 64 THEN v
+             |              ELSE (length(printf('%b', v)) - 1 - 5) * 32
+             |                   + (v // (1::BIGINT << (length(printf('%b', v)) - 1 - 5)))
+             |         END AS b
+             |       FROM v),
+             |r AS (SELECT source, b, count(*) AS c, min(v) AS vmin
+             |      FROM bk GROUP BY 1, 2),
+             |cw AS (SELECT source, b, vmin,
+             |         sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+             |         sum(c) OVER (PARTITION BY source) AS n
+             |       FROM r),
+             |q AS (SELECT cw.source, p.p, cw.vmin, cw.n,
+             |        row_number() OVER (PARTITION BY cw.source, p.p
+             |          ORDER BY cw.b) AS rn
+             |      FROM cw, (VALUES (50), (90), (99)) p(p)
+             |      WHERE cum * 100 >= n * p.p)
+             |SELECT source, CAST(p AS BIGINT) AS p, vmin AS q_approx,
+             |  CAST(n AS BIGINT) AS n
+             |FROM q WHERE rn = 1 ORDER BY source, p""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -212,4 +212,48 @@ class SketchesSpec extends SparkSpec {
       depth = 4, width = 16).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("hdrQuantiles: within one bucket width of the exact percentile") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7L)
+    val data = (1 to 4000).map(_ => ("k", math.abs(rng.nextLong()) % 1000000L))
+      .toDF("k", "v")
+    val m = 5
+    val got = Sketches.hdrQuantiles(data, Seq("k"), "v", Seq(50, 90, 99), m)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val sorted = data.collect().map(_.getLong(1)).sorted
+    for (p <- Seq(50, 90, 99)) {
+      // exact percentile under the same selection rule
+      val exact = sorted((math.ceil(sorted.length * p / 100.0) - 1).toInt.max(0))
+      val (approx, n) = got(p.toLong)
+      assert(n === 4000L)
+      assert(approx <= exact, s"p$p: bucket min must lower-bound the exact")
+      assert(exact <= approx + (approx >> m) + 1,
+        s"p$p: exact $exact beyond bucket width above $approx")
+    }
+  }
+
+  test("hdr registers merge by (sum, min) and values below 2^(m+1) are exact") {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 600).map(i => ("g", (i * 7919L) % 5000L)).toDF("k", "v")
+    val m = 5
+    val full = Sketches.hdrRegisters(all, Seq("k"), "v", m)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val h1 = Sketches.hdrRegisters(all.where(col("v") % 2 === 0), Seq("k"), "v", m)
+    val h2 = Sketches.hdrRegisters(all.where(col("v") % 2 === 1), Seq("k"), "v", m)
+    val merged = h1.unionByName(h2)
+      .groupBy("k", "_b")
+      .agg(sum("_cnt").as("_cnt"), min("_vmin").as("_vmin"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged === full)
+    // small-value regime: B(v) = v, so the sketch IS the exact histogram
+    val small = (1 to 200).map(i => ("s", (i % 60).toLong)).toDF("k", "v")
+    val exact50 = small.collect().map(_.getLong(1)).sorted.apply(
+      (math.ceil(200 * 0.5) - 1).toInt)
+    val q = Sketches.hdrQuantiles(small, Seq("k"), "v", Seq(50), m)
+      .collect().head.getLong(2)
+    assert(q === exact50)
+  }
 }
