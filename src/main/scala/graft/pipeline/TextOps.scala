@@ -181,6 +181,50 @@ object TextOps {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** Collocation (phrase) detection by integer LIFT — the
+    * phrase-vocabulary step of tokenizer/embedding pipelines (the
+    * word2vec phrase pass, Mikolov et al. 2013, with the log dropped):
+    * adjacent token pairs scored by
+    *
+    *   lift_e6 = (c_xy · N · 1e6) div (c_x · c_y)
+    *
+    * — proportional to p(xy)/(p(x)p(y)) with the corpus-constant bigram/
+    * unigram total ratio folded in, so the RANKING equals PMI's (log is
+    * monotone) while every operation stays an exact integer (libm log
+    * would cost cross-engine bit parity, the q47/q99 rule). `minCount`
+    * suppresses the low-frequency noise PMI is notorious for.
+    *
+    * Shape at scale: bigrams from a doc-keyed lead window (one corpus
+    * exchange, partition width = one document), one (w1, w2) partial-agg
+    * shuffle already reduced to the bigram vocabulary, unigram counts
+    * joined back (vocabulary-sized, AQE-broadcast), TakeOrdered cut.
+    * Headroom: c_xy·N·1e6 under 2⁶³ to ~3e6-token corpora per run —
+    * beyond that, drop the scale or pre-aggregate per shard.
+    *
+    * @return top `k` by (lift_e6 desc, w1, w2):
+    *         (w1, w2, c_xy, c_x, c_y, lift_e6) */
+  def collocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50,
+                   text: String = "text"): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col(text))).as(Seq("_pos", "_w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("_pos")
+    val big = tok.withColumn("_w2", lead("_w", 1).over(w))
+      .where(col("_w2").isNotNull)
+      .groupBy(col("_w").as("w1"), col("_w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val uni = tok.groupBy(col("_w").as("_t")).agg(count(lit(1)).as("_c"))
+    big
+      .join(uni.select(col("_t").as("w1"), col("_c").as("c_x")), "w1")
+      .join(uni.select(col("_t").as("w2"), col("_c").as("c_y")), "w2")
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("_n"))))
+      .withColumn("lift_e6", expr("(c_xy * _n * 1000000) div (c_x * c_y)"))
+      .orderBy(desc("lift_e6"), asc("w1"), asc("w2")).limit(k)
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_e6")
+  }
+
   /** BM25 top-k retrieval (Robertson & Walker SIGIR'94 tf saturation) in
     * EXACT integer arithmetic. With the standard k1 = 1.2, b = 0.75 the
     * per-(doc, term) saturation term

@@ -2839,7 +2839,28 @@ object Registry {
              |      WHERE cum * 100 >= n * p.p)
              |SELECT source, CAST(p AS BIGINT) AS p, vmin AS q_approx,
              |  CAST(n AS BIGINT) AS n
-             |FROM q WHERE rn = 1 ORDER BY source, p""".stripMargin))
+             |FROM q WHERE rn = 1 ORDER BY source, p""".stripMargin)),
+
+    // ---- collocations by exact-integer lift: the word2vec phrase pass
+    //      with the log dropped (ranking-equivalent to PMI); bigrams off
+    //      a doc-keyed lead window, unigram joins vocabulary-sized ----
+    Entry("q105_collocations",
+      (s, d) => TextOps.collocations(docs(s, d), minCount = 5L, k = 50),
+      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS s
+             |            FROM documents),
+             |bgx AS (SELECT unnest([{'w1': s[i], 'w2': s[i+1]}
+             |                      for i in range(1, len(s))]) AS b
+             |        FROM tt),
+             |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy
+             |       FROM bgx GROUP BY 1, 2 HAVING count(*) >= 5),
+             |un AS (SELECT unnest(s) AS t FROM tt),
+             |uc AS (SELECT t, count(*) AS c FROM un GROUP BY 1),
+             |nt AS (SELECT count(*) AS n FROM un)
+             |SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
+             |  CAST((c_xy * nt.n * 1000000) // (x.c * y.c) AS BIGINT) AS lift_e6
+             |FROM bg JOIN uc x ON bg.w1 = x.t
+             |        JOIN uc y ON bg.w2 = y.t, nt
+             |ORDER BY lift_e6 DESC, w1, w2 LIMIT 50""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

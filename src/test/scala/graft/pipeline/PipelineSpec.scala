@@ -672,6 +672,27 @@ class PipelineSpec extends SparkSpec {
     assert(!got.map(_._1).contains(4L))
   }
 
+  test("collocations rank bound phrases above chance pairs by exact lift") {
+    val s = spark
+    import s.implicits._
+    // "new york" always bound; "the cat" rides the common word "the"
+    val corpus = Seq(
+      (1L, "new york is big the cat sat on the mat"),
+      (2L, "i love new york the dog ran to the park"),
+      (3L, "new york new york the cat hid in the box")).toDF("doc_id", "text")
+    val out = TextOps.collocations(corpus, minCount = 2L, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // hand counts: tokens N = 30; c(new)=4, c(york)=4, c(new york)=4
+    val (cxy, cx, cy, lift) = out(("new", "york"))
+    assert((cxy, cx, cy) === ((4L, 4L, 4L)))
+    assert(lift === 4L * 30L * 1000000L / (4L * 4L))
+    // the bound phrase dominates the chance pair
+    assert(lift > out(("the", "cat"))._4)
+    // minCount prunes singletons ("york is" occurs once)
+    assert(!out.contains(("york", "is")))
+  }
+
   test("bm25TopK matches the hand-evaluated integer rational") {
     val s = spark
     import s.implicits._
