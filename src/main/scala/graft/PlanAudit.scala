@@ -313,6 +313,20 @@ object PlanAudit {
         docs.select(col("doc_id"), col("n_chars")), "n_chars", k = 8)
         .explain("formatted")
     }
+    section("q104 hdrQuantiles (expect: ONE corpus-sized partial-agg " +
+      "exchange to register rows (keys, _b); cumulative windows over " +
+      "REGISTER partitions only)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Sketches.hdrQuantiles(
+        docs.select(col("source"), col("n_chars")), Seq("source"),
+        "n_chars", Seq(50, 90, 99)).explain("formatted")
+    }
+    section("q105 collocations (expect: doc-keyed window exchange for the " +
+      "lead, one (w1, w2) partial-agg shuffle, unigram joins " +
+      "vocabulary-sized/broadcast, TakeOrderedAndProject cut)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.TextOps.collocations(docs).explain("formatted")
+    }
     spark.stop()
   }
 }
