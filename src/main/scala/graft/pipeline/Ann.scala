@@ -693,4 +693,37 @@ object Ann {
       .where(col("rnk") <= k)
       .select("qid", "vid", "rnk", "cosine")
   }
+
+  /** Per-label centroid outliers — the embedding-QA pass that flags each
+    * cluster's farthest member (mislabeled/contaminated vectors sit far
+    * from their class centroid). EXACT integers end to end: on the
+    * quantized grid, `‖v − mean‖²` scaled by n² is
+    * `Σ_d (n·q_d − S_d)²` with S_d the label's per-dimension sum — no
+    * mean division, no float accumulation, so the winner (max d2_num,
+    * ties to the smaller vec_id) is bit-deterministic and SQL-matchable.
+    *
+    * Shape at scale: one (label, dim) partial-agg shuffle builds the
+    * centroid sums (labels×dims rows, broadcast back), one (label,
+    * vec_id) partial-agg shuffle scores members, and the per-label
+    * argmax is a combiner-friendly `max_by`. The corpus is read once.
+    * Headroom: `(n·|q| + n·|q|)² · dims < 2⁶³` — n·10⁴ per label to
+    * ~3e8, far beyond any per-label cluster size in practice.
+    *
+    * @return per label: (label, n, outlier_id, d2_num) */
+  def labelOutliers(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"), col("label"),
+      posexplode(quantize(col("embedding"))).as(Seq("d", "q")))
+    val s = x.groupBy("label", "d").agg(sum("q").as("_sd"))
+    val n = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val d2 = x.join(broadcast(s), Seq("label", "d"))
+      .join(broadcast(n), "label")
+      .withColumn("_t",
+        (col("n") * col("q") - col("_sd")) * (col("n") * col("q") - col("_sd")))
+      .groupBy("label", "vec_id").agg(sum("_t").as("d2_num"))
+    d2.groupBy("label")
+      .agg(max_by(struct(col("vec_id").as("outlier_id"), col("d2_num")),
+        struct(col("d2_num"), -col("vec_id"))).as("_r"))
+      .join(n, "label")
+      .select(col("label"), col("n"), col("_r.outlier_id"), col("_r.d2_num"))
+  }
 }

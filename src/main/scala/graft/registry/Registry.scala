@@ -2860,7 +2860,36 @@ object Registry {
              |  CAST((c_xy * nt.n * 1000000) // (x.c * y.c) AS BIGINT) AS lift_e6
              |FROM bg JOIN uc x ON bg.w1 = x.t
              |        JOIN uc y ON bg.w2 = y.t, nt
-             |ORDER BY lift_e6 DESC, w1, w2 LIMIT 50""".stripMargin))
+             |ORDER BY lift_e6 DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // ---- embedding QA: each label's farthest-from-centroid member in
+    //      exact integers (n²·‖v−mean‖² = Σ(n·q − S)², no mean division)
+    //      — mislabel/contamination flagging over the embeddings table ----
+    Entry("q106_label_outliers",
+      (s, d) => Ann.labelOutliers(emb(s, d)).orderBy("label"),
+      Some("""WITH e0 AS (SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |t AS (SELECT vec_id, label,
+             |        unnest([{'d': i, 'q': e[i]} for i in range(1, len(e)+1)]) AS u
+             |      FROM e0),
+             |x AS (SELECT vec_id, label, u.d AS d, u.q AS q FROM t),
+             |sd AS (SELECT label, d, CAST(sum(q) AS BIGINT) AS s
+             |       FROM x GROUP BY 1, 2),
+             |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+             |dd AS (SELECT x.label, x.vec_id,
+             |         CAST(sum((n.n*x.q - sd.s)*(n.n*x.q - sd.s)) AS BIGINT) AS d2_num
+             |       FROM x JOIN sd ON x.label = sd.label AND x.d = sd.d
+             |              JOIN n ON x.label = n.label
+             |       GROUP BY 1, 2),
+             |r AS (SELECT label, vec_id, d2_num,
+             |        row_number() OVER (PARTITION BY label
+             |          ORDER BY d2_num DESC, vec_id) AS rn
+             |      FROM dd)
+             |SELECT r.label, n.n, r.vec_id AS outlier_id, r.d2_num
+             |FROM r JOIN n ON r.label = n.label
+             |WHERE rn = 1 ORDER BY r.label""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -672,6 +672,30 @@ class PipelineSpec extends SparkSpec {
     assert(!got.map(_._1).contains(4L))
   }
 
+  test("labelOutliers flags the planted off-centroid member exactly") {
+    val s = spark
+    import s.implicits._
+    // label 0: three near-identical vectors + one far outlier (vec 4);
+    // label 1: a tie on distance broken by the smaller vec_id
+    val rows = Seq(
+      (1L, 0, Array(0.1f, 0.2f)), (2L, 0, Array(0.1f, 0.2f)),
+      (3L, 0, Array(0.1f, 0.2f)), (4L, 0, Array(0.9f, -0.5f)),
+      (10L, 1, Array(1.0f, 0.0f)), (11L, 1, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.labelOutliers(rows).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // manual: q = round(x*10000); label 0 sums S = (12000, 1000)
+    // vec 4: n*q - S = (4*9000-12000, 4*-5000-1000) = (24000, -21000)
+    val d4 = 24000L * 24000L + 21000L * 21000L
+    assert(out(0) === ((0, 4L, 4L, d4)))
+    // label 1: symmetric pair — equal distance, vec 10 wins the tie
+    assert(out(1)._3 === 10L && out(1)._2 === 2L)
+    // partitioning invariance (integer sums)
+    val re = Ann.labelOutliers(rows.repartition(5)).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("collocations rank bound phrases above chance pairs by exact lift") {
     val s = spark
     import s.implicits._
