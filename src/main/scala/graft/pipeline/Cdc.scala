@@ -37,6 +37,32 @@ object Cdc {
       .select(col("_r.*"))
   }
 
+  /** Snapshot diff — dataset versioning's primitive: classify every key
+    * across two snapshots as `added` (new only), `removed` (old only),
+    * `changed` (both, different content) or `same` (null-safe content
+    * compare). One full-outer equi-join = one shuffle per side on the
+    * key; at scale, co-locate both snapshots with [[graft.store.Bucketed]]
+    * on the key and the join runs exchange-free.
+    *
+    * @param content the column compared for change detection (precompute
+    *                a content hash column for wide rows)
+    * @return keys…, old_<content>, new_<content>, status */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   content: String): DataFrame = {
+    require(keys.nonEmpty, "need join keys")
+    val o = oldDf.select(keys.map(col) :+ col(content).as(s"old_$content"): _*)
+      .withColumn("_in_old", lit(true))
+    val n = newDf.select(keys.map(col) :+ col(content).as(s"new_$content"): _*)
+      .withColumn("_in_new", lit(true))
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(col(s"old_$content") <=> col(s"new_$content"), "same")
+          .otherwise("changed"))
+      .drop("_in_old", "_in_new")
+  }
+
   /** SCD type-2 history: every change row becomes a validity interval
     * `[valid_from, valid_to)`, with `valid_to` NULL on each key's current
     * row. One per-key lead window — a single keyed shuffle whose partition

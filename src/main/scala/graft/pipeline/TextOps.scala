@@ -181,6 +181,33 @@ object TextOps {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** Overlapping token-window chunking — the retrieval (RAG) sibling of
+    * sequence packing (q42 packs documents INTO fixed budgets; this
+    * splits documents into windows): chunk k of a doc covers tokens
+    * `[k·stride, k·stride + window)`, chunks emitted while their start
+    * is inside the doc (the last may be short). A pure NARROW projection
+    * — explode + slice per row, no shuffle, no state — so it
+    * parallelizes embarrassingly and pushes through any upstream filter.
+    *
+    * @return (doc_id, chunk_id, start_tok, n_tok, chunk) */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+                text: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.select(col("doc_id"), tokens(col(text)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .where(col("_n") > 0)
+      .select(col("doc_id"), col("_t"), col("_n"),
+        explode(sequence(lit(0), expr(s"(_n - 1) div $stride"))).as("_k"))
+      .select(col("doc_id"),
+        col("_k").cast("long").as("chunk_id"),
+        (col("_k") * stride).cast("long").as("start_tok"),
+        least(lit(window), col("_n") - col("_k") * stride).cast("long")
+          .as("n_tok"),
+        array_join(slice(col("_t"), col("_k") * stride + 1, lit(window)), " ")
+          .as("chunk"))
+  }
+
   /** Collocation (phrase) detection by integer LIFT — the
     * phrase-vocabulary step of tokenizer/embedding pipelines (the
     * word2vec phrase pass, Mikolov et al. 2013, with the log dropped):

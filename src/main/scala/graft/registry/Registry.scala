@@ -2889,7 +2889,55 @@ object Registry {
              |      FROM dd)
              |SELECT r.label, n.n, r.vec_id AS outlier_id, r.d2_num
              |FROM r JOIN n ON r.label = n.label
-             |WHERE rn = 1 ORDER BY r.label""".stripMargin))
+             |WHERE rn = 1 ORDER BY r.label""".stripMargin)),
+
+    // ---- retrieval chunking: overlapping 40-token windows at stride 30
+    //      — a narrow projection (explode + slice), zero shuffles ----
+    Entry("q107_chunk_docs",
+      (s, d) => TextOps.chunkDocs(docs(s, d), window = 40, stride = 30)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS s
+             |            FROM documents),
+             |c AS (SELECT doc_id, len(s) AS n,
+             |        unnest([{'k': k, 'c': array_to_string(s[k*30+1 : k*30+40], ' ')}
+             |                for k in range(0, (len(s)-1)//30 + 1)]) AS u
+             |      FROM tt WHERE len(s) > 0)
+             |SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_id,
+             |  CAST(u.k*30 AS BIGINT) AS start_tok,
+             |  CAST(least(40, n - u.k*30) AS BIGINT) AS n_tok,
+             |  u.c AS chunk
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- snapshot diff: the second snapshot is derived deterministically
+    //      (q97's pattern) — drops every 17th event, bumps cents on every
+    //      13th — so added/removed/changed/same classes all occur ----
+    Entry("q108_snapshot_diff",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val ev = raw.select(col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val neu = ev.where(pmod(col("event_id"), lit(17)) =!= 0)
+          .withColumn("cents",
+            when(pmod(col("event_id"), lit(13)) === 0, col("cents") + 1)
+              .otherwise(col("cents")))
+        graft.pipeline.Cdc.snapshotDiff(ev, neu, Seq("event_id"), "cents")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id,
+             |              CAST(round(value*100) AS BIGINT) AS cents
+             |            FROM events),
+             |neu AS (SELECT event_id,
+             |          CASE WHEN event_id % 13 = 0 THEN cents + 1
+             |               ELSE cents END AS cents
+             |        FROM ev WHERE event_id % 17 != 0)
+             |SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             |  o.cents AS old_cents, n.cents AS new_cents,
+             |  CASE WHEN o.event_id IS NULL THEN 'added'
+             |       WHEN n.event_id IS NULL THEN 'removed'
+             |       WHEN o.cents IS NOT DISTINCT FROM n.cents THEN 'same'
+             |       ELSE 'changed' END AS status
+             |FROM ev o FULL OUTER JOIN neu n ON o.event_id = n.event_id
+             |ORDER BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

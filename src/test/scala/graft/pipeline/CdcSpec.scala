@@ -59,6 +59,19 @@ class CdcSpec extends SparkSpec {
       ("c", 7L, 5L, 7L, None, true)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/same null-safely") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Some("x")), (2L, Some("y")), (3L, None), (5L, None))
+      .toDF("k", "c")
+    val neu = Seq((2L, Some("y")), (3L, Some("z")), (4L, Some("w")), (5L, None))
+      .toDF("k", "c")
+    val out = Cdc.snapshotDiff(old, neu, Seq("k"), "c")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "added", 5L -> "same"))
+  }
+
   test("scd2 current rows equal latestByKey survivors") {
     val cur = Cdc.scd2(changelog, Seq("k"), Seq("t", "seq"), "t")
       .where(col("is_current"))

@@ -672,6 +672,24 @@ class PipelineSpec extends SparkSpec {
     assert(!got.map(_._1).contains(4L))
   }
 
+  test("chunkDocs windows with stride and a short tail") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // split-semantics parity: "" tokenizes to [""], one empty chunk
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 3L, "a b c"), (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 3L, "e f g"), (1L, 3L, 6L, 1L, "g"),
+      (2L, 0L, 0L, 1L, "x"), (3L, 0L, 0L, 1L, "")))
+    // stride == window: non-overlapping partition of the token stream
+    val flat = TextOps.chunkDocs(d.where(col("doc_id") === 1), 3, 3)
+      .orderBy("chunk_id").collect().map(_.getString(4))
+    assert(flat.toSeq === Seq("a b c", "d e f", "g"))
+  }
+
   test("labelOutliers flags the planted off-centroid member exactly") {
     val s = spark
     import s.implicits._
