@@ -2937,7 +2937,88 @@ object Registry {
              |       WHEN o.cents IS NOT DISTINCT FROM n.cents THEN 'same'
              |       ELSE 'changed' END AS status
              |FROM ev o FULL OUTER JOIN neu n ON o.event_id = n.event_id
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- market-basket affinity: q105's exact-integer lift on the
+    //      (order, part) bipartite frame — pairs within a basket via an
+    //      orderkey self-join (quadratic only in basket width), part
+    //      frequencies joined back, TakeOrdered cut ----
+    Entry("q109_basket_lift",
+      (s, d) => {
+        val b = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+          .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")),
+            "l_orderkey")
+          .where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("c_xy"))
+          .where(col("c_xy") >= 3)
+        val pc = b.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        val n = b.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_ord"))
+        pairs
+          .join(pc.select(col("l_partkey").as("pa"), col("c").as("c_a")), "pa")
+          .join(pc.select(col("l_partkey").as("pb"), col("c").as("c_b")), "pb")
+          .crossJoin(broadcast(n))
+          .withColumn("lift_e6", expr("(c_xy * n_ord * 1000000) div (c_a * c_b)"))
+          .orderBy(desc("lift_e6"), asc("pa"), asc("pb")).limit(50)
+          .select("pa", "pb", "c_xy", "c_a", "c_b", "lift_e6")
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+             |        count(*) AS c_xy
+             |      FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+             |        AND a.l_partkey < b2.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 3),
+             |pc AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM b)
+             |SELECT pa, pb, c_xy, x.c AS c_a, y.c AS c_b,
+             |  CAST((c_xy * n.n_ord * 1000000) // (x.c * y.c) AS BIGINT) AS lift_e6
+             |FROM p JOIN pc x ON p.pa = x.l_partkey
+             |       JOIN pc y ON p.pb = y.l_partkey, n
+             |ORDER BY lift_e6 DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // ---- TPC-H Q5 shape: local-supplier volume per nation in one region
+    //      and year — the multi-dim star join with every dim broadcast and
+    //      the fact-fact join shuffling once on orderkey; exact cents·e4 ----
+    Entry("q110_local_volume",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+          .where(year(col("o_orderdate")) === 1997)
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val supp = s.read.parquet(s"$d/supplier.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        val reg = s.read.parquet(s"$d/region.parquet")
+          .where(col("r_name") === "ASIA")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .where(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("revenue_e4"),
+            count(lit(1)).as("cnt"))
+          .orderBy(desc("revenue_e4"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+             |       (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+             |    AS revenue_e4,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE year(o_orderdate) = 1997
+             |  AND c_nationkey = s_nationkey
+             |  AND r_name = 'ASIA'
+             |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
