@@ -62,14 +62,15 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r04..r08 all show parsed:null —
     // the full-precision warm+cold line was ~4 KB and never fit). Stdout
-    // gets a COMPACT line: centisecond-rounded warm values, scalar cold
-    // total, no per-query cold map — ~1.7 KB at 60 queries, inside the
-    // window even with sbt's trailing "[success]" line. Full precision
-    // (warm + cold per query) goes to BENCH_DETAIL.json in the repo.
+    // gets a COMPACT line: centisecond-rounded warm values keyed by the
+    // qNN prefix alone (unique; full names would blow the window again at
+    // 110 queries — ~2.7 KB vs ~1.3 KB), scalar cold total, no per-query
+    // cold map. Full precision under FULL names goes to BENCH_DETAIL.json.
     // Locale.ROOT: a comma decimal separator would corrupt the JSON line
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(v))
-    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + r2(w) }
+    val qs = results.map { case (k, w, _) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + r2(w) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
