@@ -253,6 +253,28 @@ class DedupGraphSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("cosineJoin property: brute equality on a seeded random corpus") {
+    val s = spark
+    import s.implicits._
+    // small alphabet -> dense token overlap: the adversarial case for
+    // prefix filtering (everything shares common terms)
+    val rng = new scala.util.Random(31L)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (0 until 60).map { i =>
+      val n = 5 + rng.nextInt(25)
+      (i.toLong, Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text").cache()
+    for ((tn, td) <- Seq((1L, 2L), (9L, 10L))) {
+      val truth = bruteCosine(corpus, tn, td)
+      val got = Dedup.cosineJoin(corpus, tn, td)
+        .select("doc_a", "doc_b", "dot", "na2", "nb2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === truth, s"tau=$tn/$td")
+    }
+    corpus.unpersist()
+  }
+
   test("cosineJoin maxPosting caps index lists, not the survivors' exactness") {
     val s = spark
     import s.implicits._
