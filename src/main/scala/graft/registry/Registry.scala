@@ -2640,10 +2640,13 @@ object Registry {
         // the second catalog is derived deterministically (the q50/q52
         // pattern): id-shifted rows whose 80-char ASCII prefix has every
         // 'a' replaced — docs with few 'a's link back to their original
+        // VARIABLE-length prefixes (40 + doc_id % 60): a constant cut
+        // would put every doc at one length — one degenerate band, an
+        // accidental all-pairs; the id-spread keeps ~12 bands populated
         val en = docs(s, d).where(col("lang") === "en")
           .select(col("doc_id"),
-            substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 80)
-              .as("text"))
+            expr("substring(regexp_replace(text, '[^ -~]', ''), 1, " +
+              "40 + cast(doc_id % 60 as int))").as("text"))
         val catalog = en.select((col("doc_id") + 1000000L).as("doc_id"),
           regexp_replace(col("text"), "a", "q").as("text"))
         Dedup.editDistanceJoin(en, catalog, maxDist = 4,
@@ -2651,7 +2654,8 @@ object Registry {
           .orderBy("left_id", "right_id")
       },
       Some("""WITH en AS (SELECT doc_id,
-             |              substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS t
+             |              substr(regexp_replace(text, '[^ -~]', '', 'g'),
+             |                     1, 40 + CAST(doc_id % 60 AS INT)) AS t
              |            FROM documents WHERE lang = 'en'),
              |l AS (SELECT doc_id, t, length(t) AS len FROM en),
              |r AS (SELECT doc_id + 1000000 AS doc_id, replace(t, 'a', 'q') AS t,
@@ -2774,10 +2778,15 @@ object Registry {
     //      16·na2·nb2) — so the brute-force SQL is an exact oracle and
     //      the prefix filter's recall-1 claim is a checked fact ----
     Entry("q102_cosine_join",
-      (s, d) => Dedup.cosineJoin(docs(s, d), tauNum = 4L, tauDen = 5L)
+      // every 5th doc: tf-vector cosine join output grows ~quadratically in
+      // corpus density (21k pairs even on the subset at sf0.1) — the bench
+      // budget wants the exactness demonstrated, not the biggest join
+      (s, d) => Dedup.cosineJoin(
+          docs(s, d).where(pmod(col("doc_id"), lit(5)) === 0),
+          tauNum = 4L, tauDen = 5L)
         .orderBy("doc_a", "doc_b"),
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             |           FROM documents),
+             |           FROM documents WHERE doc_id % 5 = 0),
              |f AS (SELECT doc_id, term, count(*) AS w FROM t GROUP BY 1, 2),
              |n2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nn FROM f GROUP BY 1),
              |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
