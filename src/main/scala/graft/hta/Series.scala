@@ -434,15 +434,25 @@ object Series {
       .withColumn("_side", lit(0))
     val wPrev = Window.partitionBy("metric").orderBy("time", "_side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("metric").orderBy("time", "_side")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the "next sample" carry runs on the REVERSED order with a running
+    // (unbounded-PRECEDING) frame, never `first over (currentRow,
+    // unboundedFollowing)`: Spark's UnboundedFollowing window frame
+    // rescans from the current row to the partition end FOR EVERY ROW —
+    // O(rows²) per metric, measured at 200 s on a 20k-row metric where
+    // this form runs in milliseconds. Equal-time semantics are identical:
+    // ordering (time desc, _side desc) puts the grid row before an
+    // equal-time sample, so `nt` stays the strictly-later sample, exactly
+    // as the ascending following-frame excluded it.
+    val wNext = Window.partitionBy("metric")
+      .orderBy(col("time").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sT = when(col("_side") === 0, col("time"))
     val sC = when(col("_side") === 0, col("cents"))
     grid.unionByName(pts)
       .withColumn("pt", last(sT, ignoreNulls = true).over(wPrev))
       .withColumn("pc", last(sC, ignoreNulls = true).over(wPrev))
-      .withColumn("nt", first(sT, ignoreNulls = true).over(wNext))
-      .withColumn("nc", first(sC, ignoreNulls = true).over(wNext))
+      .withColumn("nt", last(sT, ignoreNulls = true).over(wNext))
+      .withColumn("nc", last(sC, ignoreNulls = true).over(wNext))
       .where(col("_side") === 1)
       .select(col("metric"), col("time"),
         when(col("pt").isNull, lit(null).cast("double"))
