@@ -3027,7 +3027,26 @@ object Registry {
              |WHERE year(o_orderdate) = 1997
              |  AND c_nationkey = s_nationkey
              |  AND r_name = 'ASIA'
-             |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""".stripMargin))
+             |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name""".stripMargin)),
+
+    // ---- bigram-fluency quality scoring: mean corpus-wide conditional
+    //      bigram probability per doc in fixed point — the LM-style
+    //      fluency signal without a model or a log ----
+    Entry("q111_fluency",
+      (s, d) => TextOps.bigramFluency(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS s
+             |            FROM documents),
+             |bgx AS (SELECT doc_id, unnest([{'w1': s[i], 'w2': s[i+1]}
+             |                              for i in range(1, len(s))]) AS b
+             |        FROM tt),
+             |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+             |cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+             |cx AS (SELECT w1, count(*) AS c_x FROM bg GROUP BY 1),
+             |p AS (SELECT bg.doc_id, (cxy.c_xy * 1000000) // cx.c_x AS p
+             |      FROM bg JOIN cxy USING (w1, w2) JOIN cx USING (w1))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(p) // count(*) AS BIGINT) AS fluency_e6
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -714,6 +714,31 @@ class PipelineSpec extends SparkSpec {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("bigramFluency: repeated transitions score high, unique ones low") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b a b a b"),   // transitions all repeated corpus-wide
+      (2L, "c d e f"),       // every transition unique
+      (3L, "a b c d"),       // mixed
+      (4L, "x")).toDF("doc_id", "text") // single token: no bigram row
+    val out = TextOps.bigramFluency(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hand counts over all docs: c(a,b)=4 (3 in doc1 + 1 in doc3),
+    // c_x(a)=4; c(b,a)=2, c_x(b)=3 (b->a twice, b->c once)
+    // doc1: p(ab)=1e6*4/4=1000000 x3, p(ba)=2e6/3=666666 x2
+    val d1 = (3L * 1000000L + 2L * 666666L) / 5L
+    assert(out(1L) === ((5L, d1)))
+    // doc2: every transition deterministic given w1 (c_xy == c_x) -> 1e6
+    assert(out(2L) === ((3L, 1000000L)))
+    assert(!out.contains(4L))
+    // cross-corpus reference: doc2's transitions absent -> score 0
+    val ref = corpus.where(col("doc_id") === 1L)
+    val vs = TextOps.bigramFluency(corpus.where(col("doc_id") === 2L),
+        counts = Some(ref)).collect()
+    assert(vs.length === 1 && vs.head.getLong(2) === 0L)
+  }
+
   test("collocations rank bound phrases above chance pairs by exact lift") {
     val s = spark
     import s.implicits._
