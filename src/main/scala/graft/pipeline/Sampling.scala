@@ -93,6 +93,23 @@ object Sampling {
     df.where(hashBucket(col(key), salt) < cut)
   }
 
+  /** Importance (weighted) sampling: keep each row with its OWN
+    * per-row probability — `weightE6` is the keep fraction at fixed
+    * point 1e6 (0 drops always, 1e6 keeps always), typically a quality
+    * or fluency score mapped into [0, 1e6]. The generalization of
+    * [[hashSample]] (constant weight) and [[mixtureSample]] (per-group
+    * weight) to per-ROW weights: same content-derived bucket, so the
+    * decision is reproducible, repartition-stable, and monotone in the
+    * weight (raising a doc's weight can only keep it, never flip a kept
+    * doc out — curation thresholds compose predictably). A narrow
+    * codegen'd filter, no shuffle.
+    *
+    * @param weightE6 integer column in [0, 1e6]; values are clamped */
+  def weightedSample(df: DataFrame, key: String, weightE6: Column,
+                     salt: String = ""): DataFrame =
+    df.where(hashBucket(col(key), salt) <
+      greatest(lit(0L), least(weightE6.cast("long"), lit(Buckets))))
+
   /** Per-key quota: keep at most `k` rows per key, the first `k` by
     * `order` with a deterministic total order (ties broken by the tie
     * columns — pass a unique id for bit-reproducibility). The classic

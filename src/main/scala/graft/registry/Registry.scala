@@ -3046,7 +3046,27 @@ object Registry {
              |      FROM bg JOIN cxy USING (w1, w2) JOIN cx USING (w1))
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  CAST(sum(p) // count(*) AS BIGINT) AS fluency_e6
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- importance sampling: per-ROW keep probability (here a length
+    //      prior) over the same content-hash buckets as q39 — the
+    //      quality-weighted corpus construction step ----
+    Entry("q112_weighted_sample",
+      (s, d) => {
+        val w = least(lit(1000000L), col("n_chars").cast("long") * 1500L)
+        Sampling.weightedSample(
+            docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id", w)
+          .withColumn("weight_e6", w)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  least(1000000, n_chars * 1500) AS weight_e6
+             |FROM (SELECT doc_id, n_chars,
+             |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |          % 1000000 AS b
+             |      FROM documents)
+             |WHERE b < least(1000000, n_chars * 1500)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

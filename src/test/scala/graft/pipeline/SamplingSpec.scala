@@ -94,6 +94,31 @@ class SamplingSpec extends SparkSpec {
       "source", "doc_id", w, default = 1.0)))
   }
 
+  test("weightedSample: per-row probability, monotone, hashSample-compatible") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 2000L).map(i => (i, i % 100)).toDF("doc_id", "q")
+    // extremes: weight 0 drops all, 1e6 keeps all (clamping included)
+    assert(Sampling.weightedSample(d, "doc_id", lit(0L)).count() === 0L)
+    assert(Sampling.weightedSample(d, "doc_id", lit(2000000L)).count() === 2000L)
+    // constant weight == hashSample at the same fraction
+    val viaWeighted = Sampling.weightedSample(d, "doc_id", lit(300000L))
+      .collect().map(_.getLong(0)).toSet
+    val viaSample = Sampling.hashSample(d, "doc_id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaWeighted === viaSample)
+    // monotone: raising weights only ADDS rows
+    val low = Sampling.weightedSample(d, "doc_id", col("q") * 5000L)
+      .collect().map(_.getLong(0)).toSet
+    val high = Sampling.weightedSample(d, "doc_id", col("q") * 10000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // repartition-stable
+    val re = Sampling.weightedSample(d.repartition(13), "doc_id", col("q") * 5000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(re === low)
+  }
+
   test("perKeyCap keeps the first k per key in order") {
     val d = pointsDf((1L to 20L).map(i => (tp(i), i.toDouble)), metric = "a")
       .unionByName(pointsDf((1L to 3L).map(i => (tp(i), -i.toDouble)), metric = "b"))
