@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming tier of the HLL distinct sketch ([[graft.pipeline.Sketches]]
+  * q77/q91): live per-(metric, day) approximate distinct counts with the
+  * IDENTICAL exact-integer register algebra, so the streamed rows are
+  * bit-equal to the batch sketch of the same data (spec-pinned).
+  *
+  * State per (metric, day) group is the register array itself — 2^p ints,
+  * the sketch IS its own bounded state, which is exactly why mergeable
+  * sketches are the streaming answer to distinct-count: exact distinct
+  * would hold every seen user id. Emission is update-mode and change-only
+  * (a micro-batch that raises no register emits nothing), and the
+  * register max-merge makes replays idempotent. The md5-hash/rank
+  * arithmetic mirrors the batch column expressions digit for digit
+  * (md5 hex prefix → 60-bit long, `j = h div 2^(60-p)`,
+  * `rank = maxRank − bitlen(w)`), so stream and batch land on the same
+  * registers, the same `zi`, and the same two fixed-order IEEE ops for
+  * the estimate. */
+object StreamSketch {
+
+  final case class Ev(metric: String, time: Long, user: Long)
+  final case class DayKey(metric: String, day: Long)
+  final case class Regs(mj: Array[Int])
+  final case class Out(metric: String, day: Long, zi: Long, zero_regs: Long,
+                       est_raw: Double)
+
+  private[streaming] def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  def dailyDistinct(events: Dataset[Ev], p: Int = 9,
+                    dayNs: Long = 86400000000000L): Dataset[Out] = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wBits = 60 - p
+    val wMod = 1L << wBits
+    val maxRank = wBits + 1
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = math.pow(2.0, 2.0 * p + maxRank)
+    events.groupByKey(e => DayKey(e.metric, Math.floorDiv(e.time, dayNs)))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: DayKey, it: Iterator[Ev], state: GroupState[Regs]) =>
+          val regs = state.getOption.map(_.mj).getOrElse(new Array[Int](m))
+          var changed = false
+          for (e <- it) {
+            val h = md5Long60(e.user.toString)
+            val j = (h / wMod).toInt
+            val w = h % wMod
+            val rank =
+              if (w == 0) maxRank
+              else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rank > regs(j)) { regs(j) = rank; changed = true }
+          }
+          if (!changed && state.exists) Iterator.empty
+          else {
+            state.update(Regs(regs))
+            var zi = 0L; var zero = 0L; var i = 0
+            while (i < m) {
+              if (regs(i) == 0) { zero += 1; zi += 1L << maxRank }
+              else zi += 1L << (maxRank - regs(i))
+              i += 1
+            }
+            Iterator.single(Out(k.metric, k.day, zi, zero,
+              alpha * (scale / zi)))
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamSketch.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streamed HLL registers must land BIT-EQUAL to the batch sketch of
+  * the same data — same hash, same registers, same zi, same two IEEE ops
+  * — whatever the micro-batch slicing. */
+class StreamSketchSpec extends SparkSpec {
+
+  test("streamed daily distinct == batch approxDistinct, bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val day = 86400000000000L
+    val rng = new scala.util.Random(11L)
+    // two metrics, two days, overlapping user sets + repeats
+    val all = (1 to 800).map { _ =>
+      Ev(if (rng.nextBoolean()) "m1" else "m2",
+        (rng.nextInt(2).toLong * day) + 1000L + rng.nextInt(1000),
+        rng.nextInt(300).toLong)
+    }
+    val batch = graft.pipeline.Sketches.approxDistinct(
+        all.toDF("metric", "time", "user")
+          .withColumn("day", expr(s"time div ${day}L")),
+        Seq("metric", "day"), "user")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    for (cut <- Seq(1, 257, 800)) {
+      val mem = MemoryStream[Ev]
+      val q = StreamSketch.dailyDistinct(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(s"hll_$cut")
+        .outputMode("update").start()
+      try {
+        val (a, b) = all.splitAt(cut)
+        mem.addData(a: _*); q.processAllAvailable()
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // last emission per (metric, day) is the settled sketch
+      val got = s.table(s"hll_$cut")
+        .groupBy("metric", "day")
+        .agg(min_by(struct(col("zi"), col("zero_regs"), col("est_raw")),
+          col("zi")).as("r"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> {
+          val x = r.getStruct(2); (x.getLong(0), x.getLong(1), x.getDouble(2))
+        }).toMap
+      assert(got === batch, s"slicing at $cut")
+    }
+  }
+
+  test("a replayed batch raises no register and emits nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = (1 to 50).map(i => Ev("m", 1000L + i, i.toLong % 20))
+    val mem = MemoryStream[Ev]
+    val q = StreamSketch.dailyDistinct(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("hll_replay")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs: _*); q.processAllAvailable()
+      val n1 = s.table("hll_replay").count()
+      mem.addData(evs: _*); q.processAllAvailable() // pure replay
+      val n2 = s.table("hll_replay").count()
+      assert(n1 === 1L && n2 === 1L)
+    } finally q.stop()
+  }
+}
