@@ -3066,6 +3066,49 @@ object Registry {
              |          % 1000000 AS b
              |      FROM documents)
              |WHERE b < least(1000000, n_chars * 1500)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- capstone corpus pipeline: exact-dup survivorship → bigram
+    //      fluency over the SURVIVOR corpus → fluency floor → importance
+    //      sample weighted by the fluency margin — four verified operators
+    //      composed end-to-end in one plan, one oracle ----
+    Entry("q113_corpus_pipeline",
+      (s, d) => {
+        val all = docs(s, d)
+        val sur = all.groupBy(md5(col("text")).as("_h"))
+          .agg(min("doc_id").as("doc_id"))
+        val corpus = all.join(sur.select("doc_id"), "doc_id")
+        val fl = TextOps.bigramFluency(corpus)
+        val weighted = fl.where(col("fluency_e6") >= 34000L)
+          .withColumn("weight_e6",
+            least(lit(1000000L),
+              greatest(lit(0L), (col("fluency_e6") - 30000L) * 50L)))
+        Sampling.weightedSample(weighted, "doc_id", col("weight_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sur AS (SELECT min(doc_id) AS doc_id FROM documents
+             |             GROUP BY md5(text)),
+             |d2 AS (SELECT d.doc_id, d.text FROM documents d
+             |       JOIN sur USING (doc_id)),
+             |tt AS (SELECT doc_id, string_split(text, ' ') AS s FROM d2),
+             |bgx AS (SELECT doc_id, unnest([{'w1': s[i], 'w2': s[i+1]}
+             |                              for i in range(1, len(s))]) AS b
+             |        FROM tt),
+             |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgx),
+             |cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+             |cx AS (SELECT w1, count(*) AS c_x FROM bg GROUP BY 1),
+             |p AS (SELECT bg.doc_id, (cxy.c_xy * 1000000) // cx.c_x AS p
+             |      FROM bg JOIN cxy USING (w1, w2) JOIN cx USING (w1)),
+             |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |         CAST(sum(p) // count(*) AS BIGINT) AS fluency_e6
+             |       FROM p GROUP BY 1),
+             |g AS (SELECT *, least(1000000,
+             |        greatest(0, (fluency_e6 - 30000) * 50)) AS w
+             |      FROM fl WHERE fluency_e6 >= 34000)
+             |SELECT doc_id, n_bigrams, fluency_e6, CAST(w AS BIGINT) AS weight_e6
+             |FROM g
+             |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |      % 1000000 < w
              |ORDER BY doc_id""".stripMargin))
   )
 
