@@ -3109,7 +3109,48 @@ object Registry {
              |FROM g
              |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
              |      % 1000000 < w
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- document clustering end-to-end: hashVectorize (16-dim token
+    //      count vectors) → deterministic seeded centroids (8 smallest
+    //      doc_ids, the q43 discipline) → min-L2 assignment. The 1e4
+    //      quantization is a PURE SCALING of integer counts, so the
+    //      oracle assigns on raw counts — identical argmin, same ties ----
+    Entry("q114_doc_clusters",
+      (s, d) => {
+        val v = TextOps.hashVectorize(docs(s, d), dim = 16)
+          .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+        val cents = Ann.ivfCentroids(v, nlist = 8)
+        Ann.ivfAssign(v, cents)
+          .select(col("vid").as("doc_id"), col("list_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |cnt AS (SELECT doc_id,
+             |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 16 AS b,
+             |          count(*) AS c
+             |        FROM t GROUP BY 1, 2),
+             |grid AS (SELECT g.doc_id, g.j, coalesce(cnt.c, 0) AS c
+             |         FROM (SELECT d.doc_id, j.j
+             |               FROM (SELECT DISTINCT doc_id FROM documents) d,
+             |                    range(0, 16) j(j)) g
+             |         LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.b = g.j),
+             |cents AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS list_id,
+             |            doc_id AS cdoc
+             |          FROM (SELECT DISTINCT doc_id FROM documents
+             |                ORDER BY doc_id LIMIT 8)),
+             |cg AS (SELECT cents.list_id, grid.j, grid.c AS cc
+             |       FROM cents JOIN grid ON grid.doc_id = cents.cdoc),
+             |dist AS (SELECT g.doc_id, cg.list_id,
+             |           sum((g.c - cg.cc) * (g.c - cg.cc)) AS d2
+             |         FROM grid g JOIN cg ON g.j = cg.j GROUP BY 1, 2),
+             |asg AS (SELECT doc_id, list_id,
+             |          row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY d2, list_id) AS rn
+             |        FROM dist)
+             |SELECT doc_id, CAST(list_id AS BIGINT) AS list_id
+             |FROM asg WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
