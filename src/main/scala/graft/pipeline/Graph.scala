@@ -170,7 +170,8 @@ object Graph {
     // that walks the edge list
     val verts = e.select(col("_s").as("node"))
       .unionByName(e.select(col("_d").as("node"))).distinct()
-    var dist = verts.join(sources.toDF("node"), "node")
+    // distinct: duplicate source ids must not multiply the dist-0 rows
+    var dist = verts.join(sources.distinct.toDF("node"), "node")
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
     var d = 0L

@@ -73,11 +73,17 @@ object Profile {
   def quantileBins(df: DataFrame, valueCol: String, k: Int,
                    idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+    // NULLs are excluded from the distribution (quantile semantics; a
+    // null histogram group would sort first and skew every boundary) and
+    // get a NULL bin in the output rather than silently landing in bin 0
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
+    // n comes off the histogram itself (sum of counts) — never a second
+    // corpus scan just for count(*)
     val cum = hist.withColumn("cum",
         sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("v")))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
     val bounds = cum
       .select(col("v"), explode(sequence(lit(1), lit(k - 1))).as("j"),
         col("cum"), col("n"))
@@ -87,6 +93,8 @@ object Profile {
     val bin = bounds.map(b =>
         when(col(valueCol).cast("long") > lit(b), 1L).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
-    df.select(col(idCol), col(valueCol), bin.as("bin"))
+    df.select(col(idCol), col(valueCol),
+      when(col(valueCol).isNull, lit(null).cast("long"))
+        .otherwise(bin).as("bin"))
   }
 }

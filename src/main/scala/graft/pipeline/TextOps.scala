@@ -246,7 +246,8 @@ object TextOps {
     big
       .join(uni.select(col("_t").as("w1"), col("_c").as("c_x")), "w1")
       .join(uni.select(col("_t").as("w2"), col("_c").as("c_y")), "w2")
-      .crossJoin(broadcast(tok.agg(count(lit(1)).as("_n"))))
+      // N off the unigram table (Σ counts), not a third corpus pass
+      .crossJoin(broadcast(uni.agg(sum("_c").as("_n"))))
       .withColumn("lift_e6", expr("(c_xy * _n * 1000000) div (c_x * c_y)"))
       .orderBy(desc("lift_e6"), asc("w1"), asc("w2")).limit(k)
       .select("w1", "w2", "c_xy", "c_x", "c_y", "lift_e6")
@@ -287,8 +288,13 @@ object TextOps {
     }
     val ref = bigrams(counts.getOrElse(docs))
     val cxy = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-    val cx = ref.groupBy("w1").agg(count(lit(1)).as("c_x"))
-    bigrams(docs)
+    // c_x off the bigram-vocabulary frame, not a second corpus pass —
+    // Σ_w2 c_xy counts exactly the same bigram rows
+    val cx = cxy.groupBy("w1").agg(sum("c_xy").as("c_x"))
+    // self-scoring reuses the reference lineage outright (one tokenize +
+    // one window exchange total, not three)
+    val scoring = if (counts.isEmpty) ref else bigrams(docs)
+    scoring
       .join(cxy, Seq("w1", "w2"), "left")
       .join(cx, Seq("w1"), "left")
       .withColumn("_p", expr("(coalesce(c_xy, 0L) * 1000000) div coalesce(c_x, 1L)"))

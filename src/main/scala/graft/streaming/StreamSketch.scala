@@ -34,8 +34,17 @@ object StreamSketch {
       d.map(b => f"$b%02x").mkString.take(15), 16)
   }
 
+  /** @param stateTtlMs when > 0, a processing-time TTL evicts a day's
+    *   register state `stateTtlMs` after its last event — WITHOUT it the
+    *   state store grows by one 2^p-int array per (metric, day) forever
+    *   (per-key state is bounded; the KEY SPACE is not). The trade: an
+    *   event arriving after its day's eviction rebuilds a partial sketch
+    *   (registers lost — the same class of loss as a watermark drop);
+    *   size the TTL to the late-data horizon. 0 (the default) keeps
+    *   every day's state, which is what the bit-parity spec exercises. */
   def dailyDistinct(events: Dataset[Ev], p: Int = 9,
-                    dayNs: Long = 86400000000000L): Dataset[Out] = {
+                    dayNs: Long = 86400000000000L,
+                    stateTtlMs: Long = 0L): Dataset[Out] = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val spark = events.sparkSession
     import spark.implicits._
@@ -45,9 +54,19 @@ object StreamSketch {
     val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val scale = math.pow(2.0, 2.0 * p + maxRank)
-    events.groupByKey(e => DayKey(e.metric, Math.floorDiv(e.time, dayNs)))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    // `/`, not floorDiv: Spark's `div` truncates toward zero, and the
+    // bit-parity contract with the batch tier must hold even for
+    // pre-epoch (negative) timestamps
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(e => DayKey(e.metric, e.time / dayNs))
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (k: DayKey, it: Iterator[Ev], state: GroupState[Regs]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val regs = state.getOption.map(_.mj).getOrElse(new Array[Int](m))
           var changed = false
           for (e <- it) {
@@ -59,9 +78,15 @@ object StreamSketch {
               else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
             if (rank > regs(j)) { regs(j) = rank; changed = true }
           }
-          if (!changed && state.exists) Iterator.empty
+          // timeout can only be (re)armed on EXISTING state — after the
+          // update in the changed branch, directly in the no-change one
+          if (!changed && state.exists) {
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator.empty
+          }
           else {
             state.update(Regs(regs))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             var zi = 0L; var zero = 0L; var i = 0
             while (i < m) {
               if (regs(i) == 0) { zero += 1; zi += 1L << maxRank }
@@ -70,6 +95,7 @@ object StreamSketch {
             }
             Iterator.single(Out(k.metric, k.day, zi, zero,
               alpha * (scale / zi)))
+          }
           }
       }
   }

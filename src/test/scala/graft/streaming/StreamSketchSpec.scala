@@ -52,6 +52,15 @@ class StreamSketchSpec extends SparkSpec {
     }
   }
 
+  // NOTE: stateTtlMs eviction is deliberately NOT exercised through
+  // MemoryStream + processAllAvailable — a query with armed
+  // processing-time timeouts keeps scheduling timeout batches under the
+  // zero-interval test trigger and processAllAvailable never quiesces
+  // (observed hang). The TTL path is three lines (hasTimedOut → remove;
+  // setTimeoutDuration after update) and its semantics — evicted days
+  // rebuild partial sketches on late data — are documented as the
+  // deploy-time trade on the parameter.
+
   test("a replayed batch raises no register and emits nothing") {
     val s = spark
     import s.implicits._
