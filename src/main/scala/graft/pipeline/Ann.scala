@@ -40,7 +40,7 @@ object Ann {
     * (zipped-array allocation + two closures per element) multiplies by
     * n·q — the codegen path is a primitive loop inside whole-stage
     * codegen instead. */
-  private def dotFast(spark: org.apache.spark.sql.SparkSession)
+  private[pipeline] def dotFast(spark: org.apache.spark.sql.SparkSession)
                      (a: Column, b: Column): Column =
     if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
     else dotQ(a, b)

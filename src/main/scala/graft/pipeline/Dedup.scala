@@ -1130,4 +1130,61 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxDist)
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus in a cheap embedding space, then compare pairs
+    * ONLY within a cluster — the clustering bounds the quadratic pair
+    * space that makes corpus-wide cosine dedup infeasible, on the bet
+    * that semantic duplicates land in the same cluster.
+    *
+    * This build keeps the whole loop under the exact-integer oracle
+    * discipline: the embedding is [[TextOps.hashVectorize]]'s `dim` token
+    * count buckets (longs), the coarse quantizer is the q43/q114 seeded
+    * assignment ([[Ann.ivfCentroids]] — deterministic, no RNG), and a
+    * pair is a duplicate iff cosine >= tauNum/tauDen decided as
+    * `dot² · tauDen² >= |a|²·|b|² · tauNum²` on raw counts — no float
+    * anywhere. Survivorship is the deterministic dominated-by-smaller
+    * rule: a doc is dropped iff some SMALLER doc_id in its cluster is
+    * within tau of it (q14's min-id convention; no transitive closure —
+    * chains longer than a pair are [[nearDupClusters]]' job).
+    *
+    * Shape at scale: one token pass builds the vectors; assignment is a
+    * broadcast-centroid narrow map; the only quadratic work is the
+    * within-cluster self-join, whose width is the CLUSTER size — pick
+    * `nlist` ≈ corpus/targetClusterSize so each cluster's pair block fits
+    * a task (SemDeDup runs 50k clusters at web scale for exactly this
+    * reason). Counts are bounded by document length, so every product
+    * stays far inside BIGINT (the DuckDB overflow-checked range).
+    *
+    * @return one row per doc: (doc_id, list_id, is_kept) */
+  def semanticDedup(docs: DataFrame, tauNum: Long, tauDen: Long,
+                    dim: Int = 16, nlist: Int = 8,
+                    text: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val spark = docs.sparkSession
+    val v = TextOps.hashVectorize(docs, dim, text)
+      .select(col("doc_id"),
+        transform(col("vec"), x => x.cast("long")).as("cv"))
+    val emb = v.select(col("doc_id").as("vec_id"), col("cv").as("embedding"))
+    val cents = Ann.ivfCentroids(emb, nlist)
+    val asg = Ann.ivfAssign(emb, cents)
+      .select(col("vid").as("doc_id"), col("list_id"))
+    val withN = v.join(asg, "doc_id")
+      .withColumn("n2",
+        aggregate(transform(col("cv"), x => x * x), lit(0L), _ + _))
+    val a = withN.select(col("doc_id").as("_ida"), col("list_id"),
+      col("cv").as("_cva"), col("n2").as("_n2a"))
+    val b = withN.select(col("doc_id").as("_idb"), col("list_id"),
+      col("cv").as("_cvb"), col("n2").as("_n2b"))
+    val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
+    val dot = Ann.dotFast(spark)(col("_cva"), col("_cvb"))
+    val dominated = a.join(b, Seq("list_id"))
+      .where(col("_ida") < col("_idb"))
+      .where(dot * dot * t2d >= col("_n2a") * col("_n2b") * t2n)
+      .select(col("_idb").as("doc_id")).distinct()
+    withN.join(dominated.withColumn("_dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("list_id"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("is_kept"))
+  }
 }

@@ -55,4 +55,61 @@ object Joins {
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     f.join(dimx, keys :+ "_salt").drop("_salt")
   }
+
+  /** Banded interval-overlap join: all (a, b) pairs whose closed intervals
+    * [aSt, aEn] and [bSt, bEn] intersect, without the cartesian product a
+    * naive theta-join `ON a.st <= b.en AND b.st <= a.en` plans (Spark has
+    * no native interval index; BroadcastNestedLoop at corpus scale is the
+    * textbook 100 TB killer). The interval×interval sibling of
+    * [[graft.hta.Queries.intervalJoin]]'s point×interval tiling.
+    *
+    * The standard banding decomposition instead: each interval explodes
+    * over the fixed-width time bands it touches (`band` units wide), the
+    * join runs as an EQUI-join on the band — shuffled, partial-pruned,
+    * AQE-eligible, everything a theta-join isn't — and the exact overlap
+    * predicate filters band-collisions that don't truly intersect. An
+    * overlapping pair shares EVERY band that `max(aSt, bSt)` falls in, and
+    * only one such band exists, so emitting a pair only when
+    * `band == bandOf(max(aSt, bSt))` yields each pair exactly once — no
+    * `distinct()` repair shuffle afterwards.
+    *
+    * Cost at scale: rows explode ×(width/band + 1) — pick `band` at the
+    * typical interval width so the blow-up is ~2×; the single shuffle
+    * key is the 8-byte band id. Skewed bands (one hot hour) split further
+    * under AQE or a caller-side [[saltedJoin]]-style salt on the band.
+    *
+    * Both inputs must carry DISJOINT column names (pre-alias at the call
+    * site); `aSt`/`aEn`/`bSt`/`bEn` are LONG time columns in any ONE unit
+    * (ns, µs — whatever the pipeline's clock is; `band` is in the same
+    * unit, and timestamps convert via unix_micros at the call site).
+    * `cond` prunes the pair space (e.g. a strict id ordering for a
+    * self-join — without it a self-join emits both (x,y) and (y,x) plus
+    * (x,x)).
+    */
+  def overlapJoin(a: DataFrame, aSt: String, aEn: String,
+                  b: DataFrame, bSt: String, bEn: String,
+                  band: Long, cond: Column = lit(true)): DataFrame = {
+    require(band > 0, s"band must be > 0, got $band")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "overlapJoin inputs must have disjoint column names; alias first")
+    // The double-division floor is inexact above 2^53 (ns epochs exceed
+    // it), but correctness needs only that bandOf be MONOTONE and used
+    // consistently: long→double rounding, division by a positive
+    // constant, and floor are each weakly monotone, so an interval's
+    // covered range [bandOf(st), bandOf(en)] always contains
+    // bandOf(max(aSt, bSt)) — the canonical emission band — for every
+    // truly-overlapping pair. An off-by-an-ulp band boundary shifts only
+    // WHICH band a pair is emitted in, never whether it is.
+    def bandOf(t: Column): Column =
+      floor(t.cast("double") / lit(band.toDouble)).cast("long")
+    val ax = a.withColumn("_band",
+      explode(sequence(bandOf(col(aSt)), bandOf(col(aEn)))))
+    val bx = b.withColumn("_band",
+      explode(sequence(bandOf(col(bSt)), bandOf(col(bEn)))))
+    ax.join(bx, Seq("_band"))
+      .where(col(aSt) <= col(bEn) && col(bSt) <= col(aEn))
+      .where(col("_band") === bandOf(greatest(col(aSt), col(bSt))))
+      .where(cond)
+      .drop("_band")
+  }
 }

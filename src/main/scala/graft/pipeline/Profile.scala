@@ -97,4 +97,45 @@ object Profile {
       when(col(valueCol).isNull, lit(null).cast("long"))
         .otherwise(bin).as("bin"))
   }
+
+  /** Per-group outlier flagging by EXACT order statistics: rows whose
+    * value exceeds their group's p-th percentile (p = pNum/pDen), with the
+    * percentile chosen by q54's integer selection rule — threshold(g) =
+    * smallest v in g with `pDen·cum(v) >= n(g)·pNum`. No float aggregation
+    * anywhere (mean/stddev z-scores disagree across engines on summation
+    * order; a rank threshold is a pure ORDER property of the input doubles,
+    * bit-reproducible on both sides of the oracle), and robust to the
+    * heavy tails that make ±kσ useless on real telemetry.
+    *
+    * Shape at scale: one (group, value)-keyed groupBy with map-side
+    * combine builds the per-group value histogram — the only corpus-sized
+    * exchange; the cumulative window runs over the HISTOGRAM (partition
+    * width = a group's distinct values, never its row count); thresholds
+    * (one row per group) broadcast back onto the corpus scan, so the
+    * flagging pass is a narrow join+filter. NULL values are excluded from
+    * the distribution and never flagged (q100's rule).
+    *
+    * @return the input rows strictly above threshold, plus `thr` */
+  def orderStatOutliers(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, pNum: Int, pDen: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(pNum > 0 && pDen > 0 && pNum < pDen,
+      s"percentile must be in (0, 1): $pNum/$pDen")
+    val gs = groupCols.map(col)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy("_v")
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val thr = hist
+      .withColumn("_cum", sum("_c").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("_n", sum("_c").over(wg))
+      .where(col("_cum") * pDen >= col("_n") * pNum)
+      .groupBy(gs: _*).agg(min("_v").as("thr"))
+    df.join(broadcast(thr), groupCols)
+      .where(col(valueCol) > col("thr"))
+  }
 }

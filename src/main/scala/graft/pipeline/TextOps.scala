@@ -649,6 +649,39 @@ object TextOps {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Canonical text form for robust exact dedup: lowercase, every
+    * non-[a-z0-9] run collapsed to ONE space, ends trimmed. Catches the
+    * trivially-perturbed duplicates plain md5(text) misses (case flips,
+    * punctuation swaps, whitespace churn — the bulk of boilerplate
+    * re-crawls) while staying a pure narrow expression: the regex subset
+    * is shared Java/RE2 (plain character class, greedy `+`, no
+    * alternation), so the oracle computes the identical string.
+    * Unicode canonicalization (NFC/NFKC) is deliberately out of scope —
+    * Java and RE2/DuckDB disagree on normalization tables, so it belongs
+    * in a caller-supplied pass, not under the oracle gate. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Canonical-form exact dedup: group documents by the md5 of
+    * [[canonicalize]]d text; one row per document with its canonical group
+    * id (the group's smallest doc_id), group size, and survivor flag
+    * (smallest doc_id wins — q14's deterministic survivorship rule).
+    *
+    * Same 100 TB shape as exact dedup: canonicalization rides the scan
+    * (narrow, codegen'd), then ONE groupBy on a 16-byte digest whose
+    * partial aggregate collapses duplicates map-side; the group table
+    * (distinct canonical forms) joins back hash-to-hash. Text never
+    * shuffles — only (doc_id, digest) pairs do. */
+  def canonDedup(docs: DataFrame, text: String = "text"): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(canonicalize(col(text))).as("_ch"))
+    val groups = keyed.groupBy("_ch")
+      .agg(min("doc_id").as("canon_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, "_ch")
+      .select(col("doc_id"), col("canon_id"), col("group_size"),
+        (col("doc_id") === col("canon_id")).as("is_survivor"))
+  }
+
   /** PII patterns, written in the subset where Java regex (Spark) and RE2
     * (DuckDB) agree exactly: plain character classes, bounded repetition,
     * ASCII `\d` and `\b` — no backreferences, no lookaround (RE2 has

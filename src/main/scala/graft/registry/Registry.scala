@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Series, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Curate, Dedup, Multimodal, Packing, Sampling, Sketches, TextOps}
+import graft.pipeline.{Ann, Curate, Dedup, Eval, Joins, Multimodal, Packing, Profile, Sampling, Sketches, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3150,7 +3150,239 @@ object Registry {
              |            ORDER BY d2, list_id) AS rn
              |        FROM dist)
              |SELECT doc_id, CAST(list_id AS BIGINT) AS list_id
-             |FROM asg WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+             |FROM asg WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- semantic dedup (SemDeDup): cluster in the 64-dim hash-count
+    //      space with the q114 seeded quantizer, then near-dup ONLY
+    //      within a cluster — exact-integer cosine rule (tau 19/20),
+    //      dominated-by-smaller survivorship. The oracle recomputes the
+    //      whole loop: dense-grid assignment + sparse-count dot pairs ----
+    Entry("q115_semantic_dedup",
+      (s, d) => Dedup.semanticDedup(docs(s, d), tauNum = 19L, tauDen = 20L,
+          dim = 64, nlist = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |cnt AS (SELECT doc_id,
+             |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS b,
+             |          count(*) AS c
+             |        FROM t GROUP BY 1, 2),
+             |grid AS (SELECT g.doc_id, g.j, coalesce(cnt.c, 0) AS c
+             |         FROM (SELECT d.doc_id, j.j
+             |               FROM (SELECT DISTINCT doc_id FROM documents) d,
+             |                    range(0, 64) j(j)) g
+             |         LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.b = g.j),
+             |cents AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS list_id,
+             |            doc_id AS cdoc
+             |          FROM (SELECT DISTINCT doc_id FROM documents
+             |                ORDER BY doc_id LIMIT 8)),
+             |cg AS (SELECT cents.list_id, grid.j, grid.c AS cc
+             |       FROM cents JOIN grid ON grid.doc_id = cents.cdoc),
+             |dist AS (SELECT g.doc_id, cg.list_id,
+             |           sum((g.c - cg.cc) * (g.c - cg.cc)) AS d2
+             |         FROM grid g JOIN cg ON g.j = cg.j GROUP BY 1, 2),
+             |asg AS (SELECT doc_id, list_id FROM (
+             |          SELECT doc_id, list_id,
+             |            row_number() OVER (PARTITION BY doc_id
+             |              ORDER BY d2, list_id) AS rn
+             |          FROM dist) WHERE rn = 1),
+             |n2 AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS nn
+             |       FROM cnt GROUP BY 1),
+             |pr AS (SELECT a1.doc_id AS da, a2.doc_id AS db
+             |       FROM asg a1 JOIN asg a2
+             |         ON a1.list_id = a2.list_id AND a1.doc_id < a2.doc_id),
+             |dt AS (SELECT pr.da, pr.db, CAST(sum(x.c * y.c) AS BIGINT) AS dot
+             |       FROM pr JOIN cnt x ON x.doc_id = pr.da
+             |               JOIN cnt y ON y.doc_id = pr.db AND y.b = x.b
+             |       GROUP BY 1, 2),
+             |dom AS (SELECT DISTINCT dt.db AS doc_id FROM dt
+             |        JOIN n2 xa ON dt.da = xa.doc_id
+             |        JOIN n2 yb ON dt.db = yb.doc_id
+             |        WHERE dot * dot * 400 >= xa.nn * yb.nn * 361)
+             |SELECT a.doc_id, CAST(a.list_id AS BIGINT) AS list_id,
+             |  (dom.doc_id IS NULL) AS is_kept
+             |FROM asg a LEFT JOIN dom ON dom.doc_id = a.doc_id
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- ANN quality evaluation: recall@5 of the IVF probe tier
+    //      (nlist=16, nprobe=4, seeded centroids) against the exact
+    //      brute-force ranking, per query — the continuous QA loop that
+    //      keeps an approximate index honest as data drifts ----
+    Entry("q116_ann_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val qs = e.where(col("vec_id") < 10)
+        Eval.recallAtK(
+            Ann.ivfTopK(qs, e, k = 5, nlist = 16, nprobe = 4, kmeansIters = 0),
+            Ann.bruteForceTopK(qs, e, k = 5), k = 5)
+          .orderBy("qid")
+      },
+      Some(s"""WITH $quantCte,
+              |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+              |           e AS ce
+              |         FROM nrm ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT vec_id, list_id FROM (
+              |          SELECT v.vec_id, c.list_id,
+              |            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |              list_sum(list_transform(list_zip(v.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |              c.list_id) AS rn
+              |          FROM nrm v, cent c)
+              |        WHERE rn = 1),
+              |probe AS (SELECT qid, list_id FROM (
+              |           SELECT q.vec_id AS qid, c.list_id,
+              |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |               list_sum(list_transform(list_zip(q.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |               c.list_id) AS rn
+              |           FROM nrm q, cent c WHERE q.vec_id < 10)
+              |         WHERE rn <= 4),
+              |ap AS (SELECT qid, vid FROM (
+              |         SELECT pr.qid, a.vec_id AS vid,
+              |           row_number() OVER (PARTITION BY pr.qid ORDER BY
+              |             CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |               / (q.n * v.n) DESC, a.vec_id) AS rnk
+              |         FROM probe pr
+              |           JOIN asg a ON a.list_id = pr.list_id
+              |           JOIN nrm q ON q.vec_id = pr.qid
+              |           JOIN nrm v ON v.vec_id = a.vec_id
+              |         WHERE v.vec_id != pr.qid)
+              |       WHERE rnk <= 5),
+              |bp AS (SELECT qid, vid FROM (
+              |         SELECT q.vec_id AS qid, v.vec_id AS vid,
+              |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |             CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |               / (q.n * v.n) DESC, v.vec_id) AS rnk
+              |         FROM nrm q JOIN nrm v
+              |           ON q.vec_id < 10 AND v.vec_id != q.vec_id)
+              |       WHERE rnk <= 5),
+              |hits AS (SELECT bp.qid, count(*) AS c
+              |         FROM bp JOIN ap ON ap.qid = bp.qid AND ap.vid = bp.vid
+              |         GROUP BY 1)
+              |SELECT u.qid, CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
+              |  CAST(5 AS BIGINT) AS k,
+              |  CAST(coalesce(c, 0) * 1000000 // 5 AS BIGINT) AS recall_e6
+              |FROM (SELECT DISTINCT qid FROM bp) u
+              |LEFT JOIN hits ON hits.qid = u.qid
+              |ORDER BY 1""".stripMargin)),
+
+    // ---- interval-overlap self-join over activity sessions: which
+    //      sessions were live at the same time — Joins.overlapJoin's
+    //      banded equi-join (1 h bands), never a nested loop; the oracle
+    //      is the plain theta-join the banding provably equals ----
+    Entry("q117_session_overlap",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val base = raw.select(col("user_id"), Tables.tsNs(raw).as("time"))
+        val sess = graft.pipeline.Sessionize.sessionize(
+            base, "user_id", "time", gapNs = 300000000000L) // 5 min
+          .withColumn("en", col("session_end") + 120000000000L) // +120 s pad
+        val a = sess.select(col("user_id").as("ua"),
+          col("session_start").as("sa"), col("en").as("ea"))
+        val b = sess.select(col("user_id").as("ub"),
+          col("session_start").as("sb"), col("en").as("eb"))
+        Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb",
+            band = 3600000000000L, // 1 h
+            cond = col("ua") < col("ub") ||
+              (col("ua") === col("ub") && col("sa") < col("sb")))
+          .select(col("ua"), col("sa"), col("ub"), col("sb"),
+            (least(col("ea"), col("eb")) -
+              greatest(col("sa"), col("sb"))).as("overlap_ns"))
+          .orderBy("ua", "sa", "ub", "sb")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts)*1000 AS time FROM events),
+             |m AS (SELECT *, CASE WHEN coalesce(lag(time) OVER (PARTITION BY user_id ORDER BY time),
+             |                -9223372036854775808) < time - 300000000000 THEN 1 ELSE 0 END AS nw
+             |      FROM ev),
+             |sid AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY time
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             |        FROM m),
+             |iv AS (SELECT user_id, min(time) AS st, max(time) + 120000000000 AS en
+             |       FROM sid GROUP BY user_id, s)
+             |SELECT a.user_id AS ua, a.st AS sa, b.user_id AS ub, b.st AS sb,
+             |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_ns
+             |FROM iv a JOIN iv b
+             |  ON a.st <= b.en AND b.st <= a.en
+             |  AND (a.user_id < b.user_id
+             |       OR (a.user_id = b.user_id AND a.st < b.st))
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // ---- crosstab: per-source language mix as a pivoted count grid —
+    //      Spark's pivot plans ONE aggregate with a when-chain per pivot
+    //      value (no per-language scan); empty cells filled 0 to match
+    //      the oracle's FILTER counts ----
+    Entry("q118_lang_pivot",
+      (s, d) => docs(s, d).groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  count(*) FILTER (WHERE lang = 'de') AS de,
+             |  count(*) FILTER (WHERE lang = 'en') AS en,
+             |  count(*) FILTER (WHERE lang = 'es') AS es,
+             |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+             |  count(*) FILTER (WHERE lang = 'zh') AS zh
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- grouping sets: the pricing rollup at every granularity in ONE
+    //      pass (Spark expands grouping sets map-side; no re-scan per
+    //      level) — exact cents, NULL group markers ordered FIRST on
+    //      both engines ----
+    Entry("q119_pricing_rollup",
+      (s, d) => s.read.parquet(s"$d/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
+
+    // ---- canonical-form exact dedup: case/punctuation/whitespace-robust
+    //      duplicate groups via the shared Java/RE2 normalization regex;
+    //      min-id survivorship ----
+    Entry("q120_canon_dedup",
+      (s, d) => TextOps.canonDedup(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch
+             |  FROM documents),
+             |g AS (SELECT ch, min(doc_id) AS canon_id, count(*) AS group_size
+             |      FROM k GROUP BY 1)
+             |SELECT k.doc_id, g.canon_id, CAST(g.group_size AS BIGINT) AS group_size,
+             |  (k.doc_id = g.canon_id) AS is_survivor
+             |FROM k JOIN g USING (ch) ORDER BY 1""".stripMargin)),
+
+    // ---- per-group outliers by EXACT order statistics: events whose
+    //      value exceeds their type's p95, threshold = q54's integer
+    //      selection rule over the per-type value histogram — no float
+    //      aggregation, histogram-sized exchanges only ----
+    Entry("q121_value_outliers",
+      (s, d) => {
+        val base = s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"), col("event_type"), col("value"))
+        Profile.orderStatOutliers(base, Seq("event_type"), "value",
+            pNum = 19, pDen = 20)
+          .select("event_id", "event_type", "value", "thr")
+          .orderBy("event_id")
+      },
+      Some("""WITH h AS (SELECT event_type, value AS v, count(*) AS c
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT event_type, v,
+             |          sum(c) OVER (PARTITION BY event_type ORDER BY v
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |          sum(c) OVER (PARTITION BY event_type) AS n
+             |        FROM h),
+             |thr AS (SELECT event_type, min(v) AS thr FROM cum
+             |        WHERE cum * 20 >= n * 19 GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value, t.thr
+             |FROM events e JOIN thr t USING (event_type)
+             |WHERE e.value > t.thr ORDER BY e.event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

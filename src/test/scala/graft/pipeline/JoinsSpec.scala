@@ -51,4 +51,82 @@ class JoinsSpec extends SparkSpec {
       assert(plan.contains("_salt"), "join exchange must carry the salt column")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ===================== overlapJoin (interval×interval) ================
+
+  private def randomIntervals(n: Int, seed: Int, origin: Long) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val st = origin + rnd.nextLong(100000L)
+      (i.toLong, st, st + rnd.nextLong(5000L))
+    }.toDF("id", "st", "en")
+  }
+
+  test("overlapJoin equals the brute-force theta-join across band widths") {
+    val a = randomIntervals(120, seed = 1, origin = 0L)
+      .select(col("id").as("ida"), col("st").as("sa"), col("en").as("ea"))
+    val b = randomIntervals(80, seed = 2, origin = 20000L)
+      .select(col("id").as("idb"), col("st").as("sb"), col("en").as("eb"))
+    val brute = a.join(b, col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must actually overlap")
+    for (band <- Seq(100L, 1000L, 7919L, 1000000L)) {
+      val got = Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb", band)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"band=$band emitted duplicates")
+      assert(got.toSet === brute, s"band=$band")
+    }
+  }
+
+  test("overlapJoin handles negative times (pre-epoch) exactly") {
+    val a = randomIntervals(60, seed = 3, origin = -50000L)
+      .select(col("id").as("ida"), col("st").as("sa"), col("en").as("ea"))
+    val b = randomIntervals(60, seed = 4, origin = -45000L)
+      .select(col("id").as("idb"), col("st").as("sb"), col("en").as("eb"))
+    val brute = a.join(b, col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb", 997L)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size && got.toSet === brute)
+  }
+
+  test("overlapJoin self-join with an ordering cond emits each pair once") {
+    val iv = randomIntervals(100, seed = 5, origin = 0L)
+    val a = iv.select(col("id").as("ida"), col("st").as("sa"), col("en").as("ea"))
+    val b = iv.select(col("id").as("idb"), col("st").as("sb"), col("en").as("eb"))
+    val got = Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb", 1000L,
+        cond = col("ida") < col("idb"))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size)
+    assert(got.forall { case (x, y) => x < y }, "cond must prune the mirror")
+    val brute = a.join(b, col("sa") <= col("eb") && col("sb") <= col("ea")
+        && col("ida") < col("idb"))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === brute)
+  }
+
+  test("overlapJoin result is invariant under repartitioning") {
+    val a = randomIntervals(80, seed = 6, origin = 0L)
+      .select(col("id").as("ida"), col("st").as("sa"), col("en").as("ea"))
+    val b = randomIntervals(80, seed = 7, origin = 1000L)
+      .select(col("id").as("idb"), col("st").as("sb"), col("en").as("eb"))
+    val one = Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb", 500L)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Joins.overlapJoin(a.repartition(17), "sa", "ea",
+        b.repartition(3), "sb", "eb", 500L)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === two)
+  }
+
+  test("overlapJoin refuses colliding column names") {
+    val iv = randomIntervals(5, seed = 8, origin = 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Joins.overlapJoin(iv, "st", "en", iv, "st", "en", 100L)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
 }

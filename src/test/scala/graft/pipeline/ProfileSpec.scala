@@ -72,4 +72,49 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "bin assignment must not shuffle")
   }
+
+  // ===================== orderStatOutliers ==============================
+
+  import org.apache.spark.sql.types.DoubleType
+
+  private def valued(rows: Seq[(String, java.lang.Double)]) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (g, v) => Row(g, v) }: _*),
+      StructType(Seq(StructField("g", StringType), StructField("v", DoubleType))))
+
+  test("orderStatOutliers: p95 threshold is the exact order statistic") {
+    // 1..100 in one group: smallest v with 20*cum >= 100*19 is 95
+    val df = valued((1 to 100).map(i => ("a", java.lang.Double.valueOf(i.toDouble))))
+    val out = Profile.orderStatOutliers(df, Seq("g"), "v", 19, 20)
+      .orderBy("v").collect()
+    assert(out.map(_.getDouble(out.head.fieldIndex("v"))).toSeq ===
+      Seq(96.0, 97.0, 98.0, 99.0, 100.0))
+    assert(out.forall(_.getDouble(out.head.fieldIndex("thr")) === 95.0))
+  }
+
+  test("orderStatOutliers: thresholds are per group, duplicates weighted") {
+    // group b: value 1.0 ×19, value 9.0 ×1 → p95 threshold lands on 9.0
+    // (20*cum(1.0)=380 >= 19*20=380 → thr=1.0; strict > flags only 9.0)
+    val rows = (1 to 100).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
+      (1 to 19).map(_ => ("b", java.lang.Double.valueOf(1.0))) :+
+      ("b", java.lang.Double.valueOf(9.0))
+    val out = Profile.orderStatOutliers(valued(rows), Seq("g"), "v", 19, 20)
+      .collect().map(r => (r.getString(r.fieldIndex("g")),
+        r.getDouble(r.fieldIndex("v")), r.getDouble(r.fieldIndex("thr"))))
+    val (ga, gb) = out.partition(_._1 == "a")
+    assert(ga.map(_._2).sorted.toSeq === Seq(96.0, 97.0, 98.0, 99.0, 100.0))
+    assert(gb.toSeq === Seq(("b", 9.0, 1.0)))
+  }
+
+  test("orderStatOutliers: nulls excluded from distribution, never flagged") {
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 20).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
+        Seq(("a", null), ("a", null))
+    val out = Profile.orderStatOutliers(valued(rows), Seq("g"), "v", 19, 20)
+      .collect()
+    // with nulls excluded n=20: thr = 19, only 20.0 flagged
+    assert(out.length === 1)
+    assert(out.head.getDouble(out.head.fieldIndex("v")) === 20.0)
+    assert(out.head.getDouble(out.head.fieldIndex("thr")) === 19.0)
+  }
 }
