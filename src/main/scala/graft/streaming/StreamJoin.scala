@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.streaming.StreamIngest.Sample
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Stream-stream event-time join — the live form of
@@ -57,5 +57,77 @@ object StreamJoin {
           col("r_time") <= col("l_time") + afterNs)
       .select(col("metric"), col("l_time"), col("l_value"),
         col("r_time"), col("r_value"))
+  }
+
+  /** Closed interval [st, en] in ns — the streaming overlap join's row. */
+  final case class Interval(id: Long, st: Long, en: Long)
+
+  /** Streaming tier of [[graft.pipeline.Joins.overlapJoin]]: live
+    * interval×interval overlap pairs (sessions co-active right now, spans
+    * colliding as they land) over Spark's native stream-stream inner join.
+    *
+    * Same banding decomposition as the batch operator — each interval
+    * explodes over the `bandNs`-wide bands it touches, the join is an
+    * EQUI-join on the band, the exact ns predicate decides overlap, and
+    * the canonical `band == floorDiv(max(sa, sb), band)` rule emits each
+    * pair exactly once. The band START doubles as the watermarked
+    * event-time join key (µs-aligned by the `bandNs % 1000 == 0`
+    * requirement, so the timestamp is exact), which is what lets the
+    * symmetric hash join EVICT a band's buffered rows once the watermark
+    * passes it — state is bounded by (bands inside the horizon) ×
+    * (intervals per band), never the full history.
+    *
+    * Bands here are computed with exact integer floorDiv on BOTH the
+    * explode side (Math.floorDiv) and the canonical-emission side (a
+    * div/mod rendering of floor division) — the batch tier's monotone
+    * double-floor argument doesn't carry across two INDEPENDENT code
+    * paths, where an ulp of disagreement near 2^53 could silently drop a
+    * pair rather than shift its emission band.
+    *
+    * `maxBands` fails loudly on runaway intervals (an unclosed session
+    * would otherwise explode without bound — the
+    * [[graft.hta.Queries.intervalJoin]] maxTiles discipline).
+    *
+    * Output (append mode): (ida, sa, ea, idb, sb, eb), one row per
+    * overlapping pair once both bands clear the watermark. For a
+    * self-join pass the same stream twice with `cond` ordering the ids. */
+  def overlapJoin(a: Dataset[Interval], b: Dataset[Interval], bandNs: Long,
+                  watermarkDelayNs: Long = 0L, maxBands: Int = 1000,
+                  cond: Column = lit(true)): DataFrame = {
+    require(bandNs > 0 && bandNs % 1000 == 0,
+      s"bandNs must be a positive multiple of 1000 (µs-aligned), got $bandNs")
+    val delayUs = watermarkDelayNs / 1000
+    def banded(ds: Dataset[Interval], idc: String, stc: String, enc: String,
+               bandc: String, tsc: String): DataFrame = {
+      val spark = ds.sparkSession
+      import spark.implicits._
+      ds.flatMap { iv =>
+        require(iv.en >= iv.st, s"overlapJoin: interval end < start: $iv")
+        val b0 = Math.floorDiv(iv.st, bandNs)
+        val b1 = Math.floorDiv(iv.en, bandNs)
+        require(b1 - b0 < maxBands,
+          s"overlapJoin: interval spans ${b1 - b0 + 1} bands of $bandNs ns " +
+            s"(> $maxBands): $iv")
+        (b0 to b1).map(bi => (iv.id, iv.st, iv.en, bi))
+      }.toDF(idc, stc, enc, bandc)
+        .withColumn(tsc, timestamp_micros(col(bandc) * lit(bandNs / 1000)))
+        .withWatermark(tsc, s"$delayUs microseconds")
+    }
+    val l = banded(a, "ida", "sa", "ea", "a_band", "a_ts")
+    val r = banded(b, "idb", "sb", "eb", "b_band", "b_ts")
+    // exact long floor division: div truncates toward zero; a negative
+    // remainder means the true floor is one below
+    val canonical = expr(
+      s"a_band = (greatest(sa, sb) div ${bandNs}L) - " +
+        s"(CASE WHEN greatest(sa, sb) % ${bandNs}L < 0 THEN 1 ELSE 0 END)")
+    l.join(r,
+        col("a_band") === col("b_band") &&
+          // the watermarked-column range condition drives state eviction;
+          // band equality already implies equal band timestamps
+          col("b_ts") >= col("a_ts") - expr("INTERVAL '1' MICROSECOND") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL '1' MICROSECOND") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea") &&
+          canonical && cond)
+      .select("ida", "sa", "ea", "idb", "sb", "eb")
   }
 }

@@ -122,6 +122,17 @@ class JoinsSpec extends SparkSpec {
     assert(one === two)
   }
 
+  test("overlapJoin plans an equi-join on the band — never a nested loop") {
+    val a = randomIntervals(50, seed = 9, origin = 0L)
+      .select(col("id").as("ida"), col("st").as("sa"), col("en").as("ea"))
+    val b = randomIntervals(50, seed = 10, origin = 0L)
+      .select(col("id").as("idb"), col("st").as("sb"), col("en").as("eb"))
+    val plan = Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"banded overlap must not fall back to a product join:\n$plan")
+  }
+
   test("overlapJoin refuses colliding column names") {
     val iv = randomIntervals(5, seed = 8, origin = 0L)
     val ex = intercept[IllegalArgumentException] {

@@ -106,6 +106,15 @@ class ProfileSpec extends SparkSpec {
     assert(gb.toSeq === Seq(("b", 9.0, 1.0)))
   }
 
+  test("orderStatOutliers: threshold table broadcasts back onto the scan") {
+    val df = valued((1 to 200).map(i => ("g" + (i % 3),
+      java.lang.Double.valueOf((i % 37).toDouble))))
+    val plan = Profile.orderStatOutliers(df, Seq("g"), "v", 19, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"flagging pass must be a broadcast join, not a corpus shuffle:\n$plan")
+  }
+
   test("orderStatOutliers: nulls excluded from distribution, never flagged") {
     val rows: Seq[(String, java.lang.Double)] =
       (1 to 20).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++

@@ -71,6 +71,13 @@ class SemanticSpec extends SparkSpec {
     assert(one === two)
   }
 
+  test("semanticDedup pair join is keyed by cluster — never cartesian") {
+    val plan = Dedup.semanticDedup(docs, 19L, 20L, dim = 16, nlist = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"within-cluster pairs must ride the list_id equi-join:\n$plan")
+  }
+
   test("canonDedup groups case/punctuation/whitespace variants") {
     val d = mkDocs(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  --  WORLD"),

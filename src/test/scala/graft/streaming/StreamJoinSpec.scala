@@ -83,4 +83,98 @@ class StreamJoinSpec extends SparkSpec {
       .map(x => x.getAs[Long]("r_time")).toSeq.sorted
     assert(got === Seq(O + 9800L))
   }
+
+  // ==================== overlapJoin (interval×interval) =================
+
+  import StreamJoin.Interval
+
+  private val bandNs = 10000L // 10 µs bands against interval widths ~5 µs
+  private val ivA = {
+    val rnd = new scala.util.Random(11)
+    (0 until 40).map { i =>
+      val st = O + rnd.nextLong(100000L)
+      Interval(i.toLong, st, st + rnd.nextLong(5000L))
+    }
+  }
+  private val ivB = {
+    val rnd = new scala.util.Random(12)
+    (100 until 140).map { i =>
+      val st = O + rnd.nextLong(100000L)
+      Interval(i.toLong, st, st + rnd.nextLong(5000L))
+    }
+  }
+
+  private def bruteOverlap(as: Seq[Interval], bs: Seq[Interval]): Set[(Long, Long)] =
+    (for (a <- as; b <- bs if a.st <= b.en && b.st <= a.en)
+      yield (a.id, b.id)).toSet
+
+  test("streamed overlap join == brute-force pairs across slicings") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val expected = bruteOverlap(ivA, ivB)
+    assert(expected.nonEmpty)
+    for (cut <- Seq(5, 17, 39)) {
+      val am = MemoryStream[Interval]
+      val bm = MemoryStream[Interval]
+      val q = StreamJoin.overlapJoin(am.toDS(), bm.toDS(), bandNs,
+          watermarkDelayNs = 1000000L)
+        .writeStream.format("memory").queryName(s"ov_$cut")
+        .outputMode("append").start()
+      try {
+        val (a1, a2) = ivA.splitAt(cut % ivA.length)
+        val (b1, b2) = ivB.splitAt(cut % ivB.length)
+        am.addData(a1: _*); bm.addData(b1: _*); q.processAllAvailable()
+        am.addData(a2: _*); bm.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"ov_$cut").collect()
+        .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+      assert(got.length === got.toSet.size, s"slicing $cut emitted duplicates")
+      assert(got.toSet === expected, s"slicing $cut")
+    }
+  }
+
+  test("streamed overlap self-join with an id ordering emits each pair once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val expected = (for {
+      a <- ivA; b <- ivA
+      if a.id < b.id && a.st <= b.en && b.st <= a.en
+    } yield (a.id, b.id)).toSet
+    assert(expected.nonEmpty)
+    val am = MemoryStream[Interval]
+    val bm = MemoryStream[Interval]
+    val q = StreamJoin.overlapJoin(am.toDS(), bm.toDS(), bandNs,
+        watermarkDelayNs = 1000000L, cond = col("ida") < col("idb"))
+      .writeStream.format("memory").queryName("ov_self")
+      .outputMode("append").start()
+    try {
+      am.addData(ivA: _*); bm.addData(ivA: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ov_self").collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+    assert(got.length === got.toSet.size && got.toSet === expected)
+  }
+
+  test("streamed overlap join fails loudly on a runaway interval") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val am = MemoryStream[Interval]
+    val bm = MemoryStream[Interval]
+    val q = StreamJoin.overlapJoin(am.toDS(), bm.toDS(), bandNs,
+        watermarkDelayNs = 1000000L, maxBands = 10)
+      .writeStream.format("memory").queryName("ov_guard")
+      .outputMode("append").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        am.addData(Interval(1L, O, O + bandNs * 100))
+        bm.addData(Interval(2L, O, O + 1000L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(ex.getCause != null || ex.getMessage.contains("bands"))
+  }
 }
