@@ -1131,6 +1131,70 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Containment join: ordered pairs (sub, sup) where the DISTINCT-token
+    * set of `sub` is at least tauNum/tauDen contained in `sup`'s —
+    * C(A,B) = |A∩B| / |A|. The ASYMMETRIC sibling of the Jaccard join:
+    * a quote, snippet, or boilerplate-wrapped copy has low Jaccard
+    * against its source (the union is dominated by the bigger doc) but
+    * containment ≈ 1 — the signal quote/excerpt detection actually needs
+    * (Broder 1997 distinguishes resemblance from containment for exactly
+    * this reason).
+    *
+    * Exact tier: one distinct-(doc, token) pass keyed by the 60-bit token
+    * hash (8-byte shuffle keys, text never shuffles — q15's injectivity
+    * argument), the inverted-list self-join counts intersections, and the
+    * integer rule `inter · tauDen >= |A| · tauNum` decides — no floats.
+    * Pair space is Σ df² over tokens (the same budget class as the exact
+    * Jaccard/cosine joins q48/q102): run it on a candidate subset or
+    * behind an LSH prefilter at corpus scale; this is the verify tier.
+    *
+    * @return (doc_sub, doc_sup, inter, n_sub, cont_e6) */
+  def containmentJoin(docs: DataFrame, tauNum: Long, tauDen: Long,
+                      text: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val f = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(text))).as("_tok"))
+      .select(col("doc_id"), TextOps.md5Long(col("_tok")).as("th"))
+      .distinct()
+    val na = f.groupBy("doc_id").agg(count(lit(1)).as("n_sub"))
+    f.select(col("doc_id").as("doc_sub"), col("th"))
+      .join(f.select(col("doc_id").as("doc_sup"), col("th")), "th")
+      .where(col("doc_sub") =!= col("doc_sup"))
+      .groupBy("doc_sub", "doc_sup").agg(count(lit(1)).as("inter"))
+      .join(na.select(col("doc_id").as("doc_sub"), col("n_sub")), "doc_sub")
+      .where(col("inter") * tauDen >= col("n_sub") * tauNum)
+      .select(col("doc_sub"), col("doc_sup"), col("inter"), col("n_sub"),
+        expr("inter * 1000000 div n_sub").as("cont_e6"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * shingles whose FIRST owner (smallest doc_id corpus-wide) is the
+    * document itself — the "how much of this is new" curation signal
+    * that separates original content from recombined boilerplate, and
+    * the doc-granular view of the corpus-growth curves used to diagnose
+    * crawl saturation.
+    *
+    * Shape at scale: shingles are 60-bit hashes end to end (one
+    * [[shingleHashRows]] pass), the first-owner table is ONE gram-keyed
+    * groupBy with map-side min, and the join back is gram-hash to
+    * gram-hash — two shuffles total on 8-byte keys, partition width
+    * bounded by a gram's owner count.
+    *
+    * @return (doc_id, n_grams, n_novel, novelty_e6) */
+  def gramNovelty(docs: DataFrame, n: Int = 3,
+                  text: String = "text"): DataFrame = {
+    val g = shingleHashRows(docs, n, text, distinct = true)
+    val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    g.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_e6"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus in a cheap embedding space, then compare pairs
     * ONLY within a cluster — the clustering bounds the quadratic pair

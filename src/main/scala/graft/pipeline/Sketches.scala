@@ -296,4 +296,57 @@ object Sketches {
       .agg(max("_mj").as("_mj"))
     hllEstimate(merged, keys :+ "day", p)
   }
+
+  /** Pairwise set-similarity matrix between groups (sources, crawls,
+    * snapshots) from k-MinHash sketches, with the EXACT Jaccard alongside
+    * — the dataset-to-dataset view ("how much does source A overlap
+    * source B?") that drives mixture design and crawl triage, plus the
+    * sketch-accuracy measurement the estimate needs to be trusted
+    * (Broder 1997: P[min h_i(A) = min h_i(B)] = J(A,B)).
+    *
+    * One pass computes each group's k per-hash minima under the SAME
+    * Carter-Wegman family as the MinHash-LSH tier ([[Dedup.hashCoef]],
+    * deterministic coefficients); the pair estimate joins SKETCH rows
+    * (groups × k — answer-sized, broadcastable), never elements. The
+    * exact tier joins distinct (group, element) rows hash-to-hash —
+    * at production scale drop it and keep the sketch join, which is the
+    * point of the sketch; here it doubles as the accuracy oracle.
+    *
+    * @param elem 60-bit-hash element column (e.g. md5Long of content)
+    * @return per unordered group pair (key_a < key_b): est_matches, k,
+    *         est_jaccard_e6, inter, uni, jaccard_e6 */
+  def setSimilarityMatrix(df: DataFrame, key: String,
+                          elem: org.apache.spark.sql.Column,
+                          k: Int = 32): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+    val base = df.select(col(key), elem.as("_e")).distinct()
+    val hx = base.withColumn("_hx", pmod(col("_e"), lit(Dedup.P)))
+    val mins = (0 until k).map { i =>
+      val (a, b) = Dedup.hashCoef(i)
+      min(pmod(col("_hx") * a + b, lit(Dedup.P))).as(s"m$i")
+    }
+    val sig = hx.groupBy(col(key)).agg(mins.head, mins.tail: _*)
+      .select(col(key), posexplode(array((0 until k).map(i => col(s"m$i")): _*))
+        .as(Seq("_i", "_m")))
+    val est = sig.select(col(key).as("key_a"), col("_i"), col("_m").as("_ma"))
+      .join(sig.select(col(key).as("key_b"), col("_i"), col("_m").as("_mb")), "_i")
+      .where(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(sum(when(col("_ma") === col("_mb"), 1L).otherwise(0L)).as("est_matches"))
+    val sz = base.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+    val inter = base.select(col(key).as("key_a"), col("_e"))
+      .join(base.select(col(key).as("key_b"), col("_e")), "_e")
+      .where(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b").agg(count(lit(1)).as("_inter"))
+    est
+      .join(inter, Seq("key_a", "key_b"), "left")
+      .join(sz.select(col(key).as("key_a"), col("_n").as("_na")), "key_a")
+      .join(sz.select(col(key).as("key_b"), col("_n").as("_nb")), "key_b")
+      .select(col("key_a"), col("key_b"),
+        col("est_matches"), lit(k.toLong).as("k"),
+        expr(s"est_matches * 1000000 div ${k.toLong}").as("est_jaccard_e6"),
+        coalesce(col("_inter"), lit(0L)).as("inter"),
+        (col("_na") + col("_nb") - coalesce(col("_inter"), lit(0L))).as("uni"))
+      .withColumn("jaccard_e6", expr("inter * 1000000 div uni"))
+  }
 }

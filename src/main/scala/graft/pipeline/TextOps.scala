@@ -649,6 +649,35 @@ object TextOps {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Readability scoring in exact fixed point — the Flesch reading-ease
+    * shape (206.835 − 1.015·words/sentence − 84.6·syllables/word) with
+    * the classic cheap proxies: sentences = runs of [.!?] (floored at 1),
+    * syllables = vowel-group runs in the lowercased text ([aeiouy]+, the
+    * standard one-liner estimator). Every ratio is an e3 fixed-point
+    * integer division, so the oracle reproduces the score bit for bit —
+    * a float pipeline would disagree in the last ulp across engines.
+    *
+    * Pure narrow column expressions: two regexp scans and integer
+    * arithmetic, no shuffle — rides the corpus scan like the other
+    * quality signals (q16/q24), and composes with them in one pass. */
+  def readability(docs: DataFrame, text: String = "text"): DataFrame = {
+    val t = col(text)
+    docs.select(
+        col("doc_id"),
+        size(tokens(t)).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+          .as("n_sentences"),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("wps_e3",
+        expr("n_words * 1000 div n_sentences"))
+      .withColumn("spw_e3",
+        expr("n_syllables * 1000 div greatest(1L, n_words)"))
+      .withColumn("flesch_e3",
+        expr("206835 - (1015 * wps_e3) div 1000 - (84600 * spw_e3) div 1000"))
+  }
+
   /** Canonical text form for robust exact dedup: lowercase, every
     * non-[a-z0-9] run collapsed to ONE space, ends trimmed. Catches the
     * trivially-perturbed duplicates plain md5(text) misses (case flips,

@@ -3382,7 +3382,109 @@ object Registry {
              |        WHERE cum * 20 >= n * 19 GROUP BY 1)
              |SELECT e.event_id, e.event_type, e.value, t.thr
              |FROM events e JOIN thr t USING (event_type)
-             |WHERE e.value > t.thr ORDER BY e.event_id""".stripMargin))
+             |WHERE e.value > t.thr ORDER BY e.event_id""".stripMargin)),
+
+    // ---- containment join: near-SUBSET pairs (quote/excerpt detection)
+    //      — the asymmetric Jaccard C(A,B) = |A∩B|/|A| at tau 9/10,
+    //      exact-integer rule over distinct-token sets ----
+    Entry("q122_containment",
+      // every 11th doc, tau 24/25: this corpus's docs draw on one shared
+      // vocabulary, so distinct-token containment pairs are DENSE (79k
+      // pairs at tau 0.9 over all 500 sf0.01 docs; quadratic growth with
+      // corpus density) — the q102 right-sizing precedent: demonstrate
+      // the exactness, not the biggest join
+      (s, d) => Dedup.containmentJoin(
+          docs(s, d).where(pmod(col("doc_id"), lit(11)) === 0),
+          tauNum = 24L, tauDen = 25L)
+        .orderBy("doc_sub", "doc_sup"),
+      Some("""WITH f AS (SELECT DISTINCT doc_id, tok FROM
+             |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |   FROM documents WHERE doc_id % 11 = 0)),
+             |na AS (SELECT doc_id, count(*) AS n_sub FROM f GROUP BY 1),
+             |it AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+             |         count(*) AS inter
+             |       FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id != b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT doc_sub, doc_sup, CAST(inter AS BIGINT) AS inter,
+             |  CAST(n_sub AS BIGINT) AS n_sub,
+             |  CAST(inter * 1000000 // n_sub AS BIGINT) AS cont_e6
+             |FROM it JOIN na ON na.doc_id = it.doc_sub
+             |WHERE inter * 25 >= n_sub * 24
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- readability: Flesch reading-ease in e3 fixed point over the
+    //      standard cheap proxies (sentence = [.!?] run, syllable =
+    //      vowel-group run) — narrow, shuffle-free, bit-reproducible ----
+    Entry("q123_readability",
+      (s, d) => TextOps.readability(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s
+             |           FROM documents),
+             |v AS (SELECT doc_id,
+             |        CAST(len(s) AS BIGINT) AS n_words,
+             |        greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+             |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+             |      FROM t)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CAST(n_words * 1000 // n_sentences AS BIGINT) AS wps_e3,
+             |  CAST(n_syllables * 1000 // greatest(1, n_words) AS BIGINT) AS spw_e3,
+             |  CAST(206835
+             |    - (1015 * (n_words * 1000 // n_sentences)) // 1000
+             |    - (84600 * (n_syllables * 1000 // greatest(1, n_words))) // 1000
+             |    AS BIGINT) AS flesch_e3
+             |FROM v ORDER BY 1""".stripMargin)),
+
+    // ---- dataset-to-dataset similarity: per-source k-MinHash sketches
+    //      (the LSH tier's Carter-Wegman family) + the exact Jaccard the
+    //      estimate is judged against, one row per source pair ----
+    Entry("q124_source_similarity",
+      (s, d) => Sketches.setSimilarityMatrix(docs(s, d), "source",
+          TextOps.md5Long(col("text")), k = 32)
+        .orderBy("key_a", "key_b"),
+      Some {
+        val coeffs = (0 until 32).map { i =>
+          val (a, b) = Dedup.hashCoef(i); s"($i, ${a}, ${b})"
+        }.mkString(", ")
+        s"""WITH co(i, a, b) AS (VALUES $coeffs),
+           |ds AS (SELECT DISTINCT source,
+           |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS e
+           |       FROM documents),
+           |hx AS (SELECT source, e, e % 2147483647 AS hx FROM ds),
+           |mh AS (SELECT source, i, min((hx * a + b) % 2147483647) AS m
+           |       FROM hx, co GROUP BY 1, 2),
+           |est AS (SELECT x.source AS key_a, y.source AS key_b,
+           |          CAST(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+           |        FROM mh x JOIN mh y ON x.i = y.i AND x.source < y.source
+           |        GROUP BY 1, 2),
+           |sz AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+           |it AS (SELECT a.source AS key_a, b.source AS key_b, count(*) AS inter
+           |       FROM ds a JOIN ds b ON a.e = b.e AND a.source < b.source
+           |       GROUP BY 1, 2)
+           |SELECT est.key_a, est.key_b, est_matches, CAST(32 AS BIGINT) AS k,
+           |  CAST(est_matches * 1000000 // 32 AS BIGINT) AS est_jaccard_e6,
+           |  CAST(coalesce(inter, 0) AS BIGINT) AS inter,
+           |  CAST(na.n + nb.n - coalesce(inter, 0) AS BIGINT) AS uni,
+           |  CAST(coalesce(inter, 0) * 1000000
+           |       // (na.n + nb.n - coalesce(inter, 0)) AS BIGINT) AS jaccard_e6
+           |FROM est
+           |LEFT JOIN it ON it.key_a = est.key_a AND it.key_b = est.key_b
+           |JOIN sz na ON na.source = est.key_a
+           |JOIN sz nb ON nb.source = est.key_b
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ---- per-doc n-gram novelty: fraction of a doc's distinct shingles
+    //      first seen in THIS doc (smallest owning doc_id) — the
+    //      crawl-saturation / originality signal ----
+    Entry("q125_novelty",
+      (s, d) => Dedup.gramNovelty(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH $shCte,
+              |g AS (SELECT doc_id, unnest(st) AS gram FROM sh),
+              |fo AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+              |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              |       * 1000000 // count(*) AS BIGINT) AS novelty_e6
+              |FROM g JOIN fo USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -94,4 +94,77 @@ class SemanticSpec extends SparkSpec {
     val got = d.select(TextOps.canonicalize(col("text"))).head.getString(0)
     assert(got === "a b c 9")
   }
+
+  // ========================= containmentJoin ============================
+
+  test("containmentJoin: asymmetric near-subset pairs at the exact boundary") {
+    val d = mkDocs(
+      // doc 1's 4 distinct tokens all appear in doc 2 (C(1,2)=1), but
+      // doc 2 has 8 distinct tokens so C(2,1)=1/2
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h"),
+      // doc 3 shares 3 of its 4 tokens with doc 1 → C(3,1)=3/4
+      (3L, "a b c z"),
+      (4L, "q r s t u v"))
+    val got = Dedup.containmentJoin(d, 3L, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // tau = 3/4: (1→2) full containment, (1→3) 3/4 exactly on the
+    // boundary (>=), (3→1) 3/4, (3→2) 3/4; (2→1) at 1/2 excluded
+    assert(got === Set((1L, 2L, 1000000L), (1L, 3L, 750000L),
+      (3L, 1L, 750000L), (3L, 2L, 750000L)))
+  }
+
+  test("containmentJoin counts DISTINCT tokens (multiplicity ignored)") {
+    val d = mkDocs((1L, "a a a a b"), (2L, "a b c d e f g h i j"))
+    val got = Dedup.containmentJoin(d, 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 2L))) // n_sub=2 distinct, inter=2
+  }
+
+  // =========================== gramNovelty ==============================
+
+  test("gramNovelty: copies score 0, originals 1e6, partial overlap in between") {
+    val d = mkDocs(
+      (1L, "w1 w2 w3 w4 w5"),          // 3 shingles, all first here
+      (2L, "w1 w2 w3 w4 w5"),          // exact copy → novelty 0
+      (3L, "x1 x2 x3 x4"),             // 2 fresh shingles → 1e6
+      (4L, "w1 w2 w3 y1 y2 y3"))       // 4 shingles: 1 seen (w1w2w3), 3 new
+    val got = Dedup.gramNovelty(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L, 1000000L), (2L, 3L, 0L, 0L),
+      (3L, 2L, 2L, 1000000L), (4L, 4L, 3L, 750000L)))
+  }
+
+  test("gramNovelty: short docs fall to the whole-text gram") {
+    val d = mkDocs((1L, "only two"), (2L, "only two"), (3L, "other"))
+    val got = Dedup.gramNovelty(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1L, 1000000L), (2L, 1L, 0L), (3L, 1L, 1000000L)))
+  }
+
+  // =========================== readability ==============================
+
+  test("readability: hand-computed fixed-point score") {
+    // 6 words; sentences: '.' and '!' runs → 2; vowel runs in
+    // "the cat sat. a dog runs!": e,a,a,a,o,u → 6
+    val d = mkDocs((1L, "the cat sat. a dog runs!"))
+    val r = TextOps.readability(d).head
+    assert(r.getLong(r.fieldIndex("n_words")) === 6L)
+    assert(r.getLong(r.fieldIndex("n_sentences")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_syllables")) === 6L)
+    assert(r.getLong(r.fieldIndex("wps_e3")) === 3000L)
+    assert(r.getLong(r.fieldIndex("spw_e3")) === 1000L)
+    // 206835 - 1015*3000/1000 - 84600*1000/1000 = 206835 - 3045 - 84600
+    assert(r.getLong(r.fieldIndex("flesch_e3")) === 119190L)
+  }
+
+  test("readability: no sentence punctuation floors sentences at 1; empty-safe") {
+    val d = mkDocs((1L, "word word word"), (2L, ""))
+    val out = TextOps.readability(d).orderBy("doc_id").collect()
+    assert(out(0).getLong(out(0).fieldIndex("n_sentences")) === 1L)
+    assert(out(0).getLong(out(0).fieldIndex("wps_e3")) === 3000L)
+    // empty text: split yields [""], 1 word, 0 syllables — no div by zero
+    assert(out(1).getLong(out(1).fieldIndex("spw_e3")) === 0L)
+  }
 }

@@ -256,4 +256,44 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(q === exact50)
   }
+
+  // ======================= setSimilarityMatrix ==========================
+
+  test("setSimilarityMatrix: identical sets estimate 1, disjoint sets exact 0") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 50).map(i => ("a", i.toLong * 7919)) ++
+      (1 to 50).map(i => ("b", i.toLong * 7919)) ++      // b == a
+      (1 to 30).map(i => ("c", 1000000L + i * 104729)))  // c disjoint
+      .toDF("src", "h")
+    val out = Sketches.setSimilarityMatrix(df, "src", col("h"), k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // identical sets: every per-hash min matches, exact J = 1
+    assert(out(("a", "b")) === ((16L, 50L, 50L, 1000000L)))
+    // disjoint: exact inter 0, union 80, jaccard 0 (estimate unasserted —
+    // min collisions across disjoint sets are possible in principle)
+    val (_, i0, u0, j0) = out(("a", "c"))
+    assert(i0 === 0L && u0 === 80L && j0 === 0L)
+    assert(out.size === 3)
+  }
+
+  test("setSimilarityMatrix estimate tracks exact Jaccard on testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sketches.setSimilarityMatrix(docs, "source",
+        TextOps.md5Long(col("text")), k = 32).collect()
+    assert(out.length === 190) // 20 sources choose 2
+    // deterministic hash family → this is a fixed number, not a flaky
+    // sample: mean |est − exact| over the 190 pairs stays inside the
+    // k=32 binomial error band
+    val errs = out.map(r =>
+      math.abs(r.getLong(r.fieldIndex("est_jaccard_e6")) -
+        r.getLong(r.fieldIndex("jaccard_e6"))))
+    assert(errs.sum / errs.length < 150000L,
+      s"mean |est-exact| = ${errs.sum / errs.length}")
+    out.foreach { r =>
+      val m = r.getLong(r.fieldIndex("est_matches"))
+      assert(m >= 0L && m <= 32L)
+    }
+  }
 }
