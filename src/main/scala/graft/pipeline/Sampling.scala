@@ -123,4 +123,35 @@ object Sampling {
       .where(col(rn) <= k)
       .drop(rn)
   }
+
+  /** Deterministic global shuffle: a reproducible random-looking TOTAL
+    * ORDER over the corpus (the training-order permutation every epoch
+    * pipeline needs), as contiguous positions 0..n−1. Order = the salted
+    * content hash of the id (ties broken by id, so the order is total
+    * even under hash collisions); same salt → same permutation on any
+    * cluster, different salt → an independent epoch order.
+    *
+    * The 100 TB shape is the point: positions come from a RANGE-
+    * PARTITIONED distributed sort plus `zipWithIndex`'s two-phase
+    * per-partition offset scheme (count partitions, broadcast cumulative
+    * offsets, label locally) — NEVER a `row_number() OVER ()` window,
+    * whose empty partition-by collapses the corpus into one reducer. The
+    * global index is invariant to where the range partitioner happens to
+    * place its bounds: positions depend only on the total order.
+    *
+    * @return the input columns plus `shuffle_pos` (long, 0-based) */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = ""): DataFrame = {
+    val sh = Sessionize.freshName("_sh", df.columns.toSeq)
+    val keyed = df.withColumn(sh,
+      TextOps.md5Long(concat(lit(salt), lit("|"), col(idCol).cast("string"))))
+    val sorted = keyed.orderBy(col(sh), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema).drop(sh)
+  }
 }

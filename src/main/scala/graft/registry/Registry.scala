@@ -3484,7 +3484,21 @@ object Registry {
               |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
               |  CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
               |       * 1000000 // count(*) AS BIGINT) AS novelty_e6
-              |FROM g JOIN fo USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM g JOIN fo USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- deterministic epoch shuffle: reproducible training-order
+    //      permutation as contiguous positions — range-partitioned sort +
+    //      zipWithIndex two-phase offsets, never a row_number() OVER ()
+    //      single-reducer window ----
+    Entry("q126_epoch_shuffle",
+      (s, d) => Sampling.deterministicShuffle(
+          docs(s, d).select("doc_id", "n_chars"), "doc_id", salt = "ep1")
+        .orderBy("shuffle_pos"),
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(row_number() OVER (ORDER BY
+             |    CAST('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             |    doc_id) - 1 AS BIGINT) AS shuffle_pos
+             |FROM documents ORDER BY 3""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -133,4 +133,37 @@ class SamplingSpec extends SparkSpec {
     assert(cappedRn.columns.contains("_rn"))
     assert(cappedRn.select("_rn").distinct().collect().map(_.getString(0)).toSeq === Seq("keep"))
   }
+
+  test("deterministicShuffle: a reproducible permutation matching the hash order") {
+    val out = Sampling.deterministicShuffle(docs, "doc_id", salt = "s1")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.count()
+    assert(out.map(_._2).sorted.toSeq === (0L until n).toSeq,
+      "positions must be a contiguous 0..n-1 permutation")
+    // reference order: driver-side sort by the same salted hash
+    val ref = docs.select("doc_id").collect().map(_.getLong(0))
+      .map { id =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"s1|$id".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(15)
+        (java.lang.Long.parseLong(hex, 16), id)
+      }.sorted.map(_._2)
+    assert(out.sortBy(_._2).map(_._1).toSeq === ref.toSeq,
+      "order must equal the salted md5-prefix sort")
+  }
+
+  test("deterministicShuffle: repartition-invariant; salt changes the order") {
+    val one = Sampling.deterministicShuffle(docs, "doc_id", "s1")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Sampling.deterministicShuffle(docs.repartition(17), "doc_id", "s1")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === two)
+    val other = Sampling.deterministicShuffle(docs, "doc_id", "s2")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other !== one, "a different salt must permute differently")
+  }
 }
