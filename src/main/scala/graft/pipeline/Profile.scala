@@ -138,4 +138,58 @@ object Profile {
     df.join(broadcast(thr), groupCols)
       .where(col(valueCol) > col("thr"))
   }
+
+  /** Declarative data-quality validation (the dbt-test / expectations
+    * pattern): evaluate many row-level checks over a table in ONE scan
+    * and return a per-check report — (check, n_rows, n_fail, pass).
+    * A check is any boolean Column; NULL verdicts count as FAILURES
+    * (an expectation that cannot be evaluated is not met — the
+    * three-valued-logic trap where `col > 0` silently passes nulls).
+    *
+    * One narrow projection evaluates every check per row, then a single
+    * partial-aggregated global sum — no scan-per-check, no shuffle wider
+    * than one row per check. Cross-table checks (FK containment,
+    * uniqueness) are their own aggregates; see [[checkUnique]] /
+    * [[checkSubset]], which return rows of the same report shape to
+    * union with. */
+  def validate(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val agg = checks.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(count(lit(1)).as(s"_n$i"),
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"_f$i"))
+    }
+    val one = df.agg(agg.head, agg.tail: _*)
+    val arms = checks.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', _n$i, _f$i"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${checks.size}, $arms) AS (check_name, n_rows, n_fail)")
+      .withColumn("pass", col("n_fail") === 0L)
+  }
+
+  /** Uniqueness check as a report row: `name, n_rows, n_fail, pass`
+    * where n_fail counts the rows BEYOND the first of each duplicated
+    * key (n − distinct). One map-side-combined keyed count. */
+  def checkUnique(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(sum("_c").as("n_rows"), (sum("_c") - count(lit(1))).as("n_fail"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0L).as("pass"))
+
+  /** Referential-integrity check as a report row: n_fail = child rows
+    * whose key is absent from the parent's key set (NULL child keys
+    * fail — an unresolvable reference is a violation here; model
+    * optional references with an explicit filter). Left-anti join
+    * against the parent's distinct keys — AQE broadcasts the dim-sized
+    * side. */
+  def checkSubset(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  name: String): DataFrame = {
+    val parents = parent.select(col(parentKey).as(childKey)).distinct()
+    val bad = child.select(childKey).join(parents, Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_fail"))
+    child.agg(count(lit(1)).as("n_rows")).crossJoin(bad)
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0L).as("pass"))
+  }
 }

@@ -3498,7 +3498,67 @@ object Registry {
              |  CAST(row_number() OVER (ORDER BY
              |    CAST('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
              |    doc_id) - 1 AS BIGINT) AS shuffle_pos
-             |FROM documents ORDER BY 3""".stripMargin))
+             |FROM documents ORDER BY 3""".stripMargin)),
+
+    // ---- declarative data-quality validation: range/null row checks in
+    //      ONE lineitem scan + PK-uniqueness + FK-containment aggregates,
+    //      unioned into one report (the dbt-test / expectations pattern;
+    //      NULL check verdicts count as failures) ----
+    Entry("q127_data_checks",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val o = s.read.parquet(s"$d/orders.parquet")
+        val c = s.read.parquet(s"$d/customer.parquet")
+        val rowChecks = Profile.validate(li, Seq(
+          "li_discount_range" ->
+            (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+          "li_quantity_range" ->
+            (col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0),
+          "li_shipdate_not_null" -> col("l_shipdate").isNotNull))
+        rowChecks
+          .unionByName(Profile.checkUnique(o, "orders_pk_unique",
+            Seq("o_orderkey")))
+          .unionByName(Profile.checkSubset(o, "o_custkey", c, "c_custkey",
+            "orders_custkey_fk"))
+          .unionByName(Profile.checkSubset(li, "l_orderkey", o, "o_orderkey",
+            "lineitem_orderkey_fk"))
+          .orderBy("check_name")
+      },
+      Some("""WITH r AS (
+             |  SELECT 'li_discount_range' AS check_name, count(*) AS n_rows,
+             |    sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.1, false)
+             |        THEN 0 ELSE 1 END) AS n_fail
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'li_quantity_range', count(*),
+             |    sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 30, false)
+             |        THEN 0 ELSE 1 END)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'li_shipdate_not_null', count(*),
+             |    sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders_pk_unique', sum(c),
+             |    sum(c) - count(*)
+             |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+             |  UNION ALL
+             |  SELECT 'orders_custkey_fk',
+             |    (SELECT count(*) FROM orders),
+             |    (SELECT count(*) FROM orders o
+             |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |       ON o.o_custkey = c.c_custkey
+             |     WHERE c.c_custkey IS NULL)
+             |  UNION ALL
+             |  SELECT 'lineitem_orderkey_fk',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem l
+             |     LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |       ON l.l_orderkey = o.o_orderkey
+             |     WHERE o.o_orderkey IS NULL))
+             |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_fail AS BIGINT) AS n_fail, n_fail = 0 AS pass
+             |FROM r ORDER BY check_name""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -115,6 +115,40 @@ class ProfileSpec extends SparkSpec {
       s"flagging pass must be a broadcast join, not a corpus shuffle:\n$plan")
   }
 
+  test("validate: one scan, NULL verdicts fail, pass flag exact") {
+    val df = valued(Seq(
+      ("a", java.lang.Double.valueOf(1.0)), ("a", java.lang.Double.valueOf(5.0)),
+      ("a", null))) // null makes `v <= 3` UNKNOWN → must count as a failure
+    val out = Profile.validate(df, Seq(
+        "v_le_3" -> (org.apache.spark.sql.functions.col("v") <= 3.0),
+        "v_not_null" -> org.apache.spark.sql.functions.col("v").isNotNull,
+        "g_is_a" -> (org.apache.spark.sql.functions.col("g") === "a")))
+      .orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("g_is_a", 3L, 0L, true),
+      ("v_le_3", 3L, 2L, false),   // 5.0 fails, NULL fails
+      ("v_not_null", 3L, 1L, false)))
+  }
+
+  test("checkUnique and checkSubset report rows compose with validate") {
+    import org.apache.spark.sql.types.LongType
+    val child = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 10L), Row(2L, 20L), Row(3L, 99L),
+        Row(3L, null), Row(4L, 10L)),
+      StructType(Seq(StructField("id", LongType), StructField("fk", LongType))))
+    val parent = spark.createDataFrame(
+      java.util.Arrays.asList(Row(10L), Row(20L)),
+      StructType(Seq(StructField("pk", LongType))))
+    val u = Profile.checkUnique(child, "child_pk", Seq("id")).collect().head
+    assert((u.getString(0), u.getLong(1), u.getLong(2), u.getBoolean(3)) ===
+      (("child_pk", 5L, 1L, false))) // id=3 duplicated once
+    val f = Profile.checkSubset(child, "fk", parent, "pk", "fk_ok").collect().head
+    // 99 unmatched + NULL fk unresolvable = 2 failures
+    assert((f.getString(0), f.getLong(1), f.getLong(2), f.getBoolean(3)) ===
+      (("fk_ok", 5L, 2L, false)))
+  }
+
   test("orderStatOutliers: nulls excluded from distribution, never flagged") {
     val rows: Seq[(String, java.lang.Double)] =
       (1 to 20).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
