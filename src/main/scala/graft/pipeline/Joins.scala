@@ -85,31 +85,47 @@ object Joins {
     * `cond` prunes the pair space (e.g. a strict id ordering for a
     * self-join — without it a self-join emits both (x,y) and (y,x) plus
     * (x,x)).
+    *
+    * Bands come from EXACT negative-safe floor division (align down with
+    * pmod, then `div` — the [[graft.hta.Queries.intervalJoin]] rendering;
+    * never a double `/`, inexact past 2^53 at ns scale), matching the
+    * streaming tier's Math.floorDiv digit for digit. A malformed interval
+    * (end < start — `sequence(hi, lo)` would silently generate a
+    * DESCENDING band list) or one spanning ≥ `maxBands` bands (an
+    * unclosed session would otherwise explode without bound) fails the
+    * job with raise_error woven into the live explode expression.
     */
   def overlapJoin(a: DataFrame, aSt: String, aEn: String,
                   b: DataFrame, bSt: String, bEn: String,
-                  band: Long, cond: Column = lit(true)): DataFrame = {
+                  band: Long, cond: Column = lit(true),
+                  maxBands: Int = 1000): DataFrame = {
     require(band > 0, s"band must be > 0, got $band")
+    require(maxBands >= 1, s"maxBands must be >= 1, got $maxBands")
     require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
       "overlapJoin inputs must have disjoint column names; alias first")
-    // The double-division floor is inexact above 2^53 (ns epochs exceed
-    // it), but correctness needs only that bandOf be MONOTONE and used
-    // consistently: long→double rounding, division by a positive
-    // constant, and floor are each weakly monotone, so an interval's
-    // covered range [bandOf(st), bandOf(en)] always contains
-    // bandOf(max(aSt, bSt)) — the canonical emission band — for every
-    // truly-overlapping pair. An off-by-an-ulp band boundary shifts only
-    // WHICH band a pair is emitted in, never whether it is.
-    def bandOf(t: Column): Column =
-      floor(t.cast("double") / lit(band.toDouble)).cast("long")
-    val ax = a.withColumn("_band",
-      explode(sequence(bandOf(col(aSt)), bandOf(col(aEn)))))
-    val bx = b.withColumn("_band",
-      explode(sequence(bandOf(col(bSt)), bandOf(col(bEn)))))
-    ax.join(bx, Seq("_band"))
+    def banded(df: DataFrame, st: String, en: String): DataFrame =
+      df.withColumn("_sal", col(st) - pmod(col(st), lit(band)))
+        .withColumn("_eal", col(en) - pmod(col(en), lit(band)))
+        .withColumn("_blo", expr(s"_sal div ${band}L"))
+        .withColumn("_bhi", expr(s"_eal div ${band}L"))
+        .withColumn("_band", explode(
+          when(col(en) >= col(st) && col("_bhi") - col("_blo") < maxBands,
+            sequence(col("_blo"), col("_bhi")))
+          .otherwise(raise_error(concat(
+            lit(s"overlapJoin: malformed (end < start) or > $maxBands-band " +
+              s"interval at band=$band: "),
+            col(st), lit(".."), col(en))))))
+        .drop("_sal", "_eal", "_blo", "_bhi")
+    val ax = banded(a, aSt, aEn)
+    val bx = banded(b, bSt, bEn)
+    val g = greatest(col(aSt), col(bSt))
+    val canonicalBand = ax.join(bx, Seq("_band"))
+      .withColumn("_cal", g - pmod(g, lit(band)))
+      .withColumn("_cband", expr(s"_cal div ${band}L"))
+    canonicalBand
       .where(col(aSt) <= col(bEn) && col(bSt) <= col(aEn))
-      .where(col("_band") === bandOf(greatest(col(aSt), col(bSt))))
+      .where(col("_band") === col("_cband"))
       .where(cond)
-      .drop("_band")
+      .drop("_band", "_cal", "_cband")
   }
 }

@@ -155,6 +155,12 @@ object Profile {
   def validate(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)])
       : DataFrame = {
     require(checks.nonEmpty, "need at least one check")
+    // names are spliced into the stack() SQL as literals — keep them in
+    // an identifier-ish alphabet so a quote can't break the expression
+    checks.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_. -]+"),
+        s"check name must match [A-Za-z0-9_. -]+: '$n'")
+    }
     val agg = checks.zipWithIndex.flatMap { case ((_, c), i) =>
       Seq(count(lit(1)).as(s"_n$i"),
         sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"_f$i"))

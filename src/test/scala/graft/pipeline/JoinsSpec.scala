@@ -140,4 +140,35 @@ class JoinsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("disjoint"))
   }
+
+  test("overlapJoin fails loudly on inverted and runaway intervals") {
+    val s = spark
+    import s.implicits._
+    val good = Seq((1L, 0L, 500L)).toDF("ida", "sa", "ea")
+    val inverted = Seq((2L, 1000L, 10L)).toDF("idb", "sb", "eb")
+    val ex1 = intercept[Exception] {
+      Joins.overlapJoin(good, "sa", "ea", inverted, "sb", "eb", 100L).collect()
+    }
+    assert(ex1.getMessage.contains("overlapJoin") ||
+      Option(ex1.getCause).exists(_.getMessage.contains("overlapJoin")))
+    val runaway = Seq((3L, 0L, 1000000L)).toDF("idb", "sb", "eb")
+    val ex2 = intercept[Exception] {
+      Joins.overlapJoin(good, "sa", "ea", runaway, "sb", "eb", 100L,
+        maxBands = 10).collect()
+    }
+    assert(ex2.getMessage.contains("overlapJoin") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("overlapJoin")))
+  }
+
+  test("overlapJoin bands exactly match the streaming tier's floorDiv on negatives") {
+    // -150..-50 with band 100: floorDiv gives bands -2..-1; a truncating
+    // div would give -1..0 and could desync the canonical emission band
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, -150L, -50L)).toDF("ida", "sa", "ea")
+    val b = Seq((2L, -160L, -140L)).toDF("idb", "sb", "eb")
+    val got = Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb", 100L)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
 }
