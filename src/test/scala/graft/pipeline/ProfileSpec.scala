@@ -149,6 +149,28 @@ class ProfileSpec extends SparkSpec {
       (("fk_ok", 5L, 2L, false)))
   }
 
+  test("validate runs unchanged on a STREAM (live data-quality monitor)") {
+    // the report is one global aggregate + a projection, so the same
+    // code is a streaming query in complete mode: each micro-batch
+    // updates the running per-check counters — no new operator needed
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = Profile.validate(mem.toDF().toDF("g", "v"), Seq(
+        "v_le_10" -> (org.apache.spark.sql.functions.col("v") <= 10L)))
+      .writeStream.format("memory").queryName("dq_live")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("a", 1L), ("a", 5L)); q.processAllAvailable()
+      val mid = spark.table("dq_live").collect().head
+      assert(mid.getLong(1) === 2L && mid.getLong(2) === 0L && mid.getBoolean(3))
+      mem.addData(("b", 50L)); q.processAllAvailable()
+      val fin = spark.table("dq_live").collect().head
+      assert(fin.getLong(1) === 3L && fin.getLong(2) === 1L && !fin.getBoolean(3))
+    } finally q.stop()
+  }
+
   test("orderStatOutliers: nulls excluded from distribution, never flagged") {
     val rows: Seq[(String, java.lang.Double)] =
       (1 to 20).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
