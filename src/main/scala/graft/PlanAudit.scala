@@ -327,6 +327,40 @@ object PlanAudit {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       graft.pipeline.TextOps.collocations(docs).explain("formatted")
     }
+    section("q115 semanticDedup (expect: pair join keyed on list_id — " +
+      "never Cartesian/NestedLoop; one token pass for vectors)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Dedup.semanticDedup(docs, 19L, 20L, dim = 16, nlist = 4)
+        .explain("formatted")
+    }
+    section("q117 overlapJoin (expect: EQUI-join on _band — SortMergeJoin/" +
+      "ShuffledHashJoin, never BroadcastNestedLoop; band explode narrow)") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val base = ev.select(col("user_id"),
+        graft.registry.Tables.tsNs(ev).as("time"))
+      val sess = graft.pipeline.Sessionize.sessionize(
+          base, "user_id", "time", gapNs = 300000000000L)
+        .withColumn("en", col("session_end") + 120000000000L)
+      val a = sess.select(col("user_id").as("ua"),
+        col("session_start").as("sa"), col("en").as("ea"))
+      val b = sess.select(col("user_id").as("ub"),
+        col("session_start").as("sb"), col("en").as("eb"))
+      graft.pipeline.Joins.overlapJoin(a, "sa", "ea", b, "sb", "eb",
+        band = 3600000000000L).explain("formatted")
+    }
+    section("q121 orderStatOutliers (expect: histogram partial-agg " +
+      "exchange; threshold table BROADCAST back onto the scan)") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.pipeline.Profile.orderStatOutliers(
+        ev.select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", 19, 20).explain("formatted")
+    }
+    section("q126 deterministicShuffle (expect: RANGE exchange for the " +
+      "sort — no single-partition window; zipWithIndex adds the offsets)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Sampling.deterministicShuffle(
+        docs.select("doc_id", "n_chars"), "doc_id", "ep1").explain("formatted")
+    }
     spark.stop()
   }
 }
