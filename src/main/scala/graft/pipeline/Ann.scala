@@ -726,4 +726,36 @@ object Ann {
       .join(n, "label")
       .select(col("label"), col("n"), col("_r.outlier_id"), col("_r.d2_num"))
   }
+
+  /** Per-dimension corpus statistics over an embedding column — the
+    * whitening/normalization prep every embedding pipeline runs before
+    * indexing (mean-centering vectors, spotting dead or runaway
+    * dimensions, sanity-checking a new encoder drop). All arithmetic on
+    * the exact quantized grid: counts, sums, sums of squares and
+    * min/max per dimension are BIGINTs, `mean_q` is the negative-safe
+    * floor division `(Σq − pmod(Σq, n)) div n` — bit-reproducible
+    * cross-engine; variance derives from (n, sum_q, sumsq_q) in
+    * whatever precision the caller wants.
+    *
+    * Shape at 100 TB: `posexplode` is a NARROW projection (dim rows per
+    * vector, no shuffle); the only exchange is the (dim)-keyed groupBy,
+    * partial-aggregated map-side to at most `dim` rows per task — the
+    * shuffle carries dim × tasks rows regardless of corpus size.
+    * Headroom: `sumsq_q ≤ q_max² · n` = 10⁸·n, safe to n ≈ 9·10¹⁰
+    * vectors per dimension.
+    *
+    * @return one row per dimension: (dim, n, sum_q, sumsq_q, min_q,
+    *         max_q, mean_q), all BIGINT */
+  def embeddingStats(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(quantize(col("embedding"))).as(Seq("dim", "q")))
+      .select(col("dim").cast("long").as("dim"), col("q"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"),
+        min("q").as("min_q"),
+        max("q").as("max_q"))
+      .withColumn("mean_q", expr("(sum_q - pmod(sum_q, n)) div n"))
 }

@@ -824,4 +824,44 @@ object TextOps {
         when(col("n") >= w, col("fp_grams")).otherwise(col("fp_whole"))
           .as("fingerprint"))
   }
+
+  /** Dictionary tagging (domain/topic classification by phrase list):
+    * count occurrences of each dictionary phrase in each document and
+    * roll up to per-(doc, tag) hit counts — the broadcast-lexicon
+    * labeling pass behind source routing, topic mixing and blocklist
+    * filtering in curation pipelines. Occurrences are counted by
+    * substring split (`size(split(text, phrase)) − 1`), identical to a
+    * literal (non-regex) scan on both engines; overlapping occurrences
+    * are not double-counted, matching split semantics everywhere.
+    *
+    * Shape at 100 TB: the dictionary rides into the plan as a LITERAL
+    * array (the q42 discipline — no join, deterministic under retry);
+    * exploding it is a narrow K×N projection, per-row work O(K·len).
+    * The only exchange is the final (doc, tag) partial-agg groupBy —
+    * at most K rows per document. Dictionaries big enough to hurt
+    * (≫10³ phrases) belong in an automaton UDF; this vectorized form
+    * is for the operational lexicons (topic seeds, blocklists) that
+    * are small by nature.
+    *
+    * @param dict (phrase, tag) pairs; phrases are LITERAL strings
+    *        restricted to `[A-Za-z0-9 ]+` so the split pattern cannot
+    *        be misread as a regex on the Spark side
+    * @return (doc_id, tag, n_hits) for tags with n_hits > 0 */
+  def dictTag(docs: DataFrame, dict: Seq[(String, String)],
+              text: String = "text"): DataFrame = {
+    require(dict.nonEmpty, "empty dictionary")
+    dict.foreach { case (p, _) =>
+      require(p.matches("[A-Za-z0-9 ]+"),
+        s"phrase must match [A-Za-z0-9 ]+ (literal, not regex): '$p'")
+    }
+    val entries = array(dict.map { case (p, t) =>
+      struct(lit(p).as("phrase"), lit(t).as("tag"))
+    }: _*)
+    docs
+      .select(col("doc_id"), col(text).as("_t"), explode(entries).as("_d"))
+      .select(col("doc_id"), col("_d.tag").as("tag"),
+        (expr("size(split(_t, _d.phrase))") - 1).cast("long").as("_h"))
+      .groupBy("doc_id", "tag").agg(sum("_h").as("n_hits"))
+      .where(col("n_hits") > 0L)
+  }
 }

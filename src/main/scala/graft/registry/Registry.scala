@@ -3558,8 +3558,56 @@ object Registry {
              |     WHERE o.o_orderkey IS NULL))
              |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
              |  CAST(n_fail AS BIGINT) AS n_fail, n_fail = 0 AS pass
-             |FROM r ORDER BY check_name""".stripMargin))
+             |FROM r ORDER BY check_name""".stripMargin)),
+
+    // ---- per-dimension embedding statistics: the whitening/encoder-QA
+    //      prep — exact BIGINT moments on the quantized grid, one
+    //      narrow posexplode + one dim-keyed partial-agg shuffle ----
+    Entry("q128_embedding_stats",
+      (s, d) => Ann.embeddingStats(emb(s, d)).orderBy("dim"),
+      Some("""WITH q AS (
+             |  SELECT unnest([{'dim': CAST(i - 1 AS BIGINT),
+             |                  'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)}
+             |                 for i in range(1, len(embedding) + 1)]) AS u
+             |  FROM embeddings)
+             |SELECT u.dim AS dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(u.q) AS BIGINT) AS sum_q,
+             |  CAST(sum(u.q * u.q) AS BIGINT) AS sumsq_q,
+             |  CAST(min(u.q) AS BIGINT) AS min_q,
+             |  CAST(max(u.q) AS BIGINT) AS max_q,
+             |  CAST((sum(u.q) - (((sum(u.q) % count(*)) + count(*)) % count(*)))
+             |       // count(*) AS BIGINT) AS mean_q
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- dictionary tagging: broadcast-lexicon topic labeling — the
+    //      dictionary is a plan LITERAL (narrow K×N explode, no join),
+    //      one (doc, tag) partial-agg shuffle ----
+    Entry("q129_dict_tags",
+      (s, d) => TextOps.dictTag(docs(s, d), dictTagLexicon)
+        .orderBy("doc_id", "tag"),
+      Some {
+        val values = dictTagLexicon
+          .map { case (p, t) => s"('$p', '$t')" }.mkString(", ")
+        s"""WITH dict(phrase, tag) AS (VALUES $values),
+           |h AS (SELECT d.doc_id, dict.tag,
+           |        CAST(len(string_split(d.text, dict.phrase)) - 1 AS BIGINT) AS h
+           |      FROM documents d, dict)
+           |SELECT doc_id, tag, CAST(sum(h) AS BIGINT) AS n_hits
+           |FROM h GROUP BY 1, 2 HAVING sum(h) > 0
+           |ORDER BY 1, 2""".stripMargin
+      })
   )
+
+  /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
+    * substring semantics, so unigrams are chosen with no superstring in
+    * the vocabulary) grouped into plan-shape topics. */
+  private def dictTagLexicon: Seq[(String, String)] = Seq(
+    "hash join" -> "topic_join", "merge join" -> "topic_join",
+    "sort merge" -> "topic_join",
+    "table scan" -> "topic_scan", "column scan" -> "topic_scan",
+    "group agg" -> "topic_agg", "window agg" -> "topic_agg",
+    "stream" -> "topic_stream", "batch" -> "topic_stream",
+    "slow query" -> "topic_perf", "fast query" -> "topic_perf")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.fn).toMap

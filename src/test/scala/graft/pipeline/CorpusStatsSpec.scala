@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
+
+/** Per-dimension embedding statistics (whitening prep) and dictionary
+  * tagging (broadcast-lexicon topic labeling). */
+class CorpusStatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  private def mkEmb(rows: (Long, Seq[Float])*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (i, v) => Row(i, v) }: _*),
+    StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  private def mkDocs(rows: (Long, String)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*),
+    StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType))))
+
+  test("embeddingStats equals the brute per-dimension moments (sf0.001)") {
+    // independent driver-side path: quantize with the same grid, fold
+    val vecs: Seq[Array[Long]] = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        // Spark round() is HALF_UP (away from zero) — Math.round would
+        // diverge on negative halves
+        java.math.BigDecimal.valueOf(x.toDouble * 10000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue).toArray).toSeq
+    val dims = vecs.map(_.length).max
+    val want = (0 until dims).map { d =>
+      val qs = vecs.filter(_.length > d).map(_(d))
+      val s = qs.sum
+      val n = qs.size.toLong
+      (d.toLong, (n, s, qs.map(q => q * q).sum, qs.min, qs.max,
+        (s - (((s % n) + n) % n)) / n))
+    }.toMap
+    val got = Ann.embeddingStats(emb).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("embeddingStats mean_q is a FLOOR division (negative sums)") {
+    // exactly-representable floats: q = (-10000, -10000, -12500),
+    // sum = -32500 over n = 3 → mean floor(-10833.33) = -10834, not -10833
+    val df = mkEmb((1L, Seq(-1.0f)), (2L, Seq(-1.0f)), (3L, Seq(-1.25f)))
+    val r = Ann.embeddingStats(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === -32500L) // sum_q
+    assert(r(0).getLong(6) === -10834L) // mean_q floored
+  }
+
+  test("dictTag counts substring occurrences and rolls up per tag") {
+    val d = mkDocs(
+      (1L, "hash join beats merge join when the build side is small"),
+      (2L, "batch batch batch"),
+      (3L, "no relevant phrases here"))
+    val dict = Seq("hash join" -> "topic_join", "merge join" -> "topic_join",
+      "batch" -> "topic_stream")
+    val r = TextOps.dictTag(d, dict).collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r === Map((1L, "topic_join") -> 2L, (2L, "topic_stream") -> 3L))
+  }
+
+  test("dictTag counts a phrase ending at the text boundary") {
+    val d = mkDocs((7L, "window agg"))
+    val r = TextOps.dictTag(d, Seq("window agg" -> "t")).collect()
+    assert(r.length === 1 && r(0).getLong(2) === 1L)
+  }
+
+  test("dictTag rejects regex-metachar phrases loudly") {
+    val d = mkDocs((1L, "x"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dictTag(d, Seq("a.*b" -> "t"))
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
