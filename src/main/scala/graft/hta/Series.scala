@@ -463,4 +463,47 @@ object Series {
                 (col("nt") - col("pt")).cast("double")))
           .as("value"))
   }
+
+  /** Per-metric least-squares trend over [b, e): the drift detector's
+    * quantitative sibling — slope of cents against time on a `step`-wide
+    * integer grid, in ONE corpus scan with every accumulator an exact
+    * int64. x = (time − b) div step, CENTERED by the literal grid
+    * midpoint (OLS slope is translation-invariant, and centering halves
+    * |x|, quadrupling the overflow headroom — no per-group first pass
+    * needed). Emitted as the exact rational `sxy_num / sxx_num`
+    * (num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², both on the centered
+    * grid) plus the one IEEE division for `slope` — bit-reproducible
+    * cross-engine; a degenerate group (all samples in one bucket) gets a
+    * NULL slope, not a NaN.
+    *
+    * Shape at scale: one metric-keyed partial-agg groupBy — the shuffle
+    * carries 6 longs per metric per task, never the corpus. Headroom:
+    * `n·Σ|xy| ≤ n²·(grid/2)·y_max < 2^63` — at an hourly grid over 30
+    * days and 10⁶-cent values, safe to n ≈ 2.5·10⁵ rows per metric;
+    * denser groups pick a coarser `step` (the slope is grid-scaled, so
+    * callers compare like with like).
+    *
+    * @return (metric, n, sum_x, sum_y, sxy_num, sxx_num,
+    *         slope_cents_per_step) */
+  def linearTrend(points: DataFrame, b: Long, e: Long, step: Long): DataFrame = {
+    require(e > b && step >= 1, s"bad args [$b,$e) step=$step")
+    val mid = ((e - b) / step) / 2
+    points.where(col("time") >= b && col("time") < e)
+      .withColumn("x", expr(s"(time - ${b}L) div ${step}L") - lit(mid))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sum_x"),
+        sum("cents").as("sum_y"),
+        sum(col("x") * col("cents")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      .withColumn("sxy_num",
+        col("n") * col("_sxy") - col("sum_x") * col("sum_y"))
+      .withColumn("sxx_num",
+        col("n") * col("_sxx") - col("sum_x") * col("sum_x"))
+      .withColumn("slope_cents_per_step",
+        when(col("sxx_num") === 0L, lit(null).cast("double"))
+          .otherwise(col("sxy_num").cast("double") /
+            col("sxx_num").cast("double")))
+      .drop("_sxy", "_sxx")
+  }
 }

@@ -3595,7 +3595,33 @@ object Registry {
            |SELECT doc_id, tag, CAST(sum(h) AS BIGINT) AS n_hits
            |FROM h GROUP BY 1, 2 HAVING sum(h) > 0
            |ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // ---- per-metric OLS trend: exact rational slope on an hourly grid,
+    //      midpoint-centered x, one metric-keyed partial-agg shuffle ----
+    {
+      val step = 3600000000000L // 1 h grid
+      val mid = ((E - B) / step) / 2
+      Entry("q130_linear_trend",
+        (s, d) => Series.linearTrend(ev(s, d), B, E, step).orderBy("metric"),
+        Some(s"""WITH $ptsCte,
+                |f AS (SELECT metric, ((time - $B) // ${step}) - $mid AS x, cents
+                |      FROM pts WHERE time >= $B AND time < $E),
+                |a AS (SELECT metric, CAST(count(*) AS BIGINT) AS n,
+                |        CAST(sum(x) AS BIGINT) AS sum_x,
+                |        CAST(sum(cents) AS BIGINT) AS sum_y,
+                |        CAST(sum(x * cents) AS BIGINT) AS sxy,
+                |        CAST(sum(x * x) AS BIGINT) AS sxx
+                |      FROM f GROUP BY 1)
+                |SELECT metric, n, sum_x, sum_y,
+                |  CAST(n * sxy - sum_x * sum_y AS BIGINT) AS sxy_num,
+                |  CAST(n * sxx - sum_x * sum_x AS BIGINT) AS sxx_num,
+                |  CASE WHEN n * sxx - sum_x * sum_x = 0 THEN NULL
+                |       ELSE CAST(n * sxy - sum_x * sum_y AS DOUBLE)
+                |            / (n * sxx - sum_x * sum_x) END
+                |    AS slope_cents_per_step
+                |FROM a ORDER BY metric""".stripMargin))
+    }
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

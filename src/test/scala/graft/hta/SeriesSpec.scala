@@ -310,4 +310,35 @@ class SeriesSpec extends SparkSpec {
     assert(r.length === 2)
     assert(r(1).getLong(1) === tp(45) && r(1).getDouble(2) === 150.0)
   }
+
+  test("linearTrend matches the brute OLS slope and is centering-invariant") {
+    // 10 s grid over [0, 100 s): perfect ramp on m (slope 100 cents/step),
+    // flat on n (slope 0), plus an uneven metric checked against brute OLS
+    val df = pts(
+      (0 until 10).map(i => ("m", tp(i * 10L), 1.0 * (i + 1))) ++
+      (0 until 10).map(i => ("n", tp(i * 10L), 7.0)) ++
+      Seq(("u", tp(3), 5.0), ("u", tp(31), 2.0), ("u", tp(32), 9.0),
+        ("u", tp(95), 4.0)))
+    val r = Series.linearTrend(df, tp(0), tp(100), step = 10L * S)
+      .orderBy("metric").collect()
+    assert(r.length === 3)
+    assert(r(0).getString(0) === "m" &&
+      r(0).getDouble(6) === 100.0, "ramp slope in cents per step")
+    assert(r(1).getString(0) === "n" && r(1).getLong(4) === 0L &&
+      r(1).getDouble(6) === 0.0, "flat series has zero slope")
+    // brute OLS on u with UNcentered x — translation invariance
+    val xs = Seq(0L, 3L, 3L, 9L); val ys = Seq(500L, 200L, 900L, 400L)
+    val n = xs.size.toLong
+    val num = n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum
+    val den = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    assert(r(2).getString(0) === "u" &&
+      r(2).getDouble(6) === num.toDouble / den.toDouble)
+  }
+
+  test("linearTrend yields NULL slope, not NaN, for a one-bucket metric") {
+    val df = pts(Seq(("m", tp(1), 1.0), ("m", tp(2), 9.0)))
+    val r = Series.linearTrend(df, tp(0), tp(100), step = 10L * S).collect()
+    assert(r.length === 1 && r(0).getLong(5) === 0L && r(0).isNullAt(6))
+  }
 }
