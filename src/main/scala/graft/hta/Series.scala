@@ -506,4 +506,42 @@ object Series {
             col("sxx_num").cast("double")))
       .drop("_sxy", "_sxx")
   }
+
+  /** Per-metric autocorrelation at integer bucket lags — the
+    * seasonality/periodicity probe ([[crossCorrelation]]'s self-pair
+    * sibling; that operator deliberately excludes a = b). Resample to
+    * `step`-wide SUM buckets, then for lag ∈ [0, maxLag] the un-centered
+    * correlation of the series with itself shifted by `lag`, over the
+    * overlap (pairwise-complete): corr = Σ x_t·x_{t+lag} / (√Σx_t²·√Σx_{t+lag}²),
+    * every Σ exact int64, the final three IEEE ops in fixed order.
+    * A daily period shows as a peak at lag = day/step; lag 0 is the
+    * sanity row (corr exactly 1 whenever the series is non-degenerate).
+    *
+    * Shape: one (metric, bucket) partial-agg shuffle to the grid, then a
+    * (metric, bucket)-keyed self-join of grid-sized frames — work scales
+    * with grid × maxLag, never corpus size.
+    *
+    * @return (metric, lag, n_overlap, num, sx2, sy2, corr) */
+  def autoCorrelation(points: DataFrame, b: Long, e: Long, step: Long,
+                      maxLag: Int): DataFrame = {
+    require(e > b && step >= 1 && maxLag >= 0,
+      s"bad args [$b,$e) step=$step maxLag=$maxLag")
+    val g = points.where(col("time") >= b && col("time") < e)
+      .withColumn("bucket", expr(s"(time - ${b}L) div ${step}L"))
+      .groupBy("metric", "bucket").agg(sum("cents").as("s"))
+    val lags = (0 to maxLag).map(_.toLong)
+    val x = g.select(col("metric"), col("bucket"), col("s").as("xa"))
+      .withColumn("lag", explode(lit(lags.toArray)))
+      .withColumn("jb", col("bucket") + col("lag"))
+    val y = g.select(col("metric"), col("bucket").as("jb"),
+      col("s").as("xb"))
+    x.join(y, Seq("metric", "jb"))
+      .groupBy("metric", "lag")
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("xa") * col("xb")).as("num"),
+        sum(col("xa") * col("xa")).as("sx2"),
+        sum(col("xb") * col("xb")).as("sy2"))
+      .withColumn("corr", col("num").cast("double") /
+        (sqrt(col("sx2").cast("double")) * sqrt(col("sy2").cast("double"))))
+  }
 }

@@ -128,4 +128,25 @@ object Joins {
       .where(cond)
       .drop("_band", "_cal", "_cband")
   }
+
+  /** Pre-join output-size probe: the exact per-key pair count a join on
+    * `key` would produce, heaviest keys first — the diagnostic every
+    * skew incident starts with ("which key explodes?") and the input to
+    * choosing a salt factor for [[saltedJoin]]. Runs on per-key COUNTS,
+    * never the join itself: two partial-agg groupBys (each shuffle
+    * carries one row per distinct key per task) and a key-cardinality-
+    * sized equi-join — AQE broadcasts the smaller count table. The
+    * heavy-key report is a TakeOrdered (no global sort), deterministic
+    * via the (n_pairs desc, key asc) tie-break.
+    *
+    * @return top-k keys by pair count: (key, n_left, n_right, n_pairs) */
+  def joinSizeProbe(left: DataFrame, right: DataFrame, key: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lc = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, key)
+      .withColumn("n_pairs", col("n_left") * col("n_right"))
+      .orderBy(desc("n_pairs"), asc(key)).limit(k)
+  }
 }

@@ -181,6 +181,40 @@ object TextOps {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** Exact positional phrase search: docs containing `phrase` as
+    * CONSECUTIVE tokens, with the match count — the precision tier above
+    * [[searchTopK]]'s bag-of-words scoring (q65), and the operator form
+    * of a positional inverted index probe. Matches may overlap
+    * (`a a a` matches `a a` twice) — occurrence semantics, unlike the
+    * non-overlapping substring count of [[dictTag]].
+    *
+    * Shape at scale: the posting stream is filtered to the phrase's
+    * tokens BEFORE anything wide happens (a vanishing fraction of the
+    * corpus); the match is a chain of |phrase|−1 equi-joins on
+    * (doc_id, pos − i) — co-partitioned after the first exchange, and
+    * each side is query-term-sized, never corpus-sized. Long phrases
+    * intersect rarest-first in a real index; at the typical 2-4 token
+    * operational phrase the chain IS the plan you'd want.
+    *
+    * @return (doc_id, n_matches), matching docs only */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   text: String = "text"): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val post = docs
+      .select(col("doc_id"), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .where(col("tok").isInCollection(phrase.distinct))
+    val anchor = post.where(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(
+          post.where(col("tok") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Overlapping token-window chunking — the retrieval (RAG) sibling of
     * sequence packing (q42 packs documents INTO fixed budgets; this
     * splits documents into windows): chunk k of a doc covers tokens

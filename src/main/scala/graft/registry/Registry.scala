@@ -3621,7 +3621,62 @@ object Registry {
                 |            / (n * sxx - sum_x * sum_x) END
                 |    AS slope_cents_per_step
                 |FROM a ORDER BY metric""".stripMargin))
-    }
+    },
+
+    // ---- positional phrase search: consecutive-token match via a
+    //      postings chain join — precision tier over q65's bag-of-words;
+    //      postings filtered to phrase terms before any exchange ----
+    Entry("q131_phrase_search",
+      (s, d) => TextOps.phraseSearch(docs(s, d), Seq("hash", "join"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+             |           FROM documents),
+             |m AS (SELECT doc_id,
+             |        len([i for i in range(1, len(s))
+             |             if s[i] = 'hash' AND s[i+1] = 'join']) AS n_matches
+             |      FROM t)
+             |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+             |FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- pre-join output-size probe: exact per-key pair counts from
+    //      per-key aggregates (the join never runs) — the skew
+    //      diagnostic and salt-factor input for q81's salted join ----
+    Entry("q132_join_probe",
+      (s, d) => {
+        val e = s.read.parquet(s"$d/events.parquet")
+        Joins.joinSizeProbe(e, e, "user_id", k = 20)
+      },
+      Some("""WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_left
+             |           FROM events GROUP BY 1),
+             |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_right
+             |      FROM events GROUP BY 1)
+             |SELECT user_id, n_left, n_right,
+             |  CAST(n_left * n_right AS BIGINT) AS n_pairs
+             |FROM l JOIN r USING (user_id)
+             |ORDER BY n_pairs DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ---- per-metric autocorrelation at bucket lags: the seasonality
+    //      probe — grid-sized self-join, exact integer sums, three
+    //      fixed-order IEEE ops ----
+    Entry("q133_autocorr",
+      (s, d) => Series.autoCorrelation(ev(s, d), B, E,
+          step = 6L * 3600000000000L, maxLag = 8)
+        .orderBy("metric", "lag"),
+      Some(s"""WITH $ptsCte,
+              |g AS (SELECT metric, (time - $B) // ${6L * 3600000000000L} AS bucket,
+              |        CAST(sum(cents) AS BIGINT) AS s
+              |      FROM pts WHERE time >= $B AND time < $E GROUP BY 1, 2),
+              |x AS (SELECT g.metric, g.s AS xa, l.lag, g.bucket + l.lag AS jb
+              |      FROM g, (SELECT unnest(range(0, 9)) AS lag) l)
+              |SELECT x.metric, lag, count(*) AS n_overlap,
+              |  CAST(sum(xa * y.s) AS BIGINT) AS num,
+              |  CAST(sum(xa * xa) AS BIGINT) AS sx2,
+              |  CAST(sum(y.s * y.s) AS BIGINT) AS sy2,
+              |  CAST(CAST(sum(xa * y.s) AS BIGINT) AS DOUBLE) /
+              |    (sqrt(CAST(CAST(sum(xa * xa) AS BIGINT) AS DOUBLE)) *
+              |     sqrt(CAST(CAST(sum(y.s * y.s) AS BIGINT) AS DOUBLE))) AS corr
+              |FROM x JOIN g y ON y.metric = x.metric AND y.bucket = x.jb
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

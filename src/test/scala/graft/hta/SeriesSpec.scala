@@ -341,4 +341,34 @@ class SeriesSpec extends SparkSpec {
     val r = Series.linearTrend(df, tp(0), tp(100), step = 10L * S).collect()
     assert(r.length === 1 && r(0).getLong(5) === 0L && r(0).isNullAt(6))
   }
+
+  test("autoCorrelation: period-2 series peaks at even lags") {
+    // bucket sums alternate 100, 300, 100, 300, ... over 8 buckets
+    def corrOf(num: Long, sx2: Long, sy2: Long): Double =
+      num.toDouble / (math.sqrt(sx2.toDouble) * math.sqrt(sy2.toDouble))
+    val df = pts((0 until 8).map(i =>
+      ("m", tp(i * 10L), if (i % 2 == 0) 1.0 else 3.0)))
+    val r = Series.autoCorrelation(df, tp(0), tp(80), step = 10L * S,
+        maxLag = 2).orderBy("lag").collect()
+    assert(r.length === 3)
+    // lag 0: num = sx2 = sy2 = 4·100² + 4·300² = 400000
+    assert(r(0).getLong(1) === 0L && r(0).getLong(3) === 400000L &&
+      r(0).getDouble(6) === corrOf(400000L, 400000L, 400000L))
+    // lag 1 pairs every 100 with a 300 (7 overlaps): num = 7·3e4
+    assert(r(1).getLong(2) === 7L && r(1).getLong(3) === 7L * 30000L)
+    // lag 2 pairs equal values (6 overlaps): num == sx2 == sy2 again
+    assert(r(2).getLong(2) === 6L &&
+      r(2).getLong(3) === r(2).getLong(4) && r(2).getLong(4) === r(2).getLong(5))
+    assert(r(1).getDouble(6) < r(2).getDouble(6), "period-2 peak at lag 2")
+  }
+
+  test("autoCorrelation overlap is pairwise-complete across a gap") {
+    // buckets 0, 1, 3 exist; lag 1 only overlaps (0,1): one pair
+    val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(10), 2.0),
+      ("m", tp(30), 4.0)))
+    val r = Series.autoCorrelation(df, tp(0), tp(40), step = 10L * S,
+        maxLag = 1).orderBy("lag").collect()
+    assert(r.length === 2)
+    assert(r(1).getLong(2) === 1L && r(1).getLong(3) === 100L * 200L)
+  }
 }

@@ -81,4 +81,27 @@ class CorpusStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("phraseSearch counts overlapping consecutive-token matches") {
+    val d = mkDocs(
+      (1L, "a a a b"),           // "a a" at pos 0 and 1 — overlapping
+      (2L, "a b a b a"),         // "a b" twice, "a a" never
+      (3L, "b b b"))
+    val aa = TextOps.phraseSearch(d, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa === Map(1L -> 2L))
+    val ab = TextOps.phraseSearch(d, Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("phraseSearch three-token chain requires full adjacency") {
+    val d = mkDocs(
+      (1L, "x y z tail"),
+      (2L, "x y q z"),           // broken chain — no match
+      (3L, "x y z x y z"))
+    val r = TextOps.phraseSearch(d, Seq("x", "y", "z")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 3L -> 2L))
+  }
 }

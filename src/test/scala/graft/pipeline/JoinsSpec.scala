@@ -171,4 +171,21 @@ class JoinsSpec extends SparkSpec {
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 2L)))
   }
+
+  test("joinSizeProbe reports exact pair counts, heaviest first") {
+    val (fact, dim) = fixture
+    // self-probe: hot × hot = 900² dominates; unmatched keys absent
+    val r = Joins.joinSizeProbe(fact, fact, "k", k = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.head === (("hot", 900L, 900L, 810000L)))
+    assert(r.map(_._1).toSet === Set("hot", "cold0", "cold1", "cold2"))
+    // cross-probe against the dim: counts are (n_fact, 1); ties on
+    // n_pairs break by key ascending
+    val d = Joins.joinSizeProbe(fact, dim, "k", k = 10).collect()
+      .map(x => (x.getString(0), x.getLong(3)))
+    // cold1 holds 34 fact rows (i ≡ 10 mod 30 hits once more in 1..1000),
+    // cold0/cold2 hold 33 each — the 33-tie breaks by key ascending
+    assert(d.toSeq === Seq(("hot", 900L), ("cold1", 34L),
+      ("cold0", 33L), ("cold2", 33L)))
+  }
 }
