@@ -37,4 +37,39 @@ object Eval {
       .select(col("qid"), col("n_hits"), lit(k.toLong).as("k"),
         expr(s"(n_hits * 1000000) div ${k.toLong}").as("recall_e6"))
   }
+
+  /** Depth-wise agreement of two rankings (the rank-biased-overlap
+    * family's exact core): for every depth d in [1, k],
+    * `n_common = |A_d ∩ B_d|` and the e6 agreement `n_common/d` — how
+    * fast two scorers diverge as you read down their lists. The curve is
+    * what an RBO score summarizes; emitting it exactly (integers only)
+    * keeps the oracle bit-for-bit and lets callers weight depths however
+    * they like.
+    *
+    * Both inputs are rankings shaped (doc_id, rnk) with rnk = 1..k,
+    * doc_id unique per list (the contract of every graft top-k). The
+    * intersection join is answer-sized; a doc on both lists enters the
+    * depth histogram at d = max(rnk_a, rnk_b) — its first depth of
+    * CO-presence — and the cumulative window runs over k rows. Docs on
+    * one list only never contribute, including beyond-k phantoms.
+    *
+    * @return one row per depth: (d, n_common, agree_e6) */
+  def rankingAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val firstCo = a.select(col("doc_id"), col("rnk").as("_ra"))
+      .where(col("_ra") <= k)
+      .join(b.select(col("doc_id"), col("rnk").as("_rb"))
+        .where(col("_rb") <= k), "doc_id")
+      .select(greatest(col("_ra"), col("_rb")).as("_d"))
+      .groupBy("_d").agg(count(lit(1)).as("_c"))
+    val spark = a.sparkSession
+    val depths = spark.range(1, k + 1).select(col("id").as("d"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    depths.join(firstCo.withColumnRenamed("_d", "d"), Seq("d"), "left")
+      .withColumn("n_common", sum(coalesce(col("_c"), lit(0L))).over(w))
+      .select(col("d"), col("n_common"),
+        expr("(n_common * 1000000) div d").as("agree_e6"))
+  }
 }

@@ -173,6 +173,62 @@ object Profile {
       .withColumn("pass", col("n_fail") === 0L)
   }
 
+  /** Functional-dependency audit as a report row (the "does A determine
+    * B" question behind schema inference, key discovery and silent-
+    * denormalization drift): n_rows = distinct determinant keys,
+    * n_fail = keys mapping to MORE than one distinct `depCol` value.
+    * NULL dependent values don't count as a second value (a key whose
+    * only images are NULL is vacuously consistent — audit nullability
+    * with [[validate]]). Shape: one (det-keys) partial-agg groupBy —
+    * the exchange carries one row per distinct key — then a scalar
+    * fold; nothing corpus-sized moves twice. */
+  def checkFunctionalDep(df: DataFrame, detCols: Seq[String],
+                         depCol: String, name: String): DataFrame =
+    df.groupBy(detCols.map(col): _*)
+      .agg(countDistinct(col(depCol)).as("_d"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_d") > 1L, 1L).otherwise(0L)).as("n_fail"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0L).as("pass"))
+
+  /** Exact percentile-rank normalization (the calibration step that
+    * turns raw per-group scores into comparable [0, 1] features):
+    * `pct_e6 = (count-strictly-below · 10⁶) div (n − 1)` within the
+    * row's group — the integer rendering of SQL `percent_rank()`, with
+    * ties sharing the rank of their first element and single-row groups
+    * pinned to 0. No float aggregation, no corpus-wide window.
+    *
+    * Shape at scale: one (group, value) partial-agg groupBy builds the
+    * histogram; the rank window runs over the HISTOGRAM (partition
+    * width = a group's distinct values — bounded for the quantized/
+    * integer domains this contract shares with [[quantileBins]]); the
+    * per-(group, value) rank table broadcasts back onto the corpus, so
+    * the normalization pass is a narrow join. NULL values pass through
+    * with a NULL pct (q100's rule).
+    *
+    * @return df's columns plus `pct_e6` */
+  def rankNormalize(df: DataFrame, valueCol: String,
+                    groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy("_v")
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val ranks = df.where(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol).cast("long").as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum("_c").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("_n", sum("_c").over(wg))
+      .withColumn("pct_e6",
+        when(col("_n") <= 1L, lit(0L))
+          .otherwise(expr("((_cum - _c) * 1000000) div (_n - 1)")))
+      .select(gs :+ col("_v") :+ col("pct_e6"): _*)
+    df.withColumn("_v", col(valueCol).cast("long"))
+      .join(broadcast(ranks), groupCols :+ "_v", "left")
+      .drop("_v")
+  }
+
   /** Uniqueness check as a report row: `name, n_rows, n_fail, pass`
     * where n_fail counts the rows BEYOND the first of each duplicated
     * key (n − distinct). One map-side-combined keyed count. */

@@ -3676,7 +3676,96 @@ object Registry {
               |    (sqrt(CAST(CAST(sum(xa * xa) AS BIGINT) AS DOUBLE)) *
               |     sqrt(CAST(CAST(sum(y.s * y.s) AS BIGINT) AS DOUBLE))) AS corr
               |FROM x JOIN g y ON y.metric = x.metric AND y.bucket = x.jb
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- percentile-rank normalization: histogram-windowed exact
+    //      percent_rank per source, broadcast back — the score
+    //      calibration pass before mixing/filtering ----
+    Entry("q134_rank_normalize",
+      (s, d) => Profile.rankNormalize(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "n_chars", Seq("source"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+             |           FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, v,
+             |        sum(c) OVER (PARTITION BY source ORDER BY v) - c AS lt,
+             |        sum(c) OVER (PARTITION BY source) AS n
+             |      FROM h)
+             |SELECT d.doc_id, d.source, d.n_chars,
+             |  CAST(CASE WHEN r.n <= 1 THEN 0
+             |       ELSE (r.lt * 1000000) // (r.n - 1) END AS BIGINT) AS pct_e6
+             |FROM documents d
+             |JOIN r ON d.source = r.source AND d.n_chars = r.v
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- depth-wise ranking agreement: the exact RBO core — two
+    //      100-deep scorer rankings, co-presence histogram, k-row
+    //      cumulative window ----
+    Entry("q135_ranking_agreement",
+      (s, d) => {
+        val base = docs(s, d)
+        val k = 100
+        def top(ord: Seq[org.apache.spark.sql.Column]) = base
+          .orderBy(ord: _*).limit(k)
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+          .select("doc_id", "rnk")
+        val a = top(Seq(desc("n_chars"), asc("doc_id")))
+        val b = top(Seq(TextOps.md5Long(col("text")).asc, asc("doc_id")))
+        Eval.rankingAgreement(a, b, k).orderBy("d")
+      },
+      Some("""WITH a AS (SELECT doc_id,
+             |        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+             |             AS BIGINT) AS ra
+             |      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100),
+             |b AS (SELECT doc_id,
+             |        CAST(row_number() OVER (ORDER BY
+             |          CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), doc_id)
+             |             AS BIGINT) AS rb
+             |      FROM documents
+             |      ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT),
+             |        doc_id
+             |      LIMIT 100),
+             |co AS (SELECT greatest(ra, rb) AS d, count(*) AS c
+             |       FROM a JOIN b USING (doc_id) GROUP BY 1),
+             |ds AS (SELECT unnest(range(1, 101)) AS d)
+             |SELECT ds.d,
+             |  CAST(sum(coalesce(co.c, 0)) OVER (ORDER BY ds.d) AS BIGINT)
+             |    AS n_common,
+             |  CAST((sum(coalesce(co.c, 0)) OVER (ORDER BY ds.d) * 1000000)
+             |       // ds.d AS BIGINT) AS agree_e6
+             |FROM ds LEFT JOIN co USING (d)
+             |ORDER BY ds.d""".stripMargin)),
+
+    // ---- functional-dependency audit: one keyed partial-agg per
+    //      dependency, report rows in the q127 validation shape ----
+    Entry("q136_fd_check",
+      (s, d) => {
+        val nation = s.read.parquet(s"$d/nation.parquet")
+        val e = s.read.parquet(s"$d/events.parquet")
+        Profile.checkFunctionalDep(nation, Seq("n_nationkey"),
+            "n_regionkey", "nation_region_fd")
+          .unionByName(Profile.checkFunctionalDep(e, Seq("user_id"),
+            "event_type", "user_event_type_fd"))
+          .orderBy("check_name")
+      },
+      Some("""WITH f1 AS (SELECT count(DISTINCT n_regionkey) AS dc
+             |            FROM nation GROUP BY n_nationkey),
+             |f2 AS (SELECT count(DISTINCT event_type) AS dc
+             |       FROM events GROUP BY user_id),
+             |r AS (
+             |  SELECT 'nation_region_fd' AS check_name,
+             |    count(*) AS n_rows,
+             |    sum(CASE WHEN dc > 1 THEN 1 ELSE 0 END) AS n_fail
+             |  FROM f1
+             |  UNION ALL
+             |  SELECT 'user_event_type_fd', count(*),
+             |    sum(CASE WHEN dc > 1 THEN 1 ELSE 0 END)
+             |  FROM f2)
+             |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_fail AS BIGINT) AS n_fail, n_fail = 0 AS pass
+             |FROM r ORDER BY check_name""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -35,4 +35,33 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((1L, 1L), (2L, 0L)))
   }
+
+  private def rankedList(rows: (Long, Long)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (doc, r) =>
+      org.apache.spark.sql.Row(doc, r) }: _*),
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+
+  test("rankingAgreement counts co-presence at max depth, cumulative") {
+    // A: 10,20,30,40  B: 20,10,50,30
+    val a = rankedList((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+    val b = rankedList((20L, 1L), (10L, 2L), (50L, 3L), (30L, 4L))
+    val r = Eval.rankingAgreement(a, b, k = 4).orderBy("d").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // d=1: {10}∩{20}=∅; d=2: both lists = {10,20} → 2; d=3: +∅; d=4: 30 joins
+    assert(r.toSeq === Seq((1L, 0L, 0L), (2L, 2L, 1000000L),
+      (3L, 2L, 666666L), (4L, 3L, 750000L)))
+  }
+
+  test("rankingAgreement ignores ranks beyond k on either side") {
+    val a = rankedList((10L, 1L), (20L, 2L), (99L, 3L))
+    val b = rankedList((10L, 1L), (99L, 2L))
+    val r = Eval.rankingAgreement(a, b, k = 2).orderBy("d").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // 99 is rank 3 on A — beyond k, never co-present
+    assert(r.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
 }

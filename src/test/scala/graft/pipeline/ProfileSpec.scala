@@ -182,4 +182,38 @@ class ProfileSpec extends SparkSpec {
     assert(out.head.getDouble(out.head.fieldIndex("v")) === 20.0)
     assert(out.head.getDouble(out.head.fieldIndex("thr")) === 19.0)
   }
+
+  test("rankNormalize: exact percent_rank with tie-to-first and null pass-through") {
+    val df = valued(Seq(
+      ("a", java.lang.Double.valueOf(10.0)), ("a", java.lang.Double.valueOf(20.0)),
+      ("a", java.lang.Double.valueOf(20.0)), ("a", java.lang.Double.valueOf(30.0)),
+      ("a", null),
+      ("b", java.lang.Double.valueOf(7.0))))
+    val out = Profile.rankNormalize(df, "v", Seq("g")).collect()
+      .map(r => (r.getString(r.fieldIndex("g")),
+        Option(r.get(r.fieldIndex("v"))).map(_.asInstanceOf[Double]),
+        Option(r.get(r.fieldIndex("pct_e6"))).map(_.asInstanceOf[Long])))
+    val byKey = out.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3)).toMap
+    // group a, n = 4 (null excluded): 10 → 0; ties 20,20 → lt=1 → 333333;
+    // 30 → lt=3 → 1000000; null → null pct
+    assert(byKey(("a", Some(10.0))) === Seq(Some(0L)))
+    assert(byKey(("a", Some(20.0))) === Seq(Some(333333L), Some(333333L)))
+    assert(byKey(("a", Some(30.0))) === Seq(Some(1000000L)))
+    assert(byKey(("a", None)) === Seq(None))
+    // singleton group pins to 0, not a division by zero
+    assert(byKey(("b", Some(7.0))) === Seq(Some(0L)))
+  }
+
+  test("checkFunctionalDep: violations counted per determinant key") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "x"), Row(1L, "x"),         // consistent key
+        Row(2L, "x"), Row(2L, "y"),         // violating key
+        Row(3L, null), Row(3L, null)),      // null-only images: consistent
+      StructType(Seq(StructField("k", LongType), StructField("s", StringType))))
+    val r = Profile.checkFunctionalDep(df, Seq("k"), "s", "k_to_s").collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "k_to_s" && r(0).getLong(1) === 3L &&
+      r(0).getLong(2) === 1L && !r(0).getBoolean(3))
+  }
 }
