@@ -361,6 +361,70 @@ object PlanAudit {
       graft.pipeline.Sampling.deterministicShuffle(
         docs.select("doc_id", "n_chars"), "doc_id", "ep1").explain("formatted")
     }
+    section("q128 embeddingStats (expect: posexplode NARROW over the scan; " +
+      "ONE dim-keyed partial-agg exchange carrying dim rows per task)") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Ann.embeddingStats(emb).explain("formatted")
+    }
+    section("q129 dictTag (expect: dictionary as a plan LITERAL array — " +
+      "no join, no BroadcastExchange; one (doc, tag) partial-agg shuffle)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.TextOps.dictTag(docs,
+        Seq("hash join" -> "topic_join", "batch" -> "topic_stream"))
+        .explain("formatted")
+    }
+    section("q130 linearTrend (expect: ONE metric-keyed partial-agg " +
+      "exchange; x centering is a literal subtraction, no first pass)") {
+      graft.hta.Series.linearTrend(ev, Registry.B, Registry.E,
+        step = 3600000000000L).explain("formatted")
+    }
+    section("q131 phraseSearch (expect: postings FILTERED to phrase terms " +
+      "before the first exchange; chain joins equi on (doc_id, pos))") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.TextOps.phraseSearch(docs, Seq("hash", "join"))
+        .explain("formatted")
+    }
+    section("q132 joinSizeProbe (expect: two per-key partial-agg " +
+      "exchanges, key-cardinality join, TakeOrderedAndProject cut — the " +
+      "probed join itself NEVER runs)") {
+      val e = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.pipeline.Joins.joinSizeProbe(e, e, "user_id", k = 20)
+        .explain("formatted")
+    }
+    section("q133 autoCorrelation (expect: grid partial-agg exchange, " +
+      "then grid-sized self-join on (metric, bucket) — never corpus²)") {
+      graft.hta.Series.autoCorrelation(ev, Registry.B, Registry.E,
+        step = 6L * 3600000000000L, maxLag = 8).explain("formatted")
+    }
+    section("q134 rankNormalize (expect: histogram exchange + " +
+      "histogram-partition windows; rank table BROADCAST back, " +
+      "assignment narrow)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Profile.rankNormalize(
+        docs.select("doc_id", "source", "n_chars"), "n_chars",
+        Seq("source")).explain("formatted")
+    }
+    section("q135 rankingAgreement (expect: both rankings cut by " +
+      "TakeOrdered BEFORE the window; agreement join and cumulative " +
+      "window k-sized)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val a = docs.orderBy(desc("n_chars"), asc("doc_id")).limit(50)
+        .withColumn("rnk", row_number().over(w)).select("doc_id", "rnk")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .orderBy(asc("doc_id"))
+      val b = docs.orderBy(asc("doc_id")).limit(50)
+        .withColumn("rnk", row_number().over(w2)).select("doc_id", "rnk")
+      graft.pipeline.Eval.rankingAgreement(a, b, k = 50).explain("formatted")
+    }
+    section("q136 checkFunctionalDep (expect: one det-key partial-agg " +
+      "exchange, scalar fold — two exchanges total, nothing corpus-sized " +
+      "twice)") {
+      val e = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.pipeline.Profile.checkFunctionalDep(e, Seq("user_id"),
+        "event_type", "fd").explain("formatted")
+    }
     spark.stop()
   }
 }
