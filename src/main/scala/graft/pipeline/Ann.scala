@@ -66,6 +66,35 @@ object Ann {
       .select("qid", "vid", "rnk", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * near misses are what teach a retriever its decision boundary
+    * (random negatives are trivially far; same-label neighbors are
+    * positives, not negatives). Exactly [[bruteForceTopK]]'s broadcast
+    * shape — queries broadcast, the corpus never shuffles, and the
+    * label-mismatch predicate rides INSIDE the join condition so
+    * same-label pairs are dropped before scoring — plus the identical
+    * per-query top-k window. Swap in the IVF/LSH tier when the query
+    * side outgrows a broadcast.
+    *
+    * @return (qid, q_label, vid, neg_label, rnk, cosine), ≤ k rows per
+    *         query */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+        col("label").as("q_label"), quantize(col("embedding")).as("qe"))
+      .withColumn("qn", normQ(col("qe"))))
+    val c = corpus.select(col("vec_id").as("vid"),
+        col("label").as("neg_label"), quantize(col("embedding")).as("ve"))
+      .withColumn("vn", normQ(col("ve")))
+    val scored = c.join(q, col("q_label") =!= col("neg_label"))
+      .withColumn("cosine", dotFast(corpus.sparkSession)(col("qe"), col("ve"))
+        .cast("double") / (col("qn") * col("vn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "q_label", "vid", "neg_label", "rnk", "cosine")
+  }
+
   /** Sign-bit binary quantization: a dim-float embedding becomes
     * ceil(dim/32) packed words (bit i of word w = 1 iff element
     * 32w+i > 0) — a 32× size cut vs float32 that turns distance into

@@ -3765,7 +3765,32 @@ object Registry {
              |  FROM f2)
              |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
              |  CAST(n_fail AS BIGINT) AS n_fail, n_fail = 0 AS pass
-             |FROM r ORDER BY check_name""".stripMargin))
+             |FROM r ORDER BY check_name""".stripMargin)),
+
+    // ---- hard-negative mining: per-query top-k nearest with a
+    //      DIFFERENT label — q19's broadcast shape with the mismatch
+    //      predicate inside the join ----
+    Entry("q137_hard_negatives",
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.hardNegatives(e.where(col("vec_id") < 3), e, k = 5)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $quantCte,
+              |lb AS (SELECT vec_id, label FROM embeddings),
+              |p AS (SELECT q.vec_id AS qid, ql.label AS q_label,
+              |        v.vec_id AS vid, vl.label AS neg_label,
+              |        CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |          / (q.n * v.n) AS cosine
+              |      FROM nrm q, lb ql, nrm v, lb vl
+              |      WHERE q.vec_id < 3 AND ql.vec_id = q.vec_id
+              |        AND vl.vec_id = v.vec_id AND ql.label != vl.label),
+              |r AS (SELECT qid, q_label, vid, neg_label, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid
+              |          ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+              |      FROM p)
+              |SELECT qid, q_label, vid, neg_label, rnk, cosine
+              |FROM r WHERE rnk <= 5 ORDER BY 1, 5""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -95,6 +95,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(ab === Map(1L -> 1L, 2L -> 2L))
   }
 
+  private def mkEmbL(rows: (Long, Seq[Float], Int)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (i, v, l) => Row(i, v, l) }: _*),
+    StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", org.apache.spark.sql.types.IntegerType,
+        nullable = false))))
+
+  test("hardNegatives ranks cross-label neighbors only, k-capped") {
+    // query 0 (label 0) at (1,0); same-label 1 is CLOSEST but excluded;
+    // cross-label 2,3,4 rank by cosine desc then vid
+    val df = mkEmbL(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f), 0),   // nearest, same label — excluded
+      (2L, Seq(0.9f, 0.3f), 1),
+      (3L, Seq(0.5f, 0.8f), 1),
+      (4L, Seq(-1.0f, 0.0f), 2))
+    val r = Ann.hardNegatives(df.where(col("vec_id") === 0L), df, k = 2)
+      .orderBy("rnk").collect()
+    assert(r.map(_.getLong(2)).toSeq === Seq(2L, 3L),
+      "same-label near neighbor never a negative")
+    assert(r.map(_.getLong(4)).toSeq === Seq(1L, 2L))
+    assert(r(0).getInt(1) === 0 && r(0).getInt(3) === 1)
+  }
+
   test("phraseSearch three-token chain requires full adjacency") {
     val d = mkDocs(
       (1L, "x y z tail"),
