@@ -544,4 +544,39 @@ object Series {
       .withColumn("corr", col("num").cast("double") /
         (sqrt(col("sx2").cast("double")) * sqrt(col("sy2").cast("double"))))
   }
+
+  /** Seasonality-adjusted outliers: flag samples whose DEVIATION FROM
+    * THEIR HOUR-OF-DAY BASELINE is extreme — the fix for the false-
+    * positive storm a flat threshold raises every daily peak (a value
+    * normal at noon is an incident at 3am). Baseline = per-(metric,
+    * hour-of-day) floor-mean of cents (exact integer — `(Σ − pmod(Σ, n))
+    * div n`); residual = |cents − baseline|; a sample is an outlier when
+    * its residual exceeds the per-metric p-th residual percentile under
+    * q54's integer selection rule (the [[graft.pipeline.Profile.orderStatOutliers]]
+    * threshold, applied to residuals).
+    *
+    * Shape at scale: one (metric, hour) partial-agg shuffle builds the
+    * 24-row-per-metric baseline (broadcast back — the residual pass is a
+    * narrow join); one (metric, residual) histogram shuffle drives the
+    * threshold window (histogram-sized partitions); thresholds broadcast
+    * back. The corpus is read once and never shuffled whole.
+    *
+    * @return flagged rows (metric, time, cents, hour, baseline, resid,
+    *         thr) */
+  def seasonalOutliers(points: DataFrame, b: Long, e: Long,
+                       pNum: Int, pDen: Int): DataFrame = {
+    require(e > b, s"need e > b, got [$b,$e)")
+    val hourNs = 3600000000000L
+    val f = points.where(col("time") >= b && col("time") < e)
+      .select(col("metric"), col("time"), col("cents"),
+        expr(s"(time div ${hourNs}L) % 24").as("hour"))
+    val prof = f.groupBy("metric", "hour")
+      .agg(sum("cents").as("_s"), count(lit(1)).as("_n"))
+      .withColumn("baseline", expr("(_s - pmod(_s, _n)) div _n"))
+      .select("metric", "hour", "baseline")
+    val resid = f.join(broadcast(prof), Seq("metric", "hour"))
+      .withColumn("resid", abs(col("cents") - col("baseline")))
+    graft.pipeline.Profile.orderStatOutliers(resid, Seq("metric"),
+      "resid", pNum, pDen)
+  }
 }

@@ -3790,7 +3790,39 @@ object Registry {
               |          ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
               |      FROM p)
               |SELECT qid, q_label, vid, neg_label, rnk, cosine
-              |FROM r WHERE rnk <= 5 ORDER BY 1, 5""".stripMargin))
+              |FROM r WHERE rnk <= 5 ORDER BY 1, 5""".stripMargin)),
+
+    // ---- seasonality-adjusted outliers: hour-of-day floor-mean
+    //      baseline (broadcast back), residual percentile threshold per
+    //      metric — the 3am-is-not-noon alert fix ----
+    Entry("q138_seasonal_outliers",
+      (s, d) => Series.seasonalOutliers(ev(s, d)
+            .select("metric", "time", "cents"), B, E, pNum = 39, pDen = 40)
+        .orderBy("metric", "time"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time, cents,
+              |        (time // 3600000000000) % 24 AS hour
+              |      FROM pts WHERE time >= $B AND time < $E),
+              |p AS (SELECT metric, hour, CAST(sum(cents) AS BIGINT) AS s,
+              |        count(*) AS n
+              |      FROM f GROUP BY 1, 2),
+              |pb AS (SELECT metric, hour,
+              |         CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS baseline
+              |       FROM p),
+              |rs AS (SELECT f.metric, f.time, f.cents, f.hour, pb.baseline,
+              |         abs(f.cents - pb.baseline) AS resid
+              |       FROM f JOIN pb USING (metric, hour)),
+              |h AS (SELECT metric, resid, count(*) AS c FROM rs GROUP BY 1, 2),
+              |t AS (SELECT metric, CAST(min(resid) AS BIGINT) AS thr FROM (
+              |        SELECT metric, resid,
+              |          sum(c) OVER (PARTITION BY metric ORDER BY resid) AS cum,
+              |          sum(c) OVER (PARTITION BY metric) AS n
+              |        FROM h) WHERE cum * 40 >= n * 39 GROUP BY 1)
+              |SELECT rs.metric, rs.time, rs.cents,
+              |  CAST(rs.hour AS BIGINT) AS hour, rs.baseline,
+              |  CAST(rs.resid AS BIGINT) AS resid, t.thr
+              |FROM rs JOIN t USING (metric)
+              |WHERE rs.resid > t.thr ORDER BY 1, 2""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

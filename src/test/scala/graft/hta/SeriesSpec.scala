@@ -362,6 +362,23 @@ class SeriesSpec extends SparkSpec {
     assert(r(1).getDouble(6) < r(2).getDouble(6), "period-2 peak at lag 2")
   }
 
+  test("seasonalOutliers flags deviation from the hour baseline, not the global mean") {
+    // hour A: flat 100s; hour B: 200, 200, 260 — baseline floor(220);
+    // residuals [0,0,0,20,20,40]; p=3/4 threshold: smallest v with
+    // 4·cum ≥ 6·3 → 20; only the 260 sample (resid 40) is flagged.
+    // A flat global threshold would have flagged every hour-B sample.
+    val df = pts(Seq(
+      ("m", tp(0), 1.0), ("m", tp(10), 1.0), ("m", tp(20), 1.0),
+      ("m", tp(3600), 2.0), ("m", tp(3610), 2.0), ("m", tp(3620), 2.6)))
+    val r = Series.seasonalOutliers(df, tp(0), tp(7200), 3, 4).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(row.fieldIndex("time")) === tp(3620))
+    assert(row.getLong(row.fieldIndex("baseline")) === 220L)
+    assert(row.getLong(row.fieldIndex("resid")) === 40L)
+    assert(row.getLong(row.fieldIndex("thr")) === 20L)
+  }
+
   test("autoCorrelation overlap is pairwise-complete across a gap") {
     // buckets 0, 1, 3 exist; lag 1 only overlaps (0,1): one pair
     val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(10), 2.0),
