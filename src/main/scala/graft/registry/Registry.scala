@@ -3822,7 +3822,43 @@ object Registry {
               |  CAST(rs.hour AS BIGINT) AS hour, rs.baseline,
               |  CAST(rs.resid AS BIGINT) AS resid, t.thr
               |FROM rs JOIN t USING (metric)
-              |WHERE rs.resid > t.thr ORDER BY 1, 2""".stripMargin))
+              |WHERE rs.resid > t.thr ORDER BY 1, 2""".stripMargin)),
+
+    // ---- leakage-safe train/test split: the split key is the CONTENT
+    //      fingerprint (q23), not the doc id — byte-identical documents
+    //      (and their 8-gram winnowing near-twins) can never straddle
+    //      the split boundary and leak eval into train ----
+    Entry("q139_leak_safe_split",
+      (s, d) => Sampling.hashSplit(
+          TextOps.minFingerprint(docs(s, d), w = 8), "fingerprint",
+          weights = Seq(0.9, 0.1), labels = Seq("train", "test"),
+          salt = "lk1")
+        .orderBy("doc_id"),
+      Some {
+        val combine = (0 until 8)
+          .map(i => TextOps.rot60Sql(s"hs[i+$i]", (7 * i) % 60))
+          .reduce((a, b) => s"xor($a, $b)")
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+           |h AS (SELECT doc_id, text,
+           |        [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in s] AS hs
+           |      FROM t),
+           |g AS (SELECT doc_id, text,
+           |        CASE WHEN len(hs) >= 8 THEN
+           |          [$combine for i in range(1, len(hs) - 6)]
+           |        ELSE NULL END AS gs
+           |      FROM h),
+           |fp AS (SELECT doc_id,
+           |         CASE WHEN gs IS NOT NULL THEN list_min(gs)
+           |              ELSE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) END
+           |           AS fingerprint
+           |       FROM g)
+           |SELECT doc_id, fingerprint,
+           |  CASE WHEN CAST('0x' ||
+           |         substr(md5(CAST(fingerprint AS VARCHAR) || 'lk1'), 1, 15)
+           |         AS BIGINT) % 1000000 < 900000
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM fp ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

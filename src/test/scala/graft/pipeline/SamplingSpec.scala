@@ -166,4 +166,28 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(other !== one, "a different salt must permute differently")
   }
+
+  test("fingerprint-keyed split keeps identical content in ONE split") {
+    // duplicate a doc's text under a new id — a doc_id-keyed split could
+    // strand the twins on opposite sides; the fingerprint key cannot
+    val s = spark
+    val twin = docs.limit(1)
+      .select((org.apache.spark.sql.functions.col("doc_id") + 100000L).as("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(twin)
+    val split = Sampling.hashSplit(
+      TextOps.minFingerprint(corpus, w = 8), "fingerprint",
+      weights = Seq(0.5, 0.5), labels = Seq("a", "b"), salt = "lk1")
+    val byFp = split.groupBy("fingerprint")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("ns"))
+      .agg(org.apache.spark.sql.functions.max("ns")).collect()(0).getLong(0)
+    assert(byFp === 1L, "no fingerprint group straddles the split")
+    // and the twins specifically agree
+    val twins = split.where(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(100000L))
+        === docs.limit(1).collect()(0).getLong(0))
+      .select("split").distinct().count()
+    assert(twins === 1L)
+  }
 }
