@@ -579,4 +579,28 @@ object Series {
     graft.pipeline.Profile.orderStatOutliers(resid, Seq("metric"),
       "resid", pNum, pDen)
   }
+
+  /** Inter-arrival histogram on log₂ buckets — the latency-histogram
+    * read of a sample stream (scrape regularity, burst detection,
+    * ingestion SLOs). Per metric, gap = time − previous time; bucket =
+    * bit length of the gap (`length(bin(gap))`, the q91 HLL-rank trick
+    * — exact, codegen'd, no float log), so bucket b holds gaps in
+    * [2^(b−1), 2^b). O1 uniqueness makes every gap ≥ 1 and the lag
+    * deterministic. One metric-keyed window exchange, then a
+    * (metric, bucket) partial-agg — output is metrics × ~60 rows.
+    *
+    * @return (metric, bucket, n, min_gap, max_gap) */
+  def interArrivalHist(points: DataFrame, b: Long, e: Long): DataFrame = {
+    require(e > b, s"need e > b, got [$b,$e)")
+    val w = Window.partitionBy("metric").orderBy("time")
+    points.where(col("time") >= b && col("time") < e)
+      .select(col("metric"), col("time"))
+      .withColumn("_prev", lag(col("time"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("gap", col("time") - col("_prev"))
+      .withColumn("bucket", length(bin(col("gap"))).cast("long"))
+      .groupBy("metric", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("gap").as("min_gap"), max("gap").as("max_gap"))
+  }
 }

@@ -78,4 +78,35 @@ object Cdc {
       .withColumn("valid_to", lead(col(validFrom), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Deletion-propagation impact for one table: how many of `df`'s rows
+    * reference a subject key — the per-table row of a right-to-be-
+    * forgotten audit (run the report BEFORE the destructive pass; the
+    * counts are the evidence trail). One scan, one scalar fold; the
+    * subject key set is broadcast (deletion lists are small by nature).
+    * NULL keys never match — an unowned row is not deletable by subject.
+    *
+    * @param subjects single-column frame of subject keys
+    * @return one report row: (table_name, n_rows, n_delete) */
+  def deletionImpact(df: DataFrame, keyCol: String, subjects: DataFrame,
+                     name: String): DataFrame = {
+    val subj = broadcast(subjects
+      .select(col(subjects.columns.head).as("_k")).distinct()
+      .withColumn("_hit", lit(1L)))
+    df.select(col(keyCol).as("_k"))
+      .join(subj, Seq("_k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_delete"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("n_delete"))
+  }
+
+  /** The cascade step: keys of `df` rows owned by a subject — e.g.
+    * order ids of deleted customers, which then drive the lineitem
+    * impact. Broadcast semi-join, distinct projection of `outCol`. */
+  def impactedKeys(df: DataFrame, matchCol: String, subjects: DataFrame,
+                   outCol: String): DataFrame = {
+    val subj = broadcast(subjects
+      .select(col(subjects.columns.head).as(matchCol)).distinct())
+    df.join(subj, Seq(matchCol), "left_semi").select(outCol).distinct()
+  }
 }

@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Series, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Curate, Dedup, Eval, Joins, Multimodal, Packing, Profile, Sampling, Sketches, TextOps}
+import graft.pipeline.{Ann, Cdc, Curate, Dedup, Eval, Joins, Multimodal, Packing, Profile, Sampling, Sketches, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3858,7 +3858,70 @@ object Registry {
            |         AS BIGINT) % 1000000 < 900000
            |       THEN 'train' ELSE 'test' END AS split
            |FROM fp ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- deletion-propagation audit: subject keys broadcast, FK
+    //      cascade via impactedKeys, one report row per table — the
+    //      pre-delete evidence trail ----
+    Entry("q140_deletion_audit",
+      (s, d) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val subjects = cust.where(pmod(col("c_custkey"), lit(97L)) === 0L)
+          .select("c_custkey")
+        val deadOrders = Cdc.impactedKeys(ord, "o_custkey",
+          subjects.withColumnRenamed("c_custkey", "o_custkey"), "o_orderkey")
+        Cdc.deletionImpact(cust, "c_custkey", subjects, "customer")
+          .unionByName(Cdc.deletionImpact(ord, "o_custkey",
+            subjects, "orders"))
+          .unionByName(Cdc.deletionImpact(li, "l_orderkey",
+            deadOrders, "lineitem"))
+          .orderBy("table_name")
+      },
+      Some("""WITH subj AS (SELECT c_custkey AS k FROM customer
+             |              WHERE c_custkey % 97 = 0),
+             |dead_o AS (SELECT DISTINCT o_orderkey FROM orders
+             |           WHERE o_custkey IN (SELECT k FROM subj)),
+             |r AS (
+             |  SELECT 'customer' AS table_name, count(*) AS n_rows,
+             |    sum(CASE WHEN c_custkey IN (SELECT k FROM subj)
+             |        THEN 1 ELSE 0 END) AS n_delete
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'orders', count(*),
+             |    sum(CASE WHEN o_custkey IN (SELECT k FROM subj)
+             |        THEN 1 ELSE 0 END)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem', count(*),
+             |    sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dead_o)
+             |        THEN 1 ELSE 0 END)
+             |  FROM lineitem)
+             |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_delete AS BIGINT) AS n_delete
+             |FROM r ORDER BY table_name""".stripMargin)),
+
+    // ---- inter-arrival log2 histogram: scrape-regularity / burst
+    //      read — one metric window exchange, ~60-row output per
+    //      metric, exact bit-length buckets ----
+    Entry("q141_interarrival_hist",
+      (s, d) => Series.interArrivalHist(ev(s, d), B, E)
+        .orderBy("metric", "bucket"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time FROM pts
+              |      WHERE time >= $B AND time < $E),
+              |g AS (SELECT metric,
+              |        time - lag(time) OVER (PARTITION BY metric
+              |                               ORDER BY time) AS gap
+              |      FROM f)
+              |SELECT metric,
+              |  CAST(length(printf('%b', gap)) AS BIGINT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(min(gap) AS BIGINT) AS min_gap,
+              |  CAST(max(gap) AS BIGINT) AS max_gap
+              |FROM g WHERE gap IS NOT NULL
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

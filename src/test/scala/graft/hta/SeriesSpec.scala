@@ -379,6 +379,19 @@ class SeriesSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("thr")) === 20L)
   }
 
+  test("interArrivalHist buckets gaps by bit length, exact min/max") {
+    // gaps in ns: 1 s → bucket 30 (2^29 ≤ 1e9 < 2^30); craft sub-ns-scale
+    // gaps via eps offsets: 1, 2, 3, 16 ns
+    val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(0, 1), 1.0),
+      ("m", tp(0, 3), 1.0), ("m", tp(0, 6), 1.0), ("m", tp(0, 22), 1.0)))
+    val r = Series.interArrivalHist(df, tp(0), tp(10))
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // gaps 1 (len 1), 2,3 (len 2), 16 (len 5)
+    assert(r.toSeq === Seq((1L, 1L, 1L, 1L), (2L, 2L, 2L, 3L),
+      (5L, 1L, 16L, 16L)))
+  }
+
   test("autoCorrelation overlap is pairwise-complete across a gap") {
     // buckets 0, 1, 3 exist; lag 1 only overlaps (0,1): one pair
     val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(10), 2.0),

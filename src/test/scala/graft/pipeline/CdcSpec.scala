@@ -80,4 +80,30 @@ class CdcSpec extends SparkSpec {
       .select("k", "t", "seq", "payload").collect().map(_.toSeq).toSet
     assert(cur === latest)
   }
+
+  test("deletionImpact counts subject-owned rows; cascade via impactedKeys") {
+    val s = spark
+    import s.implicits._
+    val cust = Seq(1L, 2L, 3L, 4L, 5L).toDF("ck")
+    val subjects = Seq(2L, 4L, 99L).toDF("ck") // 99 matches nothing
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 4L), (14L, 5L))
+      .toDF("ok", "ck")
+    val items = Seq((10L, 1L), (11L, 1L), (11L, 2L), (13L, 1L), (14L, 1L))
+      .toDF("ok", "ln")
+    val c = Cdc.deletionImpact(cust, "ck", subjects, "cust").collect()(0)
+    assert(c.getLong(1) === 5L && c.getLong(2) === 2L)
+    val deadOrders = Cdc.impactedKeys(orders, "ck", subjects, "ok")
+    assert(deadOrders.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(11L, 12L, 13L))
+    val li = Cdc.deletionImpact(items, "ok", deadOrders, "lineitem").collect()(0)
+    assert(li.getLong(1) === 5L && li.getLong(2) === 3L) // two 11s + one 13
+  }
+
+  test("deletionImpact: NULL keys are never subject-owned") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1L), None, Some(2L)).toDF("ck")
+    val r = Cdc.deletionImpact(df, "ck", Seq(1L).toDF("ck"), "t").collect()(0)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 1L)
+  }
 }
