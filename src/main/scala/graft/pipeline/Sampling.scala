@@ -93,6 +93,40 @@ object Sampling {
     df.where(hashBucket(col(key), salt) < cut)
   }
 
+  /** Temperature-scaled mixture shares (the multilingual/multi-source
+    * sampling math: p_s ∝ n_s^(1/2), temperature 2): per-source corpus
+    * counts → sqrt weights → normalized shares, the table a caller
+    * feeds straight into [[mixtureSample]] to up-sample tail sources
+    * without drowning in the head. Exactly one non-integer step —
+    * `sqrt(n)` is a single correctly-rounded IEEE op, identical in
+    * every engine — and the normalizer is a CUMULATIVE sum in source
+    * order (a defined summation order; a bare SUM of doubles is
+    * order-nondeterministic and would break the oracle), so `share_e6`
+    * is bit-reproducible. General temperatures need pow() (not
+    * cross-engine exact); 1/2 is the operational default and the one
+    * with an exact contract.
+    *
+    * Shape: one (source) partial-agg shuffle; everything after runs on
+    * the source-cardinality frame (windows over it are deliberate).
+    *
+    * @return (source, n, w, share_e6) — w = sqrt(n) */
+  def temperatureShares(df: DataFrame, groupCol: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(groupCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(groupCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+      .withColumn("_cum", sum("w").over(wOrd))
+      .withColumn("_tot", max("_cum").over(wAll))
+      .withColumn("share_e6",
+        floor(col("w") * lit(1000000.0) / col("_tot")).cast("long"))
+      .select(col(groupCol), col("n"), col("w"), col("share_e6"))
+  }
+
   /** Importance (weighted) sampling: keep each row with its OWN
     * per-row probability — `weightE6` is the keep fraction at fixed
     * point 1e6 (0 drops always, 1e6 keeps always), typically a quality

@@ -3921,7 +3921,25 @@ object Registry {
               |  CAST(min(gap) AS BIGINT) AS min_gap,
               |  CAST(max(gap) AS BIGINT) AS max_gap
               |FROM g WHERE gap IS NOT NULL
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- temperature-scaled mixture shares: sqrt weights over source
+    //      counts, normalizer as an ORDERED cumulative sum (defined
+    //      summation order → cross-engine bit parity) ----
+    Entry("q142_temperature_mix",
+      (s, d) => Sampling.temperatureShares(docs(s, d), "source")
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |           FROM documents GROUP BY 1),
+             |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+             |x AS (SELECT source, n, w,
+             |        sum(w) OVER (ORDER BY source
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM w),
+             |y AS (SELECT source, n, w, max(cum) OVER () AS tot FROM x)
+             |SELECT source, n, w,
+             |  CAST(floor(w * 1000000 / tot) AS BIGINT) AS share_e6
+             |FROM y ORDER BY source""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

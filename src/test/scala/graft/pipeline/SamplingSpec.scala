@@ -167,6 +167,24 @@ class SamplingSpec extends SparkSpec {
     assert(other !== one, "a different salt must permute differently")
   }
 
+  test("temperatureShares: sqrt flattening, shares sum to ~1e6") {
+    val s = spark
+    import s.implicits._
+    // head source 900 rows, tails 100 and 4: raw shares .90/.10/.004,
+    // sqrt shares 30/10/2 → .714/.238/.047 — the tail is up-weighted
+    val df = ((1 to 900).map(_ => "head") ++ (1 to 100).map(_ => "mid") ++
+      (1 to 4).map(_ => "tail")).toDF("source")
+    val r = Sampling.temperatureShares(df, "source").orderBy("source")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(r("head")._1 === 900L && r("mid")._1 === 100L)
+    // exact: w = 30, 10, 2; tot = 42
+    assert(r("head")._2 === 714285L) // floor(30e6/42)
+    assert(r("mid")._2 === 238095L)
+    assert(r("tail")._2 === 47619L)
+    val total = r.values.map(_._2).sum
+    assert(total >= 999999L - 2 && total <= 1000000L)
+  }
+
   test("fingerprint-keyed split keeps identical content in ONE split") {
     // duplicate a doc's text under a new id — a doc_id-keyed split could
     // strand the twins on opposite sides; the fingerprint key cannot
