@@ -425,6 +425,49 @@ object PlanAudit {
       graft.pipeline.Profile.checkFunctionalDep(e, Seq("user_id"),
         "event_type", "fd").explain("formatted")
     }
+    section("q137 hardNegatives (expect: queries BROADCAST with the " +
+      "label-mismatch predicate in the join — corpus never shuffles; " +
+      "per-query top-k window over partition-local candidates)") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.pipeline.Ann.hardNegatives(e.where(col("vec_id") < 3), e, k = 5)
+        .explain("formatted")
+    }
+    section("q138 seasonalOutliers (expect: 24-row/metric baseline " +
+      "BROADCAST back; residual histogram exchange; threshold broadcast " +
+      "— corpus read once, never shuffled whole)") {
+      graft.hta.Series.seasonalOutliers(
+        ev.select("metric", "time", "cents"), Registry.B, Registry.E,
+        39, 40).explain("formatted")
+    }
+    section("q139 leak-safe split (expect: the q23 fingerprint pass — " +
+      "one doc-keyed window exchange — then the split label as a NARROW " +
+      "hash projection, no extra shuffle)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Sampling.hashSplit(
+        graft.pipeline.TextOps.minFingerprint(docs, w = 8), "fingerprint",
+        Seq(0.9, 0.1), Seq("train", "test"), salt = "lk1")
+        .explain("formatted")
+    }
+    section("q140 deletionImpact (expect: subject keys BROADCAST; one " +
+      "scan + scalar fold per table — the deletion itself never runs)") {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val subjects = cust.where(pmod(col("c_custkey"), lit(97L)) === 0L)
+        .select("c_custkey")
+      graft.pipeline.Cdc.deletionImpact(cust, "c_custkey", subjects,
+        "customer").explain("formatted")
+    }
+    section("q141 interArrivalHist (expect: ONE metric-keyed window " +
+      "exchange; (metric, bucket) partial-agg on its lineage — " +
+      "bit-length bucket is codegen'd, no float log)") {
+      graft.hta.Series.interArrivalHist(ev, Registry.B, Registry.E)
+        .explain("formatted")
+    }
+    section("q142 temperatureShares (expect: one source partial-agg " +
+      "exchange; windows run on the source-cardinality frame only)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Sampling.temperatureShares(docs, "source")
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
