@@ -229,6 +229,49 @@ object Profile {
       .drop("_v")
   }
 
+  /** Cross-source quantile normalization (the batch-effect fix: one
+    * source's "long" must mean the same as another's): each row's value
+    * maps to the POOLED distribution's value at the row's within-source
+    * percentile — sources with shifted or stretched distributions land
+    * on one comparable scale. Classic quantile normalization, exact:
+    * within-source rank via [[rankNormalize]], percentile coarsened to
+    * the per-mille grid `g = pct_e6 div 1000`, and the pooled inverse
+    * CDF evaluated at each grid point by q54's integer selection rule —
+    * `Q(g) = smallest v with 10³·cum ≥ n·g` (g = 0 maps to the pooled
+    * minimum).
+    *
+    * Shape at scale: the two histograms (per-source, pooled) are
+    * domain-sized partial-agg exchanges off the SAME scan lineage; the
+    * 1001-row inverse-CDF table builds from a histogram × grid join
+    * (histogram-sized, never corpus) and BROADCASTS back; the final
+    * mapping pass is a narrow join. NULL values pass through with NULL
+    * pct and mapped value.
+    *
+    * @return df's columns plus (pct_e6, pct_mille, mapped) */
+  def quantileMap(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val pct = rankNormalize(df, valueCol, Seq(groupCol))
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(w))
+      .crossJoin(broadcast(hist.agg(sum("_c").as("_n"))))
+    val spark = df.sparkSession
+    // named pct_mille, not a bare single letter, so the appended column
+    // cannot shadow a caller's own grouping column
+    val grid = spark.range(0, 1001).select(col("id").as("pct_mille"))
+    val invCdf = cum.crossJoin(broadcast(grid))
+      .where(col("_cum") * 1000L >= col("_n") * col("pct_mille"))
+      .groupBy("pct_mille").agg(min("_v").as("mapped"))
+    pct
+      .withColumn("pct_mille", expr("pct_e6 div 1000"))
+      .join(broadcast(invCdf), Seq("pct_mille"), "left")
+  }
+
   /** Uniqueness check as a report row: `name, n_rows, n_fail, pass`
     * where n_fail counts the rows BEYOND the first of each duplicated
     * key (n − distinct). One map-side-combined keyed count. */

@@ -3939,7 +3939,40 @@ object Registry {
              |y AS (SELECT source, n, w, max(cum) OVER () AS tot FROM x)
              |SELECT source, n, w,
              |  CAST(floor(w * 1000000 / tot) AS BIGINT) AS share_e6
-             |FROM y ORDER BY source""".stripMargin))
+             |FROM y ORDER BY source""".stripMargin)),
+
+    // ---- cross-source quantile normalization: within-source rank →
+    //      pooled inverse CDF at the per-mille grid, all exact
+    //      integers; inverse-CDF table broadcast back ----
+    Entry("q143_quantile_map",
+      (s, d) => Profile.quantileMap(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "n_chars", "source")
+        .orderBy("doc_id"),
+      Some("""WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+             |           FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, v,
+             |        sum(c) OVER (PARTITION BY source ORDER BY v) - c AS lt,
+             |        sum(c) OVER (PARTITION BY source) AS n
+             |      FROM h),
+             |pc AS (SELECT d.doc_id, d.source, d.n_chars,
+             |         CAST(CASE WHEN r.n <= 1 THEN 0
+             |              ELSE (r.lt * 1000000) // (r.n - 1) END AS BIGINT)
+             |           AS pct_e6
+             |       FROM documents d
+             |       JOIN r ON d.source = r.source AND d.n_chars = r.v),
+             |ph AS (SELECT n_chars AS v, count(*) AS c
+             |       FROM documents GROUP BY 1),
+             |pcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             |           sum(c) OVER () AS n
+             |         FROM ph),
+             |gr AS (SELECT unnest(range(0, 1001)) AS g),
+             |inv AS (SELECT g, CAST(min(v) AS BIGINT) AS mapped
+             |        FROM pcum, gr WHERE cum * 1000 >= n * g GROUP BY 1)
+             |SELECT pc.doc_id, pc.source, pc.n_chars, pc.pct_e6,
+             |  CAST(pc.pct_e6 // 1000 AS BIGINT) AS pct_mille, inv.mapped
+             |FROM pc JOIN inv ON inv.g = pc.pct_e6 // 1000
+             |ORDER BY pc.doc_id""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -204,6 +204,33 @@ class ProfileSpec extends SparkSpec {
     assert(byKey(("b", Some(7.0))) === Seq(Some(0L)))
   }
 
+  test("quantileMap erases a pure shift between sources") {
+    // source b is source a shifted by +100: equal within-source ranks
+    // must land on the SAME pooled value — the batch-effect correction
+    val rows = (1 to 10).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
+      (1 to 10).map(i => ("b", java.lang.Double.valueOf(i + 100.0)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map { case ((g, v), i) =>
+        Row(i.toLong, g, v) }: _*),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("g", StringType), StructField("v", DoubleType))))
+    val out = Profile.quantileMap(df, "v", "g").collect()
+      .map(r => (r.getString(r.fieldIndex("g")),
+        r.getDouble(r.fieldIndex("v")),
+        r.getLong(r.fieldIndex("pct_e6")),
+        r.getLong(r.fieldIndex("mapped"))))
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    val b = out.filter(_._1 == "b").sortBy(_._2)
+    assert(a.map(_._3).toSeq === b.map(_._3).toSeq, "equal ranks")
+    assert(a.map(_._4).toSeq === b.map(_._4).toSeq,
+      "equal ranks map to the same pooled value")
+    // mapped is monotone in the source value
+    assert(a.map(_._4).toSeq === a.map(_._4).sorted.toSeq)
+    // mapped values come from the pooled domain
+    val pooled = rows.map(_._2.doubleValue.toLong).toSet
+    assert(out.map(_._4).forall(pooled.contains))
+  }
+
   test("checkFunctionalDep: violations counted per determinant key") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(
