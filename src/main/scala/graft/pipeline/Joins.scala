@@ -149,4 +149,29 @@ object Joins {
       .withColumn("n_pairs", col("n_left") * col("n_right"))
       .orderBy(desc("n_pairs"), asc(key)).limit(k)
   }
+
+  /** Partition-balance forecast for a content-hash layout: the per-
+    * partition row counts a `pmod(md5(key), n)` partitioning (the
+    * house bucketing behind [[graft.pipeline.Sampling.hashBucket]],
+    * salting and the epoch shuffle) would produce — run BEFORE the
+    * write to see whether a key choice leaves one partition holding
+    * the corpus. Reports exact counts plus the skew ratio against the
+    * ideal share as the rational `n_rows·n_parts / total` (e6 fixed
+    * point — no float aggregation). One partial-agg shuffle carrying
+    * n_parts rows per task.
+    *
+    * @return one row per non-empty partition: (part, n_rows,
+    *         skew_e6 = n_rows·n_parts·10⁶ div total) */
+  def partitionBalance(df: DataFrame, key: String, nParts: Int): DataFrame = {
+    require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    val counts = df
+      .select(pmod(TextOps.md5Long(col(key).cast("string")),
+        lit(nParts.toLong)).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_rows"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n_rows").as("_t"))))
+      .withColumn("skew_e6",
+        expr(s"(n_rows * ${nParts.toLong} * 1000000) div _t"))
+      .drop("_t")
+  }
 }

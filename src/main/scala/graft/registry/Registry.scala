@@ -3972,7 +3972,25 @@ object Registry {
              |SELECT pc.doc_id, pc.source, pc.n_chars, pc.pct_e6,
              |  CAST(pc.pct_e6 // 1000 AS BIGINT) AS pct_mille, inv.mapped
              |FROM pc JOIN inv ON inv.g = pc.pct_e6 // 1000
-             |ORDER BY pc.doc_id""".stripMargin))
+             |ORDER BY pc.doc_id""".stripMargin)),
+
+    // ---- partition-balance forecast: per-partition counts of the
+    //      md5-bucket layout BEFORE any write — q132's sibling for
+    //      layout (vs join) skew ----
+    Entry("q144_partition_balance",
+      (s, d) => Joins.partitionBalance(
+          s.read.parquet(s"$d/events.parquet"), "user_id", nParts = 32)
+        .orderBy("part"),
+      Some("""WITH p AS (SELECT CAST('0x' ||
+             |          substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |          % 32 AS part
+             |        FROM events),
+             |c AS (SELECT part, CAST(count(*) AS BIGINT) AS n_rows
+             |      FROM p GROUP BY 1),
+             |t AS (SELECT sum(n_rows) AS t FROM c)
+             |SELECT part, n_rows,
+             |  CAST((n_rows * 32 * 1000000) // t.t AS BIGINT) AS skew_e6
+             |FROM c, t ORDER BY part""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -188,4 +188,17 @@ class JoinsSpec extends SparkSpec {
     assert(d.toSeq === Seq(("hot", 900L), ("cold1", 34L),
       ("cold0", 33L), ("cold2", 33L)))
   }
+
+  test("partitionBalance: exact counts, skew ratio flags the hot layout") {
+    val (fact, _) = fixture
+    val r = Joins.partitionBalance(fact, "k", nParts = 4).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.values.map(_._1).sum === 1000L, "every row lands somewhere")
+    // "hot" (900 rows) hashes to ONE partition: its skew ≥ 900·4e6/1000
+    assert(r.values.map(_._2).max >= 3600000L)
+    // uniform layout on unique ids stays near skew 1e6
+    val u = Joins.partitionBalance(fact.select(col("id")), "id", nParts = 4)
+      .collect().map(_.getLong(2))
+    assert(u.forall(s => s > 700000L && s < 1300000L))
+  }
 }
