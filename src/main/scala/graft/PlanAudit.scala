@@ -468,6 +468,20 @@ object PlanAudit {
       graft.pipeline.Sampling.temperatureShares(docs, "source")
         .explain("formatted")
     }
+    section("q143 quantileMap (expect: per-source + pooled histogram " +
+      "exchanges off the scan; 1001-row inverse-CDF table BROADCAST " +
+      "back; mapping pass narrow)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.Profile.quantileMap(
+        docs.select("doc_id", "source", "n_chars"), "n_chars", "source")
+        .explain("formatted")
+    }
+    section("q144 partitionBalance (expect: ONE nParts-row partial-agg " +
+      "exchange; total as a broadcast scalar — no second corpus scan)") {
+      val e = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.pipeline.Joins.partitionBalance(e, "user_id", nParts = 32)
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
