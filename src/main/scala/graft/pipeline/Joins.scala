@@ -168,8 +168,14 @@ object Joins {
       .select(pmod(TextOps.md5Long(col(key).cast("string")),
         lit(nParts.toLong)).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_rows"))
+    // total via a window over the ≤ nParts-row counts frame — a scalar
+    // subquery here re-aggregates from a SECOND corpus scan (plan-read)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("part")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     counts
-      .crossJoin(broadcast(counts.agg(sum("n_rows").as("_t"))))
+      .withColumn("_t", sum("n_rows").over(wAll))
       .withColumn("skew_e6",
         expr(s"(n_rows * ${nParts.toLong} * 1000000) div _t"))
       .drop("_t")
