@@ -477,7 +477,8 @@ object PlanAudit {
         .explain("formatted")
     }
     section("q144 partitionBalance (expect: ONE nParts-row partial-agg " +
-      "exchange; total as a broadcast scalar — no second corpus scan)") {
+      "exchange; total via a window over the counts frame — exactly one " +
+      "Scan parquet, single-column ReadSchema)") {
       val e = spark.read.parquet(s"$sfDir/events.parquet")
       graft.pipeline.Joins.partitionBalance(e, "user_id", nParts = 32)
         .explain("formatted")
