@@ -580,6 +580,56 @@ object Series {
       "resid", pNum, pDen)
   }
 
+  /** Robust (median-based) trend: [[linearTrend]]'s spike-resistant
+    * sibling — OLS over PER-BUCKET MEDIANS instead of raw samples, so a
+    * burst of outliers in one hour cannot drag the slope (the breakdown
+    * point moves from 0 to 50% per bucket). Medians are exact order
+    * statistics on the integer cents domain (q54's selection rule,
+    * p = 1/2); the slope is the same exact rational as linearTrend,
+    * computed over the BUCKET-MEDIAN frame (grid-sized — the second
+    * stage never touches the corpus).
+    *
+    * Shape at scale: one (metric, bucket, cents) histogram partial-agg
+    * shuffle — the only corpus-sized exchange; the median window runs
+    * over per-(metric, bucket) histogram partitions; the OLS fold is a
+    * metric-keyed aggregate of grid rows.
+    *
+    * @return (metric, n_buckets, sxy_num, sxx_num,
+    *         slope_cents_per_step) */
+  def robustTrend(points: DataFrame, b: Long, e: Long,
+                  step: Long): DataFrame = {
+    require(e > b && step >= 1, s"bad args [$b,$e) step=$step")
+    val mid = ((e - b) / step) / 2
+    val hist = points.where(col("time") >= b && col("time") < e)
+      .withColumn("bucket", expr(s"(time - ${b}L) div ${step}L"))
+      .groupBy("metric", "bucket", "cents").agg(count(lit(1)).as("_c"))
+    val wb = Window.partitionBy("metric", "bucket").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("metric", "bucket")
+    val med = hist
+      .withColumn("_cum", sum("_c").over(wb))
+      .withColumn("_n", sum("_c").over(wn))
+      .where(col("_cum") * 2L >= col("_n"))
+      .groupBy("metric", "bucket").agg(min("cents").as("_med"))
+    med
+      .withColumn("x", col("bucket") - lit(mid))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("x").as("_sx"), sum("_med").as("_sy"),
+        sum(col("x") * col("_med")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      .withColumn("sxy_num",
+        col("n_buckets") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("sxx_num",
+        col("n_buckets") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("slope_cents_per_step",
+        when(col("sxx_num") === 0L, lit(null).cast("double"))
+          .otherwise(col("sxy_num").cast("double") /
+            col("sxx_num").cast("double")))
+      .select("metric", "n_buckets", "sxy_num", "sxx_num",
+        "slope_cents_per_step")
+  }
+
   /** Inter-arrival histogram on log₂ buckets — the latency-histogram
     * read of a sample stream (scrape regularity, burst detection,
     * ingestion SLOs). Per metric, gap = time − previous time; bucket =

@@ -143,6 +143,28 @@ object Sessionize {
       .withColumn("p_e6", expr("n * 1000000L div from_n"))
   }
 
+  /** Frequent event paths (the 3-step generalization of [[transitions]]):
+    * top-k (e₁→e₂→e₃) trigrams over per-user event order — the pattern-
+    * discovery read behind funnel design (which 3-step journeys actually
+    * happen?). Two deterministic leads over the same user-keyed window
+    * exchange, one trigram-sized groupBy (|types|³ rows max, map-side
+    * combined), TakeOrdered cut with the (n desc, path asc) tie-break.
+    *
+    * @return top-k rows (e1, e2, e3, n) */
+  def frequentPaths(events: DataFrame, k: Int, user: String = "user_id",
+                    time: String = "time", typeCol: String = "metric",
+                    tiebreak: String = "event_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(user).orderBy(col(time), col(tiebreak))
+    events.select(col(user), col(time), col(tiebreak),
+        col(typeCol).as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3")).limit(k)
+  }
+
   /** Cohort retention: users are cohorted by the day of their FIRST event
     * (integer day index since epoch, from the ns time column), and each
     * (cohort_day, day_offset) cell counts the distinct users of that cohort

@@ -3990,7 +3990,65 @@ object Registry {
              |t AS (SELECT sum(n_rows) AS t FROM c)
              |SELECT part, n_rows,
              |  CAST((n_rows * 32 * 1000000) // t.t AS BIGINT) AS skew_e6
-             |FROM c, t ORDER BY part""".stripMargin))
+             |FROM c, t ORDER BY part""".stripMargin)),
+
+    // ---- robust (median-based) trend: OLS over per-bucket exact
+    //      medians — spike-resistant slope, grid-sized second stage ----
+    {
+      val step = 3600000000000L
+      val mid = ((E - B) / step) / 2
+      Entry("q145_robust_trend",
+        (s, d) => Series.robustTrend(ev(s, d), B, E, step)
+          .orderBy("metric"),
+        Some(s"""WITH $ptsCte,
+                |f AS (SELECT metric, (time - $B) // ${step} AS bucket, cents
+                |      FROM pts WHERE time >= $B AND time < $E),
+                |h AS (SELECT metric, bucket, cents, count(*) AS c
+                |      FROM f GROUP BY 1, 2, 3),
+                |m AS (SELECT metric, bucket, CAST(min(cents) AS BIGINT) AS med
+                |      FROM (SELECT metric, bucket, cents,
+                |              sum(c) OVER (PARTITION BY metric, bucket
+                |                           ORDER BY cents) AS cum,
+                |              sum(c) OVER (PARTITION BY metric, bucket) AS n
+                |            FROM h)
+                |      WHERE cum * 2 >= n GROUP BY 1, 2),
+                |x AS (SELECT metric, bucket - $mid AS x, med FROM m),
+                |a AS (SELECT metric, CAST(count(*) AS BIGINT) AS nb,
+                |        CAST(sum(x) AS BIGINT) AS sx,
+                |        CAST(sum(med) AS BIGINT) AS sy,
+                |        CAST(sum(x * med) AS BIGINT) AS sxy,
+                |        CAST(sum(x * x) AS BIGINT) AS sxx
+                |      FROM x GROUP BY 1)
+                |SELECT metric, nb AS n_buckets,
+                |  CAST(nb * sxy - sx * sy AS BIGINT) AS sxy_num,
+                |  CAST(nb * sxx - sx * sx AS BIGINT) AS sxx_num,
+                |  CASE WHEN nb * sxx - sx * sx = 0 THEN NULL
+                |       ELSE CAST(nb * sxy - sx * sy AS DOUBLE)
+                |            / (nb * sxx - sx * sx) END AS slope_cents_per_step
+                |FROM a ORDER BY metric""".stripMargin))
+    },
+
+    // ---- frequent 3-step event paths: two leads over ONE user-keyed
+    //      window exchange, |types|³-bounded groupBy, TakeOrdered cut ----
+    Entry("q146_frequent_paths",
+      (s, d) => {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val f = raw.select(col("event_type").as("metric"),
+          Tables.tsNs(raw).as("time"), col("user_id"), col("event_id"))
+        graft.pipeline.Sessionize.frequentPaths(f, k = 20)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+             |              epoch_us(ts)*1000 AS t FROM events),
+             |l AS (SELECT event_type AS e1,
+             |        lead(event_type, 1) OVER (PARTITION BY user_id
+             |          ORDER BY t, event_id) AS e2,
+             |        lead(event_type, 2) OVER (PARTITION BY user_id
+             |          ORDER BY t, event_id) AS e3
+             |      FROM ev)
+             |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+             |FROM l WHERE e3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -379,6 +379,35 @@ class SeriesSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("thr")) === 20L)
   }
 
+  test("robustTrend ignores a spike the raw OLS chases") {
+    // perfect ramp of bucket medians (3 samples per bucket), with one
+    // enormous outlier in bucket 2 — median slope stays exactly 100
+    // cents/step; raw linearTrend on the same data is dragged positive
+    val base = for (bkt <- 0 until 5; j <- 0 until 3)
+      yield ("m", tp(bkt * 10L + j), (bkt + 1) * 1.0)
+    // spike in the LAST bucket (x = +2 after centering — max leverage;
+    // a bucket-2 spike would sit at x = 0 and move nothing)
+    val spiked = base :+ (("m", tp(49), 10000.0))
+    val df = pts(spiked)
+    val robust = Series.robustTrend(df, tp(0), tp(50), step = 10L * S)
+      .collect()(0)
+    assert(robust.getDouble(robust.fieldIndex("slope_cents_per_step")) === 100.0)
+    val raw = Series.linearTrend(df, tp(0), tp(50), step = 10L * S)
+      .collect()(0)
+    assert(raw.getDouble(raw.fieldIndex("slope_cents_per_step")) > 100.0,
+      "the raw slope chases the spike")
+  }
+
+  test("robustTrend median is the q54 lower selection on even buckets") {
+    // bucket with values 100, 200: 2*cum(100)=2 >= n=2 → med 100
+    val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(1), 2.0),
+      ("m", tp(10), 3.0), ("m", tp(11), 4.0)))
+    val r = Series.robustTrend(df, tp(0), tp(20), step = 10L * S).collect()(0)
+    // medians 100, 300 on x = -1, 0 → slope (over 2 pts) = 200
+    assert(r.getLong(r.fieldIndex("n_buckets")) === 2L)
+    assert(r.getDouble(r.fieldIndex("slope_cents_per_step")) === 200.0)
+  }
+
   test("interArrivalHist buckets gaps by bit length, exact min/max") {
     // gaps in ns: 1 s → bucket 30 (2^29 ≤ 1e9 < 2^30); craft sub-ns-scale
     // gaps via eps offsets: 1, 2, 3, 16 ns

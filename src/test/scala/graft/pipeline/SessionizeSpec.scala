@@ -184,4 +184,31 @@ class SessionizeSpec extends SparkSpec {
     assert(tr.length === 1 &&
       tr(0).getString(0) === "x" && tr(0).getString(1) === "y")
   }
+
+  test("frequentPaths counts per-user consecutive trigrams, k-capped") {
+    val s = spark
+    import s.implicits._
+    // user 1: a b a b a → trigrams aba, bab, aba; user 2: a b a → aba
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"), (1L, 5L, 5L, "a"),
+      (2L, 1L, 6L, "a"), (2L, 2L, 7L, "b"), (2L, 3L, 8L, "a"))
+      .toDF("user_id", "time", "event_id", "metric")
+    val r = Sessionize.frequentPaths(ev, k = 10).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq === Seq(("a", "b", "a", 3L), ("b", "a", "b", 1L)))
+    // k cap + deterministic tie-break
+    val top1 = Sessionize.frequentPaths(ev, k = 1).collect()
+    assert(top1.length === 1 && top1(0).getLong(3) === 3L)
+  }
+
+  test("frequentPaths never crosses users") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 1L, "x"), (1L, 2L, 2L, "y"),
+      (2L, 3L, 3L, "z"))
+      .toDF("user_id", "time", "event_id", "metric")
+    assert(Sessionize.frequentPaths(ev, k = 5).count() === 0L,
+      "no user has three events")
+  }
 }
