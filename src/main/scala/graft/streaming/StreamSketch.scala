@@ -99,4 +99,80 @@ object StreamSketch {
           }
       }
   }
+
+  // ---- streaming HDR quantiles (the q104 sketch, live) ----
+
+  final case class VSample(metric: String, v: Long)
+  // public: the state encoder's generated code instantiates these
+  final case class HReg(b: Long, cnt: Long, vmin: Long)
+  final case class HRegs(rs: Array[HReg])
+  final case class QOut(metric: String, p: Long, q_approx: Long, n: Long)
+
+  /** The batch bucket rule, digit for digit
+    * ([[graft.pipeline.Sketches.hdrRegisters]]): identity below
+    * 2^(m+1), else `(L−1−m)·2^m + (v >> (L−1−m))` with L = bit
+    * length. */
+  private[streaming] def hdrBucket(v: Long, m: Int): Long = {
+    val lim = 1L << (m + 1)
+    if (v < lim) v
+    else {
+      val L = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      (L - 1 - m).toLong * (1L << m) + (v >> (L - 1 - m))
+    }
+  }
+
+  /** Live per-metric percentiles from streamed samples — the
+    * monitoring read ("p99 latency NOW") the batch q104 sketch answers
+    * nightly. State per metric is the HDR register table itself
+    * (≤ (64−m)·2^m rows, ~1.9k at m = 5): bounded, mergeable,
+    * replay-idempotent — the same reason the HLL tier streams well.
+    * Bucketing, selection rule (first bucket with `100·cum ≥ n·p`) and
+    * the bucket-min answer mirror the batch operator digit for digit,
+    * so streamed rows are BIT-EQUAL to batch `hdrQuantiles` over the
+    * same samples under any micro-batch slicing (spec-pinned).
+    * Negative/invalid samples are dropped exactly as the batch filter
+    * drops them. Update-mode: each touched metric re-emits its `ps`
+    * rows per micro-batch. */
+  def streamingQuantiles(samples: Dataset[VSample], ps: Seq[Int],
+                         m: Int = 5): Dataset[QOut] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100), "ps in [1,100]")
+    require(m >= 1 && m <= 20, s"m must be in [1,20], got $m")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .filter(_.v >= 0L)
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (metric: String, it: Iterator[VSample],
+         state: GroupState[HRegs]) =>
+          val regs = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+          state.getOption.foreach(_.rs.foreach(r =>
+            regs(r.b) = (r.cnt, r.vmin)))
+          var touched = false
+          for (s <- it) {
+            val b = hdrBucket(s.v, m)
+            val (c, mn) = regs.getOrElse(b, (0L, Long.MaxValue))
+            regs(b) = (c + 1, math.min(mn, s.v))
+            touched = true
+          }
+          if (!touched) Iterator.empty
+          else {
+            state.update(HRegs(regs.toArray.sortBy(_._1)
+              .map { case (b, (c, mn)) => HReg(b, c, mn) }))
+            val sorted = regs.toArray.sortBy(_._1)
+            val n = sorted.map(_._2._1).sum
+            ps.iterator.map { p =>
+              var cum = 0L
+              var ans = Long.MinValue
+              var found = false
+              for ((_, (c, mn)) <- sorted if !found) {
+                cum += c
+                if (cum * 100 >= n * p) { ans = mn; found = true }
+              }
+              QOut(metric, p.toLong, ans, n)
+            }
+          }
+      }
+  }
 }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.streaming.StreamSketch.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.streaming.StreamSketch.VSample
 
 /** The streamed HLL registers must land BIT-EQUAL to the batch sketch of
   * the same data — same hash, same registers, same zi, same two IEEE ops
@@ -76,6 +77,57 @@ class StreamSketchSpec extends SparkSpec {
       mem.addData(evs: _*); q.processAllAvailable() // pure replay
       val n2 = s.table("hll_replay").count()
       assert(n1 === 1L && n2 === 1L)
+    } finally q.stop()
+  }
+
+  test("streamed HDR quantiles == batch hdrQuantiles, bit for bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = graft.registry.Tables.events(s, "/root/testdata/sf0.001")
+      .select("metric", "cents")
+    val want = graft.pipeline.Sketches.hdrQuantiles(
+        ev.withColumnRenamed("cents", "v"), Seq("metric"), "v",
+        Seq(50, 90, 99)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val all = ev.collect().map(r => VSample(r.getString(0), r.getLong(1))).toSeq
+    for (cut <- Seq(0, all.size / 3)) {
+      val mem = MemoryStream[VSample]
+      val q = StreamSketch.streamingQuantiles(mem.toDS(), Seq(50, 90, 99))
+        .toDF()
+        .writeStream.format("memory").queryName(s"hdr_$cut")
+        .outputMode("update").start()
+      try {
+        val (a, b) = all.splitAt(cut)
+        if (a.nonEmpty) { mem.addData(a: _*); q.processAllAvailable() }
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = s.table(s"hdr_$cut")
+        .groupBy("metric", "p")
+        .agg(max_by(struct(col("q_approx"), col("n")), col("n")).as("r"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> {
+          val x = r.getStruct(2); (x.getLong(0), x.getLong(1))
+        }).toMap
+      assert(got === want, s"cut=$cut")
+    }
+  }
+
+  test("streamed HDR drops negative samples like the batch filter") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[VSample]
+    val q = StreamSketch.streamingQuantiles(mem.toDS(), Seq(50)).toDF()
+      .writeStream.format("memory").queryName("hdr_neg")
+      .outputMode("update").start()
+    try {
+      mem.addData(VSample("m", -5L), VSample("m", 10L), VSample("m", 30L))
+      q.processAllAvailable()
+      val r = s.table("hdr_neg").collect()
+      assert(r.length === 1 && r(0).getLong(3) === 2L &&
+        r(0).getLong(2) === 10L)
     } finally q.stop()
   }
 }
