@@ -630,6 +630,66 @@ object Series {
         "slope_cents_per_step")
   }
 
+  /** Seasonal gap imputation: resample to a `step` grid where every
+    * instant carries its bucket's exact MEDIAN, and EMPTY buckets are
+    * filled from the metric's hour-of-day median — the repair that
+    * keeps a daily-shaped series daily-shaped through an outage, where
+    * forward-fill ([[resampleFfill]]) would freeze 3am values into the
+    * morning peak. Both medians are exact order statistics on the
+    * integer cents domain (q54 rule, p = 1/2); the output flags which
+    * rows were imputed.
+    *
+    * Shape at scale: one (metric, bucket, cents) histogram shuffle (the
+    * only corpus-sized exchange — the hour-of-day histogram derives
+    * from the same lineage); medians reduce to grid-/24-row tables; the
+    * grid join is grid-sized with the hour table BROADCAST. A metric
+    * with no samples at some hour-of-day leaves those empty buckets
+    * NULL (nothing to impute from), flagged imputed = false.
+    *
+    * @return (metric, time, value_cents, imputed) — one row per metric
+    *         per grid instant */
+  def seasonalImpute(points: DataFrame, b: Long, e: Long,
+                     step: Long): DataFrame = {
+    require(e > b && step >= 1, s"bad args [$b,$e) step=$step")
+    val hourNs = 3600000000000L
+    val f = points.where(col("time") >= b && col("time") < e)
+      .select(col("metric"),
+        expr(s"(time - ${b}L) div ${step}L").as("bucket"),
+        expr(s"(time div ${hourNs}L) % 24").as("hour"), col("cents"))
+    val hist = f.groupBy("metric", "bucket", "cents")
+      .agg(count(lit(1)).as("_c"))
+    val wb = Window.partitionBy("metric", "bucket").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("metric", "bucket")
+    val bucketMed = hist
+      .withColumn("_cum", sum("_c").over(wb))
+      .withColumn("_n", sum("_c").over(wn))
+      .where(col("_cum") * 2L >= col("_n"))
+      .groupBy("metric", "bucket").agg(min("cents").as("_bmed"))
+    val hhist = f.groupBy("metric", "hour", "cents")
+      .agg(count(lit(1)).as("_c"))
+    val wh = Window.partitionBy("metric", "hour").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whn = Window.partitionBy("metric", "hour")
+    val hourMed = hhist
+      .withColumn("_cum", sum("_c").over(wh))
+      .withColumn("_n", sum("_c").over(whn))
+      .where(col("_cum") * 2L >= col("_n"))
+      .groupBy("metric", "hour").agg(min("cents").as("_hmed"))
+    val nSteps = (e - b + step - 1) / step
+    val grid = points.select("metric").distinct()
+      .select(col("metric"),
+        explode(sequence(lit(0L), lit(nSteps - 1))).as("bucket"))
+      .withColumn("time", lit(b) + col("bucket") * lit(step))
+      .withColumn("hour", expr(s"(time div ${hourNs}L) % 24"))
+    grid
+      .join(bucketMed, Seq("metric", "bucket"), "left")
+      .join(broadcast(hourMed), Seq("metric", "hour"), "left")
+      .select(col("metric"), col("time"),
+        coalesce(col("_bmed"), col("_hmed")).as("value_cents"),
+        (col("_bmed").isNull && col("_hmed").isNotNull).as("imputed"))
+  }
+
   /** Inter-arrival histogram on log₂ buckets — the latency-histogram
     * read of a sample stream (scrape regularity, burst detection,
     * ingestion SLOs). Per metric, gap = time − previous time; bucket =

@@ -4048,7 +4048,52 @@ object Registry {
              |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
              |FROM l WHERE e3 IS NOT NULL
              |GROUP BY 1, 2, 3
-             |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin))
+             |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin)),
+
+    // ---- seasonal gap imputation: hourly grid of exact bucket
+    //      medians, empty buckets filled from the hour-of-day median —
+    //      shape-preserving repair, imputed rows flagged ----
+    {
+      val step = 3600000000000L
+      val nSteps = (E - B + step - 1) / step
+      Entry("q147_seasonal_impute",
+        (s, d) => Series.seasonalImpute(ev(s, d), B, E, step)
+          .orderBy("metric", "time"),
+        Some(s"""WITH $ptsCte,
+                |f AS (SELECT metric, (time - $B) // ${step} AS bucket,
+                |        (time // 3600000000000) % 24 AS hour, cents
+                |      FROM pts WHERE time >= $B AND time < $E),
+                |h AS (SELECT metric, bucket, cents, count(*) AS c
+                |      FROM f GROUP BY 1, 2, 3),
+                |bm AS (SELECT metric, bucket, CAST(min(cents) AS BIGINT) AS bmed
+                |       FROM (SELECT metric, bucket, cents,
+                |               sum(c) OVER (PARTITION BY metric, bucket
+                |                            ORDER BY cents) AS cum,
+                |               sum(c) OVER (PARTITION BY metric, bucket) AS n
+                |             FROM h)
+                |       WHERE cum * 2 >= n GROUP BY 1, 2),
+                |hh AS (SELECT metric, hour, cents, count(*) AS c
+                |       FROM f GROUP BY 1, 2, 3),
+                |hm AS (SELECT metric, hour, CAST(min(cents) AS BIGINT) AS hmed
+                |       FROM (SELECT metric, hour, cents,
+                |               sum(c) OVER (PARTITION BY metric, hour
+                |                            ORDER BY cents) AS cum,
+                |               sum(c) OVER (PARTITION BY metric, hour) AS n
+                |             FROM hh)
+                |       WHERE cum * 2 >= n GROUP BY 1, 2),
+                |g AS (SELECT m.metric, b.bucket,
+                |        $B + b.bucket * ${step} AS time
+                |      FROM (SELECT DISTINCT metric FROM pts) m,
+                |           (SELECT unnest(range(0, $nSteps)) AS bucket) b)
+                |SELECT g.metric, g.time,
+                |  coalesce(bm.bmed, hm.hmed) AS value_cents,
+                |  (bm.bmed IS NULL AND hm.hmed IS NOT NULL) AS imputed
+                |FROM g
+                |LEFT JOIN bm ON bm.metric = g.metric AND bm.bucket = g.bucket
+                |LEFT JOIN hm ON hm.metric = g.metric
+                |  AND hm.hour = (g.time // 3600000000000) % 24
+                |ORDER BY 1, 2""".stripMargin))
+    }
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -408,6 +408,42 @@ class SeriesSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("slope_cents_per_step")) === 200.0)
   }
 
+  test("seasonalImpute fills an empty bucket from the hour-of-day median") {
+    // two days, hourly grid over a 4-hour window per day is overkill —
+    // use a 2-hour window [0, 2h): day-1 has both hours, day-2's data
+    // arrives only for hour B... keep it single-window: grid [0, 3h),
+    // samples in buckets 0 and 2, bucket 1 empty; hour-of-day median
+    // for bucket 1's hour comes from bucket 1 ± 24h — so seed a sample
+    // 24h earlier is outside [b,e). Instead verify the SAME-hour fill:
+    // bucket 1 empty and NO sample anywhere at that hour → NULL row.
+    val df = pts(Seq(
+      ("m", tp(60), 1.0), ("m", tp(70), 3.0),          // bucket 0 (hour h0)
+      ("m", tp(2 * 3600 + 5), 9.0)))                    // bucket 2
+    val r = Series.seasonalImpute(df, tp(0), tp(3 * 3600),
+        step = 3600L * S)
+      .orderBy("time").collect()
+    assert(r.length === 3)
+    assert(r(0).getLong(r(0).fieldIndex("value_cents")) === 100L,
+      "even-bucket median takes the LOWER middle (q54 rule)")
+    assert(!r(0).getBoolean(r(0).fieldIndex("imputed")))
+    // bucket 1: empty, and its hour has no samples anywhere → NULL
+    assert(r(1).isNullAt(r(1).fieldIndex("value_cents")))
+    assert(!r(1).getBoolean(r(1).fieldIndex("imputed")))
+    assert(r(2).getLong(r(2).fieldIndex("value_cents")) === 900L)
+    // now with a second day: bucket 25 carries the same hour as the
+    // empty bucket 1 — its median fills bucket 1, flagged imputed
+    val df2 = pts(Seq(
+      ("m", tp(60), 1.0),
+      ("m", tp(3600 + 10 + 86400), 5.0), // day-2 sample, same hour as bucket 1
+      ("m", tp(2 * 3600 + 5), 9.0)))
+    val r2 = Series.seasonalImpute(df2, tp(0), tp(86400 + 2 * 3600),
+        step = 3600L * S)
+      .orderBy("time").collect()
+    val b1 = r2(1)
+    assert(b1.getLong(b1.fieldIndex("value_cents")) === 500L)
+    assert(b1.getBoolean(b1.fieldIndex("imputed")))
+  }
+
   test("interArrivalHist buckets gaps by bit length, exact min/max") {
     // gaps in ns: 1 s → bucket 30 (2^29 ≤ 1e9 < 2^30); craft sub-ns-scale
     // gaps via eps offsets: 1, 2, 3, 16 ns
