@@ -690,6 +690,94 @@ object Series {
         (col("_bmed").isNull && col("_hmed").isNotNull).as("imputed"))
   }
 
+  /** Multi-window SLO burn rate (the SRE error-budget read): on a
+    * complete hourly wall-clock grid over [b, e), the error share of
+    * events in the trailing 1-hour and 6-hour windows, scaled by the
+    * budget — `burn = err_share / budget`, exact as
+    * `n_err · 10⁶ · budgetDen div n_tot` — and the page flag when BOTH
+    * windows burn above 1 (the multiwindow rule that makes paging both
+    * fast AND flap-free: the short window confirms it's current, the
+    * long one confirms it's material). Hours with no events have NULL
+    * burn (no evidence ≠ zero burn).
+    *
+    * Shape at scale: one (bucket) partial-agg shuffle to the hourly
+    * grid; trailing sums are windows over GRID rows (a row per hour,
+    * never per event); the grid is completed by a sequence explode so
+    * silent hours exist (a trailing window that only sees observed
+    * hours would silently stretch over outages).
+    *
+    * @param errType the event type counted as an error
+    * @param budgetDen budget = 1/budgetDen of events may error
+    * @return per hour: (bucket, time, n_tot, n_err, burn1_e6, n_tot_6h,
+    *         n_err_6h, burn6_e6, page) */
+  def sloBurn(points: DataFrame, b: Long, e: Long, errType: String,
+              budgetDen: Long): DataFrame = {
+    require(e > b && budgetDen >= 1, s"bad args [$b,$e) budgetDen=$budgetDen")
+    val hourNs = 3600000000000L
+    val nSteps = (e - b + hourNs - 1) / hourNs
+    val f = points.where(col("time") >= b && col("time") < e)
+      .select(expr(s"(time - ${b}L) div ${hourNs}L").as("bucket"),
+        col("metric"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("_t"),
+        sum(when(col("metric") === errType, 1L).otherwise(0L)).as("_e"))
+    val spark = points.sparkSession
+    val grid = spark.range(0, nSteps).select(col("id").as("bucket"))
+    val w6 = Window.orderBy("bucket").rowsBetween(-5, 0)
+    val full = grid.join(f, Seq("bucket"), "left")
+      .withColumn("n_tot", coalesce(col("_t"), lit(0L)))
+      .withColumn("n_err", coalesce(col("_e"), lit(0L)))
+      .withColumn("n_tot_6h", sum("n_tot").over(w6))
+      .withColumn("n_err_6h", sum("n_err").over(w6))
+    full
+      .withColumn("time", lit(b) + col("bucket") * lit(hourNs))
+      .withColumn("burn1_e6",
+        when(col("n_tot") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(n_err * 1000000 * $budgetDen) div n_tot")))
+      .withColumn("burn6_e6",
+        when(col("n_tot_6h") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(n_err_6h * 1000000 * $budgetDen) div n_tot_6h")))
+      .withColumn("page",
+        coalesce(col("burn1_e6") > 1000000L, lit(false)) &&
+          coalesce(col("burn6_e6") > 1000000L, lit(false)))
+      .select("bucket", "time", "n_tot", "n_err", "burn1_e6",
+        "n_tot_6h", "n_err_6h", "burn6_e6", "page")
+  }
+
+  /** Heartbeat availability: per metric over [b, e), outages are
+    * inter-sample gaps beyond `maxGap` (the scrape contract); the
+    * report is the uptime ratio over the OBSERVED span (first→last
+    * sample), outage count and the longest silence — the availability
+    * number an on-call review starts from. One metric-keyed window
+    * exchange (the lag), then a per-metric fold; exact integers, the
+    * ratio in e6 fixed point.
+    *
+    * @return (metric, span_ns, downtime_ns, n_outages, max_gap_ns,
+    *         uptime_e6) — single-sample metrics report NULL uptime
+    *         (no span to judge) */
+  def uptimeReport(points: DataFrame, b: Long, e: Long,
+                   maxGap: Long): DataFrame = {
+    require(e > b && maxGap >= 1, s"bad args [$b,$e) maxGap=$maxGap")
+    val w = Window.partitionBy("metric").orderBy("time")
+    points.where(col("time") >= b && col("time") < e)
+      .select(col("metric"), col("time"))
+      .withColumn("_gap", col("time") - lag("time", 1).over(w))
+      .groupBy("metric")
+      .agg((max("time") - min("time")).as("span_ns"),
+        sum(when(col("_gap") > maxGap, col("_gap")).otherwise(0L))
+          .as("downtime_ns"),
+        sum(when(col("_gap") > maxGap, 1L).otherwise(0L)).as("n_outages"),
+        max("_gap").as("max_gap_ns"))
+      .withColumn("uptime_e6",
+        // ratio on the MILLISECOND grid: span_ns · 10⁶ overflows int64
+        // for spans beyond ~107 days (DuckDB would ERROR, Spark would
+        // silently wrap); ms keeps the product under 2^63 to ~292k years
+        when(expr("span_ns div 1000000") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(((span_ns - downtime_ns) div 1000000) * 1000000)" +
+              " div (span_ns div 1000000)")))
+  }
+
   /** Inter-arrival histogram on log₂ buckets — the latency-histogram
     * read of a sample stream (scrape regularity, burst detection,
     * ingestion SLOs). Per metric, gap = time − previous time; bucket =

@@ -4093,7 +4093,75 @@ object Registry {
                 |LEFT JOIN hm ON hm.metric = g.metric
                 |  AND hm.hour = (g.time // 3600000000000) % 24
                 |ORDER BY 1, 2""".stripMargin))
-    }
+    },
+
+    // ---- multi-window SLO burn: complete hourly grid, trailing 1h/6h
+    //      error shares over GRID rows, page = both windows burning ----
+    {
+      val hourNs = 3600000000000L
+      val nSteps = (E - B + hourNs - 1) / hourNs
+      Entry("q148_slo_burn",
+        (s, d) => Series.sloBurn(ev(s, d), B, E, errType = "error",
+            budgetDen = 4L)
+          .orderBy("bucket"),
+        Some(s"""WITH $ptsCte,
+                |f AS (SELECT (time - $B) // ${hourNs} AS bucket,
+                |        count(*) AS t,
+                |        sum(CASE WHEN metric = 'error' THEN 1 ELSE 0 END) AS e
+                |      FROM pts WHERE time >= $B AND time < $E GROUP BY 1),
+                |g AS (SELECT unnest(range(0, $nSteps)) AS bucket),
+                |j AS (SELECT g.bucket, coalesce(f.t, 0) AS n_tot,
+                |        coalesce(f.e, 0) AS n_err
+                |      FROM g LEFT JOIN f USING (bucket)),
+                |win AS (SELECT bucket, n_tot, n_err,
+                |          sum(n_tot) OVER (ORDER BY bucket
+                |            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_tot_6h,
+                |          sum(n_err) OVER (ORDER BY bucket
+                |            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_err_6h
+                |        FROM j)
+                |SELECT CAST(bucket AS BIGINT) AS bucket,
+                |  CAST($B + bucket * ${hourNs} AS BIGINT) AS time,
+                |  CAST(n_tot AS BIGINT) AS n_tot, CAST(n_err AS BIGINT) AS n_err,
+                |  CAST(CASE WHEN n_tot = 0 THEN NULL
+                |       ELSE (n_err * 1000000 * 4) // n_tot END AS BIGINT)
+                |    AS burn1_e6,
+                |  CAST(n_tot_6h AS BIGINT) AS n_tot_6h,
+                |  CAST(n_err_6h AS BIGINT) AS n_err_6h,
+                |  CAST(CASE WHEN n_tot_6h = 0 THEN NULL
+                |       ELSE (n_err_6h * 1000000 * 4) // n_tot_6h END AS BIGINT)
+                |    AS burn6_e6,
+                |  CASE WHEN n_tot = 0 OR n_tot_6h = 0 THEN false
+                |       ELSE (n_err * 1000000 * 4) // n_tot > 1000000
+                |        AND (n_err_6h * 1000000 * 4) // n_tot_6h > 1000000
+                |  END AS page
+                |FROM win ORDER BY bucket""".stripMargin))
+    },
+
+    // ---- heartbeat availability: gap-based outages, uptime ratio in
+    //      e6 over the observed span ----
+    Entry("q149_uptime",
+      (s, d) => Series.uptimeReport(ev(s, d), B, E,
+          maxGap = 30L * 60L * 1000000000L)
+        .orderBy("metric"),
+      Some(s"""WITH $ptsCte,
+              |f AS (SELECT metric, time,
+              |        time - lag(time) OVER (PARTITION BY metric
+              |                               ORDER BY time) AS gap
+              |      FROM pts WHERE time >= $B AND time < $E),
+              |a AS (SELECT metric,
+              |        CAST(max(time) - min(time) AS BIGINT) AS span_ns,
+              |        CAST(sum(CASE WHEN gap > ${30L * 60L * 1000000000L}
+              |                 THEN gap ELSE 0 END) AS BIGINT) AS downtime_ns,
+              |        CAST(sum(CASE WHEN gap > ${30L * 60L * 1000000000L}
+              |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+              |        CAST(max(gap) AS BIGINT) AS max_gap_ns
+              |      FROM f GROUP BY 1)
+              |SELECT metric, span_ns, downtime_ns, n_outages, max_gap_ns,
+              |  CAST(CASE WHEN span_ns // 1000000 = 0 THEN NULL
+              |       ELSE (((span_ns - downtime_ns) // 1000000) * 1000000)
+              |            // (span_ns // 1000000) END
+              |       AS BIGINT) AS uptime_e6
+              |FROM a ORDER BY metric""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

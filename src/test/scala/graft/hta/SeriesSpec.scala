@@ -444,6 +444,45 @@ class SeriesSpec extends SparkSpec {
     assert(b1.getBoolean(b1.fieldIndex("imputed")))
   }
 
+  test("sloBurn: pages only when BOTH windows burn; silent hours are NULL") {
+    // hour 0: 4 events, 3 errors (burn = 3·4e6/4 = 3e6 > 1e6, and the
+    // 6h window equals it) → page. hour 1: 4 clean events — burn1 = 0,
+    // burn6 = 3·4e6/8 = 1.5e6 > 1e6 → NOT paged (short window vetoes).
+    // hour 2: silent — NULL burns, never paged.
+    val df = pts(
+      Seq(("error", tp(10), 1.0), ("error", tp(20), 1.0),
+        ("error", tp(30), 1.0), ("ok", tp(40), 1.0)) ++
+      (0 until 4).map(j => ("ok", tp(3600 + j * 10L), 1.0)))
+    val r = Series.sloBurn(df, tp(0), tp(3 * 3600), "error", budgetDen = 4L)
+      .orderBy("bucket").collect()
+    assert(r.length === 3)
+    assert(r(0).getLong(r(0).fieldIndex("burn1_e6")) === 3000000L &&
+      r(0).getBoolean(r(0).fieldIndex("page")))
+    assert(r(1).getLong(r(1).fieldIndex("burn1_e6")) === 0L &&
+      r(1).getLong(r(1).fieldIndex("burn6_e6")) === 1500000L &&
+      !r(1).getBoolean(r(1).fieldIndex("page")))
+    assert(r(2).isNullAt(r(2).fieldIndex("burn1_e6")) &&
+      !r(2).getBoolean(r(2).fieldIndex("page")))
+  }
+
+  test("uptimeReport: gap outages, ms-grid ratio, single-sample NULL") {
+    val df = pts(Seq(
+      ("m", tp(0), 1.0), ("m", tp(10), 1.0),
+      ("m", tp(3600), 1.0), ("m", tp(3610), 1.0), // 3590 s outage
+      ("n", tp(5), 7.0)))                          // single sample
+    val r = Series.uptimeReport(df, tp(0), tp(7200),
+        maxGap = 1800L * S)
+      .orderBy("metric").collect()
+    val m = r(0)
+    assert(m.getLong(m.fieldIndex("span_ns")) === 3610L * S)
+    assert(m.getLong(m.fieldIndex("downtime_ns")) === 3590L * S)
+    assert(m.getLong(m.fieldIndex("n_outages")) === 1L)
+    assert(m.getLong(m.fieldIndex("uptime_e6")) === 5540L)
+    val n = r(1)
+    assert(n.getLong(n.fieldIndex("span_ns")) === 0L &&
+      n.isNullAt(n.fieldIndex("uptime_e6")))
+  }
+
   test("interArrivalHist buckets gaps by bit length, exact min/max") {
     // gaps in ns: 1 s → bucket 30 (2^29 ≤ 1e9 < 2^30); craft sub-ns-scale
     // gaps via eps offsets: 1, 2, 3, 16 ns
