@@ -272,6 +272,45 @@ object Profile {
       .join(broadcast(invCdf), Seq("pct_mille"), "left")
   }
 
+  /** Categorical mix drift (the data-drift monitor for a label/type
+    * column): per day, the L1 distance between that day's category
+    * distribution and the whole-corpus distribution, plus the most
+    * drifted category — "did the event mix change?" answered in EXACT
+    * integers. The common-denominator trick keeps it rational: with
+    * n_dt = day×category count, N_d = day total, n_t = global category
+    * count, N = grand total,
+    * `l1_e6 = (Σ_t |n_dt·N − n_t·N_d|) · 10⁶ div (N_d·N)` — every term
+    * shares the denominator N_d·N, so the sum is exact (per-term float
+    * shares would not add reproducibly). Days missing a category count
+    * it at n_dt = 0, as they must.
+    *
+    * Shape at scale: one (day, category) partial-agg shuffle — the only
+    * corpus-sized exchange; the day×category grid completes via a
+    * grid-sized cross join of the two marginal tables (both broadcast).
+    * Headroom: N_d·N·10⁶ < 2^63 → N_d·N < 9·10¹² — shard the day
+    * dimension (the natural partition) long before that binds.
+    *
+    * @return per day: (day, n_day, l1_e6, top_type, top_dev_e6) */
+  def mixDrift(df: DataFrame, typeCol: String, timeCol: String,
+               dayNs: Long = 86400000000000L): DataFrame = {
+    val dt = df.select(expr(s"$timeCol div ${dayNs}L").as("day"),
+        col(typeCol).as("_t"))
+      .groupBy("day", "_t").agg(count(lit(1)).as("_ndt"))
+    val days = dt.groupBy("day").agg(sum("_ndt").as("_nd"))
+    val types = dt.groupBy("_t").agg(sum("_ndt").as("_nt"))
+      .crossJoin(broadcast(dt.agg(sum("_ndt").as("_n"))))
+    val grid = days.crossJoin(broadcast(types))
+      .join(dt, Seq("day", "_t"), "left")
+      .withColumn("_c", coalesce(col("_ndt"), lit(0L)))
+      .withColumn("_dev", abs(col("_c") * col("_n") - col("_nt") * col("_nd")))
+    grid.groupBy("day")
+      .agg(min("_nd").as("n_day"),
+        expr("(sum(_dev) * 1000000) div (min(_nd) * min(_n))").as("l1_e6"),
+        max_by(col("_t"), struct(col("_dev"), col("_t"))).as("top_type"),
+        expr("(max_by(_dev, struct(_dev, _t)) * 1000000)" +
+          " div (min(_nd) * min(_n))").as("top_dev_e6"))
+  }
+
   /** Uniqueness check as a report row: `name, n_rows, n_fail, pass`
     * where n_fail counts the rows BEYOND the first of each duplicated
     * key (n − distinct). One map-side-combined keyed count. */

@@ -4161,7 +4161,43 @@ object Registry {
               |       ELSE (((span_ns - downtime_ns) // 1000000) * 1000000)
               |            // (span_ns // 1000000) END
               |       AS BIGINT) AS uptime_e6
-              |FROM a ORDER BY metric""".stripMargin))
+              |FROM a ORDER BY metric""".stripMargin)),
+
+    // ---- categorical mix drift: per-day L1 distance to the global
+    //      event-type distribution, exact via the common-denominator
+    //      rational — the data-drift monitor ----
+    Entry("q150_mix_drift",
+      (s, d) => Profile.mixDrift(ev(s, d).select("metric", "time"),
+          "metric", "time")
+        .orderBy("day"),
+      Some(s"""WITH $ptsCte,
+              |dt AS (SELECT time // 86400000000000 AS day, metric AS t,
+              |         count(*) AS ndt
+              |       FROM pts GROUP BY 1, 2),
+              |dd AS (SELECT day, sum(ndt) AS nd FROM dt GROUP BY 1),
+              |ty AS (SELECT t, sum(ndt) AS nt FROM dt GROUP BY 1),
+              |nn AS (SELECT sum(ndt) AS n FROM dt),
+              |g AS (SELECT dd.day, ty.t, dd.nd, ty.nt, nn.n,
+              |        coalesce(dt.ndt, 0) AS c
+              |      FROM dd CROSS JOIN ty CROSS JOIN nn
+              |      LEFT JOIN dt ON dt.day = dd.day AND dt.t = ty.t),
+              |dev AS (SELECT day, t, nd, n,
+              |          abs(c * n - nt * nd) AS dev
+              |        FROM g),
+              |r AS (SELECT day, t, nd, n, dev,
+              |        row_number() OVER (PARTITION BY day
+              |          ORDER BY dev DESC, t DESC) AS rn
+              |      FROM dev),
+              |agg AS (SELECT day, CAST(min(nd) AS BIGINT) AS n_day,
+              |          CAST((sum(dev) * 1000000) // (min(nd) * min(n))
+              |               AS BIGINT) AS l1_e6
+              |        FROM dev GROUP BY 1)
+              |SELECT CAST(agg.day AS BIGINT) AS day, agg.n_day, agg.l1_e6,
+              |  r.t AS top_type,
+              |  CAST((r.dev * 1000000) // (r.nd * r.n) AS BIGINT)
+              |    AS top_dev_e6
+              |FROM agg JOIN r ON r.day = agg.day AND r.rn = 1
+              |ORDER BY agg.day""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

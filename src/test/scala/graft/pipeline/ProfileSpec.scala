@@ -231,6 +231,38 @@ class ProfileSpec extends SparkSpec {
     assert(out.map(_._4).forall(pooled.contains))
   }
 
+  test("mixDrift: uniform day reads near-zero, flipped day flags the mover") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000000000L
+    // day 0: 3a + 1b; day 1: 1a + 3b. Global: 4a, 4b, N = 8.
+    val ev = (Seq.fill(3)(("a", 10L)) ++ Seq(("b", 20L)) ++
+      Seq(("a", day + 10L)) ++ Seq.fill(3)(("b", day + 20L)))
+      .toDF("t", "time")
+    val r = Profile.mixDrift(ev, "t", "time").orderBy("day").collect()
+    assert(r.length === 2)
+    // day 0 devs: |3·8 − 4·4| = 8 for both types → l1 = 16e6/32 = 5e5
+    val d0 = r(0)
+    assert(d0.getLong(d0.fieldIndex("n_day")) === 4L)
+    assert(d0.getLong(d0.fieldIndex("l1_e6")) === 500000L)
+    // tie on dev → top_type is the LARGER type name (struct max)
+    assert(d0.getString(d0.fieldIndex("top_type")) === "b")
+    assert(d0.getLong(d0.fieldIndex("top_dev_e6")) === 250000L)
+  }
+
+  test("mixDrift counts a category absent from a day as zero") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000000000L
+    // day 0 has only a; day 1 has only b
+    val ev = Seq(("a", 1L), ("a", 2L), ("b", day + 1L), ("b", day + 2L))
+      .toDF("t", "time")
+    val r = Profile.mixDrift(ev, "t", "time").orderBy("day").collect()
+    // each day: present type dev = |2·4 − 2·2| = 4; absent = |0 − 2·2| = 4
+    // l1 = 8e6/8 = 1e6 (total variation ×2 — a fully disjoint day)
+    assert(r.forall(_.getLong(2) === 1000000L))
+  }
+
   test("checkFunctionalDep: violations counted per determinant key") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(
