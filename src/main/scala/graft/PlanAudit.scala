@@ -483,6 +483,43 @@ object PlanAudit {
       graft.pipeline.Joins.partitionBalance(e, "user_id", nParts = 32)
         .explain("formatted")
     }
+    section("q145 robustTrend (expect: ONE (metric,bucket,cents) " +
+      "histogram exchange; median window over histogram partitions; " +
+      "OLS fold on the grid-median frame)") {
+      graft.hta.Series.robustTrend(ev, Registry.B, Registry.E,
+        step = 3600000000000L).explain("formatted")
+    }
+    section("q146 frequentPaths (expect: TWO leads over ONE user-keyed " +
+      "window exchange; trigram groupBy |types|^3-bounded; " +
+      "TakeOrderedAndProject cut)") {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val f = raw.select(col("event_type").as("metric"),
+        graft.registry.Tables.tsNs(raw).as("time"), col("user_id"),
+        col("event_id"))
+      graft.pipeline.Sessionize.frequentPaths(f, k = 20)
+        .explain("formatted")
+    }
+    section("q147 seasonalImpute (expect: bucket+hour histograms off " +
+      "ONE scan lineage; hour-median table BROADCAST; grid join " +
+      "grid-sized)") {
+      graft.hta.Series.seasonalImpute(ev, Registry.B, Registry.E,
+        step = 3600000000000L).explain("formatted")
+    }
+    section("q148 sloBurn (expect: one (bucket) partial-agg exchange; " +
+      "trailing windows over GRID rows only)") {
+      graft.hta.Series.sloBurn(ev, Registry.B, Registry.E, "error", 4L)
+        .explain("formatted")
+    }
+    section("q149 uptimeReport (expect: one metric window exchange, " +
+      "per-metric fold — nothing else)") {
+      graft.hta.Series.uptimeReport(ev, Registry.B, Registry.E,
+        maxGap = 1800000000000L).explain("formatted")
+    }
+    section("q150 mixDrift (expect: one (day, type) partial-agg " +
+      "exchange; marginals broadcast; grid cross join day×type-sized)") {
+      graft.pipeline.Profile.mixDrift(ev.select("metric", "time"),
+        "metric", "time").explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -284,21 +284,35 @@ object Profile {
     * shares would not add reproducibly). Days missing a category count
     * it at n_dt = 0, as they must.
     *
-    * Shape at scale: one (day, category) partial-agg shuffle — the only
-    * corpus-sized exchange; the day×category grid completes via a
-    * grid-sized cross join of the two marginal tables (both broadcast).
-    * Headroom: N_d·N·10⁶ < 2^63 → N_d·N < 9·10¹² — shard the day
-    * dimension (the natural partition) long before that binds.
+    * Shape at scale: the four marginals ((day, t), (day), (t), ()) come
+    * out of ONE logical `cube` (Expand ×4, map-side combined). The
+    * physical plan still replants the cube lineage once per split-out
+    * marginal — the `grouping_id` filter pushes below the exchange, so
+    * the four exchanges differ and cannot reuse (plan-read, the q47
+    * trade): four narrow two-column scans, which a caller-side
+    * `persist` of the input collapses to one; the windowed alternative
+    * cannot see day-absent categories, whose deviation the L1 needs.
+    * The day×category grid completes via a grid-sized cross join of the
+    * tiny marginal frames. Headroom: N_d·N·10⁶ < 2^63 → N_d·N < 9·10¹²
+    * — shard the day dimension (the natural partition) long before
+    * that binds.
     *
     * @return per day: (day, n_day, l1_e6, top_type, top_dev_e6) */
   def mixDrift(df: DataFrame, typeCol: String, timeCol: String,
                dayNs: Long = 86400000000000L): DataFrame = {
-    val dt = df.select(expr(s"$timeCol div ${dayNs}L").as("day"),
+    val cube = df
+      .select(expr(s"$timeCol div ${dayNs}L").as("day"),
         col(typeCol).as("_t"))
-      .groupBy("day", "_t").agg(count(lit(1)).as("_ndt"))
-    val days = dt.groupBy("day").agg(sum("_ndt").as("_nd"))
-    val types = dt.groupBy("_t").agg(sum("_ndt").as("_nt"))
-      .crossJoin(broadcast(dt.agg(sum("_ndt").as("_n"))))
+      .cube(col("day"), col("_t"))
+      .agg(count(lit(1)).as("_c"), grouping_id().as("_gid"))
+    val dt = cube.where(col("_gid") === 0)
+      .select(col("day"), col("_t"), col("_c").as("_ndt"))
+    val days = cube.where(col("_gid") === 1)
+      .select(col("day"), col("_c").as("_nd"))
+    val types = cube.where(col("_gid") === 2)
+      .select(col("_t"), col("_c").as("_nt"))
+      .crossJoin(broadcast(cube.where(col("_gid") === 3)
+        .select(col("_c").as("_n"))))
     val grid = days.crossJoin(broadcast(types))
       .join(dt, Seq("day", "_t"), "left")
       .withColumn("_c", coalesce(col("_ndt"), lit(0L)))
