@@ -778,6 +778,59 @@ object Series {
               " div (span_ns div 1000000)")))
   }
 
+  /** Theil–Sen slope over bucket medians — the heavy-armor trend
+    * estimator (median of pairwise slopes, breakdown point 29%):
+    * [[robustTrend]] resists outliers WITHIN a bucket; Theil–Sen also
+    * resists whole corrupted BUCKETS (a dead hour of zeros bends an
+    * OLS-of-medians line but not the pairwise-slope median). Pairwise
+    * slopes are quantized to e6 fixed point
+    * (`(m_j − m_i) · 10⁶ div (x_j − x_i)`, exact integers), and the
+    * estimate is the exact lower median of those — bit-reproducible.
+    *
+    * Shape at scale: the corpus collapses to per-(metric, bucket)
+    * medians first (one histogram shuffle — the only corpus-sized
+    * exchange); the pairwise stage is grid², over MEDIANS, never
+    * samples — 278 hourly buckets make 38k pairs per metric, a rounding
+    * error beside the scan. Wider windows pick a coarser step; the n²
+    * is in the GRID, under the caller's control.
+    *
+    * @return (metric, n_buckets, n_pairs, slope_e6_per_step) */
+  def theilSenTrend(points: DataFrame, b: Long, e: Long,
+                    step: Long): DataFrame = {
+    require(e > b && step >= 1, s"bad args [$b,$e) step=$step")
+    val hist = points.where(col("time") >= b && col("time") < e)
+      .withColumn("bucket", expr(s"(time - ${b}L) div ${step}L"))
+      .groupBy("metric", "bucket", "cents").agg(count(lit(1)).as("_c"))
+    val wb = Window.partitionBy("metric", "bucket").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("metric", "bucket")
+    val med = hist
+      .withColumn("_cum", sum("_c").over(wb))
+      .withColumn("_n", sum("_c").over(wn))
+      .where(col("_cum") * 2L >= col("_n"))
+      .groupBy("metric", "bucket").agg(min("cents").as("_med"))
+    val a = med.select(col("metric"), col("bucket").as("_bi"),
+      col("_med").as("_mi"))
+    val bb = med.select(col("metric"), col("bucket").as("_bj"),
+      col("_med").as("_mj"))
+    val slopes = a.join(bb, "metric").where(col("_bi") < col("_bj"))
+      .select(col("metric"),
+        expr("((_mj - _mi) * 1000000 - pmod((_mj - _mi) * 1000000, _bj - _bi))" +
+          " div (_bj - _bi)").as("_s"))
+    val ws = Window.partitionBy("metric").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wsn = Window.partitionBy("metric")
+    val nb = med.groupBy("metric").agg(count(lit(1)).as("n_buckets"))
+    slopes.groupBy("metric", "_s").agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum("_c").over(ws))
+      .withColumn("_n", sum("_c").over(wsn))
+      .where(col("_cum") * 2L >= col("_n"))
+      .groupBy("metric").agg(min("_s").as("slope_e6_per_step"),
+        min("_n").as("n_pairs"))
+      .join(nb, "metric")
+      .select("metric", "n_buckets", "n_pairs", "slope_e6_per_step")
+  }
+
   /** Inter-arrival histogram on log₂ buckets — the latency-histogram
     * read of a sample stream (scrape regularity, burst detection,
     * ingestion SLOs). Per metric, gap = time − previous time; bucket =

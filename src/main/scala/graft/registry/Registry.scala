@@ -4197,7 +4197,48 @@ object Registry {
               |  CAST((r.dev * 1000000) // (r.nd * r.n) AS BIGINT)
               |    AS top_dev_e6
               |FROM agg JOIN r ON r.day = agg.day AND r.rn = 1
-              |ORDER BY agg.day""".stripMargin))
+              |ORDER BY agg.day""".stripMargin)),
+
+    // ---- Theil–Sen slope over bucket medians: exact lower median of
+    //      e6-quantized pairwise slopes — grid² over MEDIANS only ----
+    {
+      val step = 3600000000000L
+      Entry("q151_theilsen_trend",
+        (s, d) => Series.theilSenTrend(ev(s, d), B, E, step)
+          .orderBy("metric"),
+        Some(s"""WITH $ptsCte,
+                |f AS (SELECT metric, (time - $B) // ${step} AS bucket, cents
+                |      FROM pts WHERE time >= $B AND time < $E),
+                |h AS (SELECT metric, bucket, cents, count(*) AS c
+                |      FROM f GROUP BY 1, 2, 3),
+                |m AS (SELECT metric, bucket, CAST(min(cents) AS BIGINT) AS med
+                |      FROM (SELECT metric, bucket, cents,
+                |              sum(c) OVER (PARTITION BY metric, bucket
+                |                           ORDER BY cents) AS cum,
+                |              sum(c) OVER (PARTITION BY metric, bucket) AS n
+                |            FROM h)
+                |      WHERE cum * 2 >= n GROUP BY 1, 2),
+                |p AS (SELECT a.metric,
+                |        ((b.med - a.med) * 1000000
+                |         - ((((b.med - a.med) * 1000000) % (b.bucket - a.bucket))
+                |            + (b.bucket - a.bucket)) % (b.bucket - a.bucket))
+                |        // (b.bucket - a.bucket) AS s
+                |      FROM m a JOIN m b
+                |        ON a.metric = b.metric AND a.bucket < b.bucket),
+                |sel AS (SELECT metric, s, count(*) AS c FROM p GROUP BY 1, 2),
+                |w AS (SELECT metric, s,
+                |        sum(c) OVER (PARTITION BY metric ORDER BY s) AS cum,
+                |        sum(c) OVER (PARTITION BY metric) AS n
+                |      FROM sel),
+                |sl AS (SELECT metric, CAST(min(s) AS BIGINT) AS slope_e6_per_step,
+                |         CAST(min(n) AS BIGINT) AS n_pairs
+                |       FROM w WHERE cum * 2 >= n GROUP BY 1),
+                |nb AS (SELECT metric, CAST(count(*) AS BIGINT) AS n_buckets
+                |       FROM m GROUP BY 1)
+                |SELECT nb.metric, nb.n_buckets, sl.n_pairs,
+                |  sl.slope_e6_per_step
+                |FROM nb JOIN sl USING (metric) ORDER BY metric""".stripMargin))
+    }
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

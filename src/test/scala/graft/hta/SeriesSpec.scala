@@ -483,6 +483,39 @@ class SeriesSpec extends SparkSpec {
       n.isNullAt(n.fieldIndex("uptime_e6")))
   }
 
+  test("theilSenTrend survives a corrupted BUCKET that bends the OLS line") {
+    // bucket medians 100..500 on a perfect ramp, except bucket 4's
+    // median is a dead-zero hour: pairwise slopes are 100e6/step for
+    // every clean pair (6 of 10 pairs) — the median slope stays 1e8;
+    // robustTrend's OLS over the same medians is dragged negative-ward
+    val clean = for (bkt <- 0 until 5; j <- 0 until 3)
+      yield ("m", tp(bkt * 10L + j), if (bkt == 4) 0.0 else (bkt + 1) * 1.0)
+    val df = pts(clean)
+    val ts = Series.theilSenTrend(df, tp(0), tp(50), step = 10L * S)
+      .collect()(0)
+    assert(ts.getLong(ts.fieldIndex("n_buckets")) === 5L)
+    assert(ts.getLong(ts.fieldIndex("n_pairs")) === 10L)
+    assert(ts.getLong(ts.fieldIndex("slope_e6_per_step")) === 100000000L)
+    val ols = Series.robustTrend(df, tp(0), tp(50), step = 10L * S)
+      .collect()(0)
+    assert(ols.getDouble(ols.fieldIndex("slope_cents_per_step")) < 100.0,
+      "the OLS-of-medians slope bends toward the dead bucket")
+  }
+
+  test("theilSenTrend quantized slope floors negative rationals") {
+    // two buckets, medians 100 then 33: slope = -67e6/1 exactly; and a
+    // 3-bucket case with slope -67e6/2 = -33500000 exactly — plus one
+    // inexact pair: buckets 0,3 medians 100, 0 → -100e6/3 → -33333334
+    val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(30), 0.0),
+      ("m", tp(10), 0.67)))
+    val r = Series.theilSenTrend(df, tp(0), tp(40), step = 10L * S)
+      .collect()(0)
+    // pairs: (0,1): (67-100)e6/1 = -33e6; (0,3): -100e6/3 → floor
+    // -33333334; (1,3): (0-67)e6/2 = -33.5e6. Sorted: -33500000,
+    // -33333334, -33000000 → lower median -33333334
+    assert(r.getLong(r.fieldIndex("slope_e6_per_step")) === -33333334L)
+  }
+
   test("interArrivalHist buckets gaps by bit length, exact min/max") {
     // gaps in ns: 1 s → bucket 30 (2^29 ≤ 1e9 < 2^30); craft sub-ns-scale
     // gaps via eps offsets: 1, 2, 3, 16 ns
