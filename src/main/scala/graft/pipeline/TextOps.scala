@@ -198,7 +198,14 @@ object TextOps {
     *
     * @return (doc_id, n_matches), matching docs only */
   def phraseSearch(docs: DataFrame, phrase: Seq[String],
-                   text: String = "text"): DataFrame = {
+                   text: String = "text"): DataFrame =
+    phraseMatches(docs, phrase, text)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+
+  /** The positional core of [[phraseSearch]]: one row per match,
+    * `pos` = 0-based token index of the phrase's first token. */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String],
+                    text: String = "text"): DataFrame = {
     require(phrase.size >= 2, "phrase needs at least two tokens")
     val post = docs
       .select(col("doc_id"), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
@@ -212,7 +219,31 @@ object TextOps {
             .select(col("doc_id"), (col("pos") - i).as("pos")),
           Seq("doc_id", "pos"))
       }
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Keyword-in-context concordance (the corpus linguist's KWIC view,
+    * and the retrieval UI's snippet): every phrase match with `context`
+    * tokens either side, clamped at document edges. The match set comes
+    * from [[phraseMatches]] (term-filtered before any exchange); the
+    * snippet pass joins the match rows — a vanishing fraction of the
+    * corpus, AQE broadcasts them — back onto the token arrays and
+    * slices, a narrow projection per matched document.
+    *
+    * @return (doc_id, pos, snippet), one row per match */
+  def concordance(docs: DataFrame, phrase: Seq[String], context: Int,
+                  text: String = "text"): DataFrame = {
+    require(context >= 0, s"context must be >= 0, got $context")
+    val toks = docs.select(col("doc_id"), tokens(col(text)).as("_s"))
+      .withColumn("_n", size(col("_s")))
+    phraseMatches(docs, phrase, text)
+      .join(toks, "doc_id")
+      .withColumn("_a", greatest(lit(0), col("pos") - context))
+      .withColumn("_b",
+        least(col("_n"), col("pos") + phrase.size + context))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ",
+          slice(col("_s"), col("_a") + 1, col("_b") - col("_a")))
+          .as("snippet"))
   }
 
   /** Overlapping token-window chunking — the retrieval (RAG) sibling of

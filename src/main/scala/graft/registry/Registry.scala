@@ -4238,7 +4238,26 @@ object Registry {
                 |SELECT nb.metric, nb.n_buckets, sl.n_pairs,
                 |  sl.slope_e6_per_step
                 |FROM nb JOIN sl USING (metric) ORDER BY metric""".stripMargin))
-    }
+    },
+
+    // ---- keyword-in-context concordance: q131's matches with ±3
+    //      tokens of context, edge-clamped slices ----
+    Entry("q152_concordance",
+      (s, d) => TextOps.concordance(docs(s, d), Seq("hash", "join"),
+          context = 3)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+             |           FROM documents),
+             |mm AS (SELECT doc_id,
+             |         unnest([i for i in range(1, len(s))
+             |                 if s[i] = 'hash' AND s[i+1] = 'join']) AS p
+             |       FROM t)
+             |SELECT mm.doc_id, CAST(mm.p - 1 AS BIGINT) AS pos,
+             |  array_to_string(
+             |    t.s[greatest(1, mm.p - 3):least(len(t.s), mm.p + 4)], ' ')
+             |    AS snippet
+             |FROM mm JOIN t USING (doc_id)
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -119,6 +119,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(0).getInt(1) === 0 && r(0).getInt(3) === 1)
   }
 
+  test("concordance slices context, clamped at document edges") {
+    val d = mkDocs(
+      (1L, "a b X Y c d e"),     // interior match at pos 2
+      (2L, "X Y tail"),          // match at doc start
+      (3L, "lead X Y"))          // match at doc end
+    val r = TextOps.concordance(d, Seq("X", "Y"), context = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (1L, 2L, "a b X Y c d"),
+      (2L, 0L, "X Y tail"),
+      (3L, 1L, "lead X Y")))
+  }
+
   test("phraseSearch three-token chain requires full adjacency") {
     val d = mkDocs(
       (1L, "x y z tail"),
