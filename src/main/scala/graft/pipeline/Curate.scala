@@ -68,4 +68,33 @@ object Curate {
       .select("doc_id", "lang_pred", "canonical", "quality_ok", "rep_ok",
         "keep", "reason")
   }
+
+  /** Curation-partitioned corpus layout: documents written under
+    * `lang=<l>/len_bin=<b>/` with len_bin the equal-frequency quartile
+    * of n_chars ([[Profile.quantileBins]]) — the storage discipline
+    * that turns the two filters every curation query starts with
+    * ("this language, this length band") into PARTITION PRUNING
+    * instead of a corpus scan. Same pattern as the warehouse's
+    * `interval=` levels and the IVF index's `list_id=`: pay one
+    * partitioned write, then every selective read prunes statically
+    * (plan-asserted in PlanAudit).
+    *
+    * The write shuffles once on the bin join; boundary cuts are the
+    * driver-literal quantileBins discipline, so the layout is
+    * deterministic under retry. */
+  def writeCurationLayout(docs: DataFrame, root: String,
+                          k: Int = 4): String = {
+    val bins = Profile.quantileBins(
+      docs.select(col("doc_id"), col("n_chars")), "n_chars", k)
+      .select(col("doc_id"), col("bin").as("len_bin"))
+    docs.join(bins, "doc_id")
+      .write.mode("overwrite").partitionBy("lang", "len_bin")
+      .parquet(root)
+    root
+  }
+
+  /** Open a curation layout; filters on `lang` / `len_bin` prune. */
+  def openCurationLayout(spark: org.apache.spark.sql.SparkSession,
+                         root: String): DataFrame =
+    spark.read.parquet(root)
 }

@@ -142,6 +142,17 @@ object Registry {
         s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0)
     }
 
+  /** Curation-partitioned corpus layout (`lang=/len_bin=` quartiles);
+    * written once per JVM per sfDir, like [[ivfIndexFor]]. */
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def curationLayoutFor(s: SparkSession, d: String): String =
+    memo(layoutCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("layout:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      Curate.writeCurationLayout(Tables.documents(s, d),
+        s"/tmp/graft_wh_$digest")
+    }
+
   // ================= exact-integer HTA builders (Spark side) =============
 
   /** A2+A3+A4 — tumbling level build with exact integer outputs.
@@ -4257,7 +4268,34 @@ object Registry {
              |    t.s[greatest(1, mm.p - 3):least(len(t.s), mm.p + 4)], ' ')
              |    AS snippet
              |FROM mm JOIN t USING (doc_id)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- curation-partitioned layout probe: lang=/len_bin= partition
+    //      pruning answers the "English, longest quartile" read from
+    //      two partitions — the q43 index discipline for curation ----
+    Entry("q153_curation_layout",
+      (s, d) => Curate.openCurationLayout(s, curationLayoutFor(s, d))
+        .where(col("lang") === "en" && col("len_bin") === 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("source"),
+      Some("""WITH h AS (SELECT n_chars AS v, count(*) AS c
+             |           FROM documents GROUP BY 1),
+             |cw AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             |              sum(c) OVER () AS n
+             |       FROM h),
+             |b AS (SELECT j, min(v) AS bv
+             |      FROM cw, range(1, 4) t(j)
+             |      WHERE cum * 4 >= n * j GROUP BY 1),
+             |bins AS (SELECT d.doc_id, d.source, d.lang, d.n_chars,
+             |           sum(CASE WHEN d.n_chars > b.bv THEN 1 ELSE 0 END)
+             |             AS len_bin
+             |         FROM documents d CROSS JOIN b GROUP BY 1, 2, 3, 4)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM bins WHERE lang = 'en' AND len_bin = 3
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

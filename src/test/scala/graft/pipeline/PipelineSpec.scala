@@ -378,6 +378,27 @@ class PipelineSpec extends SparkSpec {
       s"probe scan must show list_id partition pruning:\n$plan")
   }
 
+  test("curation layout round-trips and PRUNES on lang and len_bin") {
+    val root = java.nio.file.Files.createTempDirectory("graft_layout")
+      .toString
+    Curate.writeCurationLayout(docs, root)
+    val back = Curate.openCurationLayout(spark, root)
+    assert(back.count() === docs.count(), "no rows lost in the layout")
+    // bin assignment matches quantileBins exactly
+    val wantBins = graft.pipeline.Profile.quantileBins(
+        docs.select(col("doc_id"), col("n_chars")), "n_chars", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gotBins = back.select("doc_id", "len_bin").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(gotBins === wantBins)
+    // the selective read prunes to the matching partitions
+    val q = back.where(col("lang") === "en" && col("len_bin") === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l => l.contains("PartitionFilters") &&
+      l.contains("lang") && l.contains("len_bin")),
+      s"curation filters must show as PartitionFilters:\n$plan")
+  }
+
   test("exact dedup finds no duplicates in clean corpus, finds planted ones") {
     assert(Dedup.exactDupGroups(docs).count() === 0)
     val withDup = docs.select("doc_id", "text")
