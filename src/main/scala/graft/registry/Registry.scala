@@ -142,6 +142,27 @@ object Registry {
         s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0)
     }
 
+  /** Horizon for the q154 retention round-trip: an intervalMax-aligned
+    * point a few buckets into the events range. */
+  val RetireHu: Long = Bu - Bu % I2u + 5 * I2u
+
+  /** Dedicated store ingested then RETIRED at [[RetireHu]] (memoized —
+    * retire is destructive, so it gets its own root, never
+    * [[warehouseFor]]'s shared one). */
+  private val retireCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.Hta]()
+  def retiredFor(s: SparkSession, d: String): graft.store.Hta =
+    memo(retireCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("retire:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val root = s"/tmp/graft_wh_$digest"
+      val ev = Tables.events(s, d).select(col("metric"),
+        expr("time div 1000").as("time"),
+        col("cents").cast("double").as("value"))
+      graft.store.Warehouse.ingest(ev, graft.model.Meta(I1u, I2u, 10), root,
+        validate = false)
+      graft.tools.Tools.retire(s, root, RetireHu)
+    }
+
   /** Curation-partitioned corpus layout (`lang=/len_bin=` quartiles);
     * written once per JVM per sfDir, like [[ivfIndexFor]]. */
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -4295,7 +4316,20 @@ object Registry {
              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM bins WHERE lang = 'en' AND len_bin = 3
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- retention round-trip: dump() of a store retired at an
+    //      aligned horizon — raw retention is whole-partition deletion;
+    //      level-row preservation is pinned in RetentionSpec ----
+    Entry("q154_retire_dump",
+      (s, d) => graft.tools.Tools.dump(retiredFor(s, d))
+        .orderBy("metric"),
+      Some(s"""WITH $wptsCte
+              |SELECT metric, CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(min(time) AS BIGINT) AS first_time,
+              |  CAST(max(time) AS BIGINT) AS last_time
+              |FROM wpts WHERE time >= $RetireHu
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

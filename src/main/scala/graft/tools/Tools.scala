@@ -151,6 +151,57 @@ object Tools {
     Warehouse.ingest(Throttle.throttle(hta.raw, cooldown), hta.meta, root,
       validate = false)
 
+  /** Retention: drop everything before `horizon` from a store. The
+    * horizon FLOORS to an `intervalMax` boundary, so every raw bucket
+    * and every ladder row (all level intervals divide intervalMax) is
+    * wholly in or wholly out — raw retention is pure PARTITION
+    * DELETION (no rewrite of surviving data), and level retention is a
+    * filtered rewrite behind the compact-style crash-safe swap.
+    *
+    * Retained level rows keep their ORIGINAL aggregates — including
+    * integral/active-time mass contributed by segments from
+    * now-deleted pre-horizon samples — so aligned reads served from
+    * levels answer with full history, where a naive re-ingest of the
+    * filtered raw would lose those boundary segments. The one
+    * unavoidable loss: a RAW-routed window edge starting exactly at
+    * the horizon has no prior sample left to carry from (spec-pinned
+    * on both sides — fully-retained windows match the un-retired
+    * store exactly).
+    *
+    * Crash ordering: levels swap first; a crash before the raw deletes
+    * leaves only EXTRA raw partitions, and a re-run (idempotent)
+    * finishes the job. Refuses to empty the store entirely — that is
+    * `drop`, not retention. */
+  def retire(spark: SparkSession, root: String, horizon: Long): Hta = {
+    graft.store.Warehouse.restoreStore(spark, root)
+    val meta = Warehouse.readMeta(spark, root)
+    val h = horizon - Math.floorMod(horizon, meta.intervalMax)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/raw"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+      .map(st => st.getPath.getName.stripPrefix("tb=").toLong -> st.getPath)
+    require(rawDirs.exists(_._1 >= h),
+      s"retire($h) would delete EVERY raw bucket — refusing; " +
+        "dropping a whole store is a delete, not retention")
+    val keptLevels = Warehouse.readLevels(spark, root)
+      .where(col("time") >= h)
+    keptLevels
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("interval").parquet(s"$root/levels_compact_tmp")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$root/levels_compact_tmp")
+    val dstP = new org.apache.hadoop.fs.Path(s"$root/levels")
+    val bakP = new org.apache.hadoop.fs.Path(s"$root/levels_compact_bak")
+    fs.delete(bakP, true)
+    if (fs.exists(dstP))
+      require(fs.rename(dstP, bakP), s"retire: rename levels -> bak failed")
+    require(fs.rename(tmpP, dstP), s"retire: rename tmp -> levels failed")
+    fs.delete(bakP, true)
+    for ((tb, p) <- rawDirs if tb < h)
+      require(fs.delete(p, true), s"retire: delete $p failed")
+    Warehouse.open(spark, root)
+  }
+
   /** T1 — hta_dump (src/tools/dump.cpp:44-88): per-metric summary. */
   def dump(hta: Hta): DataFrame =
     hta.raw.groupBy("metric").agg(
