@@ -145,6 +145,48 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image near-dup pairs: aHash halves banded into EIGHT
+    * 8-bit blocks — the pigeonhole guarantees RECALL 1 for Hamming
+    * distance ≤ 7 (a pair differing in ≤ 7 bits leaves ≥ 1 of 8 blocks
+    * untouched), so candidates come from equal-(block, value) buckets,
+    * never an all-pairs cross join, and the XOR+popcount verify keeps
+    * only true near-dups. The image-dedup tier the text corpus gets
+    * from MinHash (q15), on the q96 hash substrate.
+    *
+    * Shape at scale: hashing is the narrow per-partition decode; the
+    * ONE exchange is the (block_idx, block_val) candidate self-join
+    * keyed on 8-byte values; `distinct` dedups multi-block collisions
+    * before the verify. Bucket width is bounded by how many images
+    * share an 8-bit hash block — the usual LSH density trade (cap
+    * upstream if a degenerate corpus collapses buckets).
+    *
+    * @return (media_a, media_b, hamming), media_a < media_b */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"8-block banding guarantees recall only to distance 7, got $maxDist")
+    val h = imageAHash(media)
+    val blocks = h.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array((0 until 8).map { i =>
+        val src = if (i < 4) col("ahash_hi") else col("ahash_lo")
+        shiftrightunsigned(src, 8 * (3 - (i % 4))).bitwiseAND(lit(0xFFL))
+      }: _*)).as(Seq("bidx", "bval")))
+    val a = blocks.select(col("media_id").as("media_a"),
+      col("ahash_hi").as("_ha"), col("ahash_lo").as("_la"),
+      col("bidx"), col("bval"))
+    val b = blocks.select(col("media_id").as("media_b"),
+      col("ahash_hi").as("_hb"), col("ahash_lo").as("_lb"),
+      col("bidx"), col("bval"))
+    a.join(b, Seq("bidx", "bval"))
+      .where(col("media_a") < col("media_b"))
+      .select("media_a", "_ha", "_la", "media_b", "_hb", "_lb")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("_ha").bitwiseXOR(col("_hb"))) +
+          bit_count(col("_la").bitwiseXOR(col("_lb")))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Exact nearest-neighbor resample (manual loop, not Graphics2D — JDK
     * rendering hints vary by platform; integer source indexing doesn't). */
   private[pipeline] def nearestResize(img: BufferedImage, w: Int, h: Int): BufferedImage = {

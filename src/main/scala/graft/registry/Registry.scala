@@ -142,6 +142,30 @@ object Registry {
         s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0)
     }
 
+  /** DuckDB recompute of the synthetic images' aHash (decode → 8×8
+    * resize → strict-mean bits packed as two 32-bit halves) — the
+    * closed-form pattern arithmetic. CTE chain ending in
+    * `h(media_id, ahash_hi, ahash_lo)`; shared by q96/q155. */
+  private def imageHashCte: String =
+    """ids AS (SELECT media_id FROM range(0, 300) t(media_id)
+      |        WHERE media_id % 3 = 0),
+      |px AS (SELECT i.media_id, p.k,
+      |         (((i.media_id + 2 * (p.k % 8)) % 256) * 299
+      |          + ((i.media_id + ((p.k // 8) * 12) // 8) % 256) * 587
+      |          + ((i.media_id + 2 * (p.k % 8) * (((p.k // 8) * 12) // 8)) % 256) * 114)
+      |         // 1000 AS lum
+      |       FROM ids i, range(0, 64) p(k)),
+      |s AS (SELECT media_id, sum(lum) AS sl FROM px GROUP BY 1),
+      |b AS (SELECT px.media_id, px.k,
+      |        CASE WHEN px.lum * 64 > s.sl THEN 1 ELSE 0 END AS bit
+      |      FROM px JOIN s USING (media_id)),
+      |h AS (SELECT media_id,
+      |        CAST(sum(CASE WHEN k < 32
+      |          THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |        CAST(sum(CASE WHEN k >= 32
+      |          THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |      FROM b GROUP BY 1)""".stripMargin
+
   /** Horizon for the q154 retention round-trip: an intervalMax-aligned
     * point a few buckets into the events range. */
   val RetireHu: Long = Bu - Bu % I2u + 5 * I2u
@@ -2637,29 +2661,12 @@ object Registry {
               .cast("long").as("hamming"))
           .orderBy("media_id")
       },
-      Some("""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)
-             |             WHERE media_id % 3 = 0),
-             |px AS (SELECT i.media_id, p.k,
-             |         (((i.media_id + 2 * (p.k % 8)) % 256) * 299
-             |          + ((i.media_id + ((p.k // 8) * 12) // 8) % 256) * 587
-             |          + ((i.media_id + 2 * (p.k % 8) * (((p.k // 8) * 12) // 8)) % 256) * 114)
-             |         // 1000 AS lum
-             |       FROM ids i, range(0, 64) p(k)),
-             |s AS (SELECT media_id, sum(lum) AS sl FROM px GROUP BY 1),
-             |b AS (SELECT px.media_id, px.k,
-             |        CASE WHEN px.lum * 64 > s.sl THEN 1 ELSE 0 END AS bit
-             |      FROM px JOIN s USING (media_id)),
-             |h AS (SELECT media_id,
-             |        CAST(sum(CASE WHEN k < 32
-             |          THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-             |        CAST(sum(CASE WHEN k >= 32
-             |          THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT) AS ahash_lo
-             |      FROM b GROUP BY 1),
-             |r AS (SELECT ahash_hi AS rh, ahash_lo AS rl FROM h WHERE media_id = 0)
-             |SELECT h.media_id, h.ahash_hi, h.ahash_lo,
-             |  CAST(bit_count(xor(h.ahash_hi, r.rh))
-             |       + bit_count(xor(h.ahash_lo, r.rl)) AS BIGINT) AS hamming
-             |FROM h, r ORDER BY media_id""".stripMargin)),
+      Some(s"""WITH $imageHashCte,
+              |r AS (SELECT ahash_hi AS rh, ahash_lo AS rl FROM h WHERE media_id = 0)
+              |SELECT h.media_id, h.ahash_hi, h.ahash_lo,
+              |  CAST(bit_count(xor(h.ahash_hi, r.rh))
+              |       + bit_count(xor(h.ahash_lo, r.rl)) AS BIGINT) AS hamming
+              |FROM h, r ORDER BY media_id""".stripMargin)),
 
     // ---- record linkage: cross-TABLE edit-distance join (entity
     //      resolution between two catalogs) — q61's length-band blocking
@@ -4329,7 +4336,24 @@ object Registry {
               |  CAST(min(time) AS BIGINT) AS first_time,
               |  CAST(max(time) AS BIGINT) AS last_time
               |FROM wpts WHERE time >= $RetireHu
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- perceptual image near-dup pairs: 8-block banded aHash
+    //      candidates (recall-1 to distance 7) + popcount verify; the
+    //      oracle brute-forces all pairs over the closed-form hashes ----
+    Entry("q155_image_neardup",
+      (s, _) => Multimodal.imageNearDupPairs(
+          Multimodal.syntheticMedia(s, 300), maxDist = 6)
+        .orderBy("media_a", "media_b"),
+      Some(s"""WITH $imageHashCte
+              |SELECT a.media_id AS media_a, b.media_id AS media_b,
+              |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+              |       + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT)
+              |    AS hamming
+              |FROM h a JOIN h b ON a.media_id < b.media_id
+              |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+              |      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 6
+              |ORDER BY 1, 2""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

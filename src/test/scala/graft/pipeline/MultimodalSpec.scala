@@ -516,4 +516,28 @@ class MultimodalSpec extends SparkSpec {
     val m2 = out(1).getStruct(3)
     assert((m2.get(0), m2.get(1), m2.get(3), m2.get(4)) === ((7, 8, 3, "video/unknown")))
   }
+
+  test("imageNearDupPairs banding is recall-1 vs brute force up to dist 7") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val hashes = Multimodal.imageAHash(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def brute(maxD: Long) = (for {
+      (ia, ha, la) <- hashes; (ib, hb, lb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= maxD
+    } yield (ia, ib, d.toLong)).toSet
+    for (maxD <- Seq(0, 3, 7)) {
+      val got = Multimodal.imageNearDupPairs(media, maxDist = maxD)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(maxD.toLong), s"maxDist=$maxD")
+    }
+  }
+
+  test("imageNearDupPairs rejects thresholds beyond the banding guarantee") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(Multimodal.syntheticMedia(spark, 9),
+        maxDist = 8)
+    }
+    assert(e.getMessage.contains("recall"))
+  }
 }
