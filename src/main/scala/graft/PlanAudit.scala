@@ -520,6 +520,37 @@ object PlanAudit {
       graft.pipeline.Profile.mixDrift(ev.select("metric", "time"),
         "metric", "time").explain("formatted")
     }
+    section("q151 theilSenTrend (expect: ONE corpus histogram exchange; " +
+      "pairwise stage a grid² self-join over MEDIANS; slope-median " +
+      "windows over slope-histogram partitions)") {
+      graft.hta.Series.theilSenTrend(ev, Registry.B, Registry.E,
+        step = 3600000000000L).explain("formatted")
+    }
+    section("q152 concordance (expect: match rows term-filtered before " +
+      "any exchange, then a broadcast-back join onto token arrays — " +
+      "slice pass narrow)") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.TextOps.concordance(docs, Seq("hash", "join"), 3)
+        .explain("formatted")
+    }
+    section("q153 curation layout probe (expect: PartitionFilters on " +
+      "lang AND len_bin — the curation read prunes statically)") {
+      val root = Registry.curationLayoutFor(spark, sfDir)
+      graft.pipeline.Curate.openCurationLayout(spark, root)
+        .where(col("lang") === "en" && col("len_bin") === 3)
+        .groupBy("source").count().explain("formatted")
+    }
+    section("q154 retired-store dump (expect: raw scan over the " +
+      "RETAINED tb= partitions only — retention is physical)") {
+      graft.tools.Tools.dump(Registry.retiredFor(spark, sfDir))
+        .explain("formatted")
+    }
+    section("q155 imageNearDupPairs (expect: candidate self-join keyed " +
+      "(bidx, bval) — never a cross join; verify after distinct)") {
+      graft.pipeline.Multimodal.imageNearDupPairs(
+        graft.pipeline.Multimodal.syntheticMedia(spark, 120), maxDist = 6)
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
