@@ -71,8 +71,15 @@ object Bench {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON line
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(v))
+    // per-query values at ONE decimal: at 155 queries the two-decimal
+    // line measured 1871 bytes, and with sbt's ~72-byte [success] trailer
+    // it would straddle the driver's last-2000-chars capture window; one
+    // decimal buys ~155 bytes of headroom and the full-precision numbers
+    // are in BENCH_DETAIL.json anyway
+    def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(v))
     val qs = results.map { case (k, w, _) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + r2(w) }
+        s"\"" + k.takeWhile(_ != '_') + "\":" + r1(w) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
