@@ -74,6 +74,27 @@ class RetentionSpec extends SparkSpec {
       "retained-range aggregates answer as the un-retired store would")
   }
 
+  test("retire composes with compact in either order, check stays clean") {
+    val root = tmpDir("retirewh4")
+    Warehouse.ingest(pointsDf(wide), meta, root)
+    Warehouse.compact(spark, root, filesPerPartition = 1)
+    val afterCompact = Tools.retire(spark, root, tp(1500))
+    val rows1 = afterCompact.raw.drop("tb")
+      .orderBy("metric", "time").collect()
+    Warehouse.compact(spark, root, filesPerPartition = 1)
+    val reread = Warehouse.open(spark, root)
+    assert(reread.raw.drop("tb").orderBy("metric", "time").collect().toSeq
+      === rows1.toSeq, "compact after retire is a pure rewrite")
+    // the full check-tool invariants hold on the retired+compacted store,
+    // EXCEPT the epoch-density rule: levels legitimately start at the
+    // horizon now, not at the metric's first raw point — assert no OTHER
+    // issue class appears
+    val issues = Tools.check(reread, now = tp(100000), genesis = tp(0) - S)
+      .collect().map(_.getString(2)).toSet
+    assert(issues.subsetOf(Set("bogus_time")),
+      s"only the epoch-offset class may fire post-retention, got $issues")
+  }
+
   test("retire refuses to empty the store") {
     val root = tmpDir("retirewh3")
     Warehouse.ingest(pointsDf(wide), meta, root)
