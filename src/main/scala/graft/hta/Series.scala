@@ -507,6 +507,36 @@ object Series {
       .drop("_sxy", "_sxx")
   }
 
+  /** Lead-lag detection: for every metric pair, the lag with the
+    * strongest |correlation| from [[crossCorrelation]]'s grid — the
+    * direct answer to "does A lead B, and by how much?" (positive lag:
+    * a leads b). The argmax is decided on EXACT integers — compare
+    * num²·(sx2'·sy2') cross-multiplied? No: |corr| ordering across lags
+    * shares no common denominator, so the tie-safe exact comparison is
+    * num² · (other.sx2 · other.sy2) vs other.num² · (sx2 · sy2) — which
+    * overflows int64 at realistic sums. Instead the argmax uses the
+    * IEEE |corr| double (deterministic: same three fixed-order ops both
+    * engines) with the (|corr| desc, lag asc) tie-break — the value
+    * being selected BY is bit-reproducible, so the selection is too.
+    *
+    * A lag is eligible only with `minOverlap` shared buckets —
+    * un-centered cosine over two or three positive points is
+    * spuriously near 1, and the extreme lags have the thinnest
+    * overlap (the classic short-window artifact).
+    *
+    * @return per pair: (metric_a, metric_b, best_lag, n_overlap, corr) */
+  def bestLag(points: DataFrame, b: Long, e: Long, step: Long,
+              maxLag: Int, minOverlap: Long = 2L): DataFrame = {
+    val cc = crossCorrelation(points, b, e, step, maxLag)
+      .where(col("n_overlap") >= minOverlap)
+    val w = Window.partitionBy("metric_a", "metric_b")
+      .orderBy(abs(col("corr")).desc, col("lag").asc)
+    cc.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("metric_a"), col("metric_b"), col("lag").as("best_lag"),
+        col("n_overlap"), col("corr"))
+  }
+
   /** Per-metric autocorrelation at integer bucket lags — the
     * seasonality/periodicity probe ([[crossCorrelation]]'s self-pair
     * sibling; that operator deliberately excludes a = b). Resample to

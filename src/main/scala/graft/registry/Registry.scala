@@ -4353,7 +4353,37 @@ object Registry {
               |FROM h a JOIN h b ON a.media_id < b.media_id
               |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
               |      + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 6
-              |ORDER BY 1, 2""".stripMargin))
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- lead-lag detection: per pair, the lag maximizing |corr| on
+    //      q88's grid — the argmax reads the bit-reproducible IEEE
+    //      corr, tie to the smaller lag ----
+    Entry("q156_best_lag",
+      (s, d) => Series.bestLag(ev(s, d), B, E,
+          step = 6L * 3600000000000L, maxLag = 3)
+        .orderBy("metric_a", "metric_b"),
+      Some(s"""WITH $ptsCte,
+              |g AS (SELECT metric, (time - $B) // ${6L * 3600000000000L} AS bucket,
+              |        CAST(sum(cents) AS BIGINT) AS s
+              |      FROM pts WHERE time >= $B AND time < $E GROUP BY 1, 2),
+              |x AS (SELECT g.metric AS metric_a, g.s AS xa, l.lag,
+              |        g.bucket + l.lag AS jb
+              |      FROM g, (SELECT unnest(range(-3, 4)) AS lag) l),
+              |y AS (SELECT metric AS metric_b, bucket AS jb, s AS xb FROM g),
+              |cc AS (SELECT metric_a, metric_b, lag, count(*) AS n_overlap,
+              |         CAST(CAST(sum(xa*xb) AS BIGINT) AS DOUBLE) /
+              |           (sqrt(CAST(CAST(sum(xa*xa) AS BIGINT) AS DOUBLE)) *
+              |            sqrt(CAST(CAST(sum(xb*xb) AS BIGINT) AS DOUBLE))) AS corr
+              |       FROM x JOIN y USING (jb)
+              |       WHERE metric_a < metric_b
+              |       GROUP BY 1, 2, 3),
+              |r AS (SELECT metric_a, metric_b, lag, n_overlap, corr,
+              |        row_number() OVER (PARTITION BY metric_a, metric_b
+              |          ORDER BY abs(corr) DESC, lag ASC) AS rn
+              |      FROM cc WHERE n_overlap >= 2)
+              |SELECT metric_a, metric_b, CAST(lag AS BIGINT) AS best_lag,
+              |  n_overlap, corr
+              |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

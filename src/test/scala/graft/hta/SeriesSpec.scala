@@ -529,6 +529,28 @@ class SeriesSpec extends SparkSpec {
       (5L, 1L, 16L, 16L)))
   }
 
+  test("bestLag finds the shift between two displaced copies of a series") {
+    // n is m shifted one bucket later: best lag for (m, n) is where the
+    // displaced values line up — the signature pattern 1,5,2,8,3 at
+    // buckets 0-4 on m, 1-5 on n → |corr| peaks at lag +1 (m leads n)
+    val sig = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
+    val df = pts(
+      sig.zipWithIndex.map { case (v, i) => ("m", tp(i * 10L), v) } ++
+      sig.zipWithIndex.map { case (v, i) => ("n", tp((i + 1) * 10L), v) })
+    val r = Series.bestLag(df, tp(0), tp(70), step = 10L * S, maxLag = 3,
+        minOverlap = 4L)
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "m" && r(0).getString(1) === "n")
+    assert(r(0).getLong(2) === 1L, "m leads n by one bucket")
+    assert(r(0).getLong(3) === 5L, "all five signature buckets overlap")
+    // without the overlap guard the thin extreme lag wins spuriously —
+    // the artifact the minOverlap default exists for
+    val unguarded = Series.bestLag(df, tp(0), tp(70), step = 10L * S,
+        maxLag = 3, minOverlap = 1L).collect()
+    assert(unguarded(0).getLong(2) !== 1L)
+  }
+
   test("autoCorrelation overlap is pairwise-complete across a gap") {
     // buckets 0, 1, 3 exist; lag 1 only overlaps (0,1): one pair
     val df = pts(Seq(("m", tp(0), 1.0), ("m", tp(10), 2.0),
