@@ -551,6 +551,12 @@ object PlanAudit {
         graft.pipeline.Multimodal.syntheticMedia(spark, 120), maxDist = 6)
         .explain("formatted")
     }
+    section("q156 bestLag (expect: q88's grid pipeline + a per-pair " +
+      "window over (2·maxLag+1)-row partitions — nothing corpus-sized " +
+      "added)") {
+      graft.hta.Series.bestLag(ev, Registry.B, Registry.E,
+        step = 6L * 3600000000000L, maxLag = 3).explain("formatted")
+    }
     spark.stop()
   }
 }
