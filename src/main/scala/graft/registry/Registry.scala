@@ -379,6 +379,52 @@ object Registry {
     "a" -> "n", "an" -> "d", "and" -> "</w>",
     "o" -> "</w>", "e" -> "r", "er" -> "</w>")
 
+  /** q63's oracle: the learner's 30 bounded iterations UNROLLED as a
+    * chained CTE (the recursive-CTE idiom can't re-derive a per-iteration
+    * argmax from its own working table with standard single-reference
+    * recursion, but the iteration count is a literal — so the chain is
+    * generated, one (argmax, apply) CTE pair per merge). Each `m_k` is the
+    * weighted adjacent-pair argmax with the learner's exact (count desc,
+    * a, b) tie-break; each `v_{k+1}` applies the winner with the SAME
+    * separator-anchored `replace` the q73 apply oracle uses (left-to-right
+    * non-overlapping = the learner's greedy fold, spec-pinned equal in
+    * BpeSpec). `AS MATERIALIZED` is load-bearing: DuckDB would otherwise
+    * inline each doubly-referenced v_k and expand the chain exponentially.
+    * Early stop (no pair >= minCount) degrades gracefully — an empty m_k
+    * leaves v_{k+1} = v_k and every later m is empty too. */
+  private def bpeLearnOracleSql(numMerges: Int, minCount: Long): String = {
+    val sep = "chr(31)"
+    val v0 =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT $sep || array_to_string(
+         |           list_append(regexp_split_to_array(w, ''), '</w>'),
+         |           $sep || $sep) || $sep AS seq,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w != '' GROUP BY w)""".stripMargin
+    val steps = (0 until numMerges).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM (
+         |    SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |    FROM (SELECT freq,
+         |            unnest([{'a': s[i], 'b': s[i+1]} for i in range(1, len(s))]) AS p
+         |          FROM (SELECT freq, string_split(trim(seq, $sep),
+         |                  $sep || $sep) AS s FROM v$k))
+         |    GROUP BY 1, 2 HAVING sum(freq) >= $minCount)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${k + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN m.a IS NULL THEN v.seq
+         |         ELSE replace(v.seq, $sep || m.a || $sep || $sep || m.b || $sep,
+         |                      $sep || m.a || m.b || $sep) END AS seq, v.freq
+         |  FROM v$k v LEFT JOIN m$k m ON TRUE)""".stripMargin
+    }
+    val union = (0 until numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a, b, cnt AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    (v0 +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$union) ORDER BY rank"
+  }
+
   /** q46/q59's shared oracle: both tiers have the same output contract —
     * the Bloom filter only prunes the overlap join's input and the exact
     * verify removes every false positive, so one SQL covers both. */
@@ -1725,14 +1771,17 @@ object Registry {
              |ORDER BY cnt DESC, value""".stripMargin)),
 
     // ---- BPE merge learning: the tokenizer-training step upstream of
-    //      q55's encode. Iterative corpus-wide argmax is not SQL-
-    //      expressible, so no DuckDB oracle — BpeSpec pins the result
-    //      against a reference single-machine trainer instead (the one
-    //      registry entry on the weaker rows-only check) ----
+    //      q55's encode. The iterative corpus-wide argmax isn't expressible
+    //      as a single-reference recursive CTE, but the iteration count is
+    //      a LITERAL — so the oracle unrolls all 30 (argmax, apply) steps
+    //      as a generated materialized-CTE chain (see bpeLearnOracleSql;
+    //      testdata is all-ASCII at every SF, so Spark's UTF-16 char split
+    //      and DuckDB's byte split agree exactly). BpeSpec additionally
+    //      pins the learner against a reference single-machine trainer ----
     Entry("q63_bpe_merges",
       (s, d) => TextOps.learnBpeMerges(docs(s, d), numMerges = 30)
         .orderBy("rank"),
-      None),
+      Some(bpeLearnOracleSql(numMerges = 30, minCount = 2L))),
 
     // ---- cross-document duplicated spans (gram-granular exact-substring
     //      dedup). Spark marks 60-bit positional gram hashes, the oracle
