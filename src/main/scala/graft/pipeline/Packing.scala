@@ -66,8 +66,8 @@ object Packing {
     * `numBuckets-1` evenly-weighted cut points. Returned values become plan
     * literals — after this one collect, nothing about bucketing is ever
     * recomputed from data. */
-  private def sampleBoundaries(base: DataFrame, key: String,
-                               numBuckets: Int): IndexedSeq[Any] = {
+  private[pipeline] def sampleBoundaries(base: DataFrame, key: String,
+                                         numBuckets: Int): IndexedSeq[Any] = {
     if (numBuckets <= 1) return Vector.empty
     val rdd = base.select(key).rdd
     val nParts = rdd.getNumPartitions
@@ -116,7 +116,7 @@ object Packing {
     * `when`-tree binary search over the literal cut points (O(log k) per
     * row, codegen-friendly). Keys equal to a cut go to the lower bucket;
     * NULL keys to bucket 0 (Spark's NULLS FIRST ascending order). */
-  private def bucketOf(key: Column, bounds: IndexedSeq[Any]): Column = {
+  private[pipeline] def bucketOf(key: Column, bounds: IndexedSeq[Any]): Column = {
     if (bounds.isEmpty) return lit(0)
     // tree(lo, hi) decides buckets in [lo, hi]; bucket i is separated from
     // i+1 by bounds(i)

@@ -52,6 +52,52 @@ object Profile {
         min("sv").as("min_str"), max("sv").as("max_str"))
   }
 
+  /** Global cumulative counts over a value histogram WITHOUT an
+    * unpartitioned window (`Window.orderBy(v)` with no partitionBy moves
+    * the WHOLE histogram to one task — fine on bounded domains, a
+    * scale-killer on high-cardinality columns). The Packing discipline:
+    * range cut points sampled ONCE from the pre-aggregation value stream
+    * (fixed per-partition seeds) and baked into the plan as literals, so
+    * every histogram row's bucket is a pure function of its value;
+    * per-bucket totals collect to a ≤`buckets`-row driver table whose
+    * exclusive prefix broadcasts back; the cumulative window then runs
+    * PARTITIONED by bucket (partition width = one range's distinct
+    * values, balanced by the sampled cuts).
+    *
+    * @param sample frame whose `vCol` supplies the cut-point sample (the
+    *               pre-groupBy corpus values — sampling the histogram
+    *               would recompute its shuffle for the sample job)
+    * @param hist   (vCol, cCol) distinct-value histogram
+    * @return (hist + `_qb` bucket + `_qcum` inclusive global cum,
+    *         per-bucket (id, exclusiveOffset, total) sorted by id, n) */
+  private def bucketedCum(sample: DataFrame, hist: DataFrame, vCol: String,
+                          cCol: String, buckets: Int)
+      : (DataFrame, IndexedSeq[(Int, Long, Long)], Long) = {
+    val spark = hist.sparkSession
+    val b =
+      if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val bounds = Packing.sampleBoundaries(sample, vCol, b)
+    val bucket = Packing.bucketOf(col(vCol), bounds)
+    val totals = hist.groupBy(bucket.as("_qb")).agg(sum(cCol).as("_qt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs: IndexedSeq[(Int, Long, Long)] = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).zip(totals.map(_._2)))
+      .map { case (id, (off, t)) => (id, off, t) }.toIndexedSeq
+    val n = totals.map(_._2).sum
+    import spark.implicits._
+    val offDf = offs.map { case (id, off, _) => (id, off) }.toDF("_qb", "_qoff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qb").orderBy(vCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("_qb", bucket)
+      .join(broadcast(offDf), "_qb")
+      .withColumn("_qcum", col("_qoff") + sum(cCol).over(w))
+      .drop("_qoff")
+    (cum, offs, n)
+  }
+
   /** Equal-frequency (quantile) discretization of an integer column into
     * `k` buckets — the featurization step between profiling and model
     * input. Bucket boundaries are the k-quantiles under q54's integer
@@ -62,34 +108,51 @@ object Profile {
     *
     * Shape at scale: one (value)-keyed groupBy with map-side combine
     * builds the distinct-value histogram (the only corpus-sized
-    * exchange); the cumulative window runs over the HISTOGRAM (bounded by
-    * the domain's distinct values — quantized/integer domains by
-    * construction); the k−1 boundaries are collected (k-row driver table,
+    * exchange); cumulative ranks come from [[bucketedCum]] — range
+    * buckets from literal sampled cut points, so NO unpartitioned window
+    * anywhere even on a high-cardinality column — and the boundary probe
+    * touches only the ≤k−1 buckets the driver-side offsets prove contain
+    * a target rank; the k−1 boundaries are collected (k-row driver table,
     * the q42 literal discipline) and baked into the plan as a when-chain,
     * so the assignment pass is a NARROW projection — no join, no second
     * shuffle, deterministic under recomputation and retry.
     *
+    * @param buckets range-bucket count for the histogram cum (0 = the
+    *                session's shuffle partitions)
     * @return df's id and value columns plus `bin` in [0, k) */
   def quantileBins(df: DataFrame, valueCol: String, k: Int,
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id", buckets: Int = 0): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     // NULLs are excluded from the distribution (quantile semantics; a
     // null histogram group would sort first and skew every boundary) and
     // get a NULL bin in the output rather than silently landing in bin 0
-    val hist = df.where(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
-    // n comes off the histogram itself (sum of counts) — never a second
-    // corpus scan just for count(*)
-    val cum = hist.withColumn("cum",
-        sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("v")))
-      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
-    val bounds = cum
-      .select(col("v"), explode(sequence(lit(1), lit(k - 1))).as("j"),
-        col("cum"), col("n"))
-      .where(col("cum") * k >= col("n") * col("j"))
-      .groupBy("j").agg(min("v").as("bv"))
-      .collect().map(_.getAs[Long]("bv")).sorted
+    val nonNull = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"))
+    val hist = nonNull.groupBy("v").agg(count(lit(1)).as("c"))
+    // n comes off the driver-side bucket totals — never a second corpus
+    // scan just for count(*)
+    val (cum, offs, n) = bucketedCum(nonNull, hist, "v", "c", buckets)
+    val bounds: Seq[Long] =
+      if (n == 0L) Seq.empty
+      else {
+        // target rank per boundary: k·cum ≥ n·j  ⟺  cum ≥ ⌈n·j/k⌉; the
+        // owning bucket is known from the driver-side offsets, so the
+        // probe scan filters to boundary buckets before the window runs
+        val targets = (1 until k).map { j =>
+          val r = (n * j + k - 1) / k
+          val (qb, _, _) = offs.find { case (_, off, t) => off < r && r <= off + t }
+            .getOrElse(offs.last)
+          (j, r, qb)
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        val tDf = targets.toDF("_j", "_r", "_qb")
+        cum.where(col("_qb").isInCollection(targets.map(_._3).distinct))
+          .join(broadcast(tDf), "_qb")
+          .where(col("_qcum") >= col("_r"))
+          .groupBy("_j").agg(min("v").as("bv"))
+          .collect().map(_.getAs[Long]("bv")).toSeq.sorted
+      }
     val bin = bounds.map(b =>
         when(col(valueCol).cast("long") > lit(b), 1L).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
@@ -161,9 +224,14 @@ object Profile {
       require(n.matches("[A-Za-z0-9_. -]+"),
         s"check name must match [A-Za-z0-9_. -]+: '$n'")
     }
+    // the failure sums are coalesced: on an EMPTY table sum() over zero
+    // rows is NULL, which would report pass = NULL (neither true nor
+    // false) and break any downstream `where(!pass)` gating — an empty
+    // table has zero failures and passes every row-level check
     val agg = checks.zipWithIndex.flatMap { case ((_, c), i) =>
       Seq(count(lit(1)).as(s"_n$i"),
-        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"_f$i"))
+        coalesce(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"_f$i"))
     }
     val one = df.agg(agg.head, agg.tail: _*)
     val arms = checks.zipWithIndex.map { case ((name, _), i) =>
@@ -242,31 +310,47 @@ object Profile {
     *
     * Shape at scale: the two histograms (per-source, pooled) are
     * domain-sized partial-agg exchanges off the SAME scan lineage; the
-    * 1001-row inverse-CDF table builds from a histogram × grid join
-    * (histogram-sized, never corpus) and BROADCASTS back; the final
-    * mapping pass is a narrow join. NULL values pass through with NULL
-    * pct and mapped value.
+    * pooled cum comes from [[bucketedCum]] (range-bucketed windows, no
+    * unpartitioned window on a high-cardinality column), and the 1001-row
+    * inverse-CDF table is emitted by OWNERSHIP — each histogram row
+    * generates exactly the grid points whose target rank falls in its
+    * (cum−c, cum] slice, so exactly 1001 rows leave the scan with no
+    * histogram × grid blow-up — then BROADCASTS back; the final mapping
+    * pass is a narrow join. NULL values pass through with NULL pct and
+    * mapped value.
     *
+    * @param buckets range-bucket count for the histogram cum (0 = the
+    *                session's shuffle partitions)
     * @return df's columns plus (pct_e6, pct_mille, mapped) */
   def quantileMap(df: DataFrame, valueCol: String,
-                  groupCol: String): DataFrame = {
+                  groupCol: String, buckets: Int = 0): DataFrame = {
     val pct = rankNormalize(df, valueCol, Seq(groupCol))
-    val hist = df.where(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("long").as("_v"))
-      .agg(count(lit(1)).as("_c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("_v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist
-      .withColumn("_cum", sum("_c").over(w))
-      .crossJoin(broadcast(hist.agg(sum("_c").as("_n"))))
-    val spark = df.sparkSession
+    val nonNull = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+    val hist = nonNull.groupBy("_v").agg(count(lit(1)).as("_c"))
+    val (cum, _, n) = bucketedCum(nonNull, hist, "_v", "_c", buckets)
+    // Q(g) = smallest _v with 10³·cum ≥ n·g. The smallest qualifying row
+    // has 10³·(cum−c) < n·g ≤ 10³·cum, i.e. row (cum, c) OWNS exactly the
+    // integer grid points in ((10³·(cum−c)) div n, (10³·cum) div n] —
+    // disjoint slices covering (0, 1000], plus g = 0 on the first row
+    // (the pooled minimum). Exactly 1001 rows emerge; nothing grid-sized
+    // ever multiplies against the histogram. All terms ≤ 10³·n < 2⁶³.
     // named pct_mille, not a bare single letter, so the appended column
     // cannot shadow a caller's own grouping column
-    val grid = spark.range(0, 1001).select(col("id").as("pct_mille"))
-    val invCdf = cum.crossJoin(broadcast(grid))
-      .where(col("_cum") * 1000L >= col("_n") * col("pct_mille"))
-      .groupBy("pct_mille").agg(min("_v").as("mapped"))
+    val invCdf =
+      if (n == 0L)
+        cum.sparkSession.emptyDataFrame
+          .select(lit(0L).as("pct_mille"), lit(0L).as("mapped"))
+          .where(lit(false))
+      else
+        cum.withColumn("_prev", col("_qcum") - col("_c"))
+          .withColumn("_glo",
+            when(col("_prev") === 0L, lit(0L))
+              .otherwise(expr(s"((_prev * 1000) div ${n}L) + 1")))
+          .withColumn("_ghi", expr(s"(_qcum * 1000) div ${n}L"))
+          .where(col("_ghi") >= col("_glo"))
+          .select(explode(sequence(col("_glo"), col("_ghi"))).as("pct_mille"),
+            col("_v").as("mapped"))
     pct
       .withColumn("pct_mille", expr("pct_e6 div 1000"))
       .join(broadcast(invCdf), Seq("pct_mille"), "left")
@@ -313,8 +397,19 @@ object Profile {
       .select(col("_t"), col("_c").as("_nt"))
       .crossJoin(broadcast(cube.where(col("_gid") === 3)
         .select(col("_c").as("_n"))))
+    // NULL-safe category match (<=>): a genuine NULL category is a real
+    // value in both the day×type counts and the type marginal — a
+    // null-unsafe USING join would score a day's NULL-category count as
+    // n_dt = 0 (overstating that day's L1) while the NULL mass still
+    // inflates N_d and N. The dt side is renamed first: all three frames
+    // share the cube lineage, and df("col") disambiguation on a derived
+    // self-join trips DetectAmbiguousSelfJoin.
+    val dtR = dt.select(col("day").as("_dt_day"), col("_t").as("_dt_t"),
+      col("_ndt"))
     val grid = days.crossJoin(broadcast(types))
-      .join(dt, Seq("day", "_t"), "left")
+      .join(dtR, col("day") <=> col("_dt_day") && col("_t") <=> col("_dt_t"),
+        "left")
+      .drop("_dt_day", "_dt_t")
       .withColumn("_c", coalesce(col("_ndt"), lit(0L)))
       .withColumn("_dev", abs(col("_c") * col("_n") - col("_nt") * col("_nd")))
     grid.groupBy("day")

@@ -111,6 +111,9 @@ object Sampling {
     *
     * @return (source, n, w, share_e6) — w = sqrt(n) */
   def temperatureShares(df: DataFrame, groupCol: String): DataFrame = {
+    // deliberate unpartitioned windows: they run over the post-aggregate
+    // SOURCE-cardinality frame (tens to thousands of rows — the mixture
+    // table a human reads), never over corpus rows
     val wOrd = org.apache.spark.sql.expressions.Window.orderBy(groupCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

@@ -854,9 +854,12 @@ object Registry {
           .where(col("c_mktsegment") === "BUILDING")
         val ord = s.read.parquet(s"$d/orders.parquet")
         val li = s.read.parquet(s"$d/lineitem.parquet")
-        // dimension side broadcast; fact-fact join shuffles on orderkey
-        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        // broadcast the customer filter onto orders FIRST: only the
+        // BUILDING-segment orders (~1/5) enter the fact-fact orderkey
+        // shuffle — joining li⋈ord before filtering would shuffle the
+        // full orders table and then discard 4/5 of it
+        ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .join(li, li("l_orderkey") === ord("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
             (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("revenue_e4"))
@@ -3347,8 +3350,8 @@ object Registry {
               |         GROUP BY 1)
               |SELECT u.qid, CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
               |  CAST(5 AS BIGINT) AS k,
-              |  CAST(coalesce(c, 0) * 1000000 // 5 AS BIGINT) AS recall_e6
-              |FROM (SELECT DISTINCT qid FROM bp) u
+              |  CAST(coalesce(c, 0) * 1000000 // least(5, u.ne) AS BIGINT) AS recall_e6
+              |FROM (SELECT qid, count(*) AS ne FROM bp GROUP BY 1) u
               |LEFT JOIN hits ON hits.qid = u.qid
               |ORDER BY 1""".stripMargin)),
 
