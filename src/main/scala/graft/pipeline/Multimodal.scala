@@ -443,6 +443,212 @@ object Multimodal {
       }
     } catch { case _: RuntimeException => None }
 
+  /** One video track's fully-resolved sample table: codec fourcc, sample-
+    * entry pixel dimensions, and each sample's absolute (offset, size)
+    * byte slice in the file. */
+  private[pipeline] case class Mp4Track(codec: String, w: Int, h: Int,
+                                        samples: IndexedSeq[(Long, Int)])
+
+  /** Full ISO BMFF sample-table walk — the DECODER-side sibling of the
+    * [[parseMp4]] metadata probe: resolves the video track's `stbl`
+    * (`stsd` codec + dimensions, `stsz` sizes, `stsc` sample→chunk map,
+    * `stco`/`co64` chunk offsets) into absolute byte slices, exactly the
+    * structure a real demuxer builds before handing payloads to a codec.
+    * Lenient like the probe: torn boxes, out-of-range slices or absurd
+    * sample counts (> 10⁶) decline to None — the caller falls through the
+    * [[FallbackDecoder]] seam to the stub rather than misdecoding. */
+  private[pipeline] def parseMp4Samples(bytes: Array[Byte]): Option[Mp4Track] =
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") None
+      else {
+        var codec = ""; var w = 0; var h = 0
+        var uniform = 0
+        var sizes: Array[Int] = null
+        var nSamples = -1
+        var chunkOffs: Array[Long] = null
+        var stsc: Array[(Int, Int)] = null
+        val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          if (depth > 16) return
+          var p = from
+          while (p + 8 <= to) {
+            val sz = be32(bytes, p)
+            val tp = fourcc(bytes, p + 4)
+            if (sz < 8 || p + sz > to) return
+            val body = p + 8
+            if (containers(tp)) walk(body, p + sz, depth + 1)
+            else if (tp == "stsd" && codec.isEmpty && sz >= 8 + 8 + 8 + 28) {
+              // first sample entry: [be32 size][4cc codec][VisualSampleEntry]
+              val entry = body + 8
+              codec = fourcc(bytes, entry + 4)
+              // VisualSampleEntry: 6 reserved + 2 dref + 16 pre_defined,
+              // then be16 width / be16 height
+              val vse = entry + 8
+              if (vse + 28 <= p + sz) {
+                w = ((bytes(vse + 24) & 0xff) << 8) | (bytes(vse + 25) & 0xff)
+                h = ((bytes(vse + 26) & 0xff) << 8) | (bytes(vse + 27) & 0xff)
+              }
+            } else if (tp == "stsz" && nSamples < 0 && sz >= 8 + 12) {
+              uniform = be32(bytes, body + 4)
+              nSamples = be32(bytes, body + 8)
+              if (nSamples < 0 || nSamples > 1000000) { nSamples = -2 }
+              else if (uniform == 0) {
+                if (body + 12 + 4L * nSamples > p + sz) { nSamples = -2 }
+                else sizes = Array.tabulate(nSamples)(i => be32(bytes, body + 12 + 4 * i))
+              }
+            } else if (tp == "stsc" && stsc == null && sz >= 8 + 8) {
+              val n = be32(bytes, body + 4)
+              if (n >= 0 && n <= 100000 && body + 8 + 12L * n <= p + sz)
+                stsc = Array.tabulate(n)(i =>
+                  (be32(bytes, body + 8 + 12 * i), be32(bytes, body + 8 + 12 * i + 4)))
+            } else if (tp == "stco" && chunkOffs == null && sz >= 8 + 8) {
+              val n = be32(bytes, body + 4)
+              if (n >= 0 && n <= 100000 && body + 8 + 4L * n <= p + sz)
+                chunkOffs = Array.tabulate(n)(i => be32(bytes, body + 8 + 4 * i).toLong & 0xffffffffL)
+            } else if (tp == "co64" && chunkOffs == null && sz >= 8 + 8) {
+              val n = be32(bytes, body + 4)
+              if (n >= 0 && n <= 100000 && body + 8 + 8L * n <= p + sz)
+                chunkOffs = Array.tabulate(n)(i =>
+                  (be32(bytes, body + 8 + 8 * i).toLong << 32) |
+                    (be32(bytes, body + 8 + 8 * i + 4).toLong & 0xffffffffL))
+            }
+            p += sz
+          }
+        }
+        walk(0, bytes.length, 0)
+        if (codec.isEmpty || nSamples <= 0 || chunkOffs == null ||
+            chunkOffs.isEmpty || stsc == null || stsc.isEmpty ||
+            (uniform == 0 && sizes == null)) None
+        else {
+          // chunk c (1-based) holds the samples-per-chunk of the LAST stsc
+          // row with first_chunk <= c; samples sit consecutively from the
+          // chunk offset in stsz order
+          val out = IndexedSeq.newBuilder[(Long, Int)]
+          var s = 0
+          var c = 1
+          var ok = true
+          while (s < nSamples && c <= chunkOffs.length && ok) {
+            var spc = stsc(0)._2
+            var i = 0
+            while (i < stsc.length && stsc(i)._1 <= c) { spc = stsc(i)._2; i += 1 }
+            var off = chunkOffs(c - 1)
+            var j = 0
+            while (j < spc && s < nSamples && ok) {
+              val len = if (uniform != 0) uniform else sizes(s)
+              if (len < 0 || off < 0 || off + len > bytes.length) ok = false
+              else { out += ((off, len)); off += len; s += 1 }
+              j += 1
+            }
+            c += 1
+          }
+          val samples = out.result()
+          if (ok && samples.length == nSamples) Some(Mp4Track(codec, w, h, samples))
+          else None
+        }
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** mp4 frame decode over the resolved sample table: MJPEG-family
+    * payloads (`jpeg`/`mjpa` sample entries — each sample a complete
+    * JPEG) via ImageIO, QuickTime `raw ` 24-bit packed RGB (top-down,
+    * unpadded rows — sample size must equal w·h·3 exactly or the track
+    * declines rather than misdecode) rasterized pixel-exact. Compressed
+    * codecs (avc1/hev1/vp09…) return None — they fall through the seam
+    * to a registered decoder or the stub. */
+  private[pipeline] def decodeMp4Frames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    parseMp4Samples(bytes).flatMap { t =>
+      t.codec match {
+        case "jpeg" | "mjpa" =>
+          val imgs = t.samples.flatMap { case (o, l) => decodeImage(bytes, o.toInt, l) }
+          if (imgs.nonEmpty && imgs.length == t.samples.length) Some(imgs) else None
+        case "raw " =>
+          if (t.w <= 0 || t.h <= 0 || t.w > 32768 || t.h > 32768) None
+          else {
+            val need = t.w.toLong * t.h * 3
+            if (!t.samples.forall(_._2.toLong == need)) None
+            else Some(t.samples.map { case (o, _) =>
+              val img = new BufferedImage(t.w, t.h, BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < t.h) {
+                var x = 0
+                while (x < t.w) {
+                  val p = o.toInt + (y * t.w + x) * 3
+                  img.setRGB(x, y, ((bytes(p) & 0xff) << 16) |
+                    ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff))
+                  x += 1
+                }
+                y += 1
+              }
+              img
+            })
+          }
+        case _ => None
+      }
+    }
+
+  /** The REAL mp4 decoder for the [[FallbackDecoder]] seam: demuxes the
+    * ISO BMFF sample table ([[parseMp4Samples]]) and decodes MJPEG-family
+    * and `raw ` RGB tracks ([[decodeMp4Frames]]) into the same pooled
+    * luminance features as every other video path; tracks whose codec it
+    * cannot decode (avc1/hev1…) decline to None and fall to the stub.
+    * Register it at the call site: `extractFeatures(m, fallback =
+    * Multimodal.mp4Decoder)` — no call-site changes beyond the argument,
+    * exactly the seam's contract. */
+  val mp4Decoder: FallbackDecoder = (kind, bytes, dim) =>
+    if (kind == "video") decodeMp4Frames(bytes).map(videoFeatures(_, dim))
+    else None
+
+  /** Minimal standard-compliant mp4 writer (single video track, one
+    * chunk) used by tests/bench — the ISO-BMFF sibling of [[encodeAvi]]:
+    * `mjpeg = false` emits QuickTime `raw ` 24-bit packed RGB samples
+    * (pixel-exact roundtrip through [[decodeMp4Frames]]), `mjpeg = true`
+    * emits one complete JPEG per sample under a `jpeg` sample entry.
+    * mdat precedes moov so `stco` holds literal offsets. */
+  private[pipeline] def encodeMp4(frames: Seq[BufferedImage],
+                                  mjpeg: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMp4: at least one frame required")
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+    val payloads = frames.map { img =>
+      if (mjpeg) {
+        val b = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", b)
+        b.toByteArray
+      } else {
+        val data = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          val p = (y * w + x) * 3
+          data(p) = ((rgb >> 16) & 0xff).toByte
+          data(p + 1) = ((rgb >> 8) & 0xff).toByte
+          data(p + 2) = (rgb & 0xff).toByte
+        }
+        data
+      }
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++ "isom".getBytes("US-ASCII"))
+    val firstOff = ftyp.length + 8
+    val codec = if (mjpeg) "jpeg" else "raw "
+    val entry = box(codec, new Array[Byte](6) ++ be16(1) ++ // dref index
+      new Array[Byte](16) ++ be16(w) ++ be16(h) ++
+      be(0x00480000) ++ be(0x00480000) ++ be(0) ++ be16(1) ++ // 72 dpi, 1 fpp
+      new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF)) // compressor/depth/-1
+    val stbl = box("stbl",
+      box("stsd", be(0) ++ be(1) ++ entry) ++
+      box("stts", be(0) ++ be(1) ++ be(frames.length) ++ be(1)) ++
+      box("stsc", be(0) ++ be(1) ++ be(1) ++ be(frames.length) ++ be(1)) ++
+      box("stsz", be(0) ++ be(0) ++ be(frames.length) ++
+        payloads.toArray.flatMap((p: Array[Byte]) => be(p.length))) ++
+      box("stco", be(0) ++ be(1) ++ be(firstOff)))
+    val tkhd = box("tkhd", new Array[Byte](4) ++ new Array[Byte](72) ++
+      be(w << 16) ++ be(h << 16))
+    val moov = box("moov", box("trak", tkhd ++ box("mdia", box("minf", stbl))))
+    ftyp ++ box("mdat", payloads.reduce(_ ++ _)) ++ moov
+  }
+
   /** EBML varint at `o`: (value, widthBytes). `keepMarker` keeps the
     * leading length bit (element IDs are conventionally compared with it;
     * sizes strip it). Width 0 on malformed input. */
@@ -1093,6 +1299,36 @@ object Multimodal {
     * bytes (deterministic patterns, decoded by the real codecs
     * end-to-end). Built as a distributed Row RDD — media encoding happens
     * per partition, never on the driver. */
+  /** Deterministic REAL-mp4 media table for the decoder-seam query
+    * (q157): every row is a QuickTime-`raw `-codec mp4 ([[encodeMp4]])
+    * whose frame f pixel (x, y) is the gray value `(id + x + 3y + 7f) %
+    * 256` — the same closed-form pattern as [[patternGif]], so an SQL
+    * oracle recomputes the decoded pooled luminance histogram exactly
+    * (gray (v,v,v) has integer luminance exactly v). */
+  def syntheticMp4(spark: org.apache.spark.sql.SparkSession, n: Long,
+                   imgW: Int = 16, imgH: Int = 12,
+                   nFrames: Int = 8): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(imgW, imgH, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < imgH) {
+          var x = 0
+          while (x < imgW) {
+            val v = ((id + x + 3L * y + 7L * f) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      Row(Long.box(id), "video", encodeMp4(frames),
+        Row(imgW, imgH, null, Int.box(nFrames), "video/mp4"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long,
                      imgW: Int = 16, imgH: Int = 12): DataFrame = {
     val rdd = spark.range(n).rdd.map { id =>

@@ -4435,7 +4435,51 @@ object Registry {
               |      FROM cc WHERE n_overlap >= 2)
               |SELECT metric_a, metric_b, CAST(lag AS BIGINT) AS best_lag,
               |  n_overlap, corr
-              |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin))
+              |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- REAL mp4 decode through the FallbackDecoder seam: every row is
+    //      a QuickTime-`raw `-codec mp4 whose sample table Mp4Decoder
+    //      demuxes (stsd/stsz/stsc/stco) and rasterizes pixel-exact; the
+    //      oracle recomputes the pooled luminance histogram in closed
+    //      form from the frame pattern (q36's discipline — a hash match
+    //      proves the container parse AND the frame decode bit-exact
+    //      end-to-end, not a stub) ----
+    Entry("q157_mp4_decode",
+      (s, _) => {
+        val media = Multimodal.syntheticMp4(s, 200)
+        Multimodal.extractFeatures(media, dim = 16,
+            fallback = Multimodal.mp4Decoder)
+          .withColumn("feat_norm",
+            sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+              lit(0.0), (acc, x) => acc + x)))
+          .select(col("media_id"), col("kind"), round(col("feat_norm"), 6).as("feat_norm"))
+          .orderBy("media_id")
+      },
+      Some {
+        // frame f pixel (x,y) is gray v=(id+x+3y+7f)%256 over 8 16×12
+        // frames; lum of (v,v,v) is exactly v, so the pooled histogram is
+        // count/(16·12·8) per 16-wide bin. feat_norm folds f0²..f15²
+        // left-to-right in double, matching Spark's aggregate() order.
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 200) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |vidv AS (
+           |  SELECT media_id, bin,
+           |         CAST(CAST(count(*) AS REAL) / CAST(1536 AS REAL) AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id,
+           |           (((i.media_id + x.x + 3 * y.y + 7 * f.f) % 256) * 16) // 256 AS bin
+           |    FROM ids i, range(0, 16) x(x), range(0, 12) y(y), range(0, 8) f(f))
+           |  GROUP BY 1, 2),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN vidv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id, 'video' AS kind, round(sqrt($sq), 6) AS feat_norm
+           |FROM fm ORDER BY media_id""".stripMargin
+      })
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -287,6 +287,65 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Multimodal.videoFeatures(frames, 16), "features must come from the real AVI decode")
   }
 
+  test("mp4/raw video decodes pixel-exact through the ISO-BMFF sample table") {
+    val frames = (0 until 5).map(f => patternFrame(11L, f))
+    val mp4 = Multimodal.encodeMp4(frames)
+    // the demuxer resolves stsd codec + dimensions and per-sample slices
+    val track = Multimodal.parseMp4Samples(mp4)
+    assert(track.isDefined && track.get.codec === "raw " &&
+      track.get.w === 16 && track.get.h === 12 &&
+      track.get.samples.length === 5)
+    assert(track.get.samples.forall(_._2 === 16 * 12 * 3))
+    val got = Multimodal.decodeMp4Frames(mp4)
+    assert(got.isDefined && got.get.length === 5)
+    for (f <- 0 until 5)
+      assert(pixels(got.get(f)) === pixels(frames(f)), s"frame $f")
+  }
+
+  test("mp4/MJPEG frames decode to exactly ImageIO's decode of each JPEG sample") {
+    val frames = (0 until 3).map(f => patternFrame(6L, f))
+    val mp4 = Multimodal.encodeMp4(frames, mjpeg = true)
+    val got = Multimodal.decodeMp4Frames(mp4)
+    assert(got.isDefined && got.get.length === 3)
+    // the sample table must hand ImageIO byte-identical JPEG payloads
+    for (f <- 0 until 3) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(frames(f), "jpg", bos)
+      val expect = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(pixels(got.get(f)) === pixels(expect), s"frame $f")
+    }
+  }
+
+  test("mp4Decoder registers at the seam: real mp4 decodes, compressed declines, JDK codecs still win") {
+    val frames = (0 until 4).map(f => patternFrame(3L, f))
+    val realMp4 = Multimodal.encodeMp4(frames)
+    // patternMp4 has REAL container structure but a junk mdat and no
+    // stbl — exactly the avc1-like shape the decoder must DECLINE (falls
+    // to the stub), never misdecode
+    val stubMp4 = Multimodal.patternMp4(17L, 8, 6, nFrames = 4)
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Long.box(0L), "video", realMp4,
+        Row(16, 12, null, Int.box(4), "video/mp4")),
+      Row(Long.box(1L), "video", stubMp4,
+        Row(8, 6, null, Int.box(4), "video/mp4"))),
+      Multimodal.mediaSchema)
+    val got = Multimodal.extractFeatures(df, dim = 16,
+        fallback = Multimodal.mp4Decoder)
+      .orderBy("media_id").collect()
+    assert(got(0).getSeq[Float](2).toArray === Multimodal.videoFeatures(frames, 16),
+      "a raw-codec mp4 must decode for real through the seam")
+    assert(got(1).getSeq[Float](2).toArray === Multimodal.fakeDecode(stubMp4, 16),
+      "an undecodable-codec mp4 must decline to the stub")
+    // the registered mp4 decoder never shadows working JDK codecs
+    val withSeam = Multimodal.extractFeatures(media, dim = 16,
+        fallback = Multimodal.mp4Decoder)
+      .orderBy("media_id").collect()
+    val plain = Multimodal.extractFeatures(media, dim = 16)
+      .orderBy("media_id").collect()
+    assert(withSeam.map(_.getSeq[Float](2).toList).toSeq ===
+      plain.map(_.getSeq[Float](2).toList).toSeq)
+  }
+
   test("u-law WAV decodes through the JDK transcode (telephony path)") {
     import javax.sound.sampled._
     val rate = 8000f
