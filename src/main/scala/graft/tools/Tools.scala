@@ -28,24 +28,40 @@ object Tools {
     * (single-spanned levels must be empty, check.cpp:239-247). */
   /** `genesis` defaults to the reference's ns-domain 2000-01-01 bound
     * (check.cpp:48); stores using another tick unit (e.g. the µs-domain
-    * oracle warehouse) pass their own lower bound. */
-  def check(hta: Hta, now: Long, genesis: Long = Genesis): DataFrame = {
+    * oracle warehouse) pass their own lower bound.
+    *
+    * `fast` is check.cpp's `--fast` ("check only the most recent data"):
+    * raw rules run only on each metric's trailing `intervalMax` window,
+    * and the level dense-time rule validates the window's rows against
+    * the window's own first row (alignment to the metric epoch still
+    * checked) instead of row-numbering the level from its beginning —
+    * history before the window is trusted. Bounds-derived rules
+    * (implausible_range, last_interval_mismatch, spanning emptiness) are
+    * cheap aggregates and run identically in both modes. */
+  def check(hta: Hta, now: Long, genesis: Long = Genesis,
+            fast: Boolean = false): DataFrame = {
     val issue = (layer: String, name: String, pred: org.apache.spark.sql.Column,
                  df: DataFrame) =>
       df.where(pred).groupBy("metric")
         .agg(count(lit(1)).as("n"))
         .select(col("metric"), lit(layer).as("layer"), lit(name).as("issue"), col("n"))
 
-    // chunked lag over the full raw table (MinValue sentinel marks each
+    val bounds = hta.raw.groupBy("metric")
+      .agg(min("time").as("_first"), max("time").as("_last"))
+
+    val rawSrc =
+      if (!fast) hta.raw.drop("tb")
+      else hta.raw.drop("tb").join(broadcast(bounds), Seq("metric"))
+        .where(col("time") >= col("_last") - hta.meta.intervalMax)
+        .drop("_first", "_last")
+    // chunked lag over the raw table (MinValue sentinel marks each
     // metric's first point so duplicate timestamps still trip the check) —
     // a whole-metric window here would serialize a 100 TB metric's scan
-    val raw = AggOps.gapLiftChunked(hta.raw.drop("tb"), hta.meta.intervalMax,
+    val raw = AggOps.gapLiftChunked(rawSrc, hta.meta.intervalMax,
         firstDefault = Some(lit(Long.MinValue)))
       .withColumn("_p",
         when(col("prev_time") === Long.MinValue, lit(null).cast("long"))
           .otherwise(col("prev_time")))
-    val bounds = hta.raw.groupBy("metric")
-      .agg(min("time").as("_first"), max("time").as("_last"))
 
     val rawIssues = Seq(
       issue("raw", "nonfinite_value",
@@ -58,18 +74,34 @@ object Tools {
           col("_last") < genesis || col("_last") > now, bounds))
 
     val wl = Window.partitionBy("metric", "interval").orderBy("time")
-    val lv = hta.levels
+    val lvAll = hta.levels
       .join(broadcast(bounds), Seq("metric"))
       .withColumn("_epoch", AggOps.intervalBegin(col("_first"), col("interval")))
+    val lvSrc =
+      if (!fast) lvAll
+      // per-interval cutoff relative to the level's own grid keeps every
+      // level's last closed rows in the window (for the coarsest level
+      // a fixed `_last - intervalMax` cutoff could exclude them)
+      else lvAll.where(col("time") >=
+        AggOps.intervalBegin(col("_last"), col("interval")) - hta.meta.intervalMax)
+    val lv = lvSrc
       .withColumn("_i", row_number().over(wl) - 1)
       .withColumn("_p", lag("time", 1).over(wl))
+      .withColumn("_w0", min("time").over(Window.partitionBy("metric", "interval")))
     val lvGrouped = (name: String, pred: org.apache.spark.sql.Column) =>
       lv.where(pred).groupBy("metric", "interval").agg(count(lit(1)).as("n"))
         .select(col("metric"), col("interval").cast("string").as("layer"),
           lit(name).as("issue"), col("n"))
 
+    // full mode: dense from the metric epoch. fast mode: dense within the
+    // window from its first row, which must itself align to the epoch.
+    val denseTime =
+      if (!fast) col("time") =!= col("_epoch") + col("_i") * col("interval")
+      else col("time") =!= col("_w0") + col("_i") * col("interval") ||
+        pmod(col("_w0") - col("_epoch"), col("interval")) =!= 0
+
     val levelIssues = Seq(
-      lvGrouped("bogus_time", col("time") =!= col("_epoch") + col("_i") * col("interval")),
+      lvGrouped("bogus_time", denseTime),
       lvGrouped("nonmono_or_dup_time", col("_p").isNotNull && col("time") <= col("_p")),
       lvGrouped("nonfinite_aggregate",
         isnan(col("sum")) || isnan(col("integral")) ||

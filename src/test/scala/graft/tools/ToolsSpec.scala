@@ -69,4 +69,113 @@ class ToolsSpec extends SparkSpec {
     assert(g.map(_.getAs[Long]("time")).toSeq ===
       (0 until 100).map(i => tp(0) + i * 50000000L))
   }
+
+  test("T2 check --fast validates the trailing window only") {
+    // healthy store: clean under both tiers
+    assert(Tools.check(hta, now, fast = true).count() === 0)
+    // a corruption in the RECENT window is caught by fast
+    val brokenRecent = hta.copy(raw =
+      hta.raw.withColumn("value",
+        when(col("time") === tp(225), lit(Double.NaN)).otherwise(col("value"))))
+    assert(Tools.check(brokenRecent, now, fast = true).collect()
+      .exists(_.getAs[String]("issue") == "nonfinite_value"))
+    // a corruption OLDER than the trailing intervalMax window (fixture
+    // spans 11..225 s, intervalMax = 1000 s, so shrink the window by
+    // checking the full tier still sees what fast by-design trusts)
+    val brokenOld = hta.copy(raw =
+      hta.raw.withColumn("value",
+        when(col("time") === tp(11), lit(Double.NaN)).otherwise(col("value"))))
+    assert(Tools.check(brokenOld, now, fast = false).collect()
+      .exists(_.getAs[String]("issue") == "nonfinite_value"))
+    // recent level-time corruption trips fast's window-dense rule
+    val brokenLv = hta.copy(levels =
+      hta.levels.withColumn("time",
+        when(col("time") === tp(200), col("time") + 1).otherwise(col("time"))))
+    assert(Tools.check(brokenLv, now, fast = true).collect()
+      .exists(_.getAs[String]("issue") == "bogus_time"))
+  }
+
+  test("CLI: check/dump parse flags and directories (check.cpp, dump.cpp)") {
+    val root = tmpDir("cliwh")
+    Warehouse.ingest(fixtureDf, Meta(10 * S, 1000 * S, 10), root)
+    assert(Main.run(Array("check", root), spark) === 0)
+    assert(Main.run(Array("check", "--fast", root), spark) === 0)
+    assert(Main.run(Array("check", root, root), spark) === 0) // multi-positional
+    assert(Main.run(Array("dump", root), spark) === 0)
+    // a directory that is not a warehouse reports and continues (exit 2)
+    assert(Main.run(Array("check", tmpDir("notawh")), spark) === 2)
+    assert(Main.run(Array("check"), spark) === 1)       // no positional
+    assert(Main.run(Array("frobnicate"), spark) === 1)  // unknown command
+    assert(Main.run(Array("--help"), spark) === 0)
+  }
+
+  test("CLI: repair honors --abs/--drop-* and repairs in place (repair.cpp)") {
+    val root = tmpDir("clirepair") + "/m"
+    val dirty = fixtureDf.withColumn("value",
+      when(col("time") === tp(42), lit(5000.0))
+        .when(col("time") === tp(48), lit(-7.0))
+        .otherwise(col("value")))
+    Warehouse.ingest(dirty, Meta(10 * S, 1000 * S, 10), root, validate = false)
+    assert(Main.run(Array("repair", "--abs", "--drop-above", "100",
+      "--drop-interval", s"${tp(50)}-${tp(59)}", root), spark) === 0)
+    val repaired = Warehouse.open(spark, root)
+    val vals = repaired.raw.select("time", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!vals.contains(tp(42)), "drop-above must remove the spike")
+    assert(vals(tp(48)) === 7.0, "--abs must fold negatives")
+    assert(!vals.keys.exists(t => t >= tp(50) && t <= tp(59)),
+      "drop-interval is a closed timestamp interval")
+    // original moved aside, not destroyed (repair.cpp's backup rename)
+    val parent = new java.io.File(root).getParentFile
+    assert(parent.listFiles().exists(_.getName.startsWith("m.backup-")))
+    // bad arguments exit 1
+    assert(Main.run(Array("repair", "--drop-interval", "junk", root), spark) === 1)
+    assert(Main.run(Array("repair"), spark) === 1)
+  }
+
+  test("CLI: clone/throttle dir forms re-aggregate and downsample (clone.cpp, throttle.cpp)") {
+    val src = tmpDir("clisrc")
+    Warehouse.ingest(fixtureDf, Meta(10 * S, 1000 * S, 10), src)
+    val cdst = tmpDir("clicloned") + "/c"
+    assert(Main.run(Array("clone", "--interval-min", (20 * S).toString,
+      "--interval-max", (2000 * S).toString, src, cdst), spark) === 0)
+    val cloned = Warehouse.open(spark, cdst)
+    assert(cloned.meta === Meta(20 * S, 2000 * S, 10))
+    assert(cloned.raw.count() === hta.raw.count())
+    val tdst = tmpDir("clithrot") + "/t"
+    assert(Main.run(Array("throttle", src, tdst, "50000"), spark) === 0)
+    val th = Warehouse.open(spark, tdst)
+    assert(th.raw.count() ===
+      Tools.throttleClone(hta, 50 * S, tmpDir("throtref")).raw.count())
+    assert(Main.run(Array("throttle", src, tdst), spark) === 1) // arity
+  }
+
+  test("CLI: config.json forms resolve names, Meta and R/W modes (dummy.cpp, clone.cpp)") {
+    val base = tmpDir("clicfg")
+    val cfg = new java.io.File(base, "config.json")
+    val json =
+      s"""{"type": "file", "path": "$base",
+         | "metrics": {
+         |   "dummy": {"interval_min": ${10 * S}, "interval_factor": 10,
+         |             "interval_max": ${1000 * S}},
+         |   "copy": {"interval_min": ${20 * S}, "interval_factor": 10,
+         |            "interval_max": ${2000 * S}},
+         |   "sealed": {"mode": "R"}
+         | }}""".stripMargin
+    val w = new java.io.FileWriter(cfg); try w.write(json) finally w.close()
+    // generate: reference dummy.cpp semantics — t = 1 ms + 50 ms·i, 42.0
+    assert(Main.run(Array("generate", cfg.getAbsolutePath, "200"), spark) === 0)
+    val gen = Warehouse.open(spark, s"$base/dummy")
+    assert(gen.raw.count() === 200)
+    val first = gen.raw.orderBy("time").select("time", "value").collect().head
+    assert(first.getLong(0) === 1000000L && first.getDouble(1) === 42.0)
+    // clone through the catalog: dst Meta comes from the config entry
+    assert(Main.run(Array("clone", cfg.getAbsolutePath, "dummy", "copy"), spark) === 0)
+    assert(Warehouse.open(spark, s"$base/copy").meta ===
+      Meta(20 * S, 2000 * S, 10))
+    // R-mode destination refuses the write (read_write.cpp at the CLI)
+    assert(Main.run(Array("clone", cfg.getAbsolutePath, "dummy", "sealed"), spark) === 1)
+    // unconfigured names fail like MissingMetricConfig
+    assert(Main.run(Array("clone", cfg.getAbsolutePath, "dummy", "absent"), spark) === 1)
+  }
 }
