@@ -557,6 +557,19 @@ object PlanAudit {
       graft.hta.Series.bestLag(ev, Registry.B, Registry.E,
         step = 6L * 3600000000000L, maxLag = 3).explain("formatted")
     }
+    section("q157 mp4 decode through the seam (expect: ONE narrow " +
+      "mapPartitions over the media rows — per-partition demux+decode, " +
+      "NO exchange anywhere; the 100 TB shape for media feature " +
+      "extraction)") {
+      val media = graft.pipeline.Multimodal.syntheticMp4(spark, 20)
+      val plan = graft.pipeline.Multimodal.extractFeatures(media, dim = 16,
+        fallback = graft.pipeline.Multimodal.mp4Decoder)
+      plan.explain("formatted")
+      val shuffles = plan.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      println(s"[audit] q157 shuffle count = ${shuffles.length} (expect 0)")
+    }
     spark.stop()
   }
 }

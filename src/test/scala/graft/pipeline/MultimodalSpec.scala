@@ -316,6 +316,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mp4 sample table resolves multi-chunk stsc/stco layouts") {
+    // hand-build a two-chunk layout: chunk 1 holds samples 0-1, chunk 2
+    // holds sample 2 (stsc rows (1,2),(2,1)); payloads interleave a gap
+    // byte so offsets are non-contiguous — the resolver must follow
+    // stco + per-chunk walking, not cumulative sizes alone
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, p: Array[Byte]) =
+      be(8 + p.length) ++ tp.getBytes("US-ASCII") ++ p
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++ "isom".getBytes("US-ASCII"))
+    val s0 = Array.fill(4)(0x11.toByte); val s1 = Array.fill(6)(0x22.toByte)
+    val s2 = Array.fill(5)(0x33.toByte)
+    val gap = Array.fill(3)(0x7f.toByte)
+    val mdatBody = s0 ++ s1 ++ gap ++ s2
+    val chunk1 = ftyp.length + 8
+    val chunk2 = chunk1 + s0.length + s1.length + gap.length
+    val entry = box("raw ", new Array[Byte](6) ++ be16(1) ++ new Array[Byte](16) ++
+      be16(2) ++ be16(2) ++ be(0x00480000) ++ be(0x00480000) ++ be(0) ++ be16(1) ++
+      new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF))
+    val stbl = box("stbl",
+      box("stsd", be(0) ++ be(1) ++ entry) ++
+      box("stts", be(0) ++ be(1) ++ be(3) ++ be(1)) ++
+      box("stsc", be(0) ++ be(2) ++ be(1) ++ be(2) ++ be(1) ++ be(2) ++ be(1) ++ be(1)) ++
+      box("stsz", be(0) ++ be(0) ++ be(3) ++ be(4) ++ be(6) ++ be(5)) ++
+      box("stco", be(0) ++ be(2) ++ be(chunk1) ++ be(chunk2)))
+    val moov = box("moov", box("trak",
+      box("tkhd", new Array[Byte](76) ++ be(2 << 16) ++ be(2 << 16)) ++
+      box("mdia", box("minf", stbl))))
+    val bytes = ftyp ++ box("mdat", mdatBody) ++ moov
+    val t = Multimodal.parseMp4Samples(bytes)
+    assert(t.isDefined && t.get.samples === IndexedSeq(
+      (chunk1.toLong, 4), (chunk1.toLong + 4, 6), (chunk2.toLong, 5)),
+      "samples must follow stco chunk starts, consecutive within a chunk")
+    // sizes (4, 6, 5) never equal w*h*3 = 12 → raw decode declines whole
+    assert(Multimodal.decodeMp4Frames(bytes).isEmpty)
+    // a torn stsz (count beyond the box) declines instead of throwing
+    val torn = bytes.clone()
+    // find stsz count field and corrupt it to a huge value
+    val idx = bytes.indexOfSlice("stsz".getBytes("US-ASCII"))
+    System.arraycopy(be(1000001), 0, torn, idx + 4 + 8, 4)
+    assert(Multimodal.parseMp4Samples(torn).isEmpty)
+  }
+
   test("mp4Decoder registers at the seam: real mp4 decodes, compressed declines, JDK codecs still win") {
     val frames = (0 until 4).map(f => patternFrame(3L, f))
     val realMp4 = Multimodal.encodeMp4(frames)
