@@ -358,7 +358,8 @@ object Multimodal {
 
   /** Single-frame variant for [[framesToImages]]: decodes only frame `idx`
     * (the GIF reader seeks; the AVI parser walks chunk headers and
-    * rasterizes only the requested payload). */
+    * rasterizes only the requested payload; the mp4 sample table decodes
+    * only the requested sample via [[decodeMp4Frame]]). */
   private[pipeline] def decodeVideoFrame(bytes: Array[Byte], idx: Int): Option[BufferedImage] = {
     val viaImageIO =
       try {
@@ -380,6 +381,7 @@ object Multimodal {
       try parseAvi(bytes).filter(t => idx >= 0 && idx < t._3.length)
         .flatMap { case (w, h, frames) => decodeAviPayload(bytes, frames(idx), w, h) }
       catch { case _: Exception => None })
+      .orElse(decodeMp4Frame(bytes, idx))
   }
 
   // ---------------- RIFF/AVI container (pure JDK, no ImageIO plugin) -----
@@ -555,36 +557,52 @@ object Multimodal {
     * declines rather than misdecode) rasterized pixel-exact. Compressed
     * codecs (avc1/hev1/vp09…) return None — they fall through the seam
     * to a registered decoder or the stub. */
+  /** Decode ONE sample of a resolved track (shared by the full decode
+    * and [[decodeMp4Frame]]'s per-index path). */
+  private def decodeMp4Sample(bytes: Array[Byte], t: Mp4Track,
+                              idx: Int): Option[BufferedImage] = {
+    val (o, l) = t.samples(idx)
+    t.codec match {
+      case "jpeg" | "mjpa" => decodeImage(bytes, o.toInt, l)
+      case "raw " =>
+        if (t.w <= 0 || t.h <= 0 || t.w > 32768 || t.h > 32768 ||
+            l.toLong != t.w.toLong * t.h * 3) None
+        else {
+          val img = new BufferedImage(t.w, t.h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < t.h) {
+            var x = 0
+            while (x < t.w) {
+              val p = o.toInt + (y * t.w + x) * 3
+              img.setRGB(x, y, ((bytes(p) & 0xff) << 16) |
+                ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          Some(img)
+        }
+      case _ => None
+    }
+  }
+
   private[pipeline] def decodeMp4Frames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
     parseMp4Samples(bytes).flatMap { t =>
-      t.codec match {
-        case "jpeg" | "mjpa" =>
-          val imgs = t.samples.flatMap { case (o, l) => decodeImage(bytes, o.toInt, l) }
-          if (imgs.nonEmpty && imgs.length == t.samples.length) Some(imgs) else None
-        case "raw " =>
-          if (t.w <= 0 || t.h <= 0 || t.w > 32768 || t.h > 32768) None
-          else {
-            val need = t.w.toLong * t.h * 3
-            if (!t.samples.forall(_._2.toLong == need)) None
-            else Some(t.samples.map { case (o, _) =>
-              val img = new BufferedImage(t.w, t.h, BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < t.h) {
-                var x = 0
-                while (x < t.w) {
-                  val p = o.toInt + (y * t.w + x) * 3
-                  img.setRGB(x, y, ((bytes(p) & 0xff) << 16) |
-                    ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff))
-                  x += 1
-                }
-                y += 1
-              }
-              img
-            })
-          }
-        case _ => None
-      }
+      val imgs = t.samples.indices.flatMap(i => decodeMp4Sample(bytes, t, i))
+      // all-or-nothing: a partially-decodable track (one torn JPEG, one
+      // missized raw sample) declines whole rather than silently pooling
+      // features over a subset of frames
+      if (imgs.nonEmpty && imgs.length == t.samples.length) Some(imgs) else None
     }
+
+  /** Single-frame mp4 decode for [[framesToImages]]: demux the sample
+    * table once, decode ONLY sample `idx` — the per-frame cost contract
+    * the GIF seek / AVI chunk-walk paths already meet. */
+  private[pipeline] def decodeMp4Frame(bytes: Array[Byte], idx: Int): Option[BufferedImage] =
+    try parseMp4Samples(bytes)
+      .filter(t => idx >= 0 && idx < t.samples.length)
+      .flatMap(t => decodeMp4Sample(bytes, t, idx))
+    catch { case _: RuntimeException => None }
 
   /** The REAL mp4 decoder for the [[FallbackDecoder]] seam: demuxes the
     * ISO BMFF sample table ([[parseMp4Samples]]) and decodes MJPEG-family

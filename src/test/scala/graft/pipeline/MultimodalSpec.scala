@@ -316,6 +316,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("framesToImages decodes sampled frames out of a raw-mp4 row") {
+    val frames = (0 until 6).map(f => patternFrame(8L, f))
+    val mp4 = Multimodal.encodeMp4(frames)
+    val row = Row(Long.box(5L), "video", mp4,
+      Row(16, 12, null, Int.box(6), "video/mp4"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(row), Multimodal.mediaSchema)
+    val out = Multimodal.framesToImages(Multimodal.sampleFrames(df, everyN = 2))
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+    assert(out.forall(_.getAs[String]("kind") === "image"))
+    for ((r, f) <- out.zip(Seq(0, 2, 4))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+      assert(pixels(img) === pixels(frames(f)), s"frame $f")
+    }
+  }
+
   test("mp4 sample table resolves multi-chunk stsc/stco layouts") {
     // hand-build a two-chunk layout: chunk 1 holds samples 0-1, chunk 2
     // holds sample 2 (stsc rows (1,2),(2,1)); payloads interleave a gap
