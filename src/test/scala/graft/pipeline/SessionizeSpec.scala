@@ -27,6 +27,27 @@ class SessionizeSpec extends SparkSpec {
       === ((21L, 31L, 2L, 7.0)))
   }
 
+  test("duplicate timestamps stay in one session, deterministically") {
+    // gaps-and-islands over a NON-unique sort key is where tie handling
+    // bites: lag and the cumulative sum must see the SAME tie order, or
+    // tie rows can straddle a session boundary (the round-11 ×10-scale
+    // finding — an oracle whose two windows resolved ties independently
+    // split 10 equal-time rows 2/8 across sessions). Spark's single
+    // Window exec sorts once, so equal-time rows always land together.
+    val d = df(("u1", 0L, 1.0), ("u1", 0L, 2.0), ("u1", 0L, 3.0),
+      ("u1", 100L, 4.0), ("u1", 100L, 5.0), ("u1", 100L, 6.0))
+    for (rep <- Seq(1, 3, 7)) { // partitioning must not change the answer
+      val out = Sessionize.sessionize(d.repartition(rep), "user", "t",
+          gapNs = 10L, aggs = Seq(sum("v").as("sv")))
+        .orderBy("session_start").collect()
+      assert(out.length === 2, s"rep=$rep")
+      assert((out(0).getLong(1), out(0).getLong(3), out(0).getDouble(4))
+        === ((0L, 3L, 6.0)), s"rep=$rep")
+      assert((out(1).getLong(1), out(1).getLong(3), out(1).getDouble(4))
+        === ((100L, 3L, 15.0)), s"rep=$rep")
+    }
+  }
+
   test("keys sessionize independently; single rows form singleton sessions") {
     val d = df(("a", 0L, 1.0), ("b", 1L, 2.0), ("a", 100L, 3.0))
     val out = Sessionize.sessionize(d, "user", "t", gapNs = 10L)
