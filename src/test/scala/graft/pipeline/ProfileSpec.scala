@@ -73,6 +73,32 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "bin assignment must not shuffle")
   }
 
+  test("bucketedCum: multi-bucket histogram cum equals the single-bucket path") {
+    val s = spark
+    import s.implicits._
+    // 500 distinct values with duplicate weights — enough rows that the
+    // sampled cut points spread them over several real range buckets; the
+    // bucketed global cum must be invariant to the bucket count, to the
+    // input partitioning, and to bucket-boundary placement
+    val vals = (1L to 500L).flatMap(v => Seq.fill((v % 3 + 1).toInt)(v))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "v")
+    val ref = Profile.quantileBins(df, "v", k = 7, buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (b <- Seq(3, 8, 32)) {
+      val got = Profile.quantileBins(df.repartition(5), "v", k = 7, buckets = b)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === ref, s"buckets=$b")
+    }
+    val mapRef = Profile.quantileMap(df.withColumn("g", org.apache.spark.sql.functions.lit("s")), "v", "g",
+        buckets = 1)
+      .select("doc_id", "mapped").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapGot = Profile.quantileMap(df.repartition(7).withColumn("g", org.apache.spark.sql.functions.lit("s")),
+        "v", "g", buckets = 16)
+      .select("doc_id", "mapped").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapGot === mapRef)
+  }
+
   // ===================== orderStatOutliers ==============================
 
   import org.apache.spark.sql.types.DoubleType
