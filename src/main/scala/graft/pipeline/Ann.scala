@@ -787,4 +787,96 @@ object Ann {
         min("q").as("min_q"),
         max("q").as("max_q"))
       .withColumn("mean_q", expr("(sum_q - pmod(sum_q, n)) div n"))
+
+  /** Exact epsilon-ball R-S join — the embedding-space decontamination
+    * pass: flag every CORPUS vector within squared quantized distance
+    * `d2max` of ANY probe vector (probes = the eval/benchmark set that
+    * must not leak into training data). The n-gram twin is q46's
+    * decontaminate; this one catches paraphrases that share no exact
+    * grams but embed nearby.
+    *
+    * EXACT, recall 1, all-integer decisions: both sides live on the
+    * [[quantize]]d long grid, a pair's squared distance is the integer
+    * identity `d2 = ‖c‖² + ‖p‖² − 2·⟨c,p⟩` (dot via the codegen'd
+    * `graft_dot`), and candidate pruning is the triangle inequality made
+    * integer-exact — probe p can reach a member of IVF list L (radius
+    * r_L = max member↔centroid distance) only if
+    * `d(p,c_L) ≤ r_L + d_max`, decided without any square root as
+    * `A ≤ B + C  ∨  (A−B−C)² ≤ 4·B·C` on the squared values
+    * A = d²(p,c_L), B = r²_L, C = d2max (both sides of the surviving
+    * `√A ≤ √B + √C` are nonnegative, so squaring twice is sound).
+    * Pruned lists provably contain no qualifying pair, so recall stays 1
+    * and a brute-force SQL oracle matches bit-for-bit.
+    *
+    * Shape at 100 TB: the corpus is assigned once to `nlist` IVF lists
+    * (narrow map over broadcast centroids) and NEVER shuffled — the
+    * probe set (small by nature: eval benchmarks) is exploded per
+    * surviving list and BROADCAST, so the candidate join is a
+    * broadcast-hash join on `list_id` against the unshuffled corpus and
+    * the only exchange is the final per-vector partial-agg groupBy. On
+    * clustered corpora the triangle test prunes most lists per probe; on
+    * isotropic data it degrades to scoring every list — the honest
+    * worst case of any EXACT threshold join. Overflow contract: the
+    * twice-squared decision needs A,B ≤ ~1.5e9 (unit-norm embeddings
+    * sit at ≤ 4e8); violations raise loudly rather than wrap.
+    *
+    * @return flagged corpus rows only: (vec_id, n_hits, min_d2) */
+  def epsilonJoin(corpus: DataFrame, probes: DataFrame, d2max: Long,
+                  nlist: Int = 8): DataFrame = {
+    require(d2max >= 0 && d2max <= 1500000000L,
+      s"d2max must be in [0, 1.5e9] for int64-exact pruning: $d2max")
+    val spark = corpus.sparkSession
+    val cents = kmeansCentroids(corpus, nlist)
+    val asg = ivfAssign(corpus, cents)   // (vid, ve, list_id), corpus-narrow
+    val d2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val n2 = (a: Column) =>
+      aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    // centroid table: nlist rows, rides broadcast everywhere below
+    val centDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toIndexedSeq.zipWithIndex.map {
+        case ((_, c), i) => org.apache.spark.sql.Row(i.toLong, c.toSeq)
+      }, 1), ivfAssignSchema("list_id", "ce")))
+    val guard = (c: Column, what: String) =>
+      when(c > 1500000000L || c < 0L,
+        raise_error(concat(lit(s"epsilonJoin: $what squared distance "),
+          c, lit(" exceeds the int64-exact pruning bound 1.5e9 — " +
+            "normalize the embeddings or shrink the quantization grid")))
+          .cast("long")).otherwise(c)
+    // per-list radius²: one tiny agg over the corpus assignment
+    val r2 = asg.join(centDf, "list_id")
+      .select(col("list_id"), guard(d2(col("ve"), col("ce")), "member").as("_d2c"))
+      .groupBy("list_id").agg(max("_d2c").as("r2"))
+    // probe × centroids (nlist-wide broadcast), keep lists the triangle
+    // test cannot rule out: √A ≤ √B + √C  ⟺  A ≤ B+C  ∨  (A−B−C)² ≤ 4BC
+    val pQ = probes.select(col("vec_id").as("pid"),
+      quantize(col("embedding")).as("pe"))
+    val a = guard(d2(col("pe"), col("ce")), "probe")
+    val pCand = broadcast(pQ.crossJoin(centDf) // nlist-row broadcast fan-out
+      .join(broadcast(r2), "list_id")
+      .withColumn("_a", a)
+      .withColumn("_s", col("_a") - col("r2") - d2max)
+      // CaseWhen evaluates lazily, so _s² is only formed when _s > 0
+      // (then _s ≤ A ≤ 1.5e9 and both sides stay inside int64)
+      .where(when(col("_s") <= 0L, lit(true))
+        .otherwise(col("_s") * col("_s") <= lit(4L) * col("r2") * d2max))
+      .select(col("list_id"), col("pid"), col("pe"), n2(col("pe")).as("_n2p")))
+    // candidate scoring: broadcast-hash join on list_id — the corpus side
+    // stays exactly where the scan put it
+    asg.withColumn("_n2c", n2(col("ve")))
+      .join(pCand, "list_id")
+      .withColumn("_d2", col("_n2c") + col("_n2p") -
+        lit(2L) * dotFast(spark)(col("ve"), col("pe")))
+      .where(col("_d2") <= d2max)
+      .groupBy(col("vid").as("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), min("_d2").as("min_d2"))
+  }
+
+  private def ivfAssignSchema(idName: String, vecName: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idName,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(vecName,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
 }

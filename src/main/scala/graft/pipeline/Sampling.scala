@@ -191,4 +191,67 @@ object Sampling {
     }
     df.sparkSession.createDataFrame(rdd, schema).drop(sh)
   }
+
+  /** Stratified sample with EXACT largest-remainder allocation: draw
+    * exactly `n` rows total, each stratum getting its proportional share
+    * `⌊n·c_g/N⌋` plus one of the `n − Σ⌊·⌋` leftovers, leftovers going
+    * to the strata with the largest remainders `(n·c_g) mod N`
+    * (ties → lexicographically smaller stratum). The workhorse behind
+    * fixed-budget eval-set construction and mixture snapshots where
+    * [[mixtureSample]]'s per-row Bernoulli keep (binomially distributed
+    * COUNT) isn't acceptable — here the per-stratum count is exact by
+    * construction. Within a stratum the picks are the `quota` smallest
+    * [[hashBucket]] values (ties → smaller key): deterministic,
+    * repartition-stable, and a different `salt` redraws independently.
+    *
+    * All-integer: `n·c_g` stays in int64 while `n·N < 2⁶³` (enforced),
+    * quotas/remainders are exact floor-div/mod, no float touches any
+    * allocation decision — a window-SQL oracle matches bit-for-bit.
+    *
+    * Shape at 100 TB: stratum counts are ONE partial-agg shuffle to a
+    * strata-sized frame, collected for DRIVER-side allocation (the
+    * routing-table discipline — bounded by the stratum cardinality,
+    * same as the IVF centroid and telescoping collects) and broadcast
+    * back as the quota table; the pick is one stratum-keyed exchange
+    * with a per-stratum rank. A stratum so hot its sort spills is the
+    * q103 per-group-top-k salting case; quotas ≪ stratum sizes make
+    * the rank's partial TakeOrdered cheap in practice.
+    *
+    * @return picked rows only: (groupCol, key, rnk) with rnk in
+    *         [1, quota_g] by hash order */
+  def stratifiedAlloc(df: DataFrame, groupCol: String, key: String,
+                      n: Long, salt: String = ""): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0: $n")
+    val spark = df.sparkSession
+    // strata-sized frame (bounded) → driver-side exact allocation
+    val cs = df.groupBy(groupCol).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val bigN = cs.map(_._2).sum
+    require(n <= bigN, s"stratifiedAlloc: n=$n exceeds the population $bigN")
+    if (n > 0) require(bigN <= Long.MaxValue / n,
+      s"stratifiedAlloc: n·N overflows int64 for n=$n, N=$bigN")
+    val base = cs.map { case (g, c) => (g, n * c / bigN, n * c % bigN) }
+    val extra = (n - base.map(_._2).sum).toInt
+    // leftovers to the largest remainders, ties → smaller stratum label
+    val bump = base.sortBy { case (g, _, rem) => (-rem, String.valueOf(g)) }
+      .take(extra).map(_._1).toSet
+    val gType = df.schema(groupCol).dataType
+    val quotaRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(base.map { case (g, b, _) =>
+        org.apache.spark.sql.Row(g, if (bump.contains(g)) b + 1 else b)
+      }: _*)
+    val quotas = spark.createDataFrame(quotaRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol, gType),
+        org.apache.spark.sql.types.StructField("_quota",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_b"), col(key))
+    df.select(col(groupCol), col(key))
+      .withColumn("_b", hashBucket(col(key), salt))
+      .withColumn("rnk", row_number().over(wPick).cast("long"))
+      .join(broadcast(quotas), Seq(groupCol))
+      .where(col("rnk") <= col("_quota"))
+      .select(col(groupCol), col(key), col("rnk"))
+  }
 }

@@ -929,4 +929,61 @@ object TextOps {
       .groupBy("doc_id", "tag").agg(sum("_h").as("n_hits"))
       .where(col("n_hits") > 0L)
   }
+
+  /** Train-and-apply linear token classifier — the quality/source-filter
+    * pattern (fastText-style gating à la CCNet/LLaMA data prep) reduced
+    * to its deterministic core: learn per-token weights from labeled
+    * docs, score held-out docs by summing weights, gate on the sign.
+    *
+    * All-integer, oracle-exact: the weight of token t is the difference
+    * of its per-class occurrence RATES in parts-per-million,
+    * `w(t) = ⌊cntA(t)·10⁶ / NA⌋ − ⌊cntB(t)·10⁶ / NB⌋` (N = total train
+    * tokens of the class — the floor-div keeps everything BIGINT and
+    * bounds |w| ≤ 10⁶ independent of corpus size, so a doc's score is
+    * ≤ 10⁶·len and int64-safe at any scale). A test doc's score sums
+    * w over its token OCCURRENCES (multiplicity counts; unseen tokens
+    * weigh 0); `score ≥ 0` predicts class A. Split: `doc_id % testMod
+    * == 0` is the held-out test fold, the rest trains — same fold
+    * convention as q139's leak-safe split.
+    *
+    * Shape at 100 TB: one token-keyed partial-agg shuffle builds the
+    * vocab-sized weight table (train side read once); the two class
+    * totals ride a broadcast 1-row cross join; apply is explode →
+    * broadcast-hash join against the weight table → per-doc partial-agg
+    * sum. The test docs are never shuffled except by doc_id for their
+    * own score sum; output is the 2×2 confusion matrix.
+    *
+    * @return (true_class, pred_class, n_docs, sum_score) */
+  def tokenClassifier(docs: DataFrame, classCol: String,
+                      classA: String, classB: String,
+                      testMod: Int = 5, text: String = "text"): DataFrame = {
+    require(classA != classB, "classes must differ")
+    require(testMod >= 2, s"testMod must be >= 2: $testMod")
+    val two = docs.where(col(classCol).isin(classA, classB))
+      .select(col("doc_id"), col(classCol).as("_cls"), col(text).as("_t"))
+    val train = two.where(pmod(col("doc_id"), lit(testMod.toLong)) =!= 0L)
+    val test = two.where(pmod(col("doc_id"), lit(testMod.toLong)) === 0L)
+    val tok = train.select(col("_cls"), explode(tokens(col("_t"))).as("term"))
+    val cnt = tok.groupBy("term").agg(
+      sum(when(col("_cls") === classA, 1L).otherwise(0L)).as("_ca"),
+      sum(when(col("_cls") === classB, 1L).otherwise(0L)).as("_cb"))
+    val tot = tok.groupBy().agg(
+      sum(when(col("_cls") === classA, 1L).otherwise(0L)).as("_na"),
+      sum(when(col("_cls") === classB, 1L).otherwise(0L)).as("_nb"))
+    val w = cnt.crossJoin(broadcast(tot)) // 1-row scalar join
+      .select(col("term"),
+        (expr("_ca * 1000000 div _na") - expr("_cb * 1000000 div _nb"))
+          .as("_w"))
+    val scored = test
+      .select(col("doc_id"), col("_cls"), explode(tokens(col("_t"))).as("term"))
+      .join(broadcast(w), Seq("term"), "left")
+      .groupBy("doc_id", "_cls")
+      .agg(sum(coalesce(col("_w"), lit(0L))).as("_score"))
+    scored
+      .select(col("_cls").as("true_class"),
+        when(col("_score") >= 0L, classA).otherwise(classB).as("pred_class"),
+        col("_score"))
+      .groupBy("true_class", "pred_class")
+      .agg(count(lit(1)).as("n_docs"), sum("_score").as("sum_score"))
+  }
 }

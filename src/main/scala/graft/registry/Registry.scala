@@ -4479,7 +4479,96 @@ object Registry {
            |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
            |SELECT media_id, 'video' AS kind, round(sqrt($sq), 6) AS feat_norm
            |FROM fm ORDER BY media_id""".stripMargin
-      })
+      }),
+
+    // ---- linear token classifier (fastText-style quality/source gate):
+    //      ppm-rate difference weights from the train fold, sign-gated
+    //      test predictions, 2×2 confusion output. All-integer (floor-div
+    //      rates), so the SQL replay is bit-exact. ----
+    Entry("q158_token_classifier",
+      (s, d) => TextOps.tokenClassifier(docs(s, d), "lang", "en", "de")
+        .orderBy("true_class", "pred_class"),
+      Some("""WITH two AS (SELECT doc_id, lang AS cls, text
+             |             FROM documents WHERE lang IN ('en', 'de')),
+             |tok AS (SELECT cls, unnest(string_split(text, ' ')) AS term
+             |        FROM two WHERE doc_id % 5 <> 0),
+             |cnt AS (SELECT term,
+             |          count(*) FILTER (cls = 'en') AS ca,
+             |          count(*) FILTER (cls = 'de') AS cb
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT count(*) FILTER (cls = 'en') AS na,
+             |               count(*) FILTER (cls = 'de') AS nb FROM tok),
+             |w AS (SELECT term,
+             |        (ca * 1000000) // na - (cb * 1000000) // nb AS w
+             |      FROM cnt, tot),
+             |sc AS (SELECT t.doc_id, t.cls,
+             |         CAST(coalesce(sum(w.w), 0) AS BIGINT) AS score
+             |       FROM (SELECT doc_id, cls,
+             |               unnest(string_split(text, ' ')) AS term
+             |             FROM two WHERE doc_id % 5 = 0) t
+             |       LEFT JOIN w ON t.term = w.term
+             |       GROUP BY 1, 2),
+             |pr AS (SELECT cls AS true_class,
+             |         CASE WHEN score >= 0 THEN 'en' ELSE 'de' END AS pred_class,
+             |         score FROM sc)
+             |SELECT true_class, pred_class, count(*) AS n_docs,
+             |  CAST(sum(score) AS BIGINT) AS sum_score
+             |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- stratified sample, EXACT largest-remainder allocation: 100
+    //      docs apportioned over langs, picks = smallest hash buckets
+    //      per stratum. Driver-side allocation over the strata-sized
+    //      counts frame (routing-table discipline), window SQL replay. ----
+    Entry("q159_stratified_alloc",
+      (s, d) => Sampling.stratifiedAlloc(docs(s, d), "lang", "doc_id", n = 100L)
+        .orderBy("lang", "rnk"),
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM c),
+             |b AS (SELECT lang, c, (100 * c) // N AS base, (100 * c) % N AS rem
+             |      FROM c, t),
+             |r AS (SELECT lang, base,
+             |        row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM b),
+             |e AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS extra FROM b),
+             |q AS (SELECT lang,
+             |        base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS quota
+             |      FROM r, e),
+             |p AS (SELECT lang, doc_id,
+             |        row_number() OVER (PARTITION BY lang ORDER BY
+             |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+             |            AS BIGINT) % 1000000, doc_id) AS rnk
+             |      FROM documents)
+             |SELECT p.lang, p.doc_id, CAST(p.rnk AS BIGINT) AS rnk
+             |FROM p JOIN q ON p.lang = q.lang
+             |WHERE p.rnk <= q.quota
+             |ORDER BY p.lang, p.rnk""".stripMargin)),
+
+    // ---- embedding-space decontamination: exact epsilon-ball R-S join
+    //      (eval fold = vec_id % 10 == 0) with integer triangle-inequality
+    //      IVF pruning; flagged train vectors only. Brute-force replay on
+    //      the quantized grid — recall-1 is part of what's checked. ----
+    Entry("q160_semantic_decontaminate",
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.epsilonJoin(
+            e.where(pmod(col("vec_id"), lit(10L)) =!= 0L),
+            e.where(pmod(col("vec_id"), lit(10L)) === 0L),
+            d2max = 120000000L, nlist = 8)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+             |d AS (SELECT c.vec_id AS vec_id,
+             |        CAST(list_sum([(c.v[i] - p.v[i]) * (c.v[i] - p.v[i])
+             |                       for i in range(1, len(c.v) + 1)])
+             |          AS BIGINT) AS d2
+             |      FROM c, p)
+             |SELECT vec_id, count(*) AS n_hits, min(d2) AS min_d2
+             |FROM d WHERE d2 <= 120000000
+             |GROUP BY 1 ORDER BY vec_id""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -208,4 +208,54 @@ class SamplingSpec extends SparkSpec {
       .select("split").distinct().count()
     assert(twins === 1L)
   }
+
+  test("stratifiedAlloc draws exactly n rows, quotas = largest-remainder") {
+    val n = 20L
+    val picked = Sampling.stratifiedAlloc(docs, "lang", "doc_id", n)
+    assert(picked.count() === n)
+    // driver-side recompute of the exact allocation
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigN = counts.values.sum
+    val base = counts.map { case (g, c) => g -> ((n * c) / bigN, (n * c) % bigN) }
+    val extra = (n - base.values.map(_._1).sum).toInt
+    val bumped = base.toSeq.sortBy { case (g, (_, r)) => (-r, g) }
+      .take(extra).map(_._1).toSet
+    val want = base.map { case (g, (b, _)) =>
+      g -> (b + (if (bumped(g)) 1L else 0L)) }.filter(_._2 > 0)
+    val got = picked.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // picks are the quota smallest hash buckets of each stratum
+    val quota = want
+    val expectIds = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val q = quota.getOrElse(g, 0L).toInt
+        rows.toSeq.map(_._2).sortBy(id => (bucketOf(id), id)).take(q)
+      }.toSet
+    assert(ids(picked) === expectIds)
+  }
+
+  private def bucketOf(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000000L
+  }
+
+  test("stratifiedAlloc is repartition-stable; salt redraws; edges hold") {
+    val a = Sampling.stratifiedAlloc(docs, "lang", "doc_id", 17L)
+    val b = Sampling.stratifiedAlloc(docs.repartition(13), "lang", "doc_id", 17L)
+    assert(a.collect().toSet === b.collect().toSet)
+    val salted = Sampling.stratifiedAlloc(docs, "lang", "doc_id", 17L, salt = "v2")
+    assert(ids(salted) !== ids(a), "different salt must redraw")
+    assert(salted.count() === 17L, "allocation is salt-independent")
+    val all = docs.count()
+    assert(Sampling.stratifiedAlloc(docs, "lang", "doc_id", all).count() === all)
+    assert(Sampling.stratifiedAlloc(docs, "lang", "doc_id", 0L).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedAlloc(docs, "lang", "doc_id", all + 1)
+    }
+  }
 }
