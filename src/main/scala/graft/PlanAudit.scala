@@ -570,6 +570,36 @@ object PlanAudit {
       }
       println(s"[audit] q157 shuffle count = ${shuffles.length} (expect 0)")
     }
+    section("q158 tokenClassifier (expect: vocab-sized weight table built " +
+      "by ONE term partial-agg, BROADCAST into the apply join; test docs " +
+      "exchange only on doc_id for their score sum; confusion agg tiny)") {
+      graft.pipeline.TextOps.tokenClassifier(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        "lang", "en", "de").explain("formatted")
+    }
+    section("q159 stratifiedAlloc (expect: quota table BROADCAST — the " +
+      "allocation itself ran driver-side over the strata-sized counts " +
+      "frame; ONE stratum-keyed exchange for the per-stratum rank window; " +
+      "no unpartitioned window anywhere)") {
+      graft.pipeline.Sampling.stratifiedAlloc(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        "lang", "doc_id", n = 100L).explain("formatted")
+    }
+    section("q160 epsilonJoin (expect: corpus NEVER shuffled — IVF assign " +
+      "is a narrow map, candidate join is BroadcastHashJoin on list_id " +
+      "with the probe side broadcast, then one vec_id partial-agg; the " +
+      "only other exchanges are the nlist-row radius agg)") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val plan = graft.pipeline.Ann.epsilonJoin(
+        e.where("vec_id % 10 <> 0"), e.where("vec_id % 10 = 0"),
+        d2max = 120000000L, nlist = 8)
+      plan.explain("formatted")
+      val bhj = plan.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      println(s"[audit] q160 broadcast-hash joins = ${bhj.length} (expect >= 1: " +
+        "probe candidates into the unshuffled corpus)")
+    }
     spark.stop()
   }
 }

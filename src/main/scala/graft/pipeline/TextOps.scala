@@ -967,9 +967,9 @@ object TextOps {
     val cnt = tok.groupBy("term").agg(
       sum(when(col("_cls") === classA, 1L).otherwise(0L)).as("_ca"),
       sum(when(col("_cls") === classB, 1L).otherwise(0L)).as("_cb"))
-    val tot = tok.groupBy().agg(
-      sum(when(col("_cls") === classA, 1L).otherwise(0L)).as("_na"),
-      sum(when(col("_cls") === classB, 1L).otherwise(0L)).as("_nb"))
+      .localCheckpoint() // one materialization feeds both totals and weights
+    // class totals fold the VOCAB-sized frame — no second corpus scan
+    val tot = cnt.groupBy().agg(sum("_ca").as("_na"), sum("_cb").as("_nb"))
     val w = cnt.crossJoin(broadcast(tot)) // 1-row scalar join
       .select(col("term"),
         (expr("_ca * 1000000 div _na") - expr("_cb * 1000000 div _nb"))
