@@ -963,27 +963,50 @@ object TextOps {
       .select(col("doc_id"), col(classCol).as("_cls"), col(text).as("_t"))
     val train = two.where(pmod(col("doc_id"), lit(testMod.toLong)) =!= 0L)
     val test = two.where(pmod(col("doc_id"), lit(testMod.toLong)) === 0L)
-    val tok = train.select(col("_cls"), explode(tokens(col("_t"))).as("term"))
+    val w = tokenWeights(train, "_cls", classA, classB, text = "_t")
+    val scored = scoreDocs(test.select(col("doc_id"), col("_cls"), col("_t")),
+      w, text = "_t")
+    scored
+      .select(col("_cls").as("true_class"),
+        when(col("score") >= 0L, classA).otherwise(classB).as("pred_class"),
+        col("score"))
+      .groupBy("true_class", "pred_class")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+  }
+
+  /** The classifier's weight table alone: per-token ppm-rate difference
+    * `⌊cntA·10⁶/NA⌋ − ⌊cntB·10⁶/NB⌋` over `train` (rows of both classes;
+    * see [[tokenClassifier]] for the contract). Vocab-sized — broadcast
+    * it into apply joins, or collect it for a streaming gate. */
+  def tokenWeights(train: DataFrame, classCol: String,
+                   classA: String, classB: String,
+                   text: String = "text"): DataFrame = {
+    val tok = train.select(col(classCol).as("_kcls"),
+      explode(tokens(col(text))).as("term"))
     val cnt = tok.groupBy("term").agg(
-      sum(when(col("_cls") === classA, 1L).otherwise(0L)).as("_ca"),
-      sum(when(col("_cls") === classB, 1L).otherwise(0L)).as("_cb"))
+      sum(when(col("_kcls") === classA, 1L).otherwise(0L)).as("_ca"),
+      sum(when(col("_kcls") === classB, 1L).otherwise(0L)).as("_cb"))
       .localCheckpoint() // one materialization feeds both totals and weights
     // class totals fold the VOCAB-sized frame — no second corpus scan
     val tot = cnt.groupBy().agg(sum("_ca").as("_na"), sum("_cb").as("_nb"))
-    val w = cnt.crossJoin(broadcast(tot)) // 1-row scalar join
+    cnt.crossJoin(broadcast(tot)) // 1-row scalar join
       .select(col("term"),
         (expr("_ca * 1000000 div _na") - expr("_cb * 1000000 div _nb"))
-          .as("_w"))
-    val scored = test
-      .select(col("doc_id"), col("_cls"), explode(tokens(col("_t"))).as("term"))
-      .join(broadcast(w), Seq("term"), "left")
-      .groupBy("doc_id", "_cls")
-      .agg(sum(coalesce(col("_w"), lit(0L))).as("_score"))
-    scored
-      .select(col("_cls").as("true_class"),
-        when(col("_score") >= 0L, classA).otherwise(classB).as("pred_class"),
-        col("_score"))
-      .groupBy("true_class", "pred_class")
-      .agg(count(lit(1)).as("n_docs"), sum("_score").as("sum_score"))
+          .as("weight"))
+  }
+
+  /** Score documents under a (term, weight) table: per-doc sum of the
+    * weights of its token occurrences (unseen tokens weigh 0). Appends
+    * `score`; weights broadcast, one doc_id partial-agg exchange. */
+  def scoreDocs(docs: DataFrame, weights: DataFrame,
+                text: String = "text"): DataFrame = {
+    require(!docs.columns.contains("term") && !docs.columns.contains("weight"),
+      "scoreDocs appends internal columns term/weight — rename the clash")
+    val keep = docs.columns.filterNot(_ == text).map(col).toSeq
+    docs
+      .select(keep :+ explode(tokens(col(text))).as("term"): _*)
+      .join(broadcast(weights), Seq("term"), "left")
+      .groupBy(keep: _*)
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
   }
 }
