@@ -843,6 +843,16 @@ object Ann {
           c, lit(" exceeds the int64-exact pruning bound 1.5e9 — " +
             "normalize the embeddings or shrink the quantization grid")))
           .cast("long")).otherwise(c)
+    // the pair identity n2c + n2p − 2·dot stays inside int64 while each
+    // squared norm ≤ 2e18 (sum magnitude ≤ 4·maxN2 < 2⁶³); a vector whose
+    // norm evades the distance guard (all mass shared with its centroid)
+    // raises here instead of wrapping
+    val guardN2 = (c: Column) =>
+      when(c > 2000000000000000000L || c < 0L,
+        raise_error(concat(lit("epsilonJoin: squared norm "), c,
+          lit(" exceeds the int64-exact bound 2e18 — normalize the " +
+            "embeddings or shrink the quantization grid")))
+          .cast("long")).otherwise(c)
     // per-list radius²: one tiny agg over the corpus assignment
     val r2 = asg.join(centDf, "list_id")
       .select(col("list_id"), guard(d2(col("ve"), col("ce")), "member").as("_d2c"))
@@ -860,10 +870,11 @@ object Ann {
       // (then _s ≤ A ≤ 1.5e9 and both sides stay inside int64)
       .where(when(col("_s") <= 0L, lit(true))
         .otherwise(col("_s") * col("_s") <= lit(4L) * col("r2") * d2max))
-      .select(col("list_id"), col("pid"), col("pe"), n2(col("pe")).as("_n2p")))
+      .select(col("list_id"), col("pid"), col("pe"),
+        guardN2(n2(col("pe"))).as("_n2p")))
     // candidate scoring: broadcast-hash join on list_id — the corpus side
     // stays exactly where the scan put it
-    asg.withColumn("_n2c", n2(col("ve")))
+    asg.withColumn("_n2c", guardN2(n2(col("ve"))))
       .join(pCand, "list_id")
       .withColumn("_d2", col("_n2c") + col("_n2p") -
         lit(2L) * dotFast(spark)(col("ve"), col("pe")))
