@@ -4568,7 +4568,54 @@ object Registry {
              |      FROM c, p)
              |SELECT vec_id, count(*) AS n_hits, min(d2) AS min_d2
              |FROM d WHERE d2 <= 120000000
-             |GROUP BY 1 ORDER BY vec_id""".stripMargin))
+             |GROUP BY 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---- full positional winnowing (Schleimer et al. SIGMOD'03): the
+    //      MOSS fingerprint SET — per-window minima over w=4 windows of
+    //      8-gram hashes, guaranteed density. Selection depends on hash
+    //      ORDER, so the oracle recomputes the identical 60-bit md5/rot60
+    //      gram hashes (q23's rendering) and replays the same lag/lead
+    //      run-length rule. ----
+    Entry("q161_winnow",
+      (s, d) => TextOps.winnowFingerprints(docs(s, d), n = 8, w = 4)
+        .orderBy("doc_id", "pos"),
+      Some {
+        val combine = (0 until 8)
+          .map(i => TextOps.rot60Sql(s"hs[i+$i]", (7 * i) % 60))
+          .reduce((x, y) => s"xor($x, $y)")
+        // run of consecutive lags (resp. leads) with hash >= g: sum of
+        // prefix-AND indicators, mirroring the Scala fold bit for bit
+        def run(p: String): String = (1 to 3).map { j =>
+          val conj = (1 to j)
+            .map(i => s"$p$i IS NOT NULL AND $p$i >= g").mkString(" AND ")
+          s"CASE WHEN $conj THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+           |h AS (SELECT doc_id, s,
+           |        [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in s] AS hs
+           |      FROM t),
+           |g0 AS (SELECT doc_id, unnest([{'pos': i - 1, 'g': $combine}
+           |          for i in range(1, len(hs) - 6)]) AS pg
+           |       FROM h WHERE len(s) >= 8),
+           |gr AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g0),
+           |wx AS (SELECT doc_id, pos, g,
+           |        lag(g, 1) OVER win AS l1, lag(g, 2) OVER win AS l2,
+           |        lag(g, 3) OVER win AS l3,
+           |        lead(g, 1) OVER win AS r1, lead(g, 2) OVER win AS r2,
+           |        lead(g, 3) OVER win AS r3,
+           |        count(*) OVER (PARTITION BY doc_id) AS cnt,
+           |        min(g) OVER (PARTITION BY doc_id) AS mn
+           |       FROM gr WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           |sel AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, g AS fp FROM wx
+           |        WHERE (${run("l")}) + (${run("r")}) >= 3
+           |           OR (cnt < 4 AND g = mn)),
+           |sh AS (SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+           |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+           |       FROM t WHERE len(s) < 8)
+           |SELECT doc_id, pos, fp
+           |FROM (SELECT * FROM sel UNION ALL SELECT * FROM sh)
+           |ORDER BY doc_id, pos""".stripMargin
+      })
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

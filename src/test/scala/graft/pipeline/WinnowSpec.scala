@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Full positional winnowing (TextOps.winnowFingerprints) against an
+  * independent driver-side reference: md5/rot60 gram hashes recomputed with
+  * java.security.MessageDigest, selection by literal enumeration of every
+  * full w-window (a position is kept iff it is a minimum of SOME window —
+  * ties all kept), plus the short-doc and few-gram fallbacks. */
+class WinnowSpec extends SparkSpec {
+
+  private def mkDocs(rows: (Long, String)*) = spark.createDataFrame(
+    java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*),
+    StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType))))
+
+  // --- independent hash replica (no Spark involved) ---
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+  private def rot60(h: Long, s: Int): Long =
+    if (s == 0) h
+    else ((h << s) & ((1L << 60) - 1)) | (h >>> (60 - s))
+  private def gramHashes(text: String, n: Int): Vector[Long] = {
+    val th = text.split(" ", -1).toVector.map(md5Long)
+    if (th.size < n) Vector.empty
+    else (0 to th.size - n).toVector.map { p =>
+      (0 until n).map(i => rot60(th(p + i), (7 * i) % 60)).reduce(_ ^ _)
+    }
+  }
+  /** Reference selection: minima of every full w-window, union; all ties. */
+  private def refWinnow(text: String, n: Int, w: Int): Set[(Long, Long)] = {
+    val tokCount = text.split(" ", -1).length
+    if (tokCount < n) return Set((0L, md5Long(text)))
+    val gs = gramHashes(text, n)
+    if (gs.size < w) {
+      val mn = gs.min
+      gs.zipWithIndex.collect { case (g, p) if g == mn => (p.toLong, g) }.toSet
+    } else {
+      (0 to gs.size - w).flatMap { s =>
+        val winMin = (s until s + w).map(gs).min
+        (s until s + w).collect { case p if gs(p) == winMin => (p.toLong, gs(p)) }
+      }.toSet
+    }
+  }
+
+  private def run(docs: org.apache.spark.sql.DataFrame, n: Int = 8, w: Int = 4)
+      : Map[Long, Set[(Long, Long)]] =
+    TextOps.winnowFingerprints(docs, n, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+
+  private val longText =
+    "the quick brown fox jumps over the lazy dog while the quick brown fox " +
+      "naps under the warm sun and the lazy dog jumps over the brown fence " +
+      "then every animal rests quietly beside the calm river bank at dusk"
+  private val repeatText = ("a b " * 20).trim // repeated grams → hash ties
+  private val exactText = "one two three four five six seven eight" // 8 tokens, 1 gram
+  private val shortText = "just five little words here"
+
+  test("winnow matches the window-enumeration reference on all shapes") {
+    val docs = mkDocs(1L -> longText, 2L -> repeatText, 3L -> exactText,
+      4L -> shortText)
+    val got = run(docs)
+    for ((id, txt) <- Seq(1L -> longText, 2L -> repeatText, 3L -> exactText,
+        4L -> shortText))
+      assert(got(id) == refWinnow(txt, 8, 4), s"doc $id")
+  }
+
+  test("every full window contains at least one selected fingerprint") {
+    val got = run(mkDocs(1L -> longText))(1L).map(_._1)
+    val nGrams = gramHashes(longText, 8).size
+    for (s <- 0 to nGrams - 4)
+      assert((s until s + 4).exists(p => got.contains(p.toLong)), s"window $s")
+  }
+
+  test("selection is repartition-invariant and respects w") {
+    val docs = mkDocs(1L -> longText, 2L -> repeatText)
+    val base = run(docs)
+    assert(run(docs.repartition(7)) == base)
+    val w6 = run(docs, w = 6)
+    for ((id, txt) <- Seq(1L -> longText, 2L -> repeatText))
+      assert(w6(id) == refWinnow(txt, 8, 6), s"doc $id w=6")
+    // wider window never selects more
+    assert(w6(1L).size <= base(1L).size)
+  }
+}
