@@ -254,4 +254,69 @@ object Sampling {
       .where(col("rnk") <= col("_quota"))
       .select(col(groupCol), col(key), col("rnk"))
   }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23 — the hashed-n-gram
+    * shape): score every doc in a RAW pool by how target-like its hashed
+    * bigram distribution is, and keep the top `n`.
+    *
+    * Features are hashed bigrams (`md5(tok ⊔ tok') mod buckets` — the
+    * paper's feature hashing, collisions and all); each bucket gets an
+    * integer weight `tgt_ppm − raw_ppm` (occurrence rates in parts per
+    * million over the target resp. raw corpus — the exact-integer
+    * surrogate for the paper's log-probability ratio, the [[TextOps
+    * .tokenClassifier]] discipline: ranking-faithful, bit-reproducible,
+    * |w| ≤ 1e6 at any corpus size so a doc's score stays int64-safe to
+    * ~9e12 grams). A doc's score is the sum of its occurrences' bucket
+    * weights — repeated grams count repeatedly, exactly as the
+    * importance weight multiplies per-token. Selection = top `n` by
+    * (score desc, doc_id): deterministic where the paper samples with
+    * Gumbel noise (swap in [[weightedSample]] over the score for the
+    * sampled variant).
+    *
+    * Shape at 100 TB: bigrams are a NARROW zip_with projection (no
+    * lead-window exchange); both corpora collapse to ≤`buckets`-row
+    * count frames in one partial-agg shuffle each; the weight table is
+    * buckets-sized and BROADCAST back onto the raw gram stream; per-doc
+    * settle is one doc_id-keyed partial-agg shuffle; the cut is
+    * TakeOrdered (never a global sort). localCheckpoint pins the two
+    * bucket-count frames so the total/weight actions don't rescan the
+    * corpora. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
+                 buckets: Int = 4096, text: String = "text"): DataFrame = {
+    require(n >= 0 && buckets >= 2, s"dsirSelect(n=$n, buckets=$buckets)")
+    def grams(df: DataFrame): DataFrame = {
+      val tk = TextOps.tokens(col(text))
+      val n1 = greatest(size(tk) - 1, lit(0))
+      // narrow bigram stream: zip the token array against its own tail
+      df.select(col("doc_id"),
+          explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+            (a, b) => concat(a, lit(" "), b))).as("_bg"))
+        .select(col("doc_id"),
+          pmod(TextOps.md5Long(col("_bg")), lit(buckets.toLong)).as("_bkt"))
+    }
+    def rates(df: DataFrame): (DataFrame, Long) = {
+      val c = df.groupBy("_bkt").agg(count(lit(1)).as("_c")).localCheckpoint()
+      val total = c.agg(coalesce(sum("_c"), lit(0L))).head().getLong(0)
+      (c, total)
+    }
+    val rawGrams = grams(raw)
+    val (tgtCnt, tgtN) = rates(grams(target))
+    val (rawCnt, rawN) = rates(rawGrams)
+    require(tgtN > 0 && rawN > 0, "dsirSelect: empty gram stream")
+    val weights = tgtCnt.withColumnRenamed("_c", "_ct")
+      .join(rawCnt.withColumnRenamed("_c", "_cr"), Seq("_bkt"), "full_outer")
+      .select(col("_bkt"),
+        expr(s"(coalesce(_ct, 0L) * 1000000L) div $tgtN" +
+          s" - (coalesce(_cr, 0L) * 1000000L) div $rawN").as("_w"))
+    val scored = rawGrams.join(broadcast(weights), Seq("_bkt"))
+      .groupBy("doc_id")
+      .agg(sum("_w").as("score"), count(lit(1)).as("n_grams"))
+    // docs with < 2 tokens have no grams: present with score 0, so the
+    // pool is complete and the cut is well-defined
+    raw.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+  }
 }

@@ -4615,7 +4615,45 @@ object Registry {
            |SELECT doc_id, pos, fp
            |FROM (SELECT * FROM sel UNION ALL SELECT * FROM sh)
            |ORDER BY doc_id, pos""".stripMargin
-      })
+      }),
+
+    // ---- DSIR-style data selection (Xie et al. NeurIPS'23 shape):
+    //      hashed-bigram ppm-rate weights (target='de' vs the raw rest),
+    //      per-doc occurrence-weighted scores, deterministic top-50 cut.
+    //      All-integer (floor-div rates, nonneg operands → // == div),
+    //      so the SQL replay is bit-exact. ----
+    Entry("q162_dsir_select",
+      (s, d) => {
+        val dd = docs(s, d)
+        Sampling.dsirSelect(dd.where(col("lang") =!= "de"),
+            dd.where(col("lang") === "de"), n = 50)
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS s
+             |           FROM documents),
+             |bg AS (SELECT doc_id, lang,
+             |         unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS b
+             |       FROM d),
+             |bk AS (SELECT doc_id, lang,
+             |         CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) % 4096 AS bkt
+             |       FROM bg),
+             |tc AS (SELECT bkt, count(*) AS ct FROM bk WHERE lang = 'de' GROUP BY 1),
+             |rc AS (SELECT bkt, count(*) AS cr FROM bk WHERE lang <> 'de' GROUP BY 1),
+             |tn AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tc),
+             |rn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
+             |w AS (SELECT coalesce(tc.bkt, rc.bkt) AS bkt,
+             |        (coalesce(ct, 0) * 1000000) // nt
+             |          - (coalesce(cr, 0) * 1000000) // nr AS w
+             |      FROM tc FULL OUTER JOIN rc ON tc.bkt = rc.bkt, tn, rn),
+             |sc AS (SELECT bk.doc_id, CAST(sum(w.w) AS BIGINT) AS score,
+             |         count(*) AS n_grams
+             |       FROM bk JOIN w ON bk.bkt = w.bkt
+             |       WHERE bk.lang <> 'de' GROUP BY 1),
+             |pool AS (SELECT doc_id FROM documents WHERE lang <> 'de')
+             |SELECT p.doc_id, coalesce(sc.score, 0) AS score,
+             |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams
+             |FROM pool p LEFT JOIN sc ON p.doc_id = sc.doc_id
+             |ORDER BY score DESC, p.doc_id LIMIT 50""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
