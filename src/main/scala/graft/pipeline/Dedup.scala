@@ -475,6 +475,41 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Multi-benchmark decontamination with per-suite attribution: one pass
+    * over the corpus gram stream scores every document against EVERY eval
+    * suite at once, emitting (doc_id, suite, n_grams, n_overlap,
+    * contam_frac) for each contaminated pair — the report a release
+    * pipeline needs ("which benchmark leaked into this shard"), where
+    * [[decontaminate]] answers only the single-suite yes/no.
+    *
+    * Same machinery as the single-suite tier: per-doc DISTINCT 8-gram
+    * hashes, suite gram sets (suite, gram)-distinct and BROADCAST (eval
+    * suites are small by nature; a gram shared by k suites fans its
+    * corpus row out k times — bounded by the suite count). Totals are one
+    * doc-keyed count; the settle joins the contaminated-pairs-sized
+    * overlap frame back (AQE broadcasts it). The corpus is scanned once
+    * for grams and never shuffles on gram.
+    *
+    * @param benchmark docs with a `suiteCol` label; a doc_id may appear
+    *        under several suites */
+  def decontaminateMulti(corpus: DataFrame, benchmark: DataFrame,
+                         suiteCol: String = "suite", n: Int = 8,
+                         text: String = "text"): DataFrame = {
+    val corpusGrams = shingleHashRows(corpus, n, text)
+    val benchGrams = shingleHashRows(
+        benchmark.select(col("doc_id"), col(text)).distinct(), n, text)
+      .join(benchmark.select(col("doc_id"), col(suiteCol)), Seq("doc_id"))
+      .select(col(suiteCol), col("gram")).distinct()
+    val totals = corpusGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val overlap = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"), col(suiteCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    overlap.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col(suiteCol), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("contam_frac"))
+  }
+
   /** [[decontaminate]]'s SCALE tier for benchmarks whose distinct gram set
     * is too large to broadcast exactly (the exact tier ships 8 bytes per
     * gram to every executor; past a few hundred million grams that

@@ -4653,7 +4653,47 @@ object Registry {
              |SELECT p.doc_id, coalesce(sc.score, 0) AS score,
              |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams
              |FROM pool p LEFT JOIN sc ON p.doc_id = sc.doc_id
-             |ORDER BY score DESC, p.doc_id LIMIT 50""".stripMargin))
+             |ORDER BY score DESC, p.doc_id LIMIT 50""".stripMargin)),
+
+    // ---- multi-benchmark decontamination: per-(doc, suite) overlap
+    //      attribution in ONE corpus pass (two synthetic suites from
+    //      doc_id residues; a doc divisible by both lands in both).
+    //      Spark marks 60-bit gram hashes, the oracle textual grams —
+    //      q15's injectivity argument ----
+    Entry("q163_decontaminate_multi",
+      (s, d) => {
+        val all = docs(s, d)
+        val bench = all.where(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("suite", lit("sA"))
+          .unionByName(all.where(pmod(col("doc_id"), lit(17)) === 0)
+            .withColumn("suite", lit("sB")))
+        Dedup.decontaminateMulti(
+            all.where(pmod(col("doc_id"), lit(13)) =!= 0 &&
+              pmod(col("doc_id"), lit(17)) =!= 0),
+            bench, n = 8)
+          .orderBy("doc_id", "suite")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+             |g8 AS (SELECT doc_id, CASE WHEN len(s) >= 8
+             |         THEN list_distinct([s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]
+             |                             for i in range(1, len(s)-6)])
+             |         ELSE [text] END AS st
+             |       FROM d),
+             |bench AS (SELECT DISTINCT 'sA' AS suite, unnest(st) AS g
+             |          FROM g8 WHERE doc_id % 13 = 0
+             |          UNION
+             |          SELECT DISTINCT 'sB' AS suite, unnest(st) AS g
+             |          FROM g8 WHERE doc_id % 17 = 0),
+             |corp AS (SELECT doc_id, st FROM g8
+             |         WHERE doc_id % 13 != 0 AND doc_id % 17 != 0),
+             |cg AS (SELECT doc_id, unnest(st) AS g FROM corp),
+             |hits AS (SELECT doc_id, suite, CAST(count(*) AS BIGINT) AS n_overlap
+             |         FROM cg JOIN bench USING (g) GROUP BY 1, 2)
+             |SELECT h.doc_id, h.suite, CAST(len(c.st) AS BIGINT) AS n_grams,
+             |  h.n_overlap,
+             |  CAST(h.n_overlap AS DOUBLE) / len(c.st) AS contam_frac
+             |FROM hits h JOIN corp c USING (doc_id)
+             |ORDER BY doc_id, suite""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
