@@ -255,6 +255,34 @@ object Sampling {
       .select(col(groupCol), col(key), col("rnk"))
   }
 
+  /** Balanced training-shard assignment: partition the corpus into
+    * `nShards` contiguous blocks of the [[deterministicShuffle]] order,
+    * sizes EXACTLY ⌊N/S⌋ or ⌈N/S⌉ — the layout a training job wants for
+    * its input files (reader k streams shard k in the global shuffled
+    * order with no cross-file coordination; epoch re-shards by salt).
+    *
+    * All integer: `shard_id = ⌊pos·S / N⌋` (monotone in pos ⇒ shards are
+    * contiguous; exactly balanced by the floor-division staircase) and
+    * `pos_in_shard = pos − ⌈shard_id·N / S⌉` (the shard's first global
+    * position). `S·N < 2⁶³` is enforced — beyond that the product wraps.
+    *
+    * Shape at 100 TB: everything rides the shuffle's one range exchange;
+    * the two assignment columns are narrow arithmetic over `shuffle_pos`
+    * (no second shuffle, no per-shard grouping). Writing shard files is
+    * then `repartitionByRange(col("shard_id"))` + partitioned write. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+                  salt: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val n = df.count()
+    require(n <= Long.MaxValue / math.max(nShards, 1),
+      s"shardAssign: nShards·N overflows int64 (n=$n, nShards=$nShards)")
+    val nn = math.max(n, 1L) // empty input: no rows reach the expressions
+    deterministicShuffle(df, idCol, salt)
+      .withColumn("shard_id", expr(s"(shuffle_pos * $nShards) div $nn"))
+      .withColumn("pos_in_shard",
+        expr(s"shuffle_pos - (shard_id * $nn + ${nShards - 1}) div $nShards"))
+  }
+
   /** DSIR-style data selection (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS'23 — the hashed-n-gram
     * shape): score every doc in a RAW pool by how target-like its hashed

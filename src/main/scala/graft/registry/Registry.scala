@@ -4693,7 +4693,26 @@ object Registry {
              |  h.n_overlap,
              |  CAST(h.n_overlap AS DOUBLE) / len(c.st) AS contam_frac
              |FROM hits h JOIN corp c USING (doc_id)
-             |ORDER BY doc_id, suite""".stripMargin))
+             |ORDER BY doc_id, suite""".stripMargin)),
+
+    // ---- balanced training-shard assignment: contiguous blocks of the
+    //      deterministic shuffle order, sizes exactly ⌊N/7⌋/⌈N/7⌉ by the
+    //      floor-division staircase; window SQL replay (all operands
+    //      nonneg → // == div) ----
+    Entry("q164_shard_assign",
+      (s, d) => Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id",
+          nShards = 7, salt = "ep1")
+        .orderBy("shuffle_pos"),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY
+             |      CAST('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             |      doc_id) - 1 AS BIGINT) AS shuffle_pos
+             |  FROM documents),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+             |SELECT doc_id, shuffle_pos,
+             |  (shuffle_pos * 7) // n AS shard_id,
+             |  shuffle_pos - (((shuffle_pos * 7) // n) * n + 6) // 7 AS pos_in_shard
+             |FROM p, t ORDER BY shuffle_pos""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
