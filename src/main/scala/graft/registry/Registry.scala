@@ -4712,7 +4712,46 @@ object Registry {
              |SELECT doc_id, shuffle_pos,
              |  (shuffle_pos * 7) // n AS shard_id,
              |  shuffle_pos - (((shuffle_pos * 7) // n) * n + 6) // 7 AS pos_in_shard
-             |FROM p, t ORDER BY shuffle_pos""".stripMargin))
+             |FROM p, t ORDER BY shuffle_pos""".stripMargin)),
+
+    // ---- TPC-H Q22 shape: customers above their segment's positive-
+    //      balance average (scalar-subquery-as-broadcast-join, exact by
+    //      integer cross-multiply — no avg division) with NO urgent
+    //      orders (anti join; the priority filter pushes into the scan
+    //      before the anti join builds). The semi/anti relational
+    //      surface. ----
+    Entry("q165_antijoin_balance",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .withColumn("bal_cents",
+            round(col("c_acctbal") * 100, 0).cast("long"))
+        val o = s.read.parquet(s"$d/orders.parquet")
+        val seg = c.where(col("bal_cents") > 0L)
+          .groupBy("c_mktsegment")
+          .agg(sum("bal_cents").as("_s"), count(lit(1)).as("_n"))
+        c.join(broadcast(seg), Seq("c_mktsegment"))
+          .where(col("bal_cents") * col("_n") > col("_s"))
+          .join(o.where(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("bal_cents").as("sum_bal_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |  FROM customer),
+             |seg AS (SELECT c_mktsegment, CAST(sum(bal_cents) AS BIGINT) AS s,
+             |          CAST(count(*) AS BIGINT) AS n
+             |        FROM c WHERE bal_cents > 0 GROUP BY 1)
+             |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+             |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+             |FROM c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+             |WHERE bal_cents * n > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
