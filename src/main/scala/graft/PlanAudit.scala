@@ -27,6 +27,20 @@ object PlanAudit {
       body
     }
 
+    // Count physical operators from the FORMATTED explain string: a
+    // `.collect` over `executedPlan` sees only the AdaptiveSparkPlanExec
+    // wrapper before execution (children empty until the first stage
+    // runs), so node-matching undercounts to 0 under AQE.
+    def countOps(df: org.apache.spark.sql.DataFrame, op: String): Int = {
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // tree lines read "<Op> [qualifiers] (12)"; details repeat as
+      // "(12) <Op>" — count only the id-terminated tree lines
+      val opRe = ("\\b" + op + "\\b").r
+      s.linesIterator.count(l => l.trim.matches(".*\\(\\d+\\)$") &&
+        opRe.findFirstIn(l).isDefined)
+    }
+
     section("S1/F1 scoped raw scan (expect PushedFilters on time + tb pruning)") {
       Scoped.scopedRange(hta.raw, Registry.B, Registry.E,
         IntervalScope(graft.model.Scope.Closed, graft.model.Scope.Open),
@@ -565,10 +579,8 @@ object PlanAudit {
       val plan = graft.pipeline.Multimodal.extractFeatures(media, dim = 16,
         fallback = graft.pipeline.Multimodal.mp4Decoder)
       plan.explain("formatted")
-      val shuffles = plan.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      println(s"[audit] q157 shuffle count = ${shuffles.length} (expect 0)")
+      println(s"[audit] q157 shuffle count = ${countOps(plan, "Exchange")} " +
+        "(expect 0)")
     }
     section("q158 tokenClassifier (expect: vocab-sized weight table built " +
       "by ONE term partial-agg, BROADCAST into the apply join; test docs " +
@@ -594,11 +606,61 @@ object PlanAudit {
         e.where("vec_id % 10 <> 0"), e.where("vec_id % 10 = 0"),
         d2max = 120000000L, nlist = 8)
       plan.explain("formatted")
-      val bhj = plan.queryExecution.executedPlan.collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
-      }
-      println(s"[audit] q160 broadcast-hash joins = ${bhj.length} (expect >= 1: " +
+      println("[audit] q160 broadcast-hash joins = " +
+        s"${countOps(plan, "BroadcastHashJoin")} (expect >= 1: " +
         "probe candidates into the unshuffled corpus)")
+    }
+    section("q161 winnowFingerprints (expect: ONE doc_id exchange; the " +
+      "lag/lead chain and run arithmetic are narrow over that single " +
+      "sort — no self-join, no per-window explode)") {
+      val plan = graft.pipeline.TextOps.winnowFingerprints(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      plan.explain("formatted")
+      println(s"[audit] q161 shuffle count = ${countOps(plan, "Exchange")} " +
+        "(expect <= 2: gram-build window + union-side partitioning)")
+    }
+    section("q162 dsirSelect (expect: bigrams NARROW zip_with — no " +
+      "lead-window exchange; two buckets-sized count frames; weight " +
+      "table BROADCAST onto the raw gram stream; TakeOrdered cut, never " +
+      "a global sort)") {
+      val dd = spark.read.parquet(s"$sfDir/documents.parquet")
+      val plan = graft.pipeline.Sampling.dsirSelect(
+        dd.where("lang <> 'de'"), dd.where("lang = 'de'"), n = 50)
+      plan.explain("formatted")
+      println("[audit] q162 TakeOrderedAndProject = " +
+        s"${countOps(plan, "TakeOrderedAndProject")} (expect >= 1: the cut " +
+        "is the top-k operator, never a global sort)")
+    }
+    section("q163 decontaminateMulti (expect: suite gram sets BROADCAST; " +
+      "corpus grams never shuffle on gram; one doc-keyed total count + " +
+      "one (doc, suite) overlap count)") {
+      val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bench = all.where("doc_id % 13 = 0").withColumn("suite", lit("sA"))
+        .unionByName(all.where("doc_id % 17 = 0").withColumn("suite", lit("sB")))
+      graft.pipeline.Dedup.decontaminateMulti(
+        all.where("doc_id % 13 <> 0 AND doc_id % 17 <> 0"), bench, n = 8)
+        .explain("formatted")
+    }
+    section("q164 shardAssign (expect: the deterministicShuffle range " +
+      "exchange is the ONLY exchange — shard_id/pos_in_shard are narrow " +
+      "integer arithmetic over shuffle_pos)") {
+      graft.pipeline.Sampling.shardAssign(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id"),
+        "doc_id", nShards = 7, salt = "ep1").explain("formatted")
+    }
+    section("q165 anti-join balance (expect: segment scalar agg BROADCAST " +
+      "back; URGENT filter PUSHED into the orders scan before the anti " +
+      "join builds; anti join on custkey)") {
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        .withColumn("bal_cents", round(col("c_acctbal") * 100, 0).cast("long"))
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val seg = c.where(col("bal_cents") > 0L).groupBy("c_mktsegment")
+        .agg(sum("bal_cents").as("_s"), count(lit(1)).as("_n"))
+      c.join(broadcast(seg), Seq("c_mktsegment"))
+        .where(col("bal_cents") * col("_n") > col("_s"))
+        .join(o.where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").count().explain("formatted")
     }
     spark.stop()
   }
