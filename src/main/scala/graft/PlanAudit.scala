@@ -648,6 +648,12 @@ object PlanAudit {
         spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id"),
         "doc_id", nShards = 7, salt = "ep1").explain("formatted")
     }
+    section("q166 winnowOverlapPairs (expect: fingerprint frame " +
+      "localCheckpointed ONCE — no triple winnow recompute; self-join " +
+      "keyed on the 60-bit fp; per-doc count joins AQE-broadcast)") {
+      graft.pipeline.Dedup.winnowOverlapPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet")).explain("formatted")
+    }
     section("q165 anti-join balance (expect: segment scalar agg BROADCAST " +
       "back; URGENT filter PUSHED into the orders scan before the anti " +
       "join builds; anti join on custkey)") {

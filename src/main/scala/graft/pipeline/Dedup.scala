@@ -510,6 +510,47 @@ object Dedup {
         (col("n_overlap").cast("double") / col("n_grams")).as("contam_frac"))
   }
 
+  /** MOSS-style overlap pairs over winnowing fingerprints: document pairs
+    * sharing ≥ `minShared` selected fingerprints ([[TextOps
+    * .winnowFingerprints]]), with exact-integer containment
+    * `overlap_e6 = n_shared·10⁶ div min(n_a, n_b)` — the plagiarism/
+    * excerpt-detection report. Winnowing's guarantee transfers: any
+    * shared run of `n + w − 1` tokens yields a shared fingerprint, so
+    * at minShared=1 recall over such runs is 1 while the join runs on
+    * the ~2/(w+1)-density fingerprint sets instead of the full gram
+    * streams.
+    *
+    * Shape at 100 TB: the distinct fingerprint frame is localCheckpointed
+    * once (three consumers — per-doc counts and both join sides — would
+    * otherwise re-run the winnow window thrice); the self-join keys on
+    * the 60-bit fp with `doc_a < doc_b`; `maxDf` drops fingerprints in
+    * more than that many docs (boilerplate hubs — the documented recall
+    * trade, the q15/q38 cap discipline), bounding pair fan-out by
+    * df² ≤ maxDf·df. Per-doc counts are answer-sized and AQE-broadcast. */
+  def winnowOverlapPairs(docs: DataFrame, n: Int = 8, w: Int = 4,
+                         minShared: Long = 1L, maxDf: Int = 1000,
+                         text: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"winnowOverlapPairs(minShared=$minShared, maxDf=$maxDf)")
+    val fps = TextOps.winnowFingerprints(docs, n, w, text)
+      .select("doc_id", "fp").distinct().localCheckpoint()
+    val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("_nf"))
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf).select("fp"), Seq("fp"))
+    val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("_nf").as("n_a")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("_nf").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("(n_shared * 1000000L) div least(n_a, n_b)").as("overlap_e6"))
+  }
+
   /** [[decontaminate]]'s SCALE tier for benchmarks whose distinct gram set
     * is too large to broadcast exactly (the exact tier ships 8 bytes per
     * gram to every executor; past a few hundred million grams that

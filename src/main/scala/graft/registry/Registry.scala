@@ -428,6 +428,45 @@ object Registry {
   /** q46/q59's shared oracle: both tiers have the same output contract —
     * the Bloom filter only prunes the overlap join's input and the exact
     * verify removes every false positive, so one SQL covers both. */
+  /** Shared winnowing-CTE chain (q161/q166): recomputes the identical
+    * md5/rot60 8-gram hashes and replays the lag/lead run-length
+    * selection rule (w=4); exposes `sel` (selected gram fingerprints)
+    * and `sh` (short-doc whole-text fallbacks). */
+  private val winnowFpCtes: String = {
+    val combine = (0 until 8)
+      .map(i => TextOps.rot60Sql(s"hs[i+$i]", (7 * i) % 60))
+      .reduce((x, y) => s"xor($x, $y)")
+    // run of consecutive lags (resp. leads) with hash >= g: sum of
+    // prefix-AND indicators, mirroring the Scala fold bit for bit
+    def run(p: String): String = (1 to 3).map { j =>
+      val conj = (1 to j)
+        .map(i => s"$p$i IS NOT NULL AND $p$i >= g").mkString(" AND ")
+      s"CASE WHEN $conj THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+       |h AS (SELECT doc_id, s,
+       |        [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in s] AS hs
+       |      FROM t),
+       |g0 AS (SELECT doc_id, unnest([{'pos': i - 1, 'g': $combine}
+       |          for i in range(1, len(hs) - 6)]) AS pg
+       |       FROM h WHERE len(s) >= 8),
+       |gr AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g0),
+       |wx AS (SELECT doc_id, pos, g,
+       |        lag(g, 1) OVER win AS l1, lag(g, 2) OVER win AS l2,
+       |        lag(g, 3) OVER win AS l3,
+       |        lead(g, 1) OVER win AS r1, lead(g, 2) OVER win AS r2,
+       |        lead(g, 3) OVER win AS r3,
+       |        count(*) OVER (PARTITION BY doc_id) AS cnt,
+       |        min(g) OVER (PARTITION BY doc_id) AS mn
+       |       FROM gr WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |sel AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, g AS fp FROM wx
+       |        WHERE (${run("l")}) + (${run("r")}) >= 3
+       |           OR (cnt < 4 AND g = mn)),
+       |sh AS (SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+       |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+       |       FROM t WHERE len(s) < 8)""".stripMargin
+  }
+
   private val decontamOracleSql: String =
     """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
       |g8 AS (SELECT doc_id, CASE WHEN len(s) >= 8
@@ -4579,43 +4618,10 @@ object Registry {
     Entry("q161_winnow",
       (s, d) => TextOps.winnowFingerprints(docs(s, d), n = 8, w = 4)
         .orderBy("doc_id", "pos"),
-      Some {
-        val combine = (0 until 8)
-          .map(i => TextOps.rot60Sql(s"hs[i+$i]", (7 * i) % 60))
-          .reduce((x, y) => s"xor($x, $y)")
-        // run of consecutive lags (resp. leads) with hash >= g: sum of
-        // prefix-AND indicators, mirroring the Scala fold bit for bit
-        def run(p: String): String = (1 to 3).map { j =>
-          val conj = (1 to j)
-            .map(i => s"$p$i IS NOT NULL AND $p$i >= g").mkString(" AND ")
-          s"CASE WHEN $conj THEN 1 ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
-           |h AS (SELECT doc_id, s,
-           |        [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in s] AS hs
-           |      FROM t),
-           |g0 AS (SELECT doc_id, unnest([{'pos': i - 1, 'g': $combine}
-           |          for i in range(1, len(hs) - 6)]) AS pg
-           |       FROM h WHERE len(s) >= 8),
-           |gr AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g0),
-           |wx AS (SELECT doc_id, pos, g,
-           |        lag(g, 1) OVER win AS l1, lag(g, 2) OVER win AS l2,
-           |        lag(g, 3) OVER win AS l3,
-           |        lead(g, 1) OVER win AS r1, lead(g, 2) OVER win AS r2,
-           |        lead(g, 3) OVER win AS r3,
-           |        count(*) OVER (PARTITION BY doc_id) AS cnt,
-           |        min(g) OVER (PARTITION BY doc_id) AS mn
-           |       FROM gr WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-           |sel AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, g AS fp FROM wx
-           |        WHERE (${run("l")}) + (${run("r")}) >= 3
-           |           OR (cnt < 4 AND g = mn)),
-           |sh AS (SELECT doc_id, CAST(0 AS BIGINT) AS pos,
-           |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
-           |       FROM t WHERE len(s) < 8)
-           |SELECT doc_id, pos, fp
-           |FROM (SELECT * FROM sel UNION ALL SELECT * FROM sh)
-           |ORDER BY doc_id, pos""".stripMargin
-      }),
+      Some(s"""WITH $winnowFpCtes
+              |SELECT doc_id, pos, fp
+              |FROM (SELECT * FROM sel UNION ALL SELECT * FROM sh)
+              |ORDER BY doc_id, pos""".stripMargin)),
 
     // ---- DSIR-style data selection (Xie et al. NeurIPS'23 shape):
     //      hashed-bigram ppm-rate weights (target='de' vs the raw rest),
@@ -4751,7 +4757,31 @@ object Registry {
              |  AND NOT EXISTS (SELECT 1 FROM orders o
              |                  WHERE o.o_custkey = c.c_custkey
              |                    AND o.o_orderpriority = '1-URGENT')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- MOSS-style overlap report over the q161 fingerprints: pairs
+    //      sharing winnow picks, exact-integer containment. maxDf=1000
+    //      is a no-op on testdata (max fp df is 4), so the exact SQL
+    //      replay is the oracle; the cap behavior is spec-pinned ----
+    Entry("q166_winnow_overlap",
+      (s, d) => Dedup.winnowOverlapPairs(docs(s, d), n = 8, w = 4,
+          minShared = 1L)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $winnowFpCtes,
+              |f AS (SELECT DISTINCT doc_id, fp FROM
+              |        (SELECT doc_id, fp FROM sel
+              |         UNION ALL SELECT doc_id, fp FROM sh)),
+              |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+              |       FROM f GROUP BY 1),
+              |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(count(*) AS BIGINT) AS n_shared
+              |       FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, n_shared, na.nf AS n_a, nb.nf AS n_b,
+              |  (n_shared * 1000000) // least(na.nf, nb.nf) AS overlap_e6
+              |FROM pr JOIN nf na ON doc_a = na.doc_id
+              |        JOIN nf nb ON doc_b = nb.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

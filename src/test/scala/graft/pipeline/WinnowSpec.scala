@@ -78,6 +78,45 @@ class WinnowSpec extends SparkSpec {
       assert((s until s + 4).exists(p => got.contains(p.toLong)), s"window $s")
   }
 
+  test("overlap pairs: planted excerpt found, counts match the reference") {
+    // doc 2 quotes an 11-token run of doc 1 (n + w - 1 = 11 ⇒ at least
+    // one shared winnow pick is GUARANTEED); doc 3 is unrelated
+    val excerpt = longText.split(" ").slice(5, 16).mkString(" ")
+    val docs = mkDocs(1L -> longText,
+      2L -> ("completely fresh framing text then " + excerpt +
+        " and an unrelated coda of more words"),
+      3L -> "nothing in common with anything else here at all in any way")
+    val got = Dedup.winnowOverlapPairs(docs, n = 8, w = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    // reference: intersect the per-doc reference fingerprint SETS
+    val f1 = refWinnow(longText, 8, 4).map(_._2)
+    val f2 = refWinnow(docs.collect().find(_.getLong(0) == 2L).get
+      .getString(1), 8, 4).map(_._2)
+    val shared = (f1 & f2).size.toLong
+    assert(shared >= 1)
+    val (ns, na, nb, ov) = got((1L, 2L))
+    assert(ns == shared && na == f1.size && nb == f2.size)
+    assert(ov == ns * 1000000L / math.min(na, nb))
+  }
+
+  test("overlap pairs: maxDf drops boilerplate-hub fingerprints") {
+    // the same 11-token boilerplate in ALL 4 docs → its picks have df 4
+    val boiler = "shared boilerplate header row of exactly eleven tokens total"
+    assert(boiler.split(" ").length == 9) // 9 tokens: n+w-1=11 not met alone
+    val pad = "unique filler UNIQ%d alpha beta gamma delta epsilon zeta"
+    val docs = mkDocs((1L to 4L).map(i =>
+      i -> (boiler + " shared two " + pad.format(i))): _*)
+    val exact = Dedup.winnowOverlapPairs(docs, n = 8, w = 4, maxDf = 1000)
+      .collect()
+    assert(exact.nonEmpty) // 11-token shared prefix ⇒ guaranteed pick
+    val capped = Dedup.winnowOverlapPairs(docs, n = 8, w = 4, maxDf = 3)
+      .collect()
+    // every shared fingerprint sits in all 4 docs → df 4 > 3 → all dropped
+    assert(capped.isEmpty)
+  }
+
   test("selection is repartition-invariant and respects w") {
     val docs = mkDocs(1L -> longText, 2L -> repeatText)
     val base = run(docs)
