@@ -175,4 +175,54 @@ object StreamSketch {
           }
       }
   }
+
+  // ---- streaming Count-Min (the q85 sketch, live) ----
+
+  final case class CmEv(metric: String, v: String)
+  // public: the state encoder's generated code instantiates these
+  final case class CmRegs(cnt: Array[Long])
+  final case class CmOut(metric: String, j: Int, cell: Long, cnt: Long)
+
+  /** Live per-metric Count-Min frequency registers — the hot-key /
+    * frequency monitor ("how often is THIS value arriving right now")
+    * the batch q85 sketch answers offline. State per metric is the
+    * depth×width long register table: bounded by geometry, additive.
+    * Addition is order- and slicing-invariant, so the settled register
+    * table is BIT-EQUAL to batch [[graft.pipeline.Sketches
+    * .countMinRegisters]] over the same rows under any micro-batch
+    * slicing (spec-pinned); the hash mirrors the batch column
+    * expression digit for digit (`md5Long(v#j) mod width`). Emission is
+    * update-mode and touched-cells-only — an upsert changelog of the
+    * register table (counts only grow, so latest emission per
+    * (metric, j, cell) IS the current count); point estimates are
+    * `min_j cnt(j, h_j(v))` exactly as in the batch probe. Unlike the
+    * max-merge HLL tier a REPLAYED batch would re-add — exactly-once
+    * here is the state checkpoint's guarantee, not idempotence; the
+    * changelog consumer must upsert, never sum. */
+  def countMin(events: Dataset[CmEv], depth: Int = 4,
+               width: Int = 64): Dataset[CmOut] = {
+    require(depth >= 1 && width >= 1, s"bad geometry d=$depth w=$width")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (metric: String, it: Iterator[CmEv], state: GroupState[CmRegs]) =>
+          val regs = state.getOption.map(_.cnt)
+            .getOrElse(new Array[Long](depth * width))
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
+          for (e <- it if e.v != null; j <- 0 until depth) {
+            val cell = (md5Long60(e.v + "#" + j) % width).toInt
+            val idx = j * width + cell
+            regs(idx) += 1
+            touched += idx
+          }
+          if (touched.isEmpty) Iterator.empty
+          else {
+            state.update(CmRegs(regs))
+            touched.toVector.iterator.map(idx =>
+              CmOut(metric, idx / width, (idx % width).toLong, regs(idx)))
+          }
+      }
+  }
 }

@@ -130,4 +130,52 @@ class StreamSketchSpec extends SparkSpec {
         r(0).getLong(2) === 10L)
     } finally q.stop()
   }
+
+  test("streamed Count-Min registers == batch countMinRegisters per metric") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rng = new scala.util.Random(17L)
+    val all = (1 to 600).map { _ =>
+      StreamSketch.CmEv(if (rng.nextBoolean()) "m1" else "m2",
+        s"v${rng.nextInt(40)}")
+    }
+    val batch: Map[String, Map[(Int, Long), Long]] =
+      Seq("m1", "m2").map { m =>
+        m -> graft.pipeline.Sketches.countMinRegisters(
+            all.filter(_.metric == m).map(_.v).toDF("v"), "v",
+            depth = 4, width = 32)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      }.toMap
+    for (cut <- Seq(1, 211, 600)) {
+      val mem = MemoryStream[StreamSketch.CmEv]
+      val q = StreamSketch.countMin(mem.toDS(), depth = 4, width = 32).toDF()
+        .writeStream.format("memory").queryName(s"cm_$cut")
+        .outputMode("update").start()
+      try {
+        val (a, b) = all.splitAt(cut)
+        mem.addData(a: _*); q.processAllAvailable()
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // upsert semantics: latest (== max, counts only grow) per cell
+      val got = s.table(s"cm_$cut")
+        .groupBy("metric", "j", "cell").agg(max("cnt").as("cnt"))
+        .collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getLong(2)), r.getLong(3)))
+        .groupBy(_._1)
+        .map { case (m, rs) => m -> rs.map(t => t._2 -> t._3).toMap }
+      assert(got === batch, s"slicing at $cut")
+      // point estimate parity on a hot probe: min over depth rows
+      val est = (0 until 4).map { j =>
+        val cell = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"v1#$j".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(15), 16) % 32
+        got("m1").getOrElse((j, cell), 0L)
+      }.min
+      val exact = all.count(e => e.metric == "m1" && e.v == "v1").toLong
+      assert(est >= exact, s"CMS must never underestimate (slicing $cut)")
+    }
+  }
 }
