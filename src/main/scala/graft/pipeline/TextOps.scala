@@ -96,6 +96,48 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
 
+  /** Vocabulary coverage curve — the tokenizer-size sweep: for each
+    * candidate vocabulary size k, the fraction of corpus token
+    * OCCURRENCES covered by the top-k tokens (tf desc, token asc — the
+    * [[vocabulary]] order, so "the top-k tokens" here IS the table
+    * [[vocabularyWithIds]] would ship). The curve is what picks a
+    * tokenizer budget: coverage_e6 at k answers "what OOV rate do I buy
+    * at vocab size k".
+    *
+    * Exact integers: covered = cumulative tf at rank min(k, V),
+    * coverage_e6 = covered·10⁶ div N. One corpus-token partial-agg
+    * shuffle builds the count table; the rank/cum windows run
+    * UNPARTITIONED over the VOCABULARY-sized frame (bounded by type
+    * count, never corpus rows — the [[vocabularyWithIds]] argument);
+    * V and N are a 1-row driver collect off the localCheckpointed
+    * counts, and each requested k becomes a LITERAL rank lookup. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int],
+                    text: String = "text"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val spark = docs.sparkSession
+    val counts = docs.select(explode(tokens(col(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // vocabulary-sized; 3 consumers below
+    val Row2 = counts.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
+    val (v, n) = (Row2.getLong(0), Row2.getLong(1))
+    require(n > 0, "vocabCoverage: empty token stream")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token")) // vocab-sized frame (bounded)
+    val ranked = counts
+      .withColumn("_rank", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum("tf").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val lookups = ks.distinct.sorted.map { k =>
+      val kk = math.min(k.toLong, v)
+      ranked.where(col("_rank") === kk)
+        .select(lit(k.toLong).as("k"), lit(v).as("n_types"),
+          col("_cum").as("covered"), lit(n).as("n_occurrences"),
+          expr(s"(_cum * 1000000L) div ${n}L").as("coverage_e6"))
+    }
+    lookups.reduce(_ unionByName _)
+  }
+
   /** [[vocabulary]] with dense integer ids assigned by rank (tf desc, token
     * asc — the same TOTAL order, so ids are deterministic): id 0 is the most
     * frequent token. The id window runs unpartitioned over the top-k table —

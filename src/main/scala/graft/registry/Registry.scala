@@ -4781,7 +4781,32 @@ object Registry {
               |  (n_shared * 1000000) // least(na.nf, nb.nf) AS overlap_e6
               |FROM pr JOIN nf na ON doc_a = na.doc_id
               |        JOIN nf nb ON doc_b = nb.doc_id
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- vocabulary coverage curve (tokenizer-size sweep): occurrence
+    //      coverage of the top-k vocabulary at literal k grid; rank/cum
+    //      windows over the vocab-sized frame only ----
+    Entry("q167_vocab_coverage",
+      (s, d) => TextOps.vocabCoverage(docs(s, d),
+          ks = Seq(10, 100, 1000, 10000))
+        .orderBy("k"),
+      Some("""WITH c AS (SELECT unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |ct AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+             |       FROM c GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             |               CAST(sum(tf) AS BIGINT) AS n FROM ct),
+             |r AS (SELECT tf,
+             |        row_number() OVER (ORDER BY tf DESC, token) AS rnk,
+             |        sum(tf) OVER (ORDER BY tf DESC, token
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM ct),
+             |ks AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+             |SELECT CAST(k AS BIGINT) AS k, v AS n_types,
+             |  CAST(cum AS BIGINT) AS covered, n AS n_occurrences,
+             |  (CAST(cum AS BIGINT) * 1000000) // n AS coverage_e6
+             |FROM ks, tot, r WHERE r.rnk = least(k, v)
+             |ORDER BY k""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

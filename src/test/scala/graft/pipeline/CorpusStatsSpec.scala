@@ -141,4 +141,24 @@ class CorpusStatsSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r === Map(1L -> 1L, 3L -> 2L))
   }
+
+  test("vocabCoverage: hand-computed curve, clamping, exact fractions") {
+    // tfs: a=5, b=3, c=2, d=1, e=1 → N=12, V=5; ties d/e break by token
+    val d = mkDocs(1L -> "a a a b b c", 2L -> "a a b c d e")
+    val got = TextOps.vocabCoverage(d, ks = Seq(1, 2, 4, 99))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(1L) == (5L, 5L, 12L, 5L * 1000000L / 12L))
+    assert(got(2L) == (5L, 8L, 12L, 8L * 1000000L / 12L))
+    assert(got(4L) == (5L, 11L, 12L, 11L * 1000000L / 12L))
+    assert(got(99L) == (5L, 12L, 12L, 1000000L)) // clamped to V, full mass
+    // duplicate/unsorted ks collapse; repartition invariance
+    val re = TextOps.vocabCoverage(d.repartition(5), ks = Seq(99, 1, 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == Map(1L -> 5L, 99L -> 12L))
+    intercept[IllegalArgumentException] {
+      TextOps.vocabCoverage(d, ks = Seq.empty)
+    }
+  }
 }
