@@ -283,6 +283,48 @@ object Sampling {
         expr(s"shuffle_pos - (shard_id * $nn + ${nShards - 1}) div $nShards"))
   }
 
+  /** Deterministic interleaved mixture SCHEDULE — the data-loader order
+    * for multi-source training: each weighted source is internally
+    * shuffled ([[hashBucket]] order, salt = epoch), then sources are
+    * stride-interleaved so that any prefix of the global order contains
+    * the sources in ~weight proportion (the "sample sources by ratio"
+    * loop of a trainer, made deterministic and distributed). Where
+    * [[mixtureSample]] decides WHICH rows survive, this decides WHEN
+    * each row is seen.
+    *
+    * The schedule key is `ord = (pos·10⁶) div w` (source-local position
+    * stretched by inverse weight): source s occupies every (10⁶/w_s)-th
+    * slot, so in any prefix of length L source s holds w_s/Σw·L ± 1
+    * rows. Exact integers (pos < 9.2e12 per source before 10⁶·pos
+    * wraps — enforced); ties across sources at equal ord break by
+    * (group, pos) — total order, bit-deterministic. Rows of sources
+    * absent from `weights` are DROPPED (schedule only what you weight).
+    *
+    * Shape at 100 TB: weights ride the plan as a literal when-chain (no
+    * join); ONE group-keyed exchange for the per-source rank; consumers
+    * read in (ord, group) order or range-partition on ord to write
+    * schedule shards. */
+  def mixtureSchedule(df: DataFrame, groupCol: String, key: String,
+                      weights: Seq[(String, Long)],
+                      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate source in weights: $weights")
+    val wcol = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, wt)) => when(col(groupCol) === g, lit(wt)).otherwise(acc)
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_b"), col(key))
+    df.select(col(groupCol), col(key))
+      .withColumn("_w", wcol).where(col("_w").isNotNull)
+      .withColumn("_b", hashBucket(col(key), salt))
+      .withColumn("pos_in_source",
+        (row_number().over(wRank) - 1).cast("long"))
+      .withColumn("ord", expr("(pos_in_source * 1000000L) div _w"))
+      .select(col(groupCol), col(key), col("pos_in_source"), col("ord"))
+  }
+
   /** DSIR-style data selection (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS'23 — the hashed-n-gram
     * shape): score every doc in a RAW pool by how target-like its hashed

@@ -4806,7 +4806,26 @@ object Registry {
              |  CAST(cum AS BIGINT) AS covered, n AS n_occurrences,
              |  (CAST(cum AS BIGINT) * 1000000) // n AS coverage_e6
              |FROM ks, tot, r WHERE r.rnk = least(k, v)
-             |ORDER BY k""".stripMargin))
+             |ORDER BY k""".stripMargin)),
+
+    // ---- deterministic interleaved mixture schedule: en:de:fr = 4:2:1
+    //      (es/zh unweighted → dropped); per-source hash-shuffle rank,
+    //      ord = pos·1e6 div w. Window SQL replay with the q126 md5
+    //      arithmetic ----
+    Entry("q168_mixture_schedule",
+      (s, d) => Sampling.mixtureSchedule(docs(s, d), "lang", "doc_id",
+          weights = Seq("en" -> 4L, "de" -> 2L, "fr" -> 1L), salt = "ep1")
+        .orderBy("ord", "lang", "pos_in_source"),
+      Some("""WITH w AS (SELECT * FROM (VALUES ('en', 4), ('de', 2),
+             |                                 ('fr', 1)) AS t(lang, w)),
+             |p AS (SELECT d.lang, d.doc_id, w.w,
+             |        CAST(row_number() OVER (PARTITION BY d.lang ORDER BY
+             |          CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'ep1'), 1, 15) AS BIGINT) % 1000000,
+             |          d.doc_id) - 1 AS BIGINT) AS pos_in_source
+             |      FROM documents d JOIN w ON d.lang = w.lang)
+             |SELECT lang, doc_id, pos_in_source,
+             |  (pos_in_source * 1000000) // w AS ord
+             |FROM p ORDER BY ord, lang, pos_in_source""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -258,4 +258,59 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedAlloc(docs, "lang", "doc_id", all + 1)
     }
   }
+
+  private def saltedBucketOf(id: Long, salt: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((id.toString + salt).getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000000L
+  }
+
+  test("mixtureSchedule: stride interleave, prefix proportions, drops") {
+    val sched = Sampling.mixtureSchedule(docs, "lang", "doc_id",
+        weights = Seq("en" -> 4L, "de" -> 2L, "fr" -> 1L), salt = "s1")
+      .orderBy("ord", "lang", "pos_in_source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // unweighted sources dropped
+    assert(sched.map(_._1).toSet == Set("en", "de", "fr"))
+    // per-source: positions are the salted-hash order, ord = pos*1e6/w
+    val byLang = sched.groupBy(_._1)
+    for ((lang, w) <- Seq(("en", 4L), ("de", 2L), ("fr", 1L))) {
+      val rs = byLang(lang).sortBy(_._3)
+      assert(rs.map(_._3).toSeq == rs.indices.map(_.toLong))
+      rs.foreach { case (_, _, pos, ord) =>
+        assert(ord == pos * 1000000L / w) }
+      val expOrder = rs.map(_._2).sortBy(id => (saltedBucketOf(id, "s1"), id))
+      assert(rs.sortBy(_._3).map(_._2).toSeq == expOrder.toSeq, s"$lang order")
+    }
+    // any prefix holds the sources in ~weight proportion (±1 per source)
+    val n = sched.length
+    for (cut <- Seq(n / 7, n / 3, n / 2)) {
+      val prefix = sched.take(cut)
+      for ((lang, w) <- Seq(("en", 4L), ("de", 2L), ("fr", 1L))) {
+        val have = prefix.count(_._1 == lang)
+        val total = byLang(lang).length
+        // source s exhausts after total rows; until then the stride
+        // guarantees floor bounds within one slot
+        val expected = math.min(total.toLong,
+          w * prefix.last._4 / 1000000L + 1)
+        assert(math.abs(have - expected) <= 1,
+          s"prefix $cut $lang: have $have expected ~$expected")
+      }
+    }
+    // repartition invariance
+    val re = Sampling.mixtureSchedule(docs.repartition(7), "lang", "doc_id",
+        weights = Seq("en" -> 4L, "de" -> 2L, "fr" -> 1L), salt = "s1")
+      .orderBy("ord", "lang", "pos_in_source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == sched.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSchedule(docs, "lang", "doc_id",
+        weights = Seq("en" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSchedule(docs, "lang", "doc_id",
+        weights = Seq("en" -> 1L, "en" -> 2L))
+    }
+  }
 }
