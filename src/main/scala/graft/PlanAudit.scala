@@ -654,6 +654,23 @@ object PlanAudit {
       graft.pipeline.Dedup.winnowOverlapPairs(
         spark.read.parquet(s"$sfDir/documents.parquet")).explain("formatted")
     }
+    section("q167 vocabCoverage (expect: ONE corpus-token partial-agg " +
+      "shuffle; rank/cum windows over the localCheckpointed VOCAB-sized " +
+      "frame only; literal rank lookups per k)") {
+      graft.pipeline.TextOps.vocabCoverage(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        ks = Seq(10, 100, 1000, 10000)).explain("formatted")
+    }
+    section("q168 mixtureSchedule (expect: weights as a literal " +
+      "when-chain — NO join; ONE lang-keyed exchange for the per-source " +
+      "rank; ord arithmetic narrow)") {
+      val plan = graft.pipeline.Sampling.mixtureSchedule(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "lang", "doc_id",
+        weights = Seq("en" -> 4L, "de" -> 2L, "fr" -> 1L), salt = "ep1")
+      plan.explain("formatted")
+      println(s"[audit] q168 shuffle count = ${countOps(plan, "Exchange")} " +
+        "(expect 1: the per-source rank window)")
+    }
     section("q165 anti-join balance (expect: segment scalar agg BROADCAST " +
       "back; URGENT filter PUSHED into the orders scan before the anti " +
       "join builds; anti join on custkey)") {
