@@ -671,6 +671,20 @@ object PlanAudit {
       println(s"[audit] q168 shuffle count = ${countOps(plan, "Exchange")} " +
         "(expect 1: the per-source rank window)")
     }
+    section("q169 RAG probe capstone (expect: chunking NARROW, one " +
+      "doc-token exchange for the chunk vectors, centroids collected " +
+      "driver-side (8 rows), probe queries BROADCAST into the assigned " +
+      "corpus, per-query top-k window over candidates only)") {
+      val ch = graft.pipeline.TextOps.chunkDocs(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          window = 30, stride = 30)
+        .select((col("doc_id") * 1000000L + col("chunk_id")).as("doc_id"),
+          col("chunk").as("text"))
+      val v = graft.pipeline.TextOps.hashVectorize(ch, dim = 16)
+        .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+      graft.pipeline.Ann.ivfTopK(v.orderBy("vec_id").limit(3), v, k = 5,
+        nlist = 8, nprobe = 2, kmeansIters = 0).explain("formatted")
+    }
     section("q165 anti-join balance (expect: segment scalar agg BROADCAST " +
       "back; URGENT filter PUSHED into the orders scan before the anti " +
       "join builds; anti join on custkey)") {

@@ -4825,7 +4825,80 @@ object Registry {
              |      FROM documents d JOIN w ON d.lang = w.lang)
              |SELECT lang, doc_id, pos_in_source,
              |  (pos_in_source * 1000000) // w AS ord
-             |FROM p ORDER BY ord, lang, pos_in_source""".stripMargin))
+             |FROM p ORDER BY ord, lang, pos_in_source""".stripMargin)),
+
+    // ---- RAG-ingestion capstone: chunk → hash-vectorize → seeded IVF →
+    //      probe top-5 (chunk retrieval end-to-end through the verified
+    //      ANN tier; composition — the parts own the specs: q107 chunking,
+    //      q66 vectorize, q43/q114 IVF). Assignment/probe argmins run on
+    //      raw counts in SQL (the ×1e8 quantization scale is ordering-
+    //      invariant); cosine mirrors the quantized-int path exactly ----
+    Entry("q169_rag_probe",
+      (s, d) => {
+        val ch = TextOps.chunkDocs(docs(s, d), window = 30, stride = 30)
+          .select((col("doc_id") * 1000000L + col("chunk_id")).as("doc_id"),
+            col("chunk").as("text"))
+        val v = TextOps.hashVectorize(ch, dim = 16)
+          .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+        val q = v.orderBy("vec_id").limit(3)
+        Ann.ivfTopK(q, v, k = 5, nlist = 8, nprobe = 2, kmeansIters = 0)
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             |ck AS (SELECT doc_id,
+             |         unnest([{'k': k, 'c': array_to_string(s[k*30+1 : k*30+30], ' ')}
+             |           for k in range(0, (len(s)-1)//30 + 1)]) AS u
+             |       FROM d WHERE len(s) > 0),
+             |cv AS (SELECT doc_id*1000000 + u.k AS vec_id, u.c AS chunk FROM ck),
+             |t AS (SELECT vec_id, unnest(string_split(chunk, ' ')) AS tok FROM cv),
+             |cnt AS (SELECT vec_id,
+             |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 16 AS b,
+             |          count(*) AS c
+             |        FROM t GROUP BY 1, 2),
+             |grid AS (SELECT g.vec_id, g.j, coalesce(cnt.c, 0) AS c
+             |         FROM (SELECT v.vec_id, j.j
+             |               FROM (SELECT DISTINCT vec_id FROM cv) v,
+             |                    range(0, 16) j(j)) g
+             |         LEFT JOIN cnt ON cnt.vec_id = g.vec_id AND cnt.b = g.j),
+             |nrm AS (SELECT vec_id,
+             |          sqrt(CAST(sum((c*10000)*(c*10000)) AS DOUBLE)) AS n
+             |        FROM grid GROUP BY 1),
+             |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+             |            vec_id AS cvec
+             |          FROM (SELECT DISTINCT vec_id FROM cv ORDER BY vec_id LIMIT 8)),
+             |cg AS (SELECT cents.list_id, grid.j, grid.c AS cc
+             |       FROM cents JOIN grid ON grid.vec_id = cents.cvec),
+             |dist AS (SELECT g.vec_id, cg.list_id,
+             |           sum((g.c - cg.cc) * (g.c - cg.cc)) AS d2
+             |         FROM grid g JOIN cg ON g.j = cg.j GROUP BY 1, 2),
+             |asg AS (SELECT vec_id, list_id FROM (
+             |          SELECT vec_id, list_id,
+             |            row_number() OVER (PARTITION BY vec_id
+             |              ORDER BY d2, list_id) AS rn
+             |          FROM dist) WHERE rn = 1),
+             |qs AS (SELECT vec_id FROM cv ORDER BY vec_id LIMIT 3),
+             |probe AS (SELECT qid, list_id FROM (
+             |            SELECT dd.vec_id AS qid, dd.list_id,
+             |              row_number() OVER (PARTITION BY dd.vec_id
+             |                ORDER BY dd.d2, dd.list_id) AS rn
+             |            FROM dist dd JOIN qs ON dd.vec_id = qs.vec_id)
+             |          WHERE rn <= 2),
+             |dotr AS (SELECT p.qid, a.vec_id AS vid,
+             |           CAST(sum(gq.c * gv.c) AS BIGINT) AS dot_raw
+             |         FROM probe p JOIN asg a ON a.list_id = p.list_id
+             |           JOIN grid gq ON gq.vec_id = p.qid
+             |           JOIN grid gv ON gv.vec_id = a.vec_id AND gv.j = gq.j
+             |         WHERE a.vec_id != p.qid GROUP BY 1, 2),
+             |sc AS (SELECT dotr.qid, dotr.vid,
+             |         CAST(dot_raw * 100000000 AS DOUBLE) / (nq.n * nv.n) AS cosine
+             |       FROM dotr JOIN nrm nq ON nq.vec_id = dotr.qid
+             |                 JOIN nrm nv ON nv.vec_id = dotr.vid),
+             |r AS (SELECT qid, vid, cosine,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+             |      FROM sc)
+             |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5
+             |ORDER BY 1, 3""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
