@@ -1117,4 +1117,38 @@ object TextOps {
       .groupBy(keep: _*)
       .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
   }
+
+  /** Classifier calibration: confusion counts + precision/recall at a
+    * LITERAL threshold grid over any labeled, scored frame — the report
+    * that picks a quality gate's operating point ("what survives, and
+    * how clean, if I cut at t"). Predict positive iff score ≥ t.
+    *
+    * Exact integers throughout (`x·10⁶ div max(denominator, 1)` — the
+    * empty-denominator rows read 0, never NULL/NaN, so downstream
+    * gating composes). The grid rides the plan as a literal array: ONE
+    * narrow ×|thresholds| fan-out over the scored frame, one
+    * threshold-keyed partial-agg shuffle — never a scan per threshold.
+    * The scored frame is typically [[scoreDocs]]' output (answer-sized
+    * relative to the corpus), so the sweep is nearly free. */
+  def thresholdSweep(scored: DataFrame, classCol: String, positive: String,
+                     scoreCol: String, thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds: $thresholds")
+    val pos = col(classCol) === positive
+    val hit = col("_s") >= col("threshold")
+    scored
+      .select(col(classCol), col(scoreCol).as("_s"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(hit && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(hit && !pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!hit && pos, 1L).otherwise(0L)).as("fn"),
+        sum(when(!hit && !pos, 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_e6",
+        expr("(tp * 1000000) div greatest(tp + fp, 1L)"))
+      .withColumn("recall_e6",
+        expr("(tp * 1000000) div greatest(tp + fn, 1L)"))
+  }
 }

@@ -4898,7 +4898,57 @@ object Registry {
              |          ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
              |      FROM sc)
              |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5
-             |ORDER BY 1, 3""".stripMargin))
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // ---- classifier calibration: the q158 weights/scores swept over a
+    //      literal threshold grid — confusion + exact-integer
+    //      precision/recall per operating point ----
+    Entry("q170_threshold_sweep",
+      (s, d) => {
+        val two = docs(s, d).where(col("lang").isin("en", "de"))
+        val w = TextOps.tokenWeights(
+          two.where(pmod(col("doc_id"), lit(5)) =!= 0), "lang", "en", "de")
+        val scored = TextOps.scoreDocs(
+          two.where(pmod(col("doc_id"), lit(5)) === 0)
+            .select("doc_id", "lang", "text"), w)
+        TextOps.thresholdSweep(scored, "lang", "en", "score",
+            thresholds = Seq(-2000000L, -500000L, 0L, 500000L, 2000000L))
+          .orderBy("threshold")
+      },
+      Some("""WITH two AS (SELECT doc_id, lang AS cls, text
+             |             FROM documents WHERE lang IN ('en', 'de')),
+             |tok AS (SELECT cls, unnest(string_split(text, ' ')) AS term
+             |        FROM two WHERE doc_id % 5 <> 0),
+             |cnt AS (SELECT term,
+             |          count(*) FILTER (cls = 'en') AS ca,
+             |          count(*) FILTER (cls = 'de') AS cb
+             |        FROM tok GROUP BY 1),
+             |tot AS (SELECT count(*) FILTER (cls = 'en') AS na,
+             |               count(*) FILTER (cls = 'de') AS nb FROM tok),
+             |w AS (SELECT term,
+             |        (ca * 1000000) // na - (cb * 1000000) // nb AS w
+             |      FROM cnt, tot),
+             |sc AS (SELECT t.doc_id, t.cls,
+             |         CAST(coalesce(sum(w.w), 0) AS BIGINT) AS score
+             |       FROM (SELECT doc_id, cls,
+             |               unnest(string_split(text, ' ')) AS term
+             |             FROM two WHERE doc_id % 5 = 0) t
+             |       LEFT JOIN w ON t.term = w.term
+             |       GROUP BY 1, 2),
+             |ks AS (SELECT unnest([-2000000, -500000, 0,
+             |                      500000, 2000000]) AS threshold),
+             |cf AS (SELECT k.threshold,
+             |         count(*) FILTER (score >= k.threshold AND cls = 'en') AS tp,
+             |         count(*) FILTER (score >= k.threshold AND cls <> 'en') AS fp,
+             |         count(*) FILTER (score < k.threshold AND cls = 'en') AS fn,
+             |         count(*) FILTER (score < k.threshold AND cls <> 'en') AS tn
+             |       FROM sc, ks k GROUP BY 1)
+             |SELECT CAST(threshold AS BIGINT) AS threshold,
+             |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+             |  (tp * 1000000) // greatest(tp + fp, 1) AS precision_e6,
+             |  (tp * 1000000) // greatest(tp + fn, 1) AS recall_e6
+             |FROM cf ORDER BY threshold""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

@@ -55,4 +55,29 @@ class ClassifierSpec extends SparkSpec {
     assert(out.forall(r => Set("en", "de")(r.getString(0)) &&
       Set("en", "de")(r.getString(1))))
   }
+
+  test("thresholdSweep: exact confusion and fractions per operating point") {
+    // test-fold scores (from the toy weights): doc 5 = 2e6 (A),
+    // doc 10 = -1e6 (B), doc 15 = 0 (A), doc 20 = 0 (B)
+    val w = TextOps.tokenWeights(toy.where("doc_id % 5 <> 0"),
+      "cls", "A", "B")
+    val scored = TextOps.scoreDocs(
+      toy.where("doc_id % 5 = 0").select("doc_id", "cls", "text"), w)
+    val got = TextOps.thresholdSweep(scored, "cls", "A", "score",
+        thresholds = Seq(-2000000L, 0L, 1L, 3000000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // t=-2e6: everything positive → tp=2 fp=2; prec 0.5, recall 1
+    assert(got(-2000000L) == (2L, 2L, 0L, 0L, 500000L, 1000000L))
+    // t=0: docs 5,15,20 positive → tp=2 fp=1 fn=0 tn=1
+    assert(got(0L) == (2L, 1L, 0L, 1L, 666666L, 1000000L))
+    // t=1: only doc 5 → tp=1 fp=0 fn=1 tn=2; prec 1, recall 0.5
+    assert(got(1L) == (1L, 0L, 1L, 2L, 1000000L, 500000L))
+    // t=3e6: nothing positive → zero denominators read 0, never NULL
+    assert(got(3000000L) == (0L, 0L, 2L, 2L, 0L, 0L))
+    intercept[IllegalArgumentException] {
+      TextOps.thresholdSweep(scored, "cls", "A", "score", Seq(1L, 1L))
+    }
+  }
 }
