@@ -685,6 +685,13 @@ object PlanAudit {
       graft.pipeline.Ann.ivfTopK(v.orderBy("vec_id").limit(3), v, k = 5,
         nlist = 8, nprobe = 2, kmeansIters = 0).explain("formatted")
     }
+    section("q171 indexed search (expect: PartitionFilters bucket IN " +
+      "(...) on BOTH postings and dict scans — the corpus is never " +
+      "scanned; idf broadcast; TakeOrdered cut)") {
+      graft.store.TextIndex.searchTopK(spark,
+        Registry.textIndexFor(spark, sfDir),
+        Seq("query", "index", "merge"), k = 10).explain("formatted")
+    }
     section("q165 anti-join balance (expect: segment scalar agg BROADCAST " +
       "back; URGENT filter PUSHED into the orders scan before the anti " +
       "join builds; anti join on custkey)") {

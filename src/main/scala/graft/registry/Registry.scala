@@ -134,6 +134,16 @@ object Registry {
     * kmeansIters=0 — so the q43 oracle can recompute the quantizer in SQL);
     * written once per JVM per sfDir, like [[warehouseFor]]. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Ann.IvfIndex]()
+  private val textIndexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.TextIndex.Handle]()
+
+  def textIndexFor(s: SparkSession, d: String): graft.store.TextIndex.Handle =
+    memo(textIndexCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("tix:" + d).getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      graft.store.TextIndex.write(docs(s, d), s"/tmp/graft_wh_$digest",
+        buckets = 64)
+    }
   def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
     memo(ivfCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -4948,7 +4958,26 @@ object Registry {
              |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
              |  (tp * 1000000) // greatest(tp + fp, 1) AS precision_e6,
              |  (tp * 1000000) // greatest(tp + fn, 1) AS recall_e6
-             |FROM cf ORDER BY threshold""".stripMargin))
+             |FROM cf ORDER BY threshold""".stripMargin)),
+
+    // ---- persisted inverted text index: bucket=-partitioned postings +
+    //      dict, search probes ONLY the query terms' buckets (literal
+    //      partition filter — the q43 persisted-IVF discipline for
+    //      keyword search). Scores identical to the on-the-fly q65
+    //      scorer, so the oracle is the same shape over the raw table ----
+    Entry("q171_indexed_search",
+      (s, d) => graft.store.TextIndex.searchTopK(s, textIndexFor(s, d),
+        Seq("query", "index", "merge"), k = 10),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('query', 'index', 'merge') GROUP BY 1, 2),
+             |i AS (SELECT token,
+             |        ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf_scaled
+             |      FROM f GROUP BY token)
+             |SELECT doc_id, CAST(sum(f.tf * i.idf_scaled) AS BIGINT) AS score
+             |FROM f JOIN i USING (token) GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
