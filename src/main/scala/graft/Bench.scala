@@ -96,12 +96,13 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "BENCH_DETAIL.json")), detail)
     catch { case _: Throwable => () }
-    // keep the stdout line lean: "sf" as the basename (the full path,
-    // per-pass totals and full-precision per-query numbers live in
-    // BENCH_DETAIL.json) — at 165+ queries every byte matters against
-    // the driver's last-2000-chars capture window
+    // keep the stdout line lean: "sf" as the basename; per-pass totals
+    // (cold/warm) and full-precision per-query numbers live ONLY in
+    // BENCH_DETAIL.json — at 171 queries the full line plus sbt's
+    // [success] trailer is within ~20 bytes of the driver's
+    // last-2000-chars capture window, so every stdout byte matters
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","cold_total":${r2(totalCold)},"warm_total":${r2(totalWarm)}}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}""")
     spark.stop()
   }
 }
