@@ -662,14 +662,18 @@ object PlanAudit {
         ks = Seq(10, 100, 1000, 10000)).explain("formatted")
     }
     section("q168 mixtureSchedule (expect: weights as a literal " +
-      "when-chain — NO join; ONE lang-keyed exchange for the per-source " +
-      "rank; ord arithmetic narrow)") {
+      "when-chain — NO weight join; positions from the group-major " +
+      "RANGE sort + zipWithIndex two-phase offsets (multi-partition " +
+      "even when one source is the whole corpus — the visible plan " +
+      "starts at the RDD scan because zipWithIndex sits in the " +
+      "lineage); offsets table BROADCAST)") {
       val plan = graft.pipeline.Sampling.mixtureSchedule(
         spark.read.parquet(s"$sfDir/documents.parquet"), "lang", "doc_id",
         weights = Seq("en" -> 4L, "de" -> 2L, "fr" -> 1L), salt = "ep1")
       plan.explain("formatted")
-      println(s"[audit] q168 shuffle count = ${countOps(plan, "Exchange")} " +
-        "(expect 1: the per-source rank window)")
+      println("[audit] q168 broadcast joins = " +
+        s"${countOps(plan, "BroadcastHashJoin")} (expect 1: the " +
+        "source-sized start-offset table)")
     }
     section("q169 RAG probe capstone (expect: chunking NARROW, one " +
       "doc-token exchange for the chunk vectors, centroids collected " +

@@ -301,9 +301,16 @@ object Sampling {
     * absent from `weights` are DROPPED (schedule only what you weight).
     *
     * Shape at 100 TB: weights ride the plan as a literal when-chain (no
-    * join); ONE group-keyed exchange for the per-source rank; consumers
-    * read in (ord, group) order or range-partition on ord to write
-    * schedule shards. */
+    * join). A per-source `row_number` WINDOW would make each source ONE
+    * partition — and sources are few and huge by nature, so that's the
+    * single-task sort the r10 audit flagged on the quantile paths.
+    * Instead: one RANGE exchange into group-major (group, bucket, key)
+    * order, partition-local contiguous indices via zipWithIndex's
+    * two-phase offsets (multi-partition regardless of source count),
+    * and `pos_in_source = global_idx − source_start` with the
+    * source-sized start-offset table BROADCAST (the Packing
+    * discipline). Consumers read in (ord, group) order or
+    * range-partition on ord to write schedule shards. */
   def mixtureSchedule(df: DataFrame, groupCol: String, key: String,
                       weights: Seq[(String, Long)],
                       salt: String = ""): DataFrame = {
@@ -311,16 +318,44 @@ object Sampling {
       s"weights must be positive: $weights")
     require(weights.map(_._1).distinct.size == weights.size,
       s"duplicate source in weights: $weights")
+    val spark = df.sparkSession
     val wcol = weights.foldLeft(lit(null).cast("long")) {
       case (acc, (g, wt)) => when(col(groupCol) === g, lit(wt)).otherwise(acc)
     }
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col("_b"), col(key))
-    df.select(col(groupCol), col(key))
+    val keyed = df.select(col(groupCol), col(key))
       .withColumn("_w", wcol).where(col("_w").isNotNull)
       .withColumn("_b", hashBucket(col(key), salt))
-      .withColumn("pos_in_source",
-        (row_number().over(wRank) - 1).cast("long"))
+    // group-major total order; orderBy = range exchange, NOT one
+    // partition per source
+    val sorted = keyed.orderBy(col(groupCol), col("_b"), col(key))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_gidx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    // per-source start offset in the group-major order: exclusive prefix
+    // sum over the source-sized count table. Spark itself orders the
+    // groups (same ordering the range exchange used), the driver only
+    // folds the prefix — no cross-engine collation assumptions.
+    val counts = keyed.groupBy(groupCol).agg(count(lit(1)).as("_c"))
+      .orderBy(groupCol)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val offs = {
+      var acc = 0L
+      counts.map { case (g, c) => val s = acc; acc += c; (g, s) }
+    }
+    val offRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(offs.map { case (g, s) =>
+        org.apache.spark.sql.Row(g, s) }: _*)
+    val offDf = spark.createDataFrame(offRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol,
+          df.schema(groupCol).dataType),
+        org.apache.spark.sql.types.StructField("_start",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    indexed.join(broadcast(offDf), Seq(groupCol))
+      .withColumn("pos_in_source", col("_gidx") - col("_start"))
       .withColumn("ord", expr("(pos_in_source * 1000000L) div _w"))
       .select(col(groupCol), col(key), col("pos_in_source"), col("ord"))
   }
