@@ -32,14 +32,18 @@ object TextIndex {
     java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
   }
 
-  def write(docs: DataFrame, path: String, buckets: Int = 64,
-            text: String = "text"): Handle = {
-    require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val tf = docs
+  private def postingsOf(docs: DataFrame, buckets: Int,
+                         text: String): DataFrame =
+    docs
       .select(col("doc_id"), explode(TextOps.tokens(col(text))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         pmod(TextOps.md5Long(col("token")), lit(buckets.toLong)))
+
+  def write(docs: DataFrame, path: String, buckets: Int = 64,
+            text: String = "text"): Handle = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val tf = postingsOf(docs, buckets, text)
     tf.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     // df = docs-per-token over the postings just written (re-read: the
@@ -60,7 +64,51 @@ object TextIndex {
       java.nio.file.Paths.get(path, "text_index.json")), "UTF-8")
     def field(k: String): Long =
       s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    // heal an interrupted append's dict swap (crash between delete and
+    // rename leaves only dict.next — the Warehouse compact discipline)
+    val dict = new java.io.File(path, "dict")
+    val next = new java.io.File(path, "dict.next")
+    if (!dict.exists && next.exists) next.renameTo(dict)
     Handle(path, field("n_docs"), field("buckets").toInt)
+  }
+
+  /** Incremental maintenance: index a batch of NEW documents into an
+    * existing index — postings APPEND into the same `bucket=` layout
+    * (file-level append, no rewrite of existing postings), the
+    * vocabulary-sized dict is merged (`df` sums) and swapped in
+    * write-next/delete/rename order, and `n_docs` bumps in meta. A
+    * crash between delete and rename leaves `dict.next` only;
+    * [[open]] heals it (spec-pinned). The doc_ids MUST be new — this
+    * is append, not upsert; re-adding an id double-counts it exactly
+    * as appending the same rows twice to any log would.
+    *
+    * Search results after append are BIT-EQUAL to a fresh [[write]] of
+    * the union corpus (spec-pinned): postings/df/n_docs are all
+    * additive. At 100 TB this is the point — the nightly crawl delta
+    * indexes in time ∝ delta, never corpus. */
+  def append(newDocs: DataFrame, h: Handle,
+             text: String = "text"): Handle = {
+    val spark = newDocs.sparkSession
+    val tf = postingsOf(newDocs, h.buckets, text)
+    tf.write.mode("append").partitionBy("bucket")
+      .parquet(s"${h.path}/postings")
+    val add = tf.groupBy("bucket", "token").agg(count(lit(1)).as("df"))
+    val merged = spark.read.parquet(s"${h.path}/dict")
+      .select("bucket", "token", "df").unionByName(add)
+      .groupBy("bucket", "token").agg(sum("df").as("df"))
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${h.path}/dict.next")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dictP = new org.apache.hadoop.fs.Path(s"${h.path}/dict")
+    val nextP = new org.apache.hadoop.fs.Path(s"${h.path}/dict.next")
+    val fs = dictP.getFileSystem(conf)
+    fs.delete(dictP, true)
+    fs.rename(nextP, dictP)
+    val n = h.nDocs + newDocs.count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(h.path, "text_index.json"),
+      s"""{"n_docs":$n,"buckets":${h.buckets}}""")
+    Handle(h.path, n, h.buckets)
   }
 
   /** Top-k docs for a term bag — [[TextOps.searchTopK]] over the index.

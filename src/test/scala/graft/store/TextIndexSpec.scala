@@ -43,6 +43,36 @@ class TextIndexSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains(b.toString)), s"bucket $b")
   }
 
+  test("append == fresh rebuild of the union corpus, across two deltas") {
+    val part1 = docs.where(col("doc_id") % 3 === 0)
+    val part2 = docs.where(col("doc_id") % 3 === 1)
+    val part3 = docs.where(col("doc_id") % 3 === 2)
+    var h = TextIndex.write(part1, freshPath("inc"), buckets = 16)
+    h = TextIndex.append(part2, h)
+    h = TextIndex.append(part3, h)
+    val full = TextIndex.write(docs, freshPath("full"), buckets = 16)
+    assert(h.nDocs == full.nDocs)
+    for (q <- Seq(Seq("query", "merge"), Seq("stream", "scan"))) {
+      val a = TextIndex.searchTopK(spark, h, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val b = TextIndex.searchTopK(spark, full, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a == b, s"query $q")
+    }
+  }
+
+  test("open() heals an interrupted dict swap (dict.next only)") {
+    val h = TextIndex.write(docs.where(col("doc_id") < 100),
+      freshPath("heal"), buckets = 8)
+    val dict = new java.io.File(h.path, "dict")
+    val next = new java.io.File(h.path, "dict.next")
+    assert(dict.renameTo(next)) // simulate crash between delete and rename
+    val healed = TextIndex.open(h.path)
+    assert(healed == h && dict.exists && !next.exists)
+    val r = TextIndex.searchTopK(spark, healed, Seq("query"), k = 3).collect()
+    assert(r.nonEmpty)
+  }
+
   test("a term colliding into a probed bucket is filtered by token") {
     // craft two tokens in the SAME bucket; querying one must not score
     // docs that only hold the other
