@@ -144,6 +144,23 @@ object Registry {
       graft.store.TextIndex.write(docs(s, d), s"/tmp/graft_wh_$digest",
         buckets = 64)
     }
+
+  private val textIndexDeltaCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.TextIndex.Handle]()
+
+  /** q172's index: built on 2/3 of the corpus, the rest APPENDED — the
+    * incremental-maintenance path under the driver gate. */
+  def textIndexDeltaFor(s: SparkSession, d: String): graft.store.TextIndex.Handle =
+    memo(textIndexDeltaCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("tix2:" + d).getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val all = docs(s, d)
+      val base = graft.store.TextIndex.write(
+        all.where(pmod(col("doc_id"), lit(3)) =!= 2),
+        s"/tmp/graft_wh_$digest", buckets = 64)
+      graft.store.TextIndex.append(
+        all.where(pmod(col("doc_id"), lit(3)) === 2), base)
+    }
   def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
     memo(ivfCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -4972,6 +4989,24 @@ object Registry {
              |           FROM documents),
              |f AS (SELECT doc_id, token, count(*) AS tf FROM t
              |      WHERE token IN ('query', 'index', 'merge') GROUP BY 1, 2),
+             |i AS (SELECT token,
+             |        ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf_scaled
+             |      FROM f GROUP BY token)
+             |SELECT doc_id, CAST(sum(f.tf * i.idf_scaled) AS BIGINT) AS score
+             |FROM f JOIN i USING (token) GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- the q171 index built INCREMENTALLY (2/3 written, 1/3
+    //      appended): postings/df/n_docs are additive, so the delta
+    //      index must search identically to a full build — the oracle
+    //      is the same q65 shape over the whole raw table ----
+    Entry("q172_indexed_search_delta",
+      (s, d) => graft.store.TextIndex.searchTopK(s, textIndexDeltaFor(s, d),
+        Seq("scan", "filter"), k = 10),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('scan', 'filter') GROUP BY 1, 2),
              |i AS (SELECT token,
              |        ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf_scaled
              |      FROM f GROUP BY token)
