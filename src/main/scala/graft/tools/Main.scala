@@ -46,7 +46,9 @@ object Main {
       |  throttle <config.json> <src-name> <dst-name> <cooldown_ms>
       |  throttle <src-dir> <dst-dir> <cooldown_ms>
       |  generate [config.json] [count]
-      |  retire <dir> <horizon-ns>""".stripMargin
+      |  retire <dir> <horizon-ns>
+      |  index [--buckets N] [--append] <docs.parquet> <index-dir>
+      |  search [--k N] <index-dir> <term>...""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
@@ -69,6 +71,8 @@ object Main {
         case "generate" :: rest  => cmdGenerate(rest, spark)
         case "retire" :: dir :: h :: Nil =>
           Tools.retire(spark, dir, parseLong("horizon-ns", h)); 0
+        case "index" :: rest    => cmdIndex(rest, spark)
+        case "search" :: rest   => cmdSearch(rest, spark)
         case ("--help" | "-h") :: _ | Nil => println(usage); 0
         case other =>
           System.err.println(s"unknown command: ${other.mkString(" ")}\n$usage"); 1
@@ -257,5 +261,47 @@ object Main {
       }
     }
     (flags, pos.result())
+  }
+
+  private def cmdIndex(rest: List[String], spark: SparkSession): Int = {
+    var buckets = 64
+    var append = false
+    def opts(l: List[String]): List[String] = l match {
+      case "--buckets" :: v :: t =>
+        buckets = parseLong("buckets", v).toInt; opts(t)
+      case "--append" :: t => append = true; opts(t)
+      case other => other
+    }
+    opts(rest) match {
+      case docsPath :: idxDir :: Nil =>
+        val docs = spark.read.parquet(docsPath)
+        val h =
+          if (append)
+            graft.store.TextIndex.append(docs,
+              graft.store.TextIndex.open(idxDir))
+          else graft.store.TextIndex.write(docs, idxDir, buckets)
+        println(s"indexed ${h.nDocs} docs into ${h.path} " +
+          s"(${h.buckets} buckets)")
+        0
+      case _ => fail("index: expected [--buckets N] [--append] " +
+        "<docs.parquet> <index-dir>")
+    }
+  }
+
+  private def cmdSearch(rest: List[String], spark: SparkSession): Int = {
+    var k = 10
+    def opts(l: List[String]): List[String] = l match {
+      case "--k" :: v :: t => k = parseLong("k", v).toInt; opts(t)
+      case other => other
+    }
+    opts(rest) match {
+      case idxDir :: terms if terms.nonEmpty =>
+        val h = graft.store.TextIndex.open(idxDir)
+        graft.store.TextIndex.searchTopK(spark, h, terms, k)
+          .collect()
+          .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
+        0
+      case _ => fail("search: expected [--k N] <index-dir> <term>...")
+    }
   }
 }

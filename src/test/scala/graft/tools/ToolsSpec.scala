@@ -178,4 +178,20 @@ class ToolsSpec extends SparkSpec {
     // unconfigured names fail like MissingMetricConfig
     assert(Main.run(Array("clone", cfg.getAbsolutePath, "dummy", "absent"), spark) === 1)
   }
+
+  test("CLI: index/search build, append to, and probe a text index") {
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val idx = java.nio.file.Files.createTempDirectory("cli_tix").toString
+    assert(Main.run(Array("index", "--buckets", "8", docsPath, idx),
+      spark) === 0)
+    assert(Main.run(Array("search", "--k", "3", idx, "query", "merge"),
+      spark) === 0)
+    // append the same docs again: n_docs doubles (append, not upsert)
+    val before = graft.store.TextIndex.open(idx).nDocs
+    assert(Main.run(Array("index", "--append", docsPath, idx), spark) === 0)
+    assert(graft.store.TextIndex.open(idx).nDocs === 2 * before)
+    // arity errors exit 1
+    assert(Main.run(Array("index", docsPath), spark) === 1)
+    assert(Main.run(Array("search", idx), spark) === 1)
+  }
 }
