@@ -5012,7 +5012,32 @@ object Registry {
              |      FROM f GROUP BY token)
              |SELECT doc_id, CAST(sum(f.tf * i.idf_scaled) AS BIGINT) AS score
              |FROM f JOIN i USING (token) GROUP BY doc_id
-             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution through a
+    //      LEFT OUTER join (zero-order customers must appear at
+    //      c_count = 0 — count(o_orderkey) ignores the null-extended
+    //      rows), non-urgent orders only. The outer-aggregate
+    //      relational shape q165's anti join doesn't cover ----
+    Entry("q173_order_distribution",
+      (s, d) => {
+        val c = s.read.parquet(s"$d/customer.parquet")
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("n_cust"))
+          .orderBy(desc("n_cust"), desc("c_count"))
+      },
+      Some("""WITH oc AS (SELECT c_custkey,
+             |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY 1)
+             |SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust
+             |FROM oc GROUP BY 1
+             |ORDER BY n_cust DESC, c_count DESC""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
