@@ -5037,7 +5037,29 @@ object Registry {
              |  GROUP BY 1)
              |SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust
              |FROM oc GROUP BY 1
-             |ORDER BY n_cust DESC, c_count DESC""".stripMargin))
+             |ORDER BY n_cust DESC, c_count DESC""".stripMargin)),
+
+    // ---- indexed phrase search: q131's semantics over the persisted
+    //      POSITIONAL tier — the corpus is never scanned at query time
+    //      (bucket-pruned positional postings + the (doc, pos−i) chain).
+    //      Same oracle shape as q131 with a different phrase ----
+    Entry("q174_indexed_phrase",
+      (s, d) => {
+        val h = textIndexFor(s, d)
+        val posDir = new java.io.File(h.path, "positions")
+        if (!posDir.exists)
+          graft.store.TextIndex.writePositional(docs(s, d), h)
+        graft.store.TextIndex.phraseSearch(s, h, Seq("table", "scan"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+             |           FROM documents),
+             |m AS (SELECT doc_id,
+             |        len([i for i in range(1, len(s))
+             |             if s[i] = 'table' AND s[i+1] = 'scan']) AS n_matches
+             |      FROM t)
+             |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+             |FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

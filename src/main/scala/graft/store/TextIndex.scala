@@ -111,6 +111,47 @@ object TextIndex {
     Handle(h.path, n, h.buckets)
   }
 
+  /** The POSITIONAL tier: per-occurrence postings (bucket, token,
+    * doc_id, pos) alongside the tf index — what indexed PHRASE search
+    * needs. One row per token occurrence (corpus-token-sized; the
+    * documented cost of positional retrieval — build it only when
+    * phrase/proximity queries matter). Same bucket routing, so a
+    * phrase probes only its terms' buckets. */
+  def writePositional(docs: DataFrame, h: Handle,
+                      text: String = "text"): Unit =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col(text))).as(Seq("pos", "token")))
+      .withColumn("bucket",
+        pmod(TextOps.md5Long(col("token")), lit(h.buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${h.path}/positions")
+
+  /** Exact phrase search over the positional tier — [[TextOps
+    * .phraseSearch]] semantics (consecutive tokens, overlapping matches
+    * counted) with the corpus never scanned: every phrase term's
+    * postings come from its bucket partition (literal bucket IN
+    * filter), then the |phrase|−1 equi-join chain on (doc_id, pos − i)
+    * runs over term-sized frames. */
+  def phraseSearch(spark: SparkSession, h: Handle,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val bs = phrase.map(t => md5Long60(t) % h.buckets).distinct
+    val post = spark.read.parquet(s"${h.path}/positions")
+      .where(col("bucket").isin(bs: _*) &&
+        col("token").isInCollection(phrase.distinct))
+    val anchor = post.where(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(
+          post.where(col("token") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Top-k docs for a term bag — [[TextOps.searchTopK]] over the index.
     * Both scans carry the literal `bucket IN (...)` partition filter of
     * the query's own buckets plus the term filter; everything after is

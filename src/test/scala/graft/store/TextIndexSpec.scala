@@ -73,6 +73,24 @@ class TextIndexSpec extends SparkSpec {
     assert(r.nonEmpty)
   }
 
+  test("positional tier: indexed phrase search == TextOps.phraseSearch") {
+    val h = TextIndex.write(docs, freshPath("pos"), buckets = 16)
+    TextIndex.writePositional(docs, h)
+    for (phrase <- Seq(Seq("hash", "join"), Seq("table", "scan"),
+        Seq("no", "such", "phrase"))) {
+      val direct = TextOps.phraseSearch(docs, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaIdx = TextIndex.phraseSearch(spark, h, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaIdx == direct, s"phrase $phrase")
+    }
+    // the phrase probe carries the bucket partition filter
+    val s = TextIndex.phraseSearch(spark, h, Seq("hash", "join"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(s.contains("PartitionFilters") && s.contains("bucket"))
+  }
+
   test("a term colliding into a probed bucket is filtered by token") {
     // craft two tokens in the SAME bucket; querying one must not score
     // docs that only hold the other
