@@ -75,8 +75,15 @@ object Bench {
     // it would straddle the driver's last-2000-chars capture window; one
     // decimal buys ~155 bytes of headroom and the full-precision numbers
     // are in BENCH_DETAIL.json anyway
-    def r1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f",
-      Double.box(v))
+    def r1(v: Double): String = {
+      // one decimal below 10 s, whole seconds above; exact x.0 drops the
+      // ".0" — every stdout byte counts against the 2000-char capture,
+      // full precision is in BENCH_DETAIL.json
+      val s =
+        if (v >= 9.95) String.valueOf(math.round(v))
+        else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      if (s.endsWith(".0") && v >= 1.0) s.dropRight(2) else s
+    }
     val qs = results.map { case (k, m, _, _) =>
         s"\"" + k.takeWhile(_ != '_') + "\":" + r1(m) }
       .mkString("{", ",", "}")
