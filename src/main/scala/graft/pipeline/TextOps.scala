@@ -106,11 +106,14 @@ object TextOps {
     *
     * Exact integers: covered = cumulative tf at rank min(k, V),
     * coverage_e6 = covered·10⁶ div N. One corpus-token partial-agg
-    * shuffle builds the count table; the rank/cum windows run
-    * UNPARTITIONED over the VOCABULARY-sized frame (bounded by type
-    * count, never corpus rows — the [[vocabularyWithIds]] argument);
-    * V and N are a 1-row driver collect off the localCheckpointed
-    * counts, and each requested k becomes a LITERAL rank lookup. */
+    * shuffle builds the count table; the rank/cum windows then run
+    * over ONLY the top-max(ks) rows (a distributed TakeOrdered cut —
+    * the frame is bounded by the CALLER'S largest candidate budget,
+    * never by the raw type count, which at web scale is billions of
+    * typo/URL singletons and would make an unpartitioned full-vocab
+    * window a single-task sort); V and N are a 1-row driver collect
+    * off the localCheckpointed counts, and each requested k becomes a
+    * LITERAL rank lookup. */
   def vocabCoverage(docs: DataFrame, ks: Seq[Int],
                     text: String = "text"): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
@@ -122,8 +125,9 @@ object TextOps {
     val (v, n) = (Row2.getLong(0), Row2.getLong(1))
     require(n > 0, "vocabCoverage: empty token stream")
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("token")) // vocab-sized frame (bounded)
+      .orderBy(col("tf").desc, col("token")) // ≤ max(ks) rows (bounded)
     val ranked = counts
+      .orderBy(col("tf").desc, col("token")).limit(ks.max)
       .withColumn("_rank", row_number().over(w).cast("long"))
       .withColumn("_cum", sum("tf").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
