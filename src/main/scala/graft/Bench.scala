@@ -37,6 +37,12 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.registry.Registry.curationLayoutFor(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.registry.Registry.textIndexFor(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.registry.Registry.textIndexDeltaFor(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.registry.Registry.textIndexPosFor(spark, sfDir)
+    catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q23_fingerprint,q15_dedup_neardup
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Each query executes TWICE and the reported number is min(cold, warm):

@@ -496,10 +496,16 @@ object Dedup {
                          suiteCol: String = "suite", n: Int = 8,
                          text: String = "text"): DataFrame = {
     val corpusGrams = shingleHashRows(corpus, n, text)
+    // shingle under the (doc_id, suite) COMPOSITE key: two suites that
+    // independently number their docs from 0 (the normal case for
+    // unrelated benchmarks) must not cross-pollinate their gram sets
+    // through a doc_id collision
     val benchGrams = shingleHashRows(
-        benchmark.select(col("doc_id"), col(text)).distinct(), n, text)
-      .join(benchmark.select(col("doc_id"), col(suiteCol)), Seq("doc_id"))
-      .select(col(suiteCol), col("gram")).distinct()
+        benchmark.select(
+          struct(col("doc_id"), col(suiteCol).as("_suite")).as("doc_id"),
+          col(text)), n, text)
+      .select(col("doc_id").getField("_suite").as(suiteCol), col("gram"))
+      .distinct()
     val totals = corpusGrams.groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"))
     val overlap = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
@@ -534,10 +540,13 @@ object Dedup {
       s"winnowOverlapPairs(minShared=$minShared, maxDf=$maxDf)")
     val fps = TextOps.winnowFingerprints(docs, n, w, text)
       .select("doc_id", "fp").distinct().localCheckpoint()
-    val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("_nf"))
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("_df"))
         .where(col("_df") <= maxDf).select("fp"), Seq("fp"))
+    // per-doc sizes over the KEPT space: numerator and denominator must
+    // live in the same universe, or a cap that bites would understate
+    // containment (shared hubs dropped from n_shared but not n_a/n_b)
+    val nf = kept.groupBy("doc_id").agg(count(lit(1)).as("_nf"))
     val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))

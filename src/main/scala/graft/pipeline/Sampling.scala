@@ -341,6 +341,11 @@ object Sampling {
     val counts = keyed.groupBy(groupCol).agg(count(lit(1)).as("_c"))
       .orderBy(groupCol)
       .collect().map(r => (r.get(0), r.getLong(1)))
+    counts.foreach { case (g, c) =>
+      require(c <= Long.MaxValue / 1000000L,
+        s"mixtureSchedule: source $g has $c rows — 10⁶·pos would wrap " +
+          "int64; shard the source or drop the e6 stride scale")
+    }
     val offs = {
       var acc = 0L
       counts.map { case (g, c) => val s = acc; acc += c; (g, s) }

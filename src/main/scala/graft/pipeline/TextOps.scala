@@ -124,6 +124,11 @@ object TextOps {
     val Row2 = counts.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
     val (v, n) = (Row2.getLong(0), Row2.getLong(1))
     require(n > 0, "vocabCoverage: empty token stream")
+    // cum·10⁶ must stay in int64: past ~9.2e12 occurrences (≈ 50 TB of
+    // text) run per-shard and combine, or drop the e6 scale
+    require(n <= Long.MaxValue / 1000000L,
+      s"vocabCoverage: $n occurrences overflow the e6 fixed point — " +
+        "shard the corpus or rescale")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("tf").desc, col("token")) // ≤ max(ks) rows (bounded)
     val ranked = counts
@@ -1141,7 +1146,12 @@ object TextOps {
       s"duplicate thresholds: $thresholds")
     val pos = col(classCol) === positive
     val hit = col("_s") >= col("threshold")
+    // a NULL score or class would satisfy NEITHER branch of a cell's
+    // when() and silently shrink tp+fp+fn+tn below the row count —
+    // exclude them EXPLICITLY (coalesce upstream if they must count;
+    // scoreDocs never emits NULL scores)
     scored
+      .where(col(scoreCol).isNotNull && col(classCol).isNotNull)
       .select(col(classCol), col(scoreCol).as("_s"),
         explode(array(thresholds.map(lit): _*)).as("threshold"))
       .groupBy("threshold")

@@ -161,6 +161,18 @@ object Registry {
       graft.store.TextIndex.append(
         all.where(pmod(col("doc_id"), lit(3)) === 2), base)
     }
+
+  private val textIndexPosCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.TextIndex.Handle]()
+
+  /** q174's positional tier: built once per JVM over [[textIndexFor]]'s
+    * index — memoized like every other store, so a stale positions dir
+    * from a prior JVM can never outlive a postings rebuild. */
+  def textIndexPosFor(s: SparkSession, d: String): graft.store.TextIndex.Handle =
+    memo(textIndexPosCache, d) {
+      val h = textIndexFor(s, d)
+      graft.store.TextIndex.writePositional(docs(s, d), h)
+      h
+    }
   def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
     memo(ivfCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -5044,14 +5056,9 @@ object Registry {
     //      (bucket-pruned positional postings + the (doc, pos−i) chain).
     //      Same oracle shape as q131 with a different phrase ----
     Entry("q174_indexed_phrase",
-      (s, d) => {
-        val h = textIndexFor(s, d)
-        val posDir = new java.io.File(h.path, "positions")
-        if (!posDir.exists)
-          graft.store.TextIndex.writePositional(docs(s, d), h)
-        graft.store.TextIndex.phraseSearch(s, h, Seq("table", "scan"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.store.TextIndex.phraseSearch(s,
+          textIndexPosFor(s, d), Seq("table", "scan"))
+        .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
              |           FROM documents),
              |m AS (SELECT doc_id,

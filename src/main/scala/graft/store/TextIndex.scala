@@ -1,6 +1,7 @@
 package graft.store
 
 import graft.pipeline.TextOps
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,7 +21,12 @@ import org.apache.spark.sql.functions._
   * top-k) — spec-pinned bit-equal, so the q65 oracle SQL is also this
   * tier's oracle. df is precomputed at build time (corpus stats are
   * static per snapshot), shipped in the bucket-partitioned `dict`
-  * table; `n_docs` rides meta.json and enters the plan as a literal. */
+  * table; `n_docs` rides text_index.json and enters the plan as a
+  * literal.
+  *
+  * All file operations go through the Hadoop FileSystem API resolved
+  * from the index path itself, so the store (and every crash heal)
+  * works the same on local disk, HDFS or an object store. */
 object TextIndex {
 
   final case class Handle(path: String, nDocs: Long, buckets: Int)
@@ -31,6 +37,27 @@ object TextIndex {
       .digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
   }
+
+  private def fsOf(path: String): FileSystem =
+    new HPath(path).getFileSystem(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+
+  private def readSmall(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, bos)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeSmall(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def jsonField(s: String, k: String): Long =
+    s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
 
   private def postingsOf(docs: DataFrame, buckets: Int,
                          text: String): DataFrame =
@@ -53,62 +80,129 @@ object TextIndex {
       .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dict")
     val nDocs = docs.count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "text_index.json"),
+    writeSmall(fsOf(path), new HPath(path, "text_index.json"),
       s"""{"n_docs":$nDocs,"buckets":$buckets}""")
     Handle(path, nDocs, buckets)
   }
 
   def open(path: String): Handle = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "text_index.json")), "UTF-8")
-    def field(k: String): Long =
-      s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
-    // heal an interrupted append's dict swap (crash between delete and
-    // rename leaves only dict.next — the Warehouse compact discipline)
-    val dict = new java.io.File(path, "dict")
-    val next = new java.io.File(path, "dict.next")
-    if (!dict.exists && next.exists) next.renameTo(dict)
-    Handle(path, field("n_docs"), field("buckets").toInt)
+    healPending(path)
+    val s = readSmall(fsOf(path), new HPath(path, "text_index.json"))
+    Handle(path, jsonField(s, "n_docs"), jsonField(s, "buckets").toInt)
   }
 
   /** Incremental maintenance: index a batch of NEW documents into an
-    * existing index — postings APPEND into the same `bucket=` layout
-    * (file-level append, no rewrite of existing postings), the
-    * vocabulary-sized dict is merged (`df` sums) and swapped in
-    * write-next/delete/rename order, and `n_docs` bumps in meta. A
-    * crash between delete and rename leaves `dict.next` only;
-    * [[open]] heals it (spec-pinned). The doc_ids MUST be new — this
-    * is append, not upsert; re-adding an id double-counts it exactly
-    * as appending the same rows twice to any log would.
+    * existing index. Delta postings and the merged dict are STAGED
+    * first, then published in an order every crash point of which
+    * [[open]] can resolve — the Warehouse compact/publish discipline:
+    *
+    *  1. delta postings → `append.pending/postings` (staging);
+    *  2. intent (target n_docs) → `append.pending/intent.json`;
+    *  3. merged dict (vocab-sized `df` sums) → `dict.next`;
+    *  4. `append.pending/_staged` marker — the commit point;
+    *  5. staged files RENAMED into the live `postings` bucket dirs
+    *     (unique part names — idempotent on replay);
+    *  6. dict swap (delete `dict`, rename `dict.next`);
+    *  7. meta rewritten to the intent's target (idempotent);
+    *  8. staging removed.
+    *
+    * Crash before the `_staged` marker → [[open]] ABORTS the append
+    * (staging + `dict.next` deleted, index untouched — re-run it);
+    * crash after → [[open]] ROLLS FORWARD (finishes the renames, the
+    * swap and the meta write). At no point does a reader see new
+    * postings with the old dict or vice versa after heal. The doc_ids
+    * MUST be new — this is append, not upsert; re-adding an id
+    * double-counts it exactly as appending the same rows twice to any
+    * log would.
     *
     * Search results after append are BIT-EQUAL to a fresh [[write]] of
     * the union corpus (spec-pinned): postings/df/n_docs are all
     * additive. At 100 TB this is the point — the nightly crawl delta
     * indexes in time ∝ delta, never corpus. */
   def append(newDocs: DataFrame, h: Handle,
-             text: String = "text"): Handle = {
+             text: String = "text"): Handle =
+    append(newDocs, h, text, crashAfterStep = 99)
+
+  /** [[append]] with an injected crash point — spec-only seam for the
+    * heal matrix (2 = before the commit marker, 4 = after it). */
+  private[store] def append(newDocs: DataFrame, h: Handle, text: String,
+                            crashAfterStep: Int): Handle = {
+    def crash(step: Int): Unit = if (step == crashAfterStep)
+      throw new IllegalStateException(s"injected crash after step $step")
     val spark = newDocs.sparkSession
+    val fs = fsOf(h.path)
+    healPending(h.path) // resolve any interrupted predecessor first
+    val pending = new HPath(h.path, "append.pending")
+    require(!fs.exists(pending),
+      s"append.pending survived heal — concurrent append? ${h.path}")
+    // 1. stage the delta postings
     val tf = postingsOf(newDocs, h.buckets, text)
-    tf.write.mode("append").partitionBy("bucket")
-      .parquet(s"${h.path}/postings")
-    val add = tf.groupBy("bucket", "token").agg(count(lit(1)).as("df"))
-    val merged = spark.read.parquet(s"${h.path}/dict")
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${h.path}/append.pending/postings")
+    crash(1)
+    // 2. intent: the TARGET doc count (idempotent for the heal)
+    val target = h.nDocs + newDocs.count()
+    writeSmall(fs, new HPath(pending, "intent.json"),
+      s"""{"n_docs":$target}""")
+    crash(2)
+    // 3. merged dict
+    val add = spark.read.parquet(s"${h.path}/append.pending/postings")
+      .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
+    spark.read.parquet(s"${h.path}/dict")
       .select("bucket", "token", "df").unionByName(add)
       .groupBy("bucket", "token").agg(sum("df").as("df"))
-    merged.write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${h.path}/dict.next")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dictP = new org.apache.hadoop.fs.Path(s"${h.path}/dict")
-    val nextP = new org.apache.hadoop.fs.Path(s"${h.path}/dict.next")
-    val fs = dictP.getFileSystem(conf)
-    fs.delete(dictP, true)
-    fs.rename(nextP, dictP)
-    val n = h.nDocs + newDocs.count()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(h.path, "text_index.json"),
-      s"""{"n_docs":$n,"buckets":${h.buckets}}""")
-    Handle(h.path, n, h.buckets)
+    crash(3)
+    // 4. commit point
+    writeSmall(fs, new HPath(pending, "_staged"), "")
+    crash(4)
+    // 5-8. publish
+    publishPending(h.path)
+    Handle(h.path, target, h.buckets)
+  }
+
+  /** Resolve an interrupted [[append]]: abort if it never reached the
+    * `_staged` commit point, roll it forward otherwise. No-op when no
+    * staging exists. */
+  private def healPending(path: String): Unit = {
+    val fs = fsOf(path)
+    val pending = new HPath(path, "append.pending")
+    val next = new HPath(path, "dict.next")
+    if (fs.exists(pending)) {
+      if (fs.exists(new HPath(pending, "_staged"))) publishPending(path)
+      else { fs.delete(pending, true); fs.delete(next, true) }
+    } else if (fs.exists(next)) {
+      if (fs.exists(new HPath(path, "dict"))) fs.delete(next, true)
+      else fs.rename(next, new HPath(path, "dict")) // legacy swap heal
+    }
+  }
+
+  /** Steps 5-8 of [[append]] — safe to re-run from any crash point:
+    * renames skip already-moved files, the swap skips when already
+    * done, the meta write lands the intent's absolute target. */
+  private def publishPending(path: String): Unit = {
+    val fs = fsOf(path)
+    val pending = new HPath(path, "append.pending")
+    val staged = new HPath(pending, "postings")
+    if (fs.exists(staged)) {
+      for (b <- fs.listStatus(staged) if b.isDirectory) {
+        val dst = new HPath(s"$path/postings/${b.getPath.getName}")
+        fs.mkdirs(dst)
+        for (f <- fs.listStatus(b.getPath) if f.isFile)
+          fs.rename(f.getPath, new HPath(dst, f.getPath.getName))
+      }
+    }
+    val dict = new HPath(path, "dict")
+    val next = new HPath(path, "dict.next")
+    if (fs.exists(next)) { fs.delete(dict, true); fs.rename(next, dict) }
+    val target = jsonField(
+      readSmall(fs, new HPath(pending, "intent.json")), "n_docs")
+    val buckets = jsonField(
+      readSmall(fs, new HPath(path, "text_index.json")), "buckets")
+    writeSmall(fs, new HPath(path, "text_index.json"),
+      s"""{"n_docs":$target,"buckets":$buckets}""")
+    fs.delete(pending, true)
   }
 
   /** The POSITIONAL tier: per-occurrence postings (bucket, token,

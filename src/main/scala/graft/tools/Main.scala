@@ -264,22 +264,26 @@ object Main {
   }
 
   private def cmdIndex(rest: List[String], spark: SparkSession): Int = {
-    var buckets = 64
+    var buckets: Option[Int] = None
     var append = false
     def opts(l: List[String]): List[String] = l match {
       case "--buckets" :: v :: t =>
-        buckets = parseLong("buckets", v).toInt; opts(t)
+        buckets = Some(parseLong("buckets", v).toInt); opts(t)
       case "--append" :: t => append = true; opts(t)
       case other => other
     }
     opts(rest) match {
       case docsPath :: idxDir :: Nil =>
+        if (append && buckets.isDefined)
+          fail("index: --buckets applies only to a fresh build; an " +
+            "appended index keeps its existing bucket geometry")
         val docs = spark.read.parquet(docsPath)
         val h =
           if (append)
             graft.store.TextIndex.append(docs,
               graft.store.TextIndex.open(idxDir))
-          else graft.store.TextIndex.write(docs, idxDir, buckets)
+          else graft.store.TextIndex.write(docs, idxDir,
+            buckets.getOrElse(64))
         println(s"indexed ${h.nDocs} docs into ${h.path} " +
           s"(${h.buckets} buckets)")
         0

@@ -73,6 +73,54 @@ class TextIndexSpec extends SparkSpec {
     assert(r.nonEmpty)
   }
 
+  test("append crash BEFORE the commit marker aborts; retry converges") {
+    val part1 = docs.where(col("doc_id") % 2 === 0)
+    val part2 = docs.where(col("doc_id") % 2 === 1)
+    val h = TextIndex.write(part1, freshPath("crashpre"), buckets = 8)
+    intercept[IllegalStateException] {
+      TextIndex.append(part2, h, "text", crashAfterStep = 2)
+    }
+    // heal-on-open ABORTS: index is bit-the old index, staging gone
+    val healed = TextIndex.open(h.path)
+    assert(healed == h)
+    assert(!new java.io.File(h.path, "append.pending").exists)
+    assert(!new java.io.File(h.path, "dict.next").exists)
+    val before = TextIndex.searchTopK(spark, healed, Seq("query", "merge"),
+      k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = TextIndex.searchTopK(spark,
+      TextIndex.write(part1, freshPath("crashpre2"), buckets = 8),
+      Seq("query", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(before == direct)
+    // the retried append lands the delta exactly once
+    val after = TextIndex.append(part2, healed)
+    val full = TextIndex.write(docs, freshPath("crashpre3"), buckets = 8)
+    assert(after.nDocs == full.nDocs)
+    val a = TextIndex.searchTopK(spark, after, Seq("query", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextIndex.searchTopK(spark, full, Seq("query", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("append crash AFTER the commit marker rolls forward on open") {
+    val part1 = docs.where(col("doc_id") % 2 === 0)
+    val part2 = docs.where(col("doc_id") % 2 === 1)
+    val h = TextIndex.write(part1, freshPath("crashpost"), buckets = 8)
+    intercept[IllegalStateException] {
+      TextIndex.append(part2, h, "text", crashAfterStep = 4)
+    }
+    val healed = TextIndex.open(h.path) // publish completes here
+    val full = TextIndex.write(docs, freshPath("crashpost2"), buckets = 8)
+    assert(healed.nDocs == full.nDocs)
+    assert(!new java.io.File(h.path, "append.pending").exists)
+    val a = TextIndex.searchTopK(spark, healed, Seq("query", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextIndex.searchTopK(spark, full, Seq("query", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
   test("positional tier: indexed phrase search == TextOps.phraseSearch") {
     val h = TextIndex.write(docs, freshPath("pos"), buckets = 16)
     TextIndex.writePositional(docs, h)
