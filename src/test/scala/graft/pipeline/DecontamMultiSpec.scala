@@ -57,6 +57,20 @@ class DecontamMultiSpec extends SparkSpec {
     assert(got.contains((4L, "sB"))) // whole-text fallback hash matched
   }
 
+  test("doc_id collisions across suites do not cross-pollinate gram sets") {
+    // both suites number their docs from 0 — the normal case for
+    // unrelated benchmarks; suite attribution must still be exact
+    val rows = Seq((0L, evalA, "sA"), (0L, evalB, "sB"))
+    val collidingBench = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      bench.schema)
+    val got = Dedup.decontaminateMulti(corpus, collidingBench, n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.contains((1L, "sA")) && !got.contains((1L, "sB")),
+      "doc 1 overlaps only evalA's text")
+    assert(got.contains((2L, "sA")) && got.contains((2L, "sB")))
+  }
+
   test("a doc listed under two suites contaminates both") {
     val dupBench = bench.unionByName(
       bench.where(col("doc_id") === 10L).withColumn("suite", lit("sB")))

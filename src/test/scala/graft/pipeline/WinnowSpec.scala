@@ -117,6 +117,37 @@ class WinnowSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("overlap pairs: a biting cap keeps numerator and denominator " +
+      "in the same kept-fp space") {
+    // all 4 docs share an 11-token boilerplate run (its picks get df 4);
+    // docs 1 and 2 additionally share a unique 11-token run (df 2)
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda"
+    val shared = "uniq one two three four five six seven eight nine ten"
+    val docs = mkDocs(
+      1L -> (boiler + " onlyone filler " + shared),
+      2L -> (shared + " different middle then " + boiler),
+      3L -> (boiler + " third doc padding words here now extra"),
+      4L -> (boiler + " fourth doc other padding tokens right here"))
+    val got = Dedup.winnowOverlapPairs(docs, n = 8, w = 4, maxDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // reference in the KEPT space: drop fps present in all 4 docs
+    val sets = docs.collect().map(r => r.getLong(0) ->
+      refWinnow(r.getString(1), 8, 4).map(_._2)).toMap
+    val hubs = sets.values.reduce(_ & _) // df-4 fingerprints (superset of any df>3)
+    val dfAll = sets.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (f, o) => f -> o.size }
+    val dropped = dfAll.filter(_._2 > 3).keySet
+    val kept = sets.map { case (d, s) => d -> (s -- dropped) }
+    assert(got.keySet.contains((1L, 2L)))
+    val (ns, na, nb, ov) = got((1L, 2L))
+    assert(ns == (kept(1L) & kept(2L)).size.toLong && ns >= 1)
+    assert(na == kept(1L).size && nb == kept(2L).size)
+    assert(ov == ns * 1000000L / math.min(na, nb))
+    assert(hubs.subsetOf(dropped))
+  }
+
   test("selection is repartition-invariant and respects w") {
     val docs = mkDocs(1L -> longText, 2L -> repeatText)
     val base = run(docs)
