@@ -5066,7 +5066,32 @@ object Registry {
              |             if s[i] = 'table' AND s[i+1] = 'scan']) AS n_matches
              |      FROM t)
              |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
-             |FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin))
+             |FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- BM25 over the persisted index: q99's exact rational with tf
+    //      from bucket-pruned postings, df from the dict, dl from the
+    //      doclen table, L/N as meta literals — same oracle shape ----
+    Entry("q175_indexed_bm25",
+      (s, d) => graft.store.TextIndex.bm25TopK(s, textIndexFor(s, d),
+        Seq("query", "merge", "stream"), k = 20),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS L FROM dl),
+             |nn AS (SELECT count(*) AS N FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('query', 'merge', 'stream') GROUP BY 1, 2),
+             |i AS (SELECT token, (nn.N * 1000000) // count(*) AS idf_scaled
+             |      FROM f, nn GROUP BY token, nn.N),
+             |sc AS (SELECT f.doc_id,
+             |         CAST(sum(i.idf_scaled *
+             |           ((22 * f.tf * tot.L * 1000000)
+             |            // (10 * f.tf * tot.L + 3 * tot.L + 9 * dl.dl * nn.N)))
+             |           AS BIGINT) AS score
+             |       FROM f JOIN i USING (token) JOIN dl USING (doc_id), tot, nn
+             |       GROUP BY 1)
+             |SELECT doc_id, score FROM sc
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

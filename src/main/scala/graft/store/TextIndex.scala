@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * works the same on local disk, HDFS or an object store. */
 object TextIndex {
 
-  final case class Handle(path: String, nDocs: Long, buckets: Int)
+  final case class Handle(path: String, nDocs: Long, buckets: Int,
+                          bigL: Long)
 
   /** Driver-side replica of [[TextOps.md5Long]] for bucket routing. */
   def md5Long60(s: String): Long = {
@@ -79,16 +80,24 @@ object TextIndex {
     spark.read.parquet(s"$path/postings")
       .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dict")
+    // per-doc length (Σ tf) — the BM25 normalizer; derived from the
+    // written postings, so still a single corpus scan overall
+    spark.read.parquet(s"$path/postings")
+      .groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    val bigL = spark.read.parquet(s"$path/doclen")
+      .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     val nDocs = docs.count()
     writeSmall(fsOf(path), new HPath(path, "text_index.json"),
-      s"""{"n_docs":$nDocs,"buckets":$buckets}""")
-    Handle(path, nDocs, buckets)
+      s"""{"n_docs":$nDocs,"buckets":$buckets,"big_l":$bigL}""")
+    Handle(path, nDocs, buckets, bigL)
   }
 
   def open(path: String): Handle = {
     healPending(path)
     val s = readSmall(fsOf(path), new HPath(path, "text_index.json"))
-    Handle(path, jsonField(s, "n_docs"), jsonField(s, "buckets").toInt)
+    Handle(path, jsonField(s, "n_docs"), jsonField(s, "buckets").toInt,
+      jsonField(s, "big_l"))
   }
 
   /** Incremental maintenance: index a batch of NEW documents into an
@@ -135,15 +144,23 @@ object TextIndex {
     val pending = new HPath(h.path, "append.pending")
     require(!fs.exists(pending),
       s"append.pending survived heal — concurrent append? ${h.path}")
-    // 1. stage the delta postings
+    // 1. stage the delta postings + doc lengths
     val tf = postingsOf(newDocs, h.buckets, text)
     tf.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${h.path}/append.pending/postings")
+    newDocs.sparkSession.read
+      .parquet(s"${h.path}/append.pending/postings")
+      .groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite")
+      .parquet(s"${h.path}/append.pending/doclen")
     crash(1)
-    // 2. intent: the TARGET doc count (idempotent for the heal)
+    // 2. intent: the TARGET counts (idempotent for the heal)
     val target = h.nDocs + newDocs.count()
+    val targetL = h.bigL + newDocs.sparkSession.read
+      .parquet(s"${h.path}/append.pending/doclen")
+      .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     writeSmall(fs, new HPath(pending, "intent.json"),
-      s"""{"n_docs":$target}""")
+      s"""{"n_docs":$target,"big_l":$targetL}""")
     crash(2)
     // 3. merged dict
     val add = spark.read.parquet(s"${h.path}/append.pending/postings")
@@ -159,7 +176,7 @@ object TextIndex {
     crash(4)
     // 5-8. publish
     publishPending(h.path)
-    Handle(h.path, target, h.buckets)
+    Handle(h.path, target, h.buckets, targetL)
   }
 
   /** Resolve an interrupted [[append]]: abort if it never reached the
@@ -193,15 +210,21 @@ object TextIndex {
           fs.rename(f.getPath, new HPath(dst, f.getPath.getName))
       }
     }
+    val stagedDl = new HPath(pending, "doclen")
+    if (fs.exists(stagedDl))
+      for (f <- fs.listStatus(stagedDl)
+           if f.isFile && f.getPath.getName.startsWith("part-"))
+        fs.rename(f.getPath,
+          new HPath(s"$path/doclen/${f.getPath.getName}"))
     val dict = new HPath(path, "dict")
     val next = new HPath(path, "dict.next")
     if (fs.exists(next)) { fs.delete(dict, true); fs.rename(next, dict) }
-    val target = jsonField(
-      readSmall(fs, new HPath(pending, "intent.json")), "n_docs")
+    val intent = readSmall(fs, new HPath(pending, "intent.json"))
     val buckets = jsonField(
       readSmall(fs, new HPath(path, "text_index.json")), "buckets")
     writeSmall(fs, new HPath(path, "text_index.json"),
-      s"""{"n_docs":$target,"buckets":$buckets}""")
+      s"""{"n_docs":${jsonField(intent, "n_docs")},"buckets":$buckets,""" +
+        s""""big_l":${jsonField(intent, "big_l")}}""")
     fs.delete(pending, true)
   }
 
@@ -244,6 +267,38 @@ object TextIndex {
           Seq("doc_id", "pos"))
       }
       .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** BM25 top-k over the index — [[TextOps.bm25TopK]]'s exact rational
+    * (k1 = 1.2, b = 0.75 multiplied through by 10·L, fixed point 1e6)
+    * with the corpus never scanned: tf from the bucket-pruned postings,
+    * df from the dict, dl from the doc-keyed `doclen` table (candidate
+    * docs are query-term-sized, so AQE broadcasts them into the dl
+    * join), L and N as literals from meta. Spec-pinned bit-equal to the
+    * on-the-fly scorer, so the q99 oracle shape carries over. */
+  def bm25TopK(spark: SparkSession, h: Handle, query: Seq[String],
+               k: Int): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bs = query.map(t => md5Long60(t) % h.buckets).distinct
+    val tf = spark.read.parquet(s"${h.path}/postings")
+      .where(col("bucket").isin(bs: _*) &&
+        col("token").isInCollection(query))
+      .select("doc_id", "token", "tf")
+    val idf = spark.read.parquet(s"${h.path}/dict")
+      .where(col("bucket").isin(bs: _*) &&
+        col("token").isInCollection(query))
+      .select(col("token"),
+        expr(s"(${h.nDocs}L * 1000000L) div df").as("idf_scaled"))
+    val dl = spark.read.parquet(s"${h.path}/doclen")
+    tf.join(broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .withColumn("_sat_e6", expr(
+        s"(22 * tf * ${h.bigL}L * 1000000) div " +
+          s"(10 * tf * ${h.bigL}L + 3 * ${h.bigL}L + 9 * dl * ${h.nDocs}L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("idf_scaled") * col("_sat_e6")).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
   /** Top-k docs for a term bag — [[TextOps.searchTopK]] over the index.

@@ -27,6 +27,11 @@ class TextIndexSpec extends SparkSpec {
       val viaIdx = TextIndex.searchTopK(spark, reopened, q, k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(viaIdx == direct, s"query $q")
+      val directBm = TextOps.bm25TopK(docs, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val idxBm = TextIndex.bm25TopK(spark, reopened, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(idxBm == directBm, s"bm25 $q")
     }
   }
 
@@ -58,7 +63,14 @@ class TextIndexSpec extends SparkSpec {
       val b = TextIndex.searchTopK(spark, full, q, k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(a == b, s"query $q")
+      // dl/big_l are additive too: the BM25 tier survives appends
+      val abm = TextIndex.bm25TopK(spark, h, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val bbm = TextIndex.bm25TopK(spark, full, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(abm == bbm, s"bm25 $q")
     }
+    assert(h.bigL == full.bigL)
   }
 
   test("open() heals an interrupted dict swap (dict.next only)") {
