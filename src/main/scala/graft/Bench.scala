@@ -91,7 +91,10 @@ object Bench {
       if (s.endsWith(".0") && v >= 1.0) s.dropRight(2) else s
     }
     val qs = results.map { case (k, m, _, _) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + r1(m) }
+        // "q01" → "q1": the contract's own key shape, and ~1 byte per
+        // zero-padded query against the 2000-char capture window
+        val num = k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')
+        s"\"q" + (if (num.isEmpty) "0" else num) + "\":" + r1(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
