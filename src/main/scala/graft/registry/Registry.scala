@@ -5091,7 +5091,79 @@ object Registry {
              |       FROM f JOIN i USING (token) JOIN dl USING (doc_id), tot, nn
              |       GROUP BY 1)
              |SELECT doc_id, score FROM sc
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- hybrid retrieval capstone: BM25 lexical ranking fused with an
+    //      embedding ANN ranking (query = doc 0's hash-count vector) by
+    //      reciprocal rank — the modern retrieval stack end-to-end over
+    //      three verified tiers (q99 scorer, q66/q19 cosine path, q92
+    //      fusion). Assignment-free: both rankings are answer-sized ----
+    Entry("q176_hybrid_search",
+      (s, d) => {
+        val dd = docs(s, d)
+        val wLex = Window.orderBy(desc("score"), asc("doc_id"))
+        val lex = TextOps.bm25TopK(dd, Seq("hash", "join", "scan"), k = 20)
+          // rank AFTER the TakeOrdered cut: a 20-row frame (bounded)
+          .withColumn("rnk", row_number().over(wLex).cast("long"))
+          .select("doc_id", "rnk")
+        val v = TextOps.hashVectorize(dd, dim = 16)
+          .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+        val sem = Ann.bruteForceTopK(v.where(col("vec_id") === 0L), v,
+            k = 20)
+          .select(col("vid").as("doc_id"), col("rnk"))
+        TextOps.rrfFuse(Seq(lex, sem), topK = 10)
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |           FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS L FROM dl),
+             |nn AS (SELECT count(*) AS N FROM documents),
+             |f AS (SELECT doc_id, token, count(*) AS tf FROM t
+             |      WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+             |i AS (SELECT token, (nn.N * 1000000) // count(*) AS idf_scaled
+             |      FROM f, nn GROUP BY token, nn.N),
+             |bm AS (SELECT f.doc_id,
+             |         CAST(sum(i.idf_scaled *
+             |           ((22 * f.tf * tot.L * 1000000)
+             |            // (10 * f.tf * tot.L + 3 * tot.L + 9 * dl.dl * nn.N)))
+             |           AS BIGINT) AS score
+             |       FROM f JOIN i USING (token) JOIN dl USING (doc_id), tot, nn
+             |       GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20),
+             |ra AS (SELECT doc_id, CAST(row_number() OVER
+             |         (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM bm),
+             |cnt AS (SELECT doc_id,
+             |          CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 16 AS b,
+             |          count(*) AS c
+             |        FROM t GROUP BY 1, 2),
+             |grid AS (SELECT g.doc_id, g.j, coalesce(cnt.c, 0) AS c
+             |         FROM (SELECT dd.doc_id, j.j
+             |               FROM (SELECT DISTINCT doc_id FROM documents) dd,
+             |                    range(0, 16) j(j)) g
+             |         LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.b = g.j),
+             |nrm AS (SELECT doc_id,
+             |          sqrt(CAST(sum((c*10000)*(c*10000)) AS DOUBLE)) AS n
+             |        FROM grid GROUP BY 1),
+             |q0 AS (SELECT j, c FROM grid WHERE doc_id = 0),
+             |dotr AS (SELECT g.doc_id AS vid,
+             |           CAST(sum(g.c * q0.c) AS BIGINT) AS dot_raw
+             |         FROM grid g JOIN q0 ON g.j = q0.j
+             |         WHERE g.doc_id <> 0 GROUP BY 1),
+             |cosv AS (SELECT dotr.vid,
+             |           CAST(dot_raw * 100000000 AS DOUBLE)
+             |             / (nq.n * nv.n) AS cosine
+             |         FROM dotr
+             |           CROSS JOIN (SELECT n FROM nrm WHERE doc_id = 0) nq
+             |           JOIN nrm nv ON nv.doc_id = dotr.vid),
+             |rb AS (SELECT vid AS doc_id, rnk FROM (
+             |         SELECT vid, CAST(row_number() OVER
+             |           (ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+             |         FROM cosv) WHERE rnk <= 20),
+             |u AS (SELECT doc_id, 1000000000000 // (60 + rnk) AS rc FROM ra
+             |      UNION ALL
+             |      SELECT doc_id, 1000000000000 // (60 + rnk) AS rc FROM rb)
+             |SELECT doc_id, CAST(sum(rc) AS BIGINT) AS rrf,
+             |       count(*) AS n_lists
+             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
