@@ -5163,7 +5163,31 @@ object Registry {
              |      SELECT doc_id, 1000000000000 // (60 + rnk) AS rc FROM rb)
              |SELECT doc_id, CAST(sum(rc) AS BIGINT) AS rrf,
              |       count(*) AS n_lists
-             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- TPC-H Q4 shape: per-priority count of orders with at least
+    //      one lineitem shipped > 60 days after the order date — the
+    //      EXISTS/left-semi relational shape with a non-equi residual
+    //      on the join condition ----
+    Entry("q177_late_ship_priority",
+      (s, d) => {
+        val o = s.read.parquet(s"$d/orders.parquet")
+        val l = s.read.parquet(s"$d/lineitem.parquet")
+        o.join(l,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey
+             |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
