@@ -5187,7 +5187,77 @@ object Registry {
              |WHERE EXISTS (SELECT 1 FROM lineitem l
              |  WHERE l.l_orderkey = o.o_orderkey
              |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- TPC-H Q17 shape: small-quantity revenue per brand — rows
+    //      below 20% of their PART's average quantity (the correlated
+    //      scalar-aggregate subquery class), decided by the exact
+    //      integer cross-multiply qty·5·cnt < sum (no avg division).
+    //      One partkey partial agg + the co-keyed fact self-join; the
+    //      part dim broadcast ----
+    Entry("q178_small_qty_revenue",
+      (s, d) => {
+        val l = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("price_cents"))
+        val pq = l.groupBy("l_partkey")
+          .agg(sum("qty").as("_s"), count(lit(1)).as("_c"))
+        val p = s.read.parquet(s"$d/part.parquet")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        l.join(pq, "l_partkey")
+          .where(col("qty") * 5 * col("_c") < col("_s"))
+          .join(broadcast(p), "l_partkey")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("price_cents").as("revenue_cents"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+             |  FROM lineitem),
+             |pq AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS s,
+             |         CAST(count(*) AS BIGINT) AS c
+             |       FROM l GROUP BY 1)
+             |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(l.price_cents) AS BIGINT) AS revenue_cents
+             |FROM l JOIN pq USING (l_partkey)
+             |  JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE l.qty * 5 * pq.c < pq.s
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- TPC-H Q18 shape: large-volume orders — HAVING-filtered fact
+    //      aggregate joined back through orders to the broadcast
+    //      customer dim, TakeOrdered cut (never a global sort) ----
+    Entry("q179_large_volume_orders",
+      (s, d) => {
+        val l = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val oq = l.groupBy("l_orderkey")
+          .agg(sum("qty").as("total_qty"))
+          .where(col("total_qty") > 250L)
+        val o = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("price_cents"))
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        oq.join(o, "l_orderkey").join(broadcast(c), "o_custkey")
+          .select(col("c_name"), col("o_custkey"),
+            col("l_orderkey").as("orderkey"), col("total_qty"),
+            col("price_cents"))
+          .orderBy(desc("total_qty"), asc("orderkey")).limit(100)
+      },
+      Some("""WITH oq AS (SELECT l_orderkey,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             |  FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+             |SELECT c.c_name, o.o_custkey, o.o_orderkey AS orderkey,
+             |  oq.total_qty,
+             |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+             |FROM oq JOIN orders o ON o.o_orderkey = oq.l_orderkey
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |ORDER BY total_qty DESC, orderkey LIMIT 100""".stripMargin))
   )
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —

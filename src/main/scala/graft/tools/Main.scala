@@ -48,7 +48,7 @@ object Main {
       |  generate [config.json] [count]
       |  retire <dir> <horizon-ns>
       |  index [--buckets N] [--append] <docs.parquet> <index-dir>
-      |  search [--k N] <index-dir> <term>...""".stripMargin
+      |  search [--k N] [--bm25] <index-dir> <term>...""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
@@ -294,18 +294,22 @@ object Main {
 
   private def cmdSearch(rest: List[String], spark: SparkSession): Int = {
     var k = 10
+    var bm25 = false
     def opts(l: List[String]): List[String] = l match {
       case "--k" :: v :: t => k = parseLong("k", v).toInt; opts(t)
+      case "--bm25" :: t => bm25 = true; opts(t)
       case other => other
     }
     opts(rest) match {
       case idxDir :: terms if terms.nonEmpty =>
         val h = graft.store.TextIndex.open(idxDir)
-        graft.store.TextIndex.searchTopK(spark, h, terms, k)
-          .collect()
+        val ranked =
+          if (bm25) graft.store.TextIndex.bm25TopK(spark, h, terms, k)
+          else graft.store.TextIndex.searchTopK(spark, h, terms, k)
+        ranked.collect()
           .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
         0
-      case _ => fail("search: expected [--k N] <index-dir> <term>...")
+      case _ => fail("search: expected [--k N] [--bm25] <index-dir> <term>...")
     }
   }
 }

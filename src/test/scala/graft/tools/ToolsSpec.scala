@@ -186,6 +186,8 @@ class ToolsSpec extends SparkSpec {
       spark) === 0)
     assert(Main.run(Array("search", "--k", "3", idx, "query", "merge"),
       spark) === 0)
+    assert(Main.run(Array("search", "--bm25", "--k", "3", idx, "query"),
+      spark) === 0)
     // append the same docs again: n_docs doubles (append, not upsert)
     val before = graft.store.TextIndex.open(idx).nDocs
     assert(Main.run(Array("index", "--append", docsPath, idx), spark) === 0)
