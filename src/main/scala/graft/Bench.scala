@@ -82,11 +82,13 @@ object Bench {
     // decimal buys ~155 bytes of headroom and the full-precision numbers
     // are in BENCH_DETAIL.json anyway
     def r1(v: Double): String = {
-      // one decimal below 10 s, whole seconds above; exact x.0 drops the
-      // ".0" — every stdout byte counts against the 2000-char capture,
-      // full precision is in BENCH_DETAIL.json
+      // one decimal below 2 s, whole seconds above — at 179 queries the
+      // full-decimal line + sbt's [success] trailer measured 2007 bytes
+      // against the driver's last-2000-chars capture, which would have
+      // TRUNCATED the line's opening brace; full precision is in
+      // BENCH_DETAIL.json
       val s =
-        if (v >= 9.95) String.valueOf(math.round(v))
+        if (v >= 0.95) String.valueOf(math.round(v))
         else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       if (s.endsWith(".0") && v >= 1.0) s.dropRight(2) else s
     }
