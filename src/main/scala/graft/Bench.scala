@@ -69,10 +69,11 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r04..r08 all show parsed:null —
     // the full-precision warm+cold line was ~4 KB and never fit). Stdout
-    // gets a COMPACT line: centisecond-rounded warm values keyed by the
-    // qNN prefix alone (unique; full names would blow the window again at
-    // 110 queries — ~2.7 KB vs ~1.3 KB), scalar cold total, no per-query
-    // cold map. Full precision under FULL names goes to BENCH_DETAIL.json.
+    // gets a COMPACT line: min(cold, warm) per query at one decimal below
+    // ~1 s / whole seconds above, keyed by zero-stripped "qN" numbers, no
+    // per-pass totals or maps. At 179 queries the line + sbt's [success]
+    // trailer measured 2007 bytes before this compaction — 7 OVER the
+    // window. Full precision under FULL names goes to BENCH_DETAIL.json.
     // Locale.ROOT: a comma decimal separator would corrupt the JSON line
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(v))
@@ -82,15 +83,13 @@ object Bench {
     // decimal buys ~155 bytes of headroom and the full-precision numbers
     // are in BENCH_DETAIL.json anyway
     def r1(v: Double): String = {
-      // one decimal below 2 s, whole seconds above — at 179 queries the
+      // one decimal below ~1 s, whole seconds above — at 179 queries the
       // full-decimal line + sbt's [success] trailer measured 2007 bytes
       // against the driver's last-2000-chars capture, which would have
       // TRUNCATED the line's opening brace; full precision is in
       // BENCH_DETAIL.json
-      val s =
-        if (v >= 0.95) String.valueOf(math.round(v))
-        else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-      if (s.endsWith(".0") && v >= 1.0) s.dropRight(2) else s
+      if (v >= 0.95) String.valueOf(math.round(v))
+      else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     }
     val qs = results.map { case (k, m, _, _) =>
         // "q01" → "q1": the contract's own key shape, and ~1 byte per

@@ -60,6 +60,19 @@ object TextIndex {
   private def jsonField(s: String, k: String): Long =
     s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
 
+  /** Absent field → None instead of an opaque index-out-of-bounds —
+    * metas written before a field existed must stay openable. */
+  private def jsonFieldOpt(s: String, k: String): Option[Long] = {
+    val parts = s.split(s""""$k":""")
+    if (parts.length < 2) None
+    else Some(parts(1).takeWhile(c => c.isDigit || c == '-').toLong)
+  }
+
+  private def renameOrFail(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    require(fs.rename(src, dst),
+      s"TextIndex: rename $src -> $dst failed (Hadoop rename returns " +
+        "false on missing destination parents or existing targets)")
+
   private def postingsOf(docs: DataFrame, buckets: Int,
                          text: String): DataFrame =
     docs
@@ -96,8 +109,10 @@ object TextIndex {
   def open(path: String): Handle = {
     healPending(path)
     val s = readSmall(fsOf(path), new HPath(path, "text_index.json"))
+    // big_l = -1 marks an index persisted before the BM25 tier existed:
+    // tf-idf/phrase search still work; bm25TopK refuses loudly
     Handle(path, jsonField(s, "n_docs"), jsonField(s, "buckets").toInt,
-      jsonField(s, "big_l"))
+      jsonFieldOpt(s, "big_l").getOrElse(-1L))
   }
 
   /** Incremental maintenance: index a batch of NEW documents into an
@@ -207,24 +222,33 @@ object TextIndex {
         val dst = new HPath(s"$path/postings/${b.getPath.getName}")
         fs.mkdirs(dst)
         for (f <- fs.listStatus(b.getPath) if f.isFile)
-          fs.rename(f.getPath, new HPath(dst, f.getPath.getName))
+          renameOrFail(fs, f.getPath, new HPath(dst, f.getPath.getName))
       }
     }
     val stagedDl = new HPath(pending, "doclen")
-    if (fs.exists(stagedDl))
+    if (fs.exists(stagedDl)) {
+      val dlDir = new HPath(path, "doclen")
+      fs.mkdirs(dlDir) // rename silently returns false without the parent
       for (f <- fs.listStatus(stagedDl)
            if f.isFile && f.getPath.getName.startsWith("part-"))
-        fs.rename(f.getPath,
-          new HPath(s"$path/doclen/${f.getPath.getName}"))
+        renameOrFail(fs, f.getPath, new HPath(dlDir, f.getPath.getName))
+    }
     val dict = new HPath(path, "dict")
     val next = new HPath(path, "dict.next")
-    if (fs.exists(next)) { fs.delete(dict, true); fs.rename(next, dict) }
+    if (fs.exists(next)) {
+      fs.delete(dict, true)
+      renameOrFail(fs, next, dict)
+    }
     val intent = readSmall(fs, new HPath(pending, "intent.json"))
-    val buckets = jsonField(
-      readSmall(fs, new HPath(path, "text_index.json")), "buckets")
+    val meta = readSmall(fs, new HPath(path, "text_index.json"))
+    val buckets = jsonField(meta, "buckets")
+    // an intent from a pre-BM25 binary lacks big_l — keep the meta's
+    // (possibly absent → -1 legacy marker) rather than crash
+    val bigL = jsonFieldOpt(intent, "big_l")
+      .orElse(jsonFieldOpt(meta, "big_l")).getOrElse(-1L)
     writeSmall(fs, new HPath(path, "text_index.json"),
       s"""{"n_docs":${jsonField(intent, "n_docs")},"buckets":$buckets,""" +
-        s""""big_l":${jsonField(intent, "big_l")}}""")
+        s""""big_l":$bigL}""")
     fs.delete(pending, true)
   }
 
@@ -280,6 +304,15 @@ object TextIndex {
                k: Int): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(h.bigL >= 0,
+      "bm25TopK: index has no big_l/doclen (built before the BM25 " +
+        "tier) — rebuild it with TextIndex.write")
+    // the saturation numerator is 22·tf·L·10⁶ — already past int64 at
+    // tf = 1 once L exceeds ~4.19e11 tokens; real tf multiplies the
+    // requirement (the q99 headroom bound) — shard or rescale beyond
+    require(h.bigL <= Long.MaxValue / 22000000L,
+      s"bm25TopK: big_l=${h.bigL} wraps the 22·tf·L·1e6 fixed point — " +
+        "shard the corpus or drop the e6 scale")
     val bs = query.map(t => md5Long60(t) % h.buckets).distinct
     val tf = spark.read.parquet(s"${h.path}/postings")
       .where(col("bucket").isin(bs: _*) &&

@@ -125,12 +125,42 @@ class TextIndexSpec extends SparkSpec {
     val healed = TextIndex.open(h.path) // publish completes here
     val full = TextIndex.write(docs, freshPath("crashpost2"), buckets = 8)
     assert(healed.nDocs == full.nDocs)
+    assert(healed.bigL == full.bigL) // intent big_l landed through heal
     assert(!new java.io.File(h.path, "append.pending").exists)
     val a = TextIndex.searchTopK(spark, healed, Seq("query", "merge"), k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val b = TextIndex.searchTopK(spark, full, Seq("query", "merge"), k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a == b)
+    // the healed doclen renames reached the live dir: BM25 needs every
+    // doc's dl row, so any silently-dropped staged file would show here
+    val abm = TextIndex.bm25TopK(spark, healed, Seq("query", "merge"),
+        k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bbm = TextIndex.bm25TopK(spark, full, Seq("query", "merge"),
+        k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(abm == bbm)
+  }
+
+  test("a pre-BM25 meta opens with the legacy marker; bm25 refuses loudly") {
+    val h = TextIndex.write(docs.where(col("doc_id") < 60),
+      freshPath("legacy"), buckets = 8)
+    // rewrite meta in the old two-field shape through the same Hadoop FS
+    // the old binary used (java.nio would leave a stale .crc sidecar)
+    val metaP = new org.apache.hadoop.fs.Path(h.path, "text_index.json")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaP, true)
+    out.write(s"""{"n_docs":${h.nDocs},"buckets":${h.buckets}}"""
+      .getBytes("UTF-8"))
+    out.close()
+    val legacy = TextIndex.open(h.path)
+    assert(legacy.bigL == -1L)
+    // tf-idf search still works; BM25 fails with a readable message
+    assert(TextIndex.searchTopK(spark, legacy, Seq("query"), k = 3)
+      .collect().nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(spark, legacy, Seq("query"), k = 3)
+    }
+    assert(e.getMessage.contains("rebuild"))
   }
 
   test("positional tier: indexed phrase search == TextOps.phraseSearch") {
