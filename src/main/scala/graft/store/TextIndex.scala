@@ -84,6 +84,16 @@ object TextIndex {
   def write(docs: DataFrame, path: String, buckets: Int = 64,
             text: String = "text"): Handle = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    // A rebuild SUPERSEDES any staged append at this path — even one past
+    // its `_staged` commit marker. Without this discard, the next
+    // open()/append() heal would roll the stale staged postings into the
+    // NEW index and overwrite its meta with the stale intent's
+    // n_docs/big_l (corruption with no error). Rebuilding at a fixed
+    // path after a crashed append is exactly the CLI `index` /
+    // textIndexDeltaFor flow, so this is a live path, not paranoia.
+    val wfs = fsOf(path)
+    wfs.delete(new HPath(path, "append.pending"), true)
+    wfs.delete(new HPath(path, "dict.next"), true)
     val tf = postingsOf(docs, buckets, text)
     tf.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
@@ -107,6 +117,13 @@ object TextIndex {
   }
 
   def open(path: String): Handle = {
+    // restore interrupted compact swaps BEFORE the append heal: its
+    // publishPending mkdirs into postings/, and a writer that recreates
+    // a mid-swap-missing dir strands the backup for the next compact's
+    // cleanup to delete (the Warehouse restoreStore lesson)
+    val ofs = fsOf(path)
+    for (d <- Seq("postings", "doclen", "positions"))
+      restoreInterruptedSwap(ofs, path, d)
     healPending(path)
     val s = readSmall(fsOf(path), new HPath(path, "text_index.json"))
     // big_l = -1 marks an index persisted before the BM25 tier existed:
@@ -153,6 +170,13 @@ object TextIndex {
                             crashAfterStep: Int): Handle = {
     def crash(step: Int): Unit = if (step == crashAfterStep)
       throw new IllegalStateException(s"injected crash after step $step")
+    // a legacy (pre-BM25) index carries bigL = -1 as a refusal marker;
+    // targetL = -1 + deltaL would launder it into a bogus non-negative
+    // big_l whose doclen table covers ONLY the appended docs — bm25TopK
+    // would then mis-score silently instead of refusing
+    require(h.bigL >= 0,
+      "append: index has no big_l/doclen (built before the BM25 tier) — " +
+        "rebuild it with TextIndex.write before appending")
     val spark = newDocs.sparkSession
     val fs = fsOf(h.path)
     healPending(h.path) // resolve any interrupted predecessor first
@@ -252,6 +276,76 @@ object TextIndex {
     fs.delete(pending, true)
   }
 
+  /** If a compact crashed between `rename(dst -> bak)` and
+    * `rename(tmp -> dst)`, `dst` is missing and the backup holds the
+    * only copy — restore it (the Warehouse restoreInterruptedSwap
+    * discipline; rename-loser tolerance for concurrent readers). */
+  private def restoreInterruptedSwap(fs: FileSystem, path: String,
+                                     dir: String): Unit = {
+    val dstP = new HPath(path, dir)
+    val bakP = new HPath(path, dir + "_compact_bak")
+    if (!fs.exists(dstP) && fs.exists(bakP)) {
+      if (!fs.rename(bakP, dstP))
+        require(fs.exists(dstP),
+          s"TextIndex compact: restore $bakP -> $dstP failed")
+    }
+  }
+
+  /** Offline maintenance: rewrite the index into few large sorted files
+    * per bucket. Every [[append]] renames its delta's part files into the
+    * live bucket dirs, so after many small deltas each bucket holds one
+    * file set PER APPEND — the classic small-files fragmentation that
+    * erodes probe efficiency (tiny row groups defeat min/max pruning,
+    * file opens dominate the bucket-pruned scan). Compaction restores
+    * `filesPerPartition` token-sorted files per bucket with content
+    * identical, so search results are bit-equal before and after
+    * (spec-pinned). Crash-safe via the Warehouse directory-swap
+    * discipline: live dir moves aside before the rewrite moves in, and
+    * [[open]] (or the next compact) restores an interrupted swap. Run
+    * offline, like every reference maintenance tool. */
+  def compact(spark: SparkSession, h: Handle,
+              filesPerPartition: Int = 1): Handle = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1: $filesPerPartition")
+    val fs = fsOf(h.path)
+    for (d <- Seq("postings", "doclen", "positions"))
+      restoreInterruptedSwap(fs, h.path, d)
+    healPending(h.path) // an unresolved append must publish before rewrite
+    def swap(tmp: String, dir: String): Unit = {
+      val tmpP = new HPath(h.path, tmp)
+      val dstP = new HPath(h.path, dir)
+      val bakP = new HPath(h.path, dir + "_compact_bak")
+      fs.delete(bakP, true)
+      if (fs.exists(dstP)) renameOrFail(fs, dstP, bakP)
+      renameOrFail(fs, tmpP, dstP)
+      fs.delete(bakP, true)
+    }
+    spark.read.parquet(s"${h.path}/postings")
+      .repartition(col("bucket"),
+        pmod(xxhash64(col("token")), lit(filesPerPartition)))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${h.path}/postings_compact_tmp")
+    swap("postings_compact_tmp", "postings")
+    if (fs.exists(new HPath(h.path, "doclen"))) {
+      spark.read.parquet(s"${h.path}/doclen")
+        .repartition(filesPerPartition, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"${h.path}/doclen_compact_tmp")
+      swap("doclen_compact_tmp", "doclen")
+    }
+    if (fs.exists(new HPath(h.path, "positions"))) {
+      spark.read.parquet(s"${h.path}/positions")
+        .repartition(col("bucket"),
+          pmod(xxhash64(col("token")), lit(filesPerPartition)))
+        .sortWithinPartitions("token", "doc_id", "pos")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${h.path}/positions_compact_tmp")
+      swap("positions_compact_tmp", "positions")
+    }
+    h // layout maintenance only — content and meta are unchanged
+  }
+
   /** The POSITIONAL tier: per-occurrence postings (bucket, token,
     * doc_id, pos) alongside the tf index — what indexed PHRASE search
     * needs. One row per token occurrence (corpus-token-sized; the
@@ -308,16 +402,30 @@ object TextIndex {
       "bm25TopK: index has no big_l/doclen (built before the BM25 " +
         "tier) — rebuild it with TextIndex.write")
     // the saturation numerator is 22·tf·L·10⁶ — already past int64 at
-    // tf = 1 once L exceeds ~4.19e11 tokens; real tf multiplies the
-    // requirement (the q99 headroom bound) — shard or rescale beyond
+    // tf = 1 once L exceeds ~4.19e11 tokens; shard or rescale beyond
     require(h.bigL <= Long.MaxValue / 22000000L,
       s"bm25TopK: big_l=${h.bigL} wraps the 22·tf·L·1e6 fixed point — " +
         "shard the corpus or drop the e6 scale")
+    // real tf MULTIPLIES the requirement: the driver-side require above
+    // only covers tf = 1, so rows whose tf pushes 22·tf·L·1e6 past int64
+    // raise per-row (the epsilonJoin/semanticDedup discipline) instead
+    // of wrapping silently. _tf_ok feeds the live score expression, so
+    // the guard can never be pruned away.
+    val maxTf: Long =
+      if (h.bigL == 0L) Long.MaxValue
+      else (BigInt(Long.MaxValue) / (BigInt(22) * h.bigL * 1000000L)).toLong
     val bs = query.map(t => md5Long60(t) % h.buckets).distinct
     val tf = spark.read.parquet(s"${h.path}/postings")
       .where(col("bucket").isin(bs: _*) &&
         col("token").isInCollection(query))
       .select("doc_id", "token", "tf")
+      .withColumn("_tf_ok",
+        when(col("tf") > maxTf,
+          raise_error(concat(lit("bm25TopK: tf="), col("tf"),
+            lit(s" wraps the 22·tf·L·1e6 fixed point at big_l=${h.bigL}" +
+              " — shard the corpus or drop the e6 scale")))
+            .cast("long"))
+          .otherwise(col("tf")))
     val idf = spark.read.parquet(s"${h.path}/dict")
       .where(col("bucket").isin(bs: _*) &&
         col("token").isInCollection(query))
@@ -327,8 +435,8 @@ object TextIndex {
     tf.join(broadcast(idf), "token")
       .join(dl, "doc_id")
       .withColumn("_sat_e6", expr(
-        s"(22 * tf * ${h.bigL}L * 1000000) div " +
-          s"(10 * tf * ${h.bigL}L + 3 * ${h.bigL}L + 9 * dl * ${h.nDocs}L)"))
+        s"(22 * _tf_ok * ${h.bigL}L * 1000000) div " +
+          s"(10 * _tf_ok * ${h.bigL}L + 3 * ${h.bigL}L + 9 * dl * ${h.nDocs}L)"))
       .groupBy("doc_id")
       .agg(sum(col("idf_scaled") * col("_sat_e6")).as("score"))
       .orderBy(desc("score"), asc("doc_id")).limit(k)

@@ -161,6 +161,120 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25TopK(spark, legacy, Seq("query"), k = 3)
     }
     assert(e.getMessage.contains("rebuild"))
+    // append must refuse too: targetL = -1 + deltaL would launder the
+    // refusal marker into a bogus big_l with a delta-only doclen table
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.append(docs.where(col("doc_id") >= 60 &&
+        col("doc_id") < 70), legacy)
+    }
+    assert(e2.getMessage.contains("rebuild"))
+  }
+
+  test("write() rebuild discards a crashed append's committed staging") {
+    val part1 = docs.where(col("doc_id") < 80)
+    val part2 = docs.where(col("doc_id") >= 80 && col("doc_id") < 120)
+    val path = freshPath("rebuild")
+    val h = TextIndex.write(part1, path, buckets = 8)
+    // crash AFTER the _staged commit marker: staging + dict.next survive
+    intercept[IllegalStateException] {
+      TextIndex.append(part2, h, "text", crashAfterStep = 4)
+    }
+    assert(new java.io.File(path, "append.pending").exists)
+    // the rebuild at the SAME path (CLI `index` / delta-rebuild flow)
+    // must supersede the staging — without the discard, the next open
+    // would roll part2's stale postings into the new index and stamp
+    // the stale intent's n_docs/big_l over its meta
+    val rebuilt = TextIndex.write(part1, path, buckets = 8)
+    assert(!new java.io.File(path, "append.pending").exists)
+    assert(!new java.io.File(path, "dict.next").exists)
+    val reopened = TextIndex.open(path)
+    assert(reopened == rebuilt)
+    val fresh = TextIndex.write(part1, freshPath("rebuild2"), buckets = 8)
+    assert(reopened.nDocs == fresh.nDocs && reopened.bigL == fresh.bigL)
+    val a = TextIndex.searchTopK(spark, reopened, Seq("query", "merge"),
+      k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextIndex.searchTopK(spark, fresh, Seq("query", "merge"),
+      k = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("bm25 raises per-row when tf wraps the fixed point (forged big L)") {
+    val d = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "dense dense dense dense filler"),
+        org.apache.spark.sql.Row(2L, "dense other words here")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val h = TextIndex.write(d, freshPath("wrap"), buckets = 4)
+    // the largest big_l the driver-side (tf = 1) require admits — at
+    // which maxTf = 1, so doc 1's tf = 4 row must raise, not wrap
+    val forged = h.copy(bigL = Long.MaxValue / 22000000L)
+    val e = intercept[Exception] {
+      TextIndex.bm25TopK(spark, forged, Seq("dense"), k = 5).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("wraps"), msgs.take(500))
+    // the genuine handle still scores fine
+    assert(TextIndex.bm25TopK(spark, h, Seq("dense"), k = 5)
+      .collect().nonEmpty)
+  }
+
+  test("compact defragments appended buckets; search parity bit-equal") {
+    val parts = (0L to 3L).map(r => docs.where(col("doc_id") % 4 === r))
+    var h = TextIndex.write(parts.head, freshPath("compact"), buckets = 8)
+    for (p <- parts.tail) h = TextIndex.append(p, h)
+    TextIndex.writePositional(docs, h)
+    def bucketFiles(dir: String): Map[String, Int] = {
+      val root = new java.io.File(h.path, dir)
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("bucket=")).map { b =>
+        b.getName -> b.listFiles().count(_.getName.startsWith("part-"))
+      }.toMap
+    }
+    val before = bucketFiles("postings")
+    assert(before.values.max >= 4, // one file set per append, at least
+      s"expected fragmentation from 3 appends, got $before")
+    val queries = Seq(Seq("query", "merge"), Seq("stream", "scan"))
+    val preSearch = queries.map(q => TextIndex.searchTopK(spark, h, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val preBm = queries.map(q => TextIndex.bm25TopK(spark, h, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val prePhrase = TextIndex.phraseSearch(spark, h, Seq("hash", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hc = TextIndex.compact(spark, h)
+    assert(hc == h) // layout maintenance only — meta unchanged
+    val after = bucketFiles("postings")
+    assert(after.keySet == before.keySet)
+    assert(after.values.max <= 1, s"compact left fragments: $after")
+    assert(bucketFiles("positions").values.max <= 1)
+    for ((q, i) <- queries.zipWithIndex) {
+      assert(TextIndex.searchTopK(spark, hc, q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == preSearch(i), s"search $q")
+      assert(TextIndex.bm25TopK(spark, hc, q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == preBm(i), s"bm25 $q")
+    }
+    assert(TextIndex.phraseSearch(spark, hc, Seq("hash", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == prePhrase)
+    // reopen still sees the identical meta
+    assert(TextIndex.open(h.path) == h)
+  }
+
+  test("open() restores an interrupted compact swap (postings missing)") {
+    val h = TextIndex.write(docs.where(col("doc_id") < 100),
+      freshPath("cswap"), buckets = 8)
+    val live = new java.io.File(h.path, "postings")
+    val bak = new java.io.File(h.path, "postings_compact_bak")
+    assert(live.renameTo(bak)) // crash between rename(dst->bak) and (tmp->dst)
+    val healed = TextIndex.open(h.path)
+    assert(healed == h && live.exists && !bak.exists)
+    assert(TextIndex.searchTopK(spark, healed, Seq("query"), k = 3)
+      .collect().nonEmpty)
   }
 
   test("positional tier: indexed phrase search == TextOps.phraseSearch") {
