@@ -757,6 +757,25 @@ object Dedup {
         greatest(col("_fa"), col("_fb")).as("doc_b"))
       .distinct()
       .localCheckpoint()
+    cosineVerify(f, cands, tauNum, tauDen)
+  }
+
+  /** Per-doc sparse integer term-frequency vectors — the feature space
+    * every cosine tier ([[cosineJoin]], [[cosineJoinBucketed]]) shares, so
+    * their accept decisions are comparable bit-for-bit. */
+  private def tfVectors(docs: DataFrame, text: String): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
+
+  /** Shared EXACT-INTEGER cosine accept tier over a candidate pair set:
+    * `dot²·tauDen² ≥ tauNum²·na2·nb2`, no float in any decision (the
+    * [[cosineJoin]] rule verbatim — extracted so the LSH-prescreened mode
+    * is exactness-per-candidate by construction). `f` is the corpus tf
+    * frame; only candidate docs' vectors are re-derived (left_semi), the
+    * corpus is never self-joined. */
+  private def cosineVerify(f: DataFrame, cands: DataFrame,
+                           tauNum: Long, tauDen: Long): DataFrame = {
+    val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
     val candF = f.join(candDocs, Seq("doc_id"), "left_semi")
@@ -774,6 +793,50 @@ object Dedup {
       .withColumn("cosine", col("dot").cast("double") /
         sqrt(col("na2").cast("double") * col("nb2").cast("double")))
       .select("doc_a", "doc_b", "dot", "na2", "nb2", "cosine")
+  }
+
+  /** LSH-PRESCREENED cosine-threshold join — the bounded-pair-space mode of
+    * [[cosineJoin]] for copy-dense corpora where the exact join's inverted
+    * index (and its qualifying-pair output) grows quadratically: candidates
+    * come from MinHash-LSH banding over the document's token SET (Broder
+    * 1997 minima, the [[minhashSignatures]] Carter-Wegman family;
+    * banding as in [[lshCandidates]]), and each candidate is decided by the
+    * EXACT integer accept rule of [[cosineJoin]] ([[cosineVerify]]) — so
+    * precision is exactly 1 (output ⊆ the exact join's, pair for pair,
+    * bit-identical rows) and the only approximation is candidate recall.
+    *
+    * STATED MARGIN: a qualifying pair whose token-set Jaccard is j reaches
+    * the verify tier with probability 1 − (1 − j^r)^b (r = numHashes/bands
+    * rows per band, b = bands). At the 32/16 default that is a miss of
+    * 2.3e-5 at j = 0.7 and 8e-8 at j = 0.8 — but 3.8e-2 at j = 0.43, the
+    * set-Jaccard floor observed among cos ≥ 0.8 tf-vector pairs on the
+    * test corpus. Callers below the margin want [[cosineJoin]]; this mode
+    * trades tail recall for candidate-bounded cost (CosineLshSpec pins the
+    * measured recall; the q180 oracle reproduces the banding itself in SQL,
+    * so the hash check pins the IMPLEMENTATION, not a recall claim).
+    *
+    * Shape at scale: one tokenize pass for the tf frame, one doc_id-keyed
+    * signature shuffle (numHashes partial-aggregated mins), the capped
+    * band-bucket expansion (8-byte keys, `maxBucket` bounds the quadratic
+    * step), then the candidate-docs-only exact verify. The corpus tf frame
+    * is never self-joined and never cached; an xxhash64 band-key collision
+    * can only ADD a candidate, which the exact verify discards. */
+  def cosineJoinBucketed(docs: DataFrame, tauNum: Long, tauDen: Long,
+                         text: String = "text", numHashes: Int = 32,
+                         bands: Int = 16,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands must divide numHashes: $numHashes/$bands")
+    val f = tfVectors(docs, text)
+    // f already holds one row per distinct (doc, term): duplicate grams
+    // cannot change a min, so no further distinct is needed
+    val sigs = minhashSignatures(
+      f.select(col("doc_id"), col("term").as("gram")), numHashes)
+    val cands = lshCandidates(sigs, bands, numHashes / bands, maxBucket)
+      .localCheckpoint()
+    cosineVerify(f, cands, tauNum, tauDen)
   }
 
   /** Incremental (delta) near-dup: MinHash-LSH pairs between a NEW batch
@@ -1061,6 +1124,117 @@ object Dedup {
         levenshtein(col("_tl"), col("_tr"), maxDist).cast("long"))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
+  }
+
+  /** SEGMENT-SIGNATURE edit-distance pairs — the scale tier of
+    * [[editDistancePairs]] for corpora whose lengths collapse the length
+    * bands (the ×10 finding: identical-length copies put everything in one
+    * band and the within-band join goes quadratic). Same output contract,
+    * recall still EXACTLY 1, but blocking is on CONTENT, not length alone:
+    * the partition-based candidate scheme of PASS-JOIN (Li, Deng, Wang,
+    * Feng, "PASS-JOIN: a partition-based method for similarity joins",
+    * PVLDB 5(3), 2011), simplified to the recall-safe ±maxDist shift
+    * window.
+    *
+    * Pigeonhole: split the SHORTER string x of a pair into k = maxDist+1
+    * contiguous segments (deterministic convention: the first `len mod k`
+    * segments get `len div k + 1` chars). An optimal alignment with
+    * lev ≤ maxDist edits touches at most maxDist of them, so at least one
+    * segment survives UNEDITED and appears in y verbatim, starting within
+    * ±maxDist of its position in x (net indels before it cannot exceed the
+    * edit budget). So: every doc emits its k segment hashes keyed by
+    * (len, segIdx) as the INDEX side, and for each candidate shorter
+    * length ls ∈ [len−maxDist, len] enumerates the substrings of segment
+    * shape (ls, i) at starts within the shift window as the PROBE side —
+    * an equi-join on (ls, segIdx, substringHash) meets every qualifying
+    * pair at least once. Both emissions are O(maxDist²) per doc (the probe
+    * side ≤ (d+1)²·(2d+1) keys), i.e. LINEAR in the corpus with a constant
+    * — no within-band quadratic step survives, because buckets are keyed
+    * by segment CONTENT: unrelated same-length docs no longer meet.
+    * xxhash64 substring-key collisions can only ADD candidates; the exact
+    * DP verify discards them.
+    *
+    * Docs shorter than k chars cannot host k non-empty segments; any pair
+    * whose shorter member has len ≤ maxDist has BOTH members ≤ 2·maxDist
+    * (the length gate), so the ≤ 2·maxDist-char stub set is routed through
+    * [[editDistancePairs]]' length bands instead — a set of ≤ 12-char
+    * strings at the default, exact-dedup fodder long before this join.
+    *
+    * Verification is the same codegen'd banded-DP
+    * `levenshtein(a, b, threshold)` over candidate docs only (texts are
+    * re-fetched by a left-semi probe — the 637-key probe stream carries
+    * 8-byte hashes, never the text). @return (doc_a, doc_b, dist), doc_a <
+    * doc_b, spec-pinned equal to [[editDistancePairs]]. */
+  def editDistancePairsSegmented(docs: DataFrame, maxDist: Int,
+                                 text: String = "text",
+                                 maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val k = maxDist + 1
+    val base = docs
+      .select(col("doc_id"), col(text).as("_t"), length(col(text)).as("_len"))
+    // ---- segment shape under the fixed convention, as column arithmetic:
+    //      for a string of length ls, segment i has
+    //        li = ls div k + (i < ls mod k ? 1 : 0)
+    //        si = i·(ls div k) + min(i, ls mod k)
+    def segLen(ls: Column, i: Column): Column =
+      (ls / k).cast("int") + when(i < pmod(ls, lit(k)), 1).otherwise(0)
+    def segStart(ls: Column, i: Column): Column =
+      (i * (ls / k).cast("int")) + least(i, pmod(ls, lit(k)))
+    val is = array((0 until k).map(lit): _*)
+    // INDEX side: each doc as the potential SHORTER member — its own k
+    // segments, verbatim. ls ≥ k so every segment is non-empty.
+    val index = base.where(col("_len") >= k)
+      .select(col("doc_id").as("_sid"), col("_t"), col("_len").as("_ls"),
+        explode(is).as("_i"))
+      .withColumn("_kh", xxhash64(
+        col("_t").substr(segStart(col("_ls"), col("_i")) + 1,
+          segLen(col("_ls"), col("_i")))))
+      .select("_sid", "_ls", "_i", "_kh")
+    // PROBE side: each doc as the potential LONGER-or-equal member — for
+    // each admissible shorter length and segment index, the substrings at
+    // starts within the ±maxDist shift window. Keys are hashes; the text
+    // never leaves the row.
+    val probe = base.where(col("_len") >= k)
+      .select(col("doc_id").as("_lid"), col("_t"), col("_len"),
+        explode(array((0 to maxDist).map(lit): _*)).as("_dl"))
+      .withColumn("_ls", col("_len") - col("_dl"))
+      .where(col("_ls") >= k)
+      .withColumn("_i", explode(is))
+      .withColumn("_li", segLen(col("_ls"), col("_i")))
+      .withColumn("_si", segStart(col("_ls"), col("_i")))
+      .withColumn("_s", explode(array((-maxDist to maxDist).map(lit): _*)))
+      .withColumn("_p", col("_si") + col("_s"))
+      .where(col("_p") >= 0 && col("_p") <= col("_len") - col("_li"))
+      .withColumn("_kh", xxhash64(col("_t").substr(col("_p") + 1, col("_li"))))
+      .select("_lid", "_ls", "_i", "_kh")
+    val mainCands = index.join(probe, Seq("_ls", "_i", "_kh"))
+      .where(col("_sid") =!= col("_lid"))
+      .select(least(col("_sid"), col("_lid")).as("doc_a"),
+        greatest(col("_sid"), col("_lid")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    // re-fetch candidate texts (pair-count-sized broadcast, corpus-side
+    // left-semi — the verifyCandidatePairs discipline)
+    val candDocs = mainCands.select(col("doc_a").as("doc_id"))
+      .unionByName(mainCands.select(col("doc_b").as("doc_id"))).distinct()
+    val candT = base.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val mainPairs = mainCands
+      .join(candT.select(col("doc_id").as("doc_a"), col("_t").as("_ta"),
+        col("_len").as("_la")), "doc_a")
+      .join(candT.select(col("doc_id").as("doc_b"), col("_t").as("_tb"),
+        col("_len").as("_lb")), "doc_b")
+      .where(abs(col("_la") - col("_lb")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+    // stub tier: pairs whose SHORTER member is under k chars — both ends
+    // then sit at ≤ 2·maxDist chars, a set the length bands handle exactly.
+    // Pairs with both ends ≥ k may ALSO surface here (short-band overlap);
+    // the union distinct collapses them (identical verified rows).
+    val stubPairs = editDistancePairs(
+      docs.where(length(col(text)) <= 2 * maxDist), maxDist, text, maxBucket)
+    mainPairs.unionByName(stubPairs).distinct()
   }
 
   /** Connected components of an undirected pair graph (columns `a`/`b`)

@@ -5257,8 +5257,96 @@ object Registry {
              |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
              |FROM oq JOIN orders o ON o.o_orderkey = oq.l_orderkey
              |  JOIN customer c ON c.c_custkey = o.o_custkey
-             |ORDER BY total_qty DESC, orderkey LIMIT 100""".stripMargin))
+             |ORDER BY total_qty DESC, orderkey LIMIT 100""".stripMargin)),
+
+    // ---- LSH-prescreened exact cosine join: minhash-band candidates over
+    //      the token set, decided by q102's exact-integer accept rule. The
+    //      oracle REPRODUCES THE BANDING in SQL (the Carter-Wegman family
+    //      is deterministic md5 arithmetic, the q18 precedent), so the hash
+    //      check pins the implementation, not a recall claim — the xxhash64
+    //      band key on the Spark side can only MERGE buckets (adds
+    //      candidates the exact verify discards), never split them, so raw
+    //      (band, m_2b, m_2b+1) equality is the same candidate set ----
+    Entry("q180_cosine_join_lsh",
+      (s, d) => Dedup.cosineJoinBucketed(
+          docs(s, d).where(pmod(col("doc_id"), lit(5)) === 0),
+          tauNum = 4L, tauDen = 5L, numHashes = 32, bands = 16,
+          maxBucket = Int.MaxValue)
+        .orderBy("doc_a", "doc_b"),
+      Some(cosineLshOracleSql(numHashes = 32, bands = 16,
+        tauNum = 4L, tauDen = 5L))),
+
+    // ---- segment-signature edit-distance pairs (PASS-JOIN pigeonhole):
+    //      q61's output contract and brute-force oracle, content-keyed
+    //      blocking — the hash check IS the recall-1 claim at this SF ----
+    Entry("q181_edit_neardup_seg",
+      (s, d) => {
+        val en = docs(s, d).where(col("lang") === "en")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^ -~]", "").as("text"))
+        Dedup.editDistancePairsSegmented(en, maxDist = 6,
+            maxBucket = Int.MaxValue)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH en AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+             |            FROM documents WHERE lang = 'en'),
+             |l AS (SELECT doc_id, t, length(t) AS len FROM en),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+             |      FROM l a JOIN l b
+             |        ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 6)
+             |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 6
+             |ORDER BY 1, 2""".stripMargin))
   )
+
+  /** q180's oracle: the SAME minhash banding the Spark side runs —
+    * md5-derived 60-bit term hashes through the [[Dedup.hashCoef]]
+    * Carter-Wegman family (fixed literal coefficients), per-band raw
+    * minima equality standing in for the xxhash64 band key (collisions of
+    * which only ADD candidates that the exact accept rule discards) —
+    * followed by q102's exact-integer accept restricted to candidates. */
+  private def cosineLshOracleSql(numHashes: Int, bands: Int,
+                                 tauNum: Long, tauDen: Long): String = {
+    val rows = numHashes / bands
+    val P = Dedup.P
+    val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = Dedup.hashCoef(i)
+      s"min((hx * $a + $b) % $P) AS m$i"
+    }.grouped(4).map(_.mkString(", ")).mkString(",\n        ")
+    val bandStructs = (0 until bands).map { b =>
+      val ks = (0 until rows).map(r => s"'k$r': m${b * rows + r}").mkString(", ")
+      s"{'band': $b, $ks}"
+    }.mkString(",\n          ")
+    val keyEq = (0 until rows).map(r => s"a.u.k$r = b.u.k$r").mkString(" AND ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |           FROM documents WHERE doc_id % 5 = 0),
+       |f AS (SELECT doc_id, term, count(*) AS w FROM t GROUP BY 1, 2),
+       |g AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % $P AS hx
+       |      FROM f),
+       |s AS (SELECT doc_id,
+       |        $mins
+       |      FROM g GROUP BY doc_id),
+       |bd AS (SELECT doc_id,
+       |         unnest([$bandStructs]) AS u
+       |       FROM s),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bd a JOIN bd b
+       |           ON a.u.band = b.u.band AND $keyEq AND a.doc_id < b.doc_id),
+       |n2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS nn FROM f GROUP BY 1),
+       |dt AS (SELECT c.doc_a, c.doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |       FROM cand c JOIN f a ON a.doc_id = c.doc_a
+       |                   JOIN f b ON b.doc_id = c.doc_b AND b.term = a.term
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, dot, x.nn AS na2, y.nn AS nb2,
+       |  CAST(dot AS DOUBLE) /
+       |    sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE)) AS cosine
+       |FROM dt JOIN n2 x ON dt.doc_a = x.doc_id
+       |        JOIN n2 y ON dt.doc_b = y.doc_id
+       |WHERE dot * dot * $t2d >= $t2n * x.nn * y.nn
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** q129's lexicon: workload-vocabulary phrases (bigrams AND unigrams —
     * substring semantics, so unigrams are chosen with no superstring in
