@@ -5296,7 +5296,35 @@ object Registry {
              |      FROM l a JOIN l b
              |        ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 6)
              |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 6
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- the unsupported-codec CONTRACT, pinned: tagged feature
+    //      extraction over a deterministic codec mix — in-JVM codecs tag
+    //      `jdk`, demuxable-but-compressed mp4 raw-RGB rides the
+    //      registered mp4Decoder as `fallback`, and declared-avc1
+    //      containers (structurally valid, undecodable by contract) land
+    //      on `stub` with the sniffed codec named. Counts are generator
+    //      arithmetic, so the oracle is a VALUES table ----
+    Entry("q182_codec_audit",
+      (s, _) => {
+        val m = Multimodal.syntheticMedia(s, 300)
+          .unionByName(Multimodal.syntheticMp4(s, 60)
+            .withColumn("media_id", col("media_id") + 1000))
+          .unionByName(Multimodal.syntheticMp4Unsupported(s, 30)
+            .withColumn("media_id", col("media_id") + 2000))
+        Multimodal.extractFeaturesTagged(m, dim = 16,
+            fallback = Multimodal.mp4Decoder)
+          .groupBy("kind", "codec", "decoder").agg(count(lit(1)).as("n"))
+          .orderBy("kind", "codec", "decoder")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('audio', 'wav',      'jdk',      CAST(100 AS BIGINT)),
+             |  ('image', 'png',      'jdk',      CAST(100 AS BIGINT)),
+             |  ('video', 'gif',      'jdk',      CAST(100 AS BIGINT)),
+             |  ('video', 'mp4/avc1', 'stub',     CAST(30 AS BIGINT)),
+             |  ('video', 'mp4/raw',  'fallback', CAST(60 AS BIGINT))
+             |) AS t(kind, codec, decoder, n)
+             |ORDER BY kind, codec, decoder""".stripMargin))
   )
 
   /** q180's oracle: the SAME minhash banding the Spark side runs —

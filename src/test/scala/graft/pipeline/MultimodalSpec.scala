@@ -659,4 +659,61 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("recall"))
   }
+
+  test("extractFeaturesTagged: provenance tags, codec names, feature parity") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+      .unionByName(Multimodal.syntheticMp4(spark, 6)
+        .withColumn("media_id", col("media_id") + 1000))
+      .unionByName(Multimodal.syntheticMp4Unsupported(spark, 3)
+        .withColumn("media_id", col("media_id") + 2000))
+    val tagged = Multimodal.extractFeaturesTagged(media, dim = 16,
+      fallback = Multimodal.mp4Decoder).collect()
+    val byId = tagged.map(r => r.getLong(0) ->
+      ((r.getString(3), r.getString(4)))).toMap
+    // in-JVM codecs tag jdk with the sniffed name
+    assert(byId(0L) === (("jdk", "png")))
+    assert(byId(1L) === (("jdk", "wav")))
+    assert(byId(2L) === (("jdk", "gif")))
+    // demuxable raw-RGB mp4 rides the registered fallback
+    assert(byId(1000L) === (("fallback", "mp4/raw")))
+    // declared-avc1: detected, named, stubbed — the contract's error class
+    assert(byId(2000L) === (("stub", "mp4/avc1")))
+    // tagged features agree with extractFeatures row for row
+    val plain = Multimodal.extractFeatures(media, dim = 16,
+        fallback = Multimodal.mp4Decoder).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    tagged.foreach(r => assert(r.getSeq[Float](2) === plain(r.getLong(0)),
+      s"feature mismatch for media_id=${r.getLong(0)}"))
+  }
+
+  test("extractFeaturesTagged strict mode errors on undecodable codecs") {
+    val bad = Multimodal.syntheticMp4Unsupported(spark, 2)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesTagged(bad, dim = 16, strict = true).collect()
+    }
+    val msg = e.getCause match {
+      case c: Multimodal.UnsupportedCodecException => c.getMessage
+      case other => throw other
+    }
+    assert(msg.contains("mp4/avc1") && msg.contains("FallbackDecoder"))
+    // a registered decoder that handles the codec clears strict mode
+    val ok = Multimodal.extractFeaturesTagged(
+      Multimodal.syntheticMp4(spark, 2), dim = 16,
+      fallback = Multimodal.mp4Decoder, strict = true).collect()
+    assert(ok.length === 2 && ok.forall(_.getString(3) == "fallback"))
+  }
+
+  test("sniffCodec names what it cannot decode and what it can") {
+    import Multimodal.sniffCodec
+    val m = Multimodal.syntheticMedia(spark, 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(sniffCodec(m(0L)) === "png")
+    assert(sniffCodec(m(1L)) === "wav")
+    assert(sniffCodec(m(2L)) === "gif")
+    assert(sniffCodec("ID3rubbish".getBytes("US-ASCII")) === "mp3")
+    assert(sniffCodec(Array[Byte](0xff.toByte, 0xfb.toByte, 0, 0)) === "mp3")
+    assert(sniffCodec("fLaCxxxx".getBytes("US-ASCII")) === "flac")
+    assert(sniffCodec("OggSxxxx".getBytes("US-ASCII")) === "ogg")
+    assert(sniffCodec(Array[Byte](1, 2, 3, 4)) === "unknown")
+  }
 }

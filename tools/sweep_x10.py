@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""×10 organic-density oracle sweep (round-12 VERDICT item 2): patch the
+Verify dump's oracle_sql.json with AGGREGATE-FORM rewrites of the two
+all-pairs-list_intersect oracles (q48/q49), then run the standard localcheck
+compare.
+
+The rewrite is algebraically identical — `st` is list_distinct, so a gram
+equi-join count IS |A ∩ B| — but evaluates as one Σ df² hash join instead of
+N²/2 list intersections, which is what makes the brute truth feasible at
+50 k docs (the registered oracles are untouched; the driver still runs them
+at sf0.01).
+
+Usage: python3 tools/sweep_x10.py <x10dir> <verify_outdir>
+"""
+import json
+import subprocess
+import sys
+
+x10dir, outdir = sys.argv[1], sys.argv[2]
+
+SH = """sh AS (SELECT doc_id, CASE WHEN len(s) >= 3
+         THEN list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)])
+         ELSE [text] END AS st
+       FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)),
+sz AS (SELECT doc_id, len(st) AS sz FROM sh),
+g AS (SELECT doc_id, unnest(st) AS gram FROM sh),
+it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)"""
+
+Q48 = f"""WITH {SH}
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+  CAST(x.sz + y.sz - inter AS BIGINT) AS uni,
+  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+FROM it JOIN sz x ON it.doc_a = x.doc_id JOIN sz y ON it.doc_b = y.doc_id
+WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5
+ORDER BY 1, 2"""
+
+Q49 = f"""WITH RECURSIVE {SH},
+pr AS (SELECT doc_a AS u, doc_b AS v
+       FROM it JOIN sz x ON it.doc_a = x.doc_id
+               JOIN sz y ON it.doc_b = y.doc_id
+       WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.8),
+e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+reach(s, t) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN e ON r.t = e.u),
+cc AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s)
+SELECT d.doc_id,
+  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+  (d.doc_id = coalesce(cc.cluster_id, d.doc_id)) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+ORDER BY d.doc_id"""
+
+p = f"{outdir}/oracle_sql.json"
+oracle = json.load(open(p))
+oracle["q48_jaccard_join"] = Q48
+oracle["q49_neardup_clusters"] = Q49
+json.dump(oracle, open(p, "w"))
+print("patched q48/q49 to aggregate-form brute oracles")
+sys.exit(subprocess.call(
+    [sys.executable, "tools/localcheck.py", x10dir, outdir]))

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""×10 ORGANIC-density scale corpus for the pair-similarity oracle sweep
+(round-12 VERDICT item 2).
+
+Construction: 10 domains, each a BIJECTIVE per-domain token renaming of the
+sf0.1 documents table — domain 0 is the original, domain k (1-9) appends the
+digit k to every whitespace token and offsets doc_id by k·10⁷ (≡ 0 mod 5, so
+the q102/q180 doc_id % 5 subsets scale uniformly). A bijective renaming
+preserves every within-domain similarity EXACTLY (token-set Jaccard, tf-vector
+cosine, cluster structure) while dropping cross-domain token overlap to zero —
+the heaviest possible mutation that keeps duplication density sf0.1-like:
+true pair counts grow ×10 (linearly), never ×100, so the brute-force DuckDB
+oracles stay feasible. Char-level distances (q61/q97/q181) shift slightly
+(+1 char per token on domains 1-9) — the oracle recomputes truth on the new
+text, so that is fine; cross-domain pairs differ in every token and never
+pass a maxDist ≤ 6 gate at these lengths.
+
+The vocabulary is 31 ASCII words with no digits, so the digit suffix is
+collision-free (no renamed token ever equals another domain's token).
+
+Usage: python3 tools/synth_x10_organic.py [outdir]   (default /tmp/testdata_x10org)
+"""
+import sys
+import os
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src = "/root/testdata/sf0.1/documents.parquet"
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_x10org"
+os.makedirs(out, exist_ok=True)
+
+t = pq.read_table(src)
+doc_id = t.column("doc_id").to_pylist()
+text = t.column("text").to_pylist()
+lang = t.column("lang").to_pylist()
+source = t.column("source").to_pylist()
+
+ids, txts, langs, srcs, nchars = [], [], [], [], []
+for k in range(10):
+    off = k * 10_000_000
+    sfx = str(k) if k else ""
+    for i, tx in enumerate(text):
+        nt = tx if k == 0 else " ".join(w + sfx for w in tx.split(" "))
+        ids.append(doc_id[i] + off)
+        txts.append(nt)
+        langs.append(lang[i])
+        srcs.append(source[i])
+        nchars.append(len(nt))
+
+out_t = pa.table({
+    "doc_id": pa.array(ids, pa.int64()),
+    "text": pa.array(txts, pa.string()),
+    "lang": pa.array(langs, pa.string()),
+    "source": pa.array(srcs, pa.string()),
+    "n_chars": pa.array(nchars, pa.int64()),
+})
+pq.write_table(out_t, f"{out}/documents.parquet")
+print(f"wrote {out}/documents.parquet: {out_t.num_rows} rows "
+      f"({t.num_rows} × 10 domains)")
