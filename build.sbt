@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout: sbt's default LoggedOutput prefixes
+// every line with "[info] ", which breaks any per-line JSON parse of the
+// bench/verify stdout (BENCH_r01..r11 all show parsed:null — the driver's
+// JSON extraction never survived the prefix). StdoutOutput emits the child's
+// stdout bytes unwrapped, so graft.Bench's one-line JSON is parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,33 +67,28 @@ object Bench {
         (name, math.min(cold, warm), cold, warm)
       }
     // The driver captures only the LAST 2000 chars of stdout and parses the
-    // JSON line out of that window (BENCH_r04..r08 all show parsed:null —
-    // the full-precision warm+cold line was ~4 KB and never fit). Stdout
-    // gets a COMPACT line: min(cold, warm) per query at one decimal below
-    // ~1 s / whole seconds above, keyed by zero-stripped "qN" numbers, no
-    // per-pass totals or maps. At 179 queries the line + sbt's [success]
-    // trailer measured 2007 bytes before this compaction — 7 OVER the
-    // window. Full precision under FULL names goes to BENCH_DETAIL.json.
-    // Locale.ROOT: a comma decimal separator would corrupt the JSON line
+    // JSON line out of that window. Two things ever kept that parse from
+    // succeeding: (1) through r08 the full-precision line was ~4 KB and the
+    // opening brace fell outside the window; (2) in r10/r11 the compacted
+    // line FIT, but sbt's LoggedOutput prefixed it with "[info] ", which
+    // fails any per-line json.loads — every BENCH_r*.json shows
+    // parsed:null. build.sbt now forces OutputStrategy.StdoutOutput (raw
+    // child stdout, no prefix), and the line itself keeps ≥500 bytes of
+    // headroom at any query count by listing only the TOP_SLOW slowest
+    // queries; the full per-query map lives in BENCH_DETAIL.json, which the
+    // judge reads directly. Locale.ROOT: a comma decimal separator would
+    // corrupt the JSON line.
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(v))
-    // per-query values at ONE decimal: at 155 queries the two-decimal
-    // line measured 1871 bytes, and with sbt's ~72-byte [success] trailer
-    // it would straddle the driver's last-2000-chars capture window; one
-    // decimal buys ~155 bytes of headroom and the full-precision numbers
-    // are in BENCH_DETAIL.json anyway
-    def r1(v: Double): String = {
-      // one decimal below ~1 s, whole seconds above — at 179 queries the
-      // full-decimal line + sbt's [success] trailer measured 2007 bytes
-      // against the driver's last-2000-chars capture, which would have
-      // TRUNCATED the line's opening brace; full precision is in
-      // BENCH_DETAIL.json
+    def r1(v: Double): String =
       if (v >= 0.95) String.valueOf(math.round(v))
       else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    }
-    val qs = results.map { case (k, m, _, _) =>
-        // "q01" → "q1": the contract's own key shape, and ~1 byte per
-        // zero-padded query against the 2000-char capture window
+    // top-40 slowest at ~11 bytes/query ≈ 440 bytes of map + ~130 bytes of
+    // envelope + sbt's ~75-byte [success] trailer ≈ 650 of the 2000-char
+    // window — ~1.3 KB headroom, independent of how many queries register
+    val TopSlow = 40
+    val qs = results.sortBy(-_._2).take(TopSlow).map { case (k, m, _, _) =>
+        // "q01" → "q1": the contract's own key shape
         val num = k.takeWhile(_ != '_').drop(1).dropWhile(_ == '0')
         s"\"q" + (if (num.isEmpty) "0" else num) + "\":" + r1(m) }
       .mkString("{", ",", "}")
@@ -113,13 +108,11 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "BENCH_DETAIL.json")), detail)
     catch { case _: Throwable => () }
-    // keep the stdout line lean: "sf" as the basename; per-pass totals
-    // (cold/warm) and full-precision per-query numbers live ONLY in
-    // BENCH_DETAIL.json — at 171 queries the full line plus sbt's
-    // [success] trailer is within ~20 bytes of the driver's
-    // last-2000-chars capture window, so every stdout byte matters
+    // stdout line: total + slowest-query map + count; "sf" as the basename;
+    // per-pass totals (cold/warm) and the FULL per-query map live in
+    // BENCH_DETAIL.json
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfShort"}""")
     spark.stop()
   }
 }
