@@ -1486,6 +1486,21 @@ object Dedup {
     * a task (SemDeDup runs 50k clusters at web scale for exactly this
     * reason).
     *
+    * Skew: `nlist` bounds the EXPECTED cluster size, not the max — seeded
+    * assignment on lumpy data can put most of the corpus in one list (the
+    * ×10 organic corpus lands 86% in a single cluster), and a plain
+    * `join(..., "list_id")` then builds that cluster's entire pair
+    * cross-product in ONE task (AQE's skew-join split never fires: an
+    * equal-key cross product below the 256 MB partition threshold is
+    * invisible to it). So the triangle is grid-decomposed: each doc gets a
+    * content-hash block in [0, `blocks`), side A replicates a doc to cells
+    * (blk, j ≥ blk), side B to cells (i ≤ blk, blk), and the join key is
+    * (list_id, i, j) — every unordered pair lands in exactly one of the
+    * blocks·(blocks+1)/2 cells per list (same-block pairs in their
+    * diagonal cell, evaluated from both orderings and deduped by the
+    * symmetric dominated rule), so a hot cluster parallelizes across
+    * cells at the price of ~(blocks+1)/2× vector-shuffle replication.
+    *
     * Overflow contract: the duplicate rule's largest term is bounded by
     * `n2a·n2b·tauDen²` (Cauchy–Schwarz gives dot² ≤ n2a·n2b), so int64
     * exactness holds iff every doc's squared norm n2 ≤ √(2⁶³−1)/tauDen.
@@ -1499,9 +1514,10 @@ object Dedup {
     * @return one row per doc: (doc_id, list_id, is_kept) */
   def semanticDedup(docs: DataFrame, tauNum: Long, tauDen: Long,
                     dim: Int = 16, nlist: Int = 8,
-                    text: String = "text"): DataFrame = {
+                    text: String = "text", blocks: Int = 8): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
+    require(blocks >= 1, s"blocks must be >= 1: $blocks")
     val spark = docs.sparkSession
     val v = TextOps.hashVectorize(docs, dim, text)
       .select(col("doc_id"),
@@ -1524,16 +1540,22 @@ object Dedup {
               s"tauDen=$tauDen — chunk the doc, raise dim, or reduce tauDen")))
             .cast("long"))
           .otherwise(col("n2")))
-    val a = withN.select(col("doc_id").as("_ida"), col("list_id"),
-      col("cv").as("_cva"), col("n2").as("_n2a"))
-    val b = withN.select(col("doc_id").as("_idb"), col("list_id"),
-      col("cv").as("_cvb"), col("n2").as("_n2b"))
+    val withB = withN.withColumn("_blk",
+      pmod(xxhash64(col("doc_id")), lit(blocks.toLong)).cast("int"))
+    val a = withB
+      .withColumn("_cj", explode(expr(s"sequence(_blk, ${blocks - 1})")))
+      .select(col("list_id"), col("_blk").as("_ci"), col("_cj"),
+        col("doc_id").as("_ida"), col("cv").as("_cva"), col("n2").as("_n2a"))
+    val b = withB
+      .withColumn("_ci", explode(expr("sequence(0, _blk)")))
+      .select(col("list_id"), col("_ci"), col("_blk").as("_cj"),
+        col("doc_id").as("_idb"), col("cv").as("_cvb"), col("n2").as("_n2b"))
     val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
     val dot = Ann.dotFast(spark)(col("_cva"), col("_cvb"))
-    val dominated = a.join(b, Seq("list_id"))
-      .where(col("_ida") < col("_idb"))
+    val dominated = a.join(b, Seq("list_id", "_ci", "_cj"))
+      .where(col("_ida") =!= col("_idb"))
       .where(dot * dot * t2d >= col("_n2a") * col("_n2b") * t2n)
-      .select(col("_idb").as("doc_id")).distinct()
+      .select(greatest(col("_ida"), col("_idb")).as("doc_id")).distinct()
     withN.join(dominated.withColumn("_dup", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("list_id"),
         coalesce(col("_dup"), lit(false)).unary_!.as("is_kept"))

@@ -55,6 +55,21 @@ class SemanticSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup is blocks-invariant (grid triangle loses no pair)") {
+    // blocks=1 is the degenerate single-cell join (the pre-grid shape);
+    // any blocks must produce the identical dominated set — every
+    // unordered within-cluster pair lands in exactly one (i ≤ j) cell.
+    val base = Dedup.semanticDedup(docs, 19L, 20L, dim = 64, nlist = 4,
+        blocks = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    for (m <- Seq(2, 3, 8, 17)) {
+      val got = Dedup.semanticDedup(docs, 19L, 20L, dim = 64, nlist = 4,
+          blocks = m)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(got === base, s"blocks=$m")
+    }
+  }
+
   test("semanticDedup drops an exact duplicate, keeps the smaller id") {
     val d = mkDocs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely different tokens entirely unrelated"))
