@@ -57,3 +57,60 @@ out_t = pa.table({
 pq.write_table(out_t, f"{out}/documents.parquet")
 print(f"wrote {out}/documents.parquet: {out_t.num_rows} rows "
       f"({t.num_rows} × 10 domains)")
+
+# ---- embeddings: the same organic-density construction in vector space.
+# Domain k applies a CYCLIC DIMENSION SHIFT by k (an orthogonal permutation:
+# within-domain cosines/buckets recompute on identical geometry, so true
+# within-domain pair counts grow exactly ×10), and offsets vec_id by k·10⁷.
+# Cross-domain cosines of permuted near-isotropic vectors are ~N(0, 1/64) —
+# the high-threshold joins see sf0.1-like density, never ×100 (and the
+# oracle recomputes truth on the shifted vectors, so no assumption rides
+# on that: it only keeps the pair-enumeration cost bounded).
+esrc = "/root/testdata/sf0.1/embeddings.parquet"
+et = pq.read_table(esrc)
+vec_id = et.column("vec_id").to_pylist()
+emb = et.column("embedding").to_pylist()
+lab = et.column("label").to_pylist()
+eids, eembs, elabs = [], [], []
+for k in range(10):
+    off = k * 10_000_000
+    for i, v in enumerate(emb):
+        eids.append(vec_id[i] + off)
+        eembs.append(v[k:] + v[:k] if k else v)
+        elabs.append(lab[i])
+eout = pa.table({
+    "vec_id": pa.array(eids, pa.int64()),
+    "embedding": pa.array(eembs, pa.list_(pa.float32())),
+    "label": pa.array(elabs, pa.int32()),
+})
+pq.write_table(eout, f"{out}/embeddings.parquet")
+print(f"wrote {out}/embeddings.parquet: {eout.num_rows} rows "
+      f"({et.num_rows} × 10 shifted domains)")
+
+# ---- events: organic ×10 for the session/interval tier (q117). Copy k
+# shifts every timestamp by k·(span + 1 day) and every user by k·10⁷ —
+# copies occupy DISJOINT time ranges with copy-local users, so the
+# session set and its overlap-pair set are the original's ×10 (time-
+# translated, user-renamed) and the quadratic overlap density never
+# grows. event_id offsets keep the ingest key unique.
+import pyarrow.compute as pc
+vt = pq.read_table("/root/testdata/sf0.1/events.parquet")
+span_us = (pc.max(vt.column("ts")).cast(pa.int64()).as_py()
+           - pc.min(vt.column("ts")).cast(pa.int64()).as_py()
+           + 86_400_000_000)
+parts = []
+for k in range(10):
+    p = vt
+    if k:
+        p = p.set_column(p.schema.get_field_index("ts"), "ts",
+            pc.add(p.column("ts").cast(pa.int64()),
+                   k * span_us).cast(pa.timestamp("us")))
+        p = p.set_column(p.schema.get_field_index("user_id"), "user_id",
+            pc.add(p.column("user_id"), k * 10_000_000))
+        p = p.set_column(p.schema.get_field_index("event_id"), "event_id",
+            pc.add(p.column("event_id"), k * 1_000_000_000))
+    parts.append(p)
+evt = pa.concat_tables(parts)
+pq.write_table(evt, f"{out}/events.parquet")
+print(f"wrote {out}/events.parquet: {evt.num_rows} rows "
+      f"({vt.num_rows} × 10 time-shifted copies)")
