@@ -652,7 +652,10 @@ object Dedup {
   private def verifyCandidatePairs(docs: DataFrame, candsDf: DataFrame,
                                    threshold: Double, ngram: Int,
                                    text: String): DataFrame = {
-    val cands = broadcast(candsDf)
+    // measured routing (see routePairFrame): the capped generators bound
+    // the pair frame, but jaccardJoin's exact prefix filter does not, and
+    // a copy-dense corpus grows it with true pair density
+    val cands = routePairFrame(candsDf)
     // no distinct on the doc list: the left-semi probe dedups inherently,
     // and the broadcast is pair-count-sized either way — one less shuffle
     val candDocs = candsDf.select(col("doc_a").as("doc_id"))
@@ -773,6 +776,21 @@ object Dedup {
     * is exactness-per-candidate by construction). `f` is the corpus tf
     * frame; only candidate docs' vectors are re-derived (left_semi), the
     * corpus is never self-joined. */
+  /** Candidate-PAIR frames are data-dependent and unbounded (the uncapped
+    * oracle mode on a copy-dense corpus reached 50 M pairs), and
+    * localCheckpoint PRESERVES the child plan's size estimate — so the
+    * static planner once saw a few-MB join-output estimate and
+    * auto-broadcast a multi-GB frame into the driver. Every verify tail
+    * therefore routes on the MEASURED size: the frame is already
+    * localCheckpoint'd by every caller (the count is a cached-block scan,
+    * not a recompute), small frames keep the one-shuffle broadcast plan,
+    * big ones get an explicit merge hint — never an estimate-driven
+    * broadcast. */
+  private def routePairFrame(cands: DataFrame,
+                             maxBroadcast: Long = 4000000L): DataFrame =
+    if (cands.count() <= maxBroadcast) broadcast(cands)
+    else cands.hint("merge")
+
   private def cosineVerify(f: DataFrame, cands: DataFrame,
                            tauNum: Long, tauDen: Long): DataFrame = {
     val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
@@ -781,8 +799,8 @@ object Dedup {
     val candF = f.join(candDocs, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val n2 = candF.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    cands
-      .join(candF.select(col("doc_id").as("doc_a"), col("term"),
+    val c = routePairFrame(cands)
+    c.join(candF.select(col("doc_id").as("doc_a"), col("term"),
         col("w").as("_wa")), "doc_a")
       .join(candF.select(col("doc_id").as("doc_b"), col("term"),
         col("w").as("_wb")), Seq("doc_b", "term"))
@@ -895,7 +913,10 @@ object Dedup {
       .localCheckpoint()
     val bSz = bSh.groupBy("doc_id").agg(count(lit(1)).as("_sb_"))
     val cSz = cSh.groupBy("doc_id").agg(count(lit(1)).as("_sc_"))
-    broadcast(cands)
+    // measured routing (see routePairFrame): the pair frame grows with
+    // true pair density; the per-doc semi-join probes above stay
+    // broadcast — they are answer-DOC-bounded, not pair-bounded
+    routePairFrame(cands)
       .join(bSh.select(col("doc_id").as("batch_id"), col("gram")), "batch_id")
       .join(cSh.select(col("doc_id").as("corpus_id"), col("gram")),
         Seq("corpus_id", "gram"))
