@@ -786,10 +786,13 @@ object Dedup {
     * not a recompute), small frames keep the one-shuffle broadcast plan,
     * big ones get an explicit merge hint — never an estimate-driven
     * broadcast. */
-  private def routePairFrame(cands: DataFrame,
-                             maxBroadcast: Long = 4000000L): DataFrame =
+  private def routePairFrame(cands: DataFrame): DataFrame = {
+    val maxBroadcast = cands.sparkSession.conf
+      .getOption("spark.graft.maxBroadcastPairs").map(_.toLong)
+      .getOrElse(4000000L)
     if (cands.count() <= maxBroadcast) broadcast(cands)
     else cands.hint("merge")
+  }
 
   private def cosineVerify(f: DataFrame, cands: DataFrame,
                            tauNum: Long, tauDen: Long): DataFrame = {

@@ -76,6 +76,18 @@ class DedupGraphSpec extends SparkSpec {
     assert(bruteJaccard(docs, 0.8).nonEmpty, "planted near-dups expected")
   }
 
+  test("verify-tail pair routing: forced-merge plan equals the broadcast plan") {
+    // routePairFrame broadcasts small candidate frames and merge-joins big
+    // ones (the copy-dense OOM fix); output must be identical either way.
+    val broadcastPlan = Dedup.jaccardJoin(docs, 0.4).collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.maxBroadcastPairs", "0")
+    try {
+      val mergePlan = Dedup.jaccardJoin(docs, 0.4).collect().map(_.toSeq).toSet
+      assert(mergePlan === broadcastPlan)
+      assert(broadcastPlan.nonEmpty)
+    } finally spark.conf.unset("spark.graft.maxBroadcastPairs")
+  }
+
   test("jaccardJoin recall/precision 1 on a graded synthetic corpus") {
     val corpus = syntheticDocs(40, seed = 7L).cache()
     for (tau <- Seq(0.2, 0.5, 0.9)) {
