@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -656,10 +656,14 @@ object Dedup {
     // the pair frame, but jaccardJoin's exact prefix filter does not, and
     // a copy-dense corpus grows it with true pair density
     val cands = routePairFrame(candsDf)
-    // no distinct on the doc list: the left-semi probe dedups inherently,
-    // and the broadcast is pair-count-sized either way — one less shuffle
+    // distinct BEFORE the broadcast: without it the probe frame is
+    // pair-count-sized (2 rows per pair — tens of millions on a
+    // copy-dense corpus), and an unconditional broadcast of it is the
+    // same OOM routePairFrame exists to prevent; with it the frame is
+    // genuinely candidate-DOC-bounded
     val candDocs = candsDf.select(col("doc_a").as("doc_id"))
       .unionByName(candsDf.select(col("doc_b").as("doc_id")))
+      .distinct()
     val candSh = shingleHashRows(
       docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), ngram,
       text, distinct = true).localCheckpoint()
@@ -786,12 +790,52 @@ object Dedup {
     * not a recompute), small frames keep the one-shuffle broadcast plan,
     * big ones get an explicit merge hint — never an estimate-driven
     * broadcast. */
+  private def confLong(spark: SparkSession, key: String,
+                       default: Long): Long =
+    spark.conf.getOption(key).map { raw =>
+      try raw.trim.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a long integer, got '$raw'") }
+    }.getOrElse(default)
+
+  /** Actual bytes the frame's localCheckpoint blocks occupy in the block
+    * manager, if the frame IS a materialized localCheckpoint — a measured
+    * size with ZERO extra jobs (vs the count() fallback's one action per
+    * verify tail). Deserialized MEMORY_AND_DISK block sizes overestimate
+    * the serialized broadcast payload, so a bytes-threshold decision made
+    * on them can only be conservative (route a broadcastable frame to
+    * merge), never the reverse. */
+  private def checkpointedBytes(df: DataFrame): Option[Long] = {
+    // only when the frame IS the checkpoint root — a frame merely derived
+    // from one (filters, projections) has a different size than its blocks
+    val rddId = df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd.id)
+      case _ => None
+    }
+    rddId.flatMap { id =>
+      df.sparkSession.sparkContext.getRDDStorageInfo
+        .find(i => i.id == id && i.numCachedPartitions > 0)
+        .map(i => i.memSize + i.diskSize)
+    }
+  }
+
   private def routePairFrame(cands: DataFrame): DataFrame = {
-    val maxBroadcast = cands.sparkSession.conf
-      .getOption("spark.graft.maxBroadcastPairs").map(_.toLong)
-      .getOrElse(4000000L)
-    if (cands.count() <= maxBroadcast) broadcast(cands)
-    else cands.hint("merge")
+    val spark = cands.sparkSession
+    // candidate frames arrive localCheckpoint'd from every caller, so the
+    // primary routing signal is the frame's MEASURED block-manager
+    // footprint — free. The pair-count fallback (one cached-block count
+    // job) covers frames routed here without a checkpoint.
+    val maxBytes = confLong(spark, "spark.graft.maxBroadcastPairBytes",
+      256L << 20)
+    checkpointedBytes(cands) match {
+      case Some(bytes) =>
+        if (bytes <= maxBytes) broadcast(cands) else cands.hint("merge")
+      case None =>
+        val maxPairs = confLong(spark, "spark.graft.maxBroadcastPairs",
+          4000000L)
+        if (cands.count() <= maxPairs) broadcast(cands)
+        else cands.hint("merge")
+    }
   }
 
   private def cosineVerify(f: DataFrame, cands: DataFrame,
@@ -905,20 +949,23 @@ object Dedup {
     val cands = bb.join(cb, Seq("band", "bkey"))
       .select("batch_id", "corpus_id").distinct()
       .localCheckpoint()
-    // exact-Jaccard verify over candidate docs only, one side each
+    // exact-Jaccard verify over candidate docs only, one side each; the
+    // broadcast probes are distinct'd so they are candidate-DOC-bounded,
+    // never pair-count-sized (a copy-dense corpus reaches tens of
+    // millions of pairs over far fewer distinct docs)
     val bSh = shingleHashRows(
-      batch.join(broadcast(cands.select(col("batch_id").as("doc_id"))),
+      batch.join(broadcast(cands.select(col("batch_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi"), ngram, text, distinct = true)
       .localCheckpoint()
     val cSh = shingleHashRows(
-      corpus.join(broadcast(cands.select(col("corpus_id").as("doc_id"))),
+      corpus.join(broadcast(cands.select(col("corpus_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi"), ngram, text, distinct = true)
       .localCheckpoint()
     val bSz = bSh.groupBy("doc_id").agg(count(lit(1)).as("_sb_"))
     val cSz = cSh.groupBy("doc_id").agg(count(lit(1)).as("_sc_"))
     // measured routing (see routePairFrame): the pair frame grows with
     // true pair density; the per-doc semi-join probes above stay
-    // broadcast — they are answer-DOC-bounded, not pair-bounded
+    // broadcast — distinct'd, so genuinely doc-bounded
     routePairFrame(cands)
       .join(bSh.select(col("doc_id").as("batch_id"), col("gram")), "batch_id")
       .join(cSh.select(col("doc_id").as("corpus_id"), col("gram")),
@@ -1543,9 +1590,19 @@ object Dedup {
       s"tau must be in (0, 1]: $tauNum/$tauDen")
     require(blocks >= 1, s"blocks must be >= 1: $blocks")
     val spark = docs.sparkSession
-    val v = TextOps.hashVectorize(docs, dim, text)
-      .select(col("doc_id"),
-        transform(col("vec"), x => x.cast("long")).as("cv"))
+    // hashVectorize emits no row for a zero-token doc (its explode yields
+    // nothing) — left-join the vectors back onto the input so empty docs
+    // participate as ZERO vectors: they get assigned to a coarse cell like
+    // any other doc and are always kept (the accept rule below requires
+    // strictly positive norms, so a zero vector can neither dominate nor
+    // be dominated), matching the oracle's zero-filled dense grid.
+    val v = docs.select(col("doc_id"))
+      .join(TextOps.hashVectorize(docs, dim, text)
+        .select(col("doc_id"),
+          transform(col("vec"), x => x.cast("long")).as("cv")),
+        Seq("doc_id"), "left")
+      .withColumn("cv",
+        coalesce(col("cv"), array_repeat(lit(0L), dim)))
     val emb = v.select(col("doc_id").as("vec_id"), col("cv").as("embedding"))
     val cents = Ann.ivfCentroids(emb, nlist)
     val asg = Ann.ivfAssign(emb, cents)
@@ -1578,6 +1635,10 @@ object Dedup {
     val dot = Ann.dotFast(spark)(col("_cva"), col("_cvb"))
     val dominated = a.join(b, Seq("list_id", "_ci", "_cj"))
       .where(col("_ida") =!= col("_idb"))
+      // strictly positive norms: without the guard the integer accept
+      // rule degenerates to 0 ≥ 0 (accept) for zero-norm vectors, so two
+      // empty docs would spuriously dominate each other
+      .where(col("_n2a") > 0L && col("_n2b") > 0L)
       .where(dot * dot * t2d >= col("_n2a") * col("_n2b") * t2n)
       .select(greatest(col("_ida"), col("_idb")).as("doc_id")).distinct()
     withN.join(dominated.withColumn("_dup", lit(true)), Seq("doc_id"), "left")

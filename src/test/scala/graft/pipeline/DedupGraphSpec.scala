@@ -79,13 +79,29 @@ class DedupGraphSpec extends SparkSpec {
   test("verify-tail pair routing: forced-merge plan equals the broadcast plan") {
     // routePairFrame broadcasts small candidate frames and merge-joins big
     // ones (the copy-dense OOM fix); output must be identical either way.
+    // The conf mutation lives on an ISOLATED session (newSession shares the
+    // context but not SQL conf) so a concurrently running dedup test on the
+    // shared session can never observe the forced-merge thresholds.
     val broadcastPlan = Dedup.jaccardJoin(docs, 0.4).collect().map(_.toSeq).toSet
-    spark.conf.set("spark.graft.maxBroadcastPairs", "0")
-    try {
-      val mergePlan = Dedup.jaccardJoin(docs, 0.4).collect().map(_.toSeq).toSet
-      assert(mergePlan === broadcastPlan)
-      assert(broadcastPlan.nonEmpty)
-    } finally spark.conf.unset("spark.graft.maxBroadcastPairs")
+    val s2 = spark.newSession()
+    val docs2 = s2.read.parquet(s"$dir/documents.parquet")
+    // force the merge route through BOTH signals: the block-manager bytes
+    // path (checkpointed frames) and the pair-count fallback
+    s2.conf.set("spark.graft.maxBroadcastPairBytes", "0")
+    s2.conf.set("spark.graft.maxBroadcastPairs", "0")
+    val mergePlan = Dedup.jaccardJoin(docs2, 0.4).collect().map(_.toSeq).toSet
+    assert(mergePlan === broadcastPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
+  test("verify-tail pair routing: malformed threshold conf raises a clear error") {
+    val s2 = spark.newSession()
+    val docs2 = s2.read.parquet(s"$dir/documents.parquet")
+    s2.conf.set("spark.graft.maxBroadcastPairBytes", "lots")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(docs2, 0.4).collect()
+    }
+    assert(e.getMessage.contains("spark.graft.maxBroadcastPairBytes"))
   }
 
   test("jaccardJoin recall/precision 1 on a graded synthetic corpus") {

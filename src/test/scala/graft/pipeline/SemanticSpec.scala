@@ -78,6 +78,22 @@ class SemanticSpec extends SparkSpec {
     assert(out === Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("semanticDedup keeps zero-token docs and never lets them dominate") {
+    // NULL-text docs are the zero-token case (split(NULL) explodes to no
+    // row — note "" and "   " DO tokenize, to empty-string tokens, in both
+    // this engine and the SQL oracle's string_split): they vectorize to
+    // the ZERO vector, must appear in the output (assigned like any doc),
+    // and must always be kept — two of them must not dominate each other
+    // through the degenerate 0 ≥ 0 integer accept rule
+    val d = mkDocs((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, null), (4L, null),
+      (5L, "completely different tokens entirely unrelated"))
+    val out = Dedup.semanticDedup(d, 19L, 20L, dim = 16, nlist = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true))
+  }
+
   test("semanticDedup is deterministic under repartitioning") {
     val one = Dedup.semanticDedup(docs, 19L, 20L, dim = 64, nlist = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
