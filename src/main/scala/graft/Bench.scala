@@ -43,6 +43,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.registry.Registry.textIndexPosFor(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.registry.Registry.bandIndexFor(spark, sfDir)
+    catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q23_fingerprint,q15_dedup_neardup
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Contention-robust measurement (three rounds of phantom regressions —

@@ -825,8 +825,13 @@ object Dedup {
     // primary routing signal is the frame's MEASURED block-manager
     // footprint — free. The pair-count fallback (one cached-block count
     // job) covers frames routed here without a checkpoint.
+    // default aligned with the 4M-pair count threshold: a pair row is
+    // ~84 bytes DESERIALIZED in the block manager (measured: 1M two-long
+    // UnsafeRows = 80.1 MiB), so 4M pairs ≈ 336 MiB — 400 MiB keeps the
+    // two signals routing the same frames the same way, and deserialized
+    // block size can only OVERESTIMATE the serialized broadcast payload
     val maxBytes = confLong(spark, "spark.graft.maxBroadcastPairBytes",
-      256L << 20)
+      400L << 20)
     checkpointedBytes(cands) match {
       case Some(bytes) =>
         if (bytes <= maxBytes) broadcast(cands) else cands.hint("merge")
@@ -929,22 +934,12 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 16,
                           maxBucket: Int = 1000,
                           text: String = "text"): DataFrame = {
-    val rows = numHashes / bands
-    require(rows * bands == numHashes, "bands must divide numHashes")
-    def bandRows(docs: DataFrame) =
-      minhashSignatures(shingleHashRows(docs, ngram, text, distinct = false),
-        numHashes)
-        .select(col("doc_id"),
-          posexplode(array((0 until bands).map(b =>
-            xxhash64(lit(b) +: (0 until rows).map(r =>
-              element_at(col("sig"), b * rows + r + 1)): _*)): _*))
-            .as(Seq("band", "bkey")))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-    val cb = bandRows(corpus)
+    val cb = bandedRows(corpus, ngram, numHashes, bands, text)
       .withColumn("_n", count(lit(1)).over(wB))
       .where(col("_n") <= maxBucket).drop("_n")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
-    val bb = bandRows(batch)
+    val bb = bandedRows(batch, ngram, numHashes, bands, text)
       .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
     val cands = bb.join(cb, Seq("band", "bkey"))
       .select("batch_id", "corpus_id").distinct()
@@ -961,11 +956,38 @@ object Dedup {
       corpus.join(broadcast(cands.select(col("corpus_id").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi"), ngram, text, distinct = true)
       .localCheckpoint()
+    crossJaccardVerify(cands, bSh, cSh, threshold)
+  }
+
+  /** (doc_id, band, bkey) LSH band rows — the signature+banding pipeline
+    * shared verbatim by [[nearDupPairsAgainst]] and the persisted
+    * [[graft.store.BandIndex]] (identical hash family and band keys, so a
+    * probe against stored bands meets exactly the buckets a live
+    * signature build would). */
+  private[graft] def bandedRows(docs: DataFrame, ngram: Int, numHashes: Int,
+                                bands: Int, text: String): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    minhashSignatures(shingleHashRows(docs, ngram, text, distinct = false),
+      numHashes)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+          .as(Seq("band", "bkey")))
+  }
+
+  /** Exact-Jaccard accept tier over cross-set candidate pairs: `bSh`/`cSh`
+    * are the (doc_id, gram) DISTINCT shingle rows of the candidate docs
+    * only (batch / corpus side respectively). Shared by the live and the
+    * index-backed delta paths so their accept decisions are the same code
+    * — the pair frame routes on measured size, the per-doc size frames
+    * are answer-bounded broadcasts. */
+  private def crossJaccardVerify(cands: DataFrame, bSh: DataFrame,
+                                 cSh: DataFrame,
+                                 threshold: Double): DataFrame = {
     val bSz = bSh.groupBy("doc_id").agg(count(lit(1)).as("_sb_"))
     val cSz = cSh.groupBy("doc_id").agg(count(lit(1)).as("_sc_"))
-    // measured routing (see routePairFrame): the pair frame grows with
-    // true pair density; the per-doc semi-join probes above stay
-    // broadcast — distinct'd, so genuinely doc-bounded
     routePairFrame(cands)
       .join(bSh.select(col("doc_id").as("batch_id"), col("gram")), "batch_id")
       .join(cSh.select(col("doc_id").as("corpus_id"), col("gram")),
@@ -977,6 +999,60 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "inter", "uni", "jaccard")
+  }
+
+  /** Incremental near-dup against a PERSISTED band index — the O(drop)
+    * form of [[nearDupPairsAgainst]]: corpus signatures were banded once
+    * at [[graft.store.BandIndex.write]] time (and extended per accepted
+    * drop by `append`), so a new batch probes STORED (band, bkey, doc_id)
+    * rows and STORED (doc_id, gram) shingle rows — corpus text is never
+    * read and corpus signatures are never recomputed. Output is
+    * spec-pinned equal to [[nearDupPairsAgainst]] on the same inputs.
+    *
+    * Shape at scale: the batch's band rows are drop-sized and BROADCAST
+    * into a single join pass over the stored band table (no corpus-wide
+    * shuffle; the only window runs over MATCHED rows, whose count is
+    * bounded by drop-bands × bucket occupancy, and occupancy over the
+    * matched frame equals true bucket occupancy because the equi-join
+    * keeps every stored row of a touched bucket). The verify tail probes
+    * the stored gram table with a candidate-DOC-bounded broadcast
+    * semi-join. Both probes are scans WITHOUT shuffle of index bytes —
+    * at 100 TB the nightly drop costs O(drop + touched buckets), never
+    * O(corpus). */
+  def nearDupPairsAgainstIndex(handle: graft.store.BandIndex.Handle,
+                               batch: DataFrame,
+                               threshold: Double = 0.8,
+                               maxBucket: Int = 1000,
+                               text: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val bb = bandedRows(batch, handle.ngram, handle.numHashes, handle.bands,
+      text)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
+      .localCheckpoint()
+    val stored = spark.read.parquet(s"${handle.path}/bands")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    // batch bands are drop-sized: broadcast them into the stored-band
+    // scan, then size ONLY the touched buckets (matched rows = every
+    // stored row of a touched bucket, so the count is exact)
+    val touched = stored.join(
+      broadcast(bb.select("band", "bkey").distinct()), Seq("band", "bkey"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val cb = touched.withColumn("_n", count(lit(1)).over(wB))
+      .where(col("_n") <= maxBucket).drop("_n")
+    val cands = bb.join(cb, Seq("band", "bkey"))
+      .select("batch_id", "corpus_id").distinct()
+      .localCheckpoint()
+    val bSh = shingleHashRows(
+      batch.join(broadcast(cands.select(col("batch_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi"), handle.ngram, text, distinct = true)
+      .localCheckpoint()
+    // corpus side: STORED grams, candidate-doc-bounded probe — no corpus
+    // text scan anywhere in this plan (PlanAudit-asserted)
+    val cSh = spark.read.parquet(s"${handle.path}/grams")
+      .join(broadcast(cands.select(col("corpus_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    crossJaccardVerify(cands, bSh, cSh, threshold)
   }
 
   /** EXACT n-gram Jaccard similarity self-join at threshold `tau` — the

@@ -274,6 +274,28 @@ private[registry] object DedupEntries {
               |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) >= 0.8
               |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q101 against a PERSISTED band index (write + append drops,
+    //      memoized like every other store): corpus signatures come from
+    //      stored (band, bkey, doc_id) rows and the verify from stored
+    //      (doc_id, gram) rows — corpus text is never read. Same oracle
+    //      as q101: the index path is spec-pinned equal to the live one ----
+    Entry("q184_neardup_index",
+      (s, d) => Dedup.nearDupPairsAgainstIndex(Shared.bandIndexFor(s, d),
+          docs(s, d).where(pmod(col("doc_id"), lit(5)) === 0),
+          threshold = 0.8)
+        .orderBy("batch_id", "corpus_id"),
+      Some(s"""WITH $shCte
+              |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+              |  CAST(len(list_intersect(b.st, c.st)) AS BIGINT) AS inter,
+              |  CAST(len(b.st) + len(c.st) - len(list_intersect(b.st, c.st)) AS BIGINT) AS uni,
+              |  CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+              |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) AS jaccard
+              |FROM sh b JOIN sh c
+              |  ON b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+              |WHERE CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+              |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) >= 0.8
+              |ORDER BY 1, 2""".stripMargin)),
+
     // ---- EXACT cosine-threshold similarity join (Bayardo all-pairs,
     //      WWW'07): tf-vector cosine ≥ 4/5 with every decision an integer
     //      comparison (index: psum·25 ≥ 16·n2; accept: dot²·25 ≥

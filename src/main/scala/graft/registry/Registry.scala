@@ -43,6 +43,7 @@ object Registry {
   def textIndexFor(s: SparkSession, d: String): graft.store.TextIndex.Handle = Shared.textIndexFor(s, d)
   def textIndexDeltaFor(s: SparkSession, d: String): graft.store.TextIndex.Handle = Shared.textIndexDeltaFor(s, d)
   def textIndexPosFor(s: SparkSession, d: String): graft.store.TextIndex.Handle = Shared.textIndexPosFor(s, d)
+  def bandIndexFor(s: SparkSession, d: String): graft.store.BandIndex.Handle = Shared.bandIndexFor(s, d)
   def curationLayoutFor(s: SparkSession, d: String): String = Shared.curationLayoutFor(s, d)
 
   // exact level/rollup recomputation (PlanAudit §levelExact)

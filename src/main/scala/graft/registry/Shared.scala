@@ -164,6 +164,24 @@ private[registry] object Shared {
       graft.store.TextIndex.writePositional(docs(s, d), h)
       h
     }
+  val bandIndexCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.BandIndex.Handle]()
+
+  /** q184's persisted LSH band index over the q101 corpus (doc_id%5 != 0),
+    * built in two drops so the APPEND path sits under the driver gate —
+    * the probe's oracle is q101's brute-force cross-set Jaccard. */
+  def bandIndexFor(s: SparkSession, d: String): graft.store.BandIndex.Handle =
+    memo(bandIndexCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("bix:" + d).getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val corpus = docs(s, d).where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val base = graft.store.BandIndex.write(
+        corpus.where(pmod(col("doc_id"), lit(2)) === 1),
+        s"/tmp/graft_wh_$digest")
+      graft.store.BandIndex.append(
+        corpus.where(pmod(col("doc_id"), lit(2)) === 0), base)
+    }
+
   def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
     memo(ivfCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")

@@ -1,0 +1,203 @@
+package graft.store
+
+import graft.pipeline.Dedup
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band index — the corpus side of incremental
+  * near-dup dedup ([[graft.pipeline.Dedup.nearDupPairsAgainstIndex]])
+  * materialized once and extended per accepted drop, so the nightly
+  * "is anything in this drop a near-copy of what we already have?" job
+  * costs O(drop), never O(corpus):
+  *
+  *  - `bands/` — (doc_id, bkey) as `band=`-partitioned parquet, 16
+  *    bytes/row/band: the banded signature frame
+  *    [[graft.pipeline.Dedup.bandedRows]] produces, identical hash
+  *    family and band keys, so a live batch signature meets exactly
+  *    the stored buckets a full re-band of the corpus would meet;
+  *  - `grams/` — (doc_id, gram) DISTINCT 60-bit shingle hashes: what
+  *    the exact-Jaccard verify tier consumes, so accepted candidates
+  *    are verified WITHOUT re-reading or re-tokenizing corpus text;
+  *  - `band_index.json` — n_docs + the (ngram, num_hashes, bands)
+  *    family parameters a probe must reuse.
+  *
+  * Maintenance follows the [[TextIndex]] staged-append discipline
+  * (stage → intent → `_staged` commit marker → publish-by-rename →
+  * meta → clean), with a simpler heal matrix because every table here
+  * is PURELY ADDITIVE — there is no merged dictionary to swap. A crash
+  * before the marker aborts the append (index untouched, re-run it); a
+  * crash after rolls forward on the next [[open]]. [[compact]] closes
+  * the small-files fragmentation that per-drop appends accumulate,
+  * crash-safe via the directory-swap-with-backup discipline.
+  *
+  * All file operations go through the Hadoop FileSystem API resolved
+  * from the index path, so local disk, HDFS and object stores behave
+  * the same (the TextIndex/Warehouse rule). */
+object BandIndex {
+  import TextIndex.{fsOf, readSmall, writeSmall, jsonField, renameOrFail,
+    restoreInterruptedSwap}
+
+  final case class Handle(path: String, nDocs: Long, ngram: Int,
+                          numHashes: Int, bands: Int)
+
+  private def writeMeta(path: String, nDocs: Long, ngram: Int,
+                        numHashes: Int, bands: Int): Unit =
+    writeSmall(fsOf(path), new HPath(path, "band_index.json"),
+      s"""{"n_docs":$nDocs,"ngram":$ngram,"num_hashes":$numHashes,""" +
+        s""""bands":$bands}""")
+
+  /** Build the index from a corpus snapshot: one signature shuffle for
+    * the band rows, one shingle pass for the gram table, both written
+    * as parquet. A rebuild at a path SUPERSEDES any staged append there
+    * (even one past its commit marker) — same rationale as
+    * [[TextIndex.write]]: healing a stale staging into a fresh rebuild
+    * would corrupt it with no error. */
+  def write(corpus: DataFrame, path: String, ngram: Int = 3,
+            numHashes: Int = 32, bands: Int = 16,
+            text: String = "text"): Handle = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands must divide numHashes: $numHashes/$bands")
+    val fs = fsOf(path)
+    fs.delete(new HPath(path, "append.pending"), true)
+    Dedup.bandedRows(corpus, ngram, numHashes, bands, text)
+      .select(col("doc_id"), col("bkey"), col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    Dedup.shingleHashRows(corpus, ngram, text, distinct = true)
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val nDocs = corpus.count()
+    writeMeta(path, nDocs, ngram, numHashes, bands)
+    Handle(path, nDocs, ngram, numHashes, bands)
+  }
+
+  def open(path: String): Handle = {
+    val fs = fsOf(path)
+    for (d <- Seq("bands", "grams")) restoreInterruptedSwap(fs, path, d)
+    healPending(path)
+    val s = readSmall(fs, new HPath(path, "band_index.json"))
+    Handle(path, jsonField(s, "n_docs"), jsonField(s, "ngram").toInt,
+      jsonField(s, "num_hashes").toInt, jsonField(s, "bands").toInt)
+  }
+
+  /** Index an ACCEPTED drop: its band rows and gram rows are staged,
+    * then renamed into the live tables — time ∝ drop, the corpus is
+    * never re-signed. Doc_ids must be new (append, not upsert — same
+    * contract as [[TextIndex.append]]); probe results after append are
+    * spec-pinned bit-equal to a fresh [[write]] of the union corpus,
+    * because every table is additive and the hash family is fixed. */
+  def append(newDocs: DataFrame, h: Handle, text: String = "text"): Handle =
+    append(newDocs, h, text, crashAfterStep = 99)
+
+  /** [[append]] with an injected crash point — spec-only seam for the
+    * heal matrix (2 = before the commit marker, 3 = after it). */
+  private[store] def append(newDocs: DataFrame, h: Handle, text: String,
+                            crashAfterStep: Int): Handle = {
+    def crash(step: Int): Unit = if (step == crashAfterStep)
+      throw new IllegalStateException(s"injected crash after step $step")
+    val fs = fsOf(h.path)
+    healPending(h.path) // resolve any interrupted predecessor first
+    val pending = new HPath(h.path, "append.pending")
+    require(!fs.exists(pending),
+      s"append.pending survived heal — concurrent append? ${h.path}")
+    // 1. stage the drop's band rows + gram rows
+    Dedup.bandedRows(newDocs, h.ngram, h.numHashes, h.bands, text)
+      .select(col("doc_id"), col("bkey"), col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"${h.path}/append.pending/bands")
+    Dedup.shingleHashRows(newDocs, h.ngram, text, distinct = true)
+      .write.mode("overwrite").parquet(s"${h.path}/append.pending/grams")
+    crash(1)
+    // 2. intent: the TARGET count (idempotent for the roll-forward)
+    val target = h.nDocs + newDocs.count()
+    writeSmall(fs, new HPath(pending, "intent.json"),
+      s"""{"n_docs":$target}""")
+    crash(2)
+    // 3. commit point
+    writeSmall(fs, new HPath(pending, "_staged"), "")
+    crash(3)
+    // 4-6. publish (renames, meta, clean)
+    publishPending(h.path)
+    h.copy(nDocs = target)
+  }
+
+  /** Abort an append that never reached its commit marker; roll a
+    * committed one forward. No-op without staging. */
+  private def healPending(path: String): Unit = {
+    val fs = fsOf(path)
+    val pending = new HPath(path, "append.pending")
+    if (fs.exists(pending)) {
+      if (fs.exists(new HPath(pending, "_staged"))) publishPending(path)
+      else fs.delete(pending, true)
+    }
+  }
+
+  /** Publish a committed append — safe to re-run from any crash point:
+    * Spark part-file names are unique per job, and a file already
+    * renamed no longer appears in the staging listing, so the rename
+    * loop is idempotent; the meta write lands the intent's absolute
+    * target. */
+  private def publishPending(path: String): Unit = {
+    val fs = fsOf(path)
+    val pending = new HPath(path, "append.pending")
+    val stagedBands = new HPath(pending, "bands")
+    if (fs.exists(stagedBands)) {
+      for (b <- fs.listStatus(stagedBands) if b.isDirectory) {
+        val dst = new HPath(s"$path/bands/${b.getPath.getName}")
+        fs.mkdirs(dst) // rename silently returns false without the parent
+        for (f <- fs.listStatus(b.getPath) if f.isFile)
+          renameOrFail(fs, f.getPath, new HPath(dst, f.getPath.getName))
+      }
+    }
+    val stagedGrams = new HPath(pending, "grams")
+    if (fs.exists(stagedGrams)) {
+      val dst = new HPath(path, "grams")
+      fs.mkdirs(dst)
+      for (f <- fs.listStatus(stagedGrams)
+           if f.isFile && f.getPath.getName.startsWith("part-"))
+        renameOrFail(fs, f.getPath, new HPath(dst, f.getPath.getName))
+    }
+    val intent = readSmall(fs, new HPath(pending, "intent.json"))
+    val meta = readSmall(fs, new HPath(path, "band_index.json"))
+    writeMeta(path, jsonField(intent, "n_docs"),
+      jsonField(meta, "ngram").toInt, jsonField(meta, "num_hashes").toInt,
+      jsonField(meta, "bands").toInt)
+    fs.delete(pending, true)
+  }
+
+  /** Offline maintenance: rewrite both tables into `filesPerPartition`
+    * sorted files per band / per gram shard — every append renames one
+    * file set per drop into the live dirs, and after many drops the
+    * probe pays file-open latency instead of scan throughput. Content
+    * is identical before and after (spec-pinned); crash-safe via the
+    * swap-with-backup discipline [[open]] restores. */
+  def compact(spark: SparkSession, h: Handle,
+              filesPerPartition: Int = 1): Handle = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1: $filesPerPartition")
+    val fs = fsOf(h.path)
+    for (d <- Seq("bands", "grams")) restoreInterruptedSwap(fs, h.path, d)
+    healPending(h.path) // an unresolved append must publish before rewrite
+    def swap(tmp: String, dir: String): Unit = {
+      val tmpP = new HPath(h.path, tmp)
+      val dstP = new HPath(h.path, dir)
+      val bakP = new HPath(h.path, dir + "_compact_bak")
+      fs.delete(bakP, true)
+      if (fs.exists(dstP)) renameOrFail(fs, dstP, bakP)
+      renameOrFail(fs, tmpP, dstP)
+      fs.delete(bakP, true)
+    }
+    spark.read.parquet(s"${h.path}/bands")
+      .repartition(col("band"),
+        pmod(xxhash64(col("bkey")), lit(filesPerPartition)))
+      .sortWithinPartitions("bkey", "doc_id")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"${h.path}/bands_compact_tmp")
+    swap("bands_compact_tmp", "bands")
+    spark.read.parquet(s"${h.path}/grams")
+      .repartition(filesPerPartition, col("doc_id"))
+      .sortWithinPartitions("doc_id", "gram")
+      .write.mode("overwrite").parquet(s"${h.path}/grams_compact_tmp")
+    swap("grams_compact_tmp", "grams")
+    h // layout maintenance only — content and meta unchanged
+  }
+}

@@ -39,11 +39,11 @@ object TextIndex {
     java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
   }
 
-  private def fsOf(path: String): FileSystem =
+  private[store] def fsOf(path: String): FileSystem =
     new HPath(path).getFileSystem(
       org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
 
-  private def readSmall(fs: FileSystem, p: HPath): String = {
+  private[store] def readSmall(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -52,23 +52,23 @@ object TextIndex {
     } finally in.close()
   }
 
-  private def writeSmall(fs: FileSystem, p: HPath, s: String): Unit = {
+  private[store] def writeSmall(fs: FileSystem, p: HPath, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  private def jsonField(s: String, k: String): Long =
+  private[store] def jsonField(s: String, k: String): Long =
     s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
 
   /** Absent field → None instead of an opaque index-out-of-bounds —
     * metas written before a field existed must stay openable. */
-  private def jsonFieldOpt(s: String, k: String): Option[Long] = {
+  private[store] def jsonFieldOpt(s: String, k: String): Option[Long] = {
     val parts = s.split(s""""$k":""")
     if (parts.length < 2) None
     else Some(parts(1).takeWhile(c => c.isDigit || c == '-').toLong)
   }
 
-  private def renameOrFail(fs: FileSystem, src: HPath, dst: HPath): Unit =
+  private[store] def renameOrFail(fs: FileSystem, src: HPath, dst: HPath): Unit =
     require(fs.rename(src, dst),
       s"TextIndex: rename $src -> $dst failed (Hadoop rename returns " +
         "false on missing destination parents or existing targets)")
@@ -280,7 +280,7 @@ object TextIndex {
     * `rename(tmp -> dst)`, `dst` is missing and the backup holds the
     * only copy — restore it (the Warehouse restoreInterruptedSwap
     * discipline; rename-loser tolerance for concurrent readers). */
-  private def restoreInterruptedSwap(fs: FileSystem, path: String,
+  private[store] def restoreInterruptedSwap(fs: FileSystem, path: String,
                                      dir: String): Unit = {
     val dstP = new HPath(path, dir)
     val bakP = new HPath(path, dir + "_compact_bak")
