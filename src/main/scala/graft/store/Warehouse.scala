@@ -183,10 +183,8 @@ object Warehouse {
     // created before the catalog existed
     val fs0 = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existingCat =
-      if (fs0.exists(new org.apache.hadoop.fs.Path(s"$root/_metrics")))
-        spark.read.parquet(s"$root/_metrics")
-      else existing.raw.select("metric").distinct()
+    val existingCat = readCatalog(spark, root)
+      .getOrElse(existing.raw.select("metric").distinct())
     val cat = existingCat
       .unionByName(points.select("metric").distinct()).distinct()
     cat.write.mode(SaveMode.Overwrite).parquet(s"$root/_metrics_tmp")
@@ -327,12 +325,32 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     restoreInterruptedSwap(fs, s"$root/raw")
-    val cat =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_metrics")))
-        Some(spark.read.parquet(s"$root/_metrics"))
-      else None
     Hta(spark.read.parquet(s"$root/raw"), readLevels(spark, root),
-      readMeta(spark, root), cat)
+      readMeta(spark, root), readCatalog(spark, root))
+  }
+
+  /** Read the `_metrics` catalog by its CONCRETE part files: handing the
+    * `_`-prefixed directory itself to `spark.read` makes the DataSource
+    * path check log a spurious `All paths were ignored` WARN on every
+    * open/append (the FileIndex still reads it — the warning is noise,
+    * but a fresh-clone test run must not emit datasource warnings). */
+  private def readCatalog(spark: SparkSession,
+                          root: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_metrics")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val parts = fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+      if (parts.isEmpty)
+        Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("metric",
+              org.apache.spark.sql.types.StringType)))))
+      else Some(spark.read.parquet(parts.toIndexedSeq: _*))
+    }
   }
 
   /** Offline maintenance: rewrite the store into few large sorted files per
