@@ -376,7 +376,9 @@ object Dedup {
   private val rng = {
     // deterministic LCG-derived coefficients, no runtime randomness
     val as = Iterator.iterate(1103515245L)(a => (a * 69069 + 1) & 0x7fffffffL)
-    as.filter(_ > 1).take(128).toVector
+    // 256 coefficients = up to 128 hash functions; extending the stream
+    // keeps the prefix (existing 32/64-hash signatures are unchanged)
+    as.filter(_ > 1).take(256).toVector
   }
   def hashCoef(i: Int): (Long, Long) = (rng(2 * i) | 1L, rng(2 * i + 1))
 

@@ -449,7 +449,8 @@ object Multimodal {
     * entry pixel dimensions, and each sample's absolute (offset, size)
     * byte slice in the file. */
   private[pipeline] case class Mp4Track(codec: String, w: Int, h: Int,
-                                        samples: IndexedSeq[(Long, Int)])
+                                        samples: IndexedSeq[(Long, Int)],
+                                        avcC: Option[Array[Byte]] = None)
 
   /** Full ISO BMFF sample-table walk — the DECODER-side sibling of the
     * [[parseMp4]] metadata probe: resolves the video track's `stbl`
@@ -464,6 +465,7 @@ object Multimodal {
       if (bytes.length < 12 || fourcc(bytes, 4) != "ftyp") None
       else {
         var codec = ""; var w = 0; var h = 0
+        var avcC: Array[Byte] = null
         var uniform = 0
         var sizes: Array[Int] = null
         var nSamples = -1
@@ -489,6 +491,20 @@ object Multimodal {
               if (vse + 28 <= p + sz) {
                 w = ((bytes(vse + 24) & 0xff) << 8) | (bytes(vse + 25) & 0xff)
                 h = ((bytes(vse + 26) & 0xff) << 8) | (bytes(vse + 27) & 0xff)
+              }
+              // child boxes after the 78-byte VisualSampleEntry header:
+              // avcC carries the H.264 decoder configuration (SPS/PPS)
+              val entrySz = be32(bytes, entry)
+              var q = vse + 78
+              while (q + 8 <= entry + entrySz && q + 8 <= p + sz &&
+                  avcC == null) {
+                val csz = be32(bytes, q)
+                if (csz < 8 || q + csz > entry + entrySz) q = p + sz
+                else {
+                  if (fourcc(bytes, q + 4) == "avcC")
+                    avcC = java.util.Arrays.copyOfRange(bytes, q + 8, q + csz)
+                  q += csz
+                }
               }
             } else if (tp == "stsz" && nSamples < 0 && sz >= 8 + 12) {
               uniform = be32(bytes, body + 4)
@@ -544,7 +560,8 @@ object Multimodal {
             c += 1
           }
           val samples = out.result()
-          if (ok && samples.length == nSamples) Some(Mp4Track(codec, w, h, samples))
+          if (ok && samples.length == nSamples)
+            Some(Mp4Track(codec, w, h, samples, Option(avcC)))
           else None
         }
       }
@@ -582,6 +599,10 @@ object Multimodal {
           }
           Some(img)
         }
+      case "avc1" =>
+        // REAL H.264 decode for the I_PCM baseline subset; anything the
+        // subset cannot decode bit-faithfully declines to the stub seam
+        t.avcC.flatMap(c => H264.decodeSample(c, bytes, o.toInt, l))
       case _ => None
     }
   }
@@ -649,18 +670,34 @@ object Multimodal {
         data
       }
     }
+    val codec = codecTag.getOrElse(if (mjpeg) "jpeg" else "raw ")
+    encodeMp4Samples(w, h, codec, payloads, Array.emptyByteArray)
+  }
+
+  /** Box arbitrary pre-encoded sample payloads as a one-track mp4 —
+    * the writer core behind [[encodeMp4]] and [[syntheticMp4H264]].
+    * `entryChildren` lands inside the sample entry (e.g. the `avcC`
+    * decoder-configuration box an avc1 entry must carry). */
+  private[pipeline] def encodeMp4Samples(w: Int, h: Int, codec: String,
+                                         payloads: Seq[Array[Byte]],
+                                         entryChildren: Array[Byte]): Array[Byte] = {
+    require(payloads.nonEmpty, "encodeMp4Samples: at least one sample")
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++ "isom".getBytes("US-ASCII"))
     val firstOff = ftyp.length + 8
-    val codec = codecTag.getOrElse(if (mjpeg) "jpeg" else "raw ")
     val entry = box(codec, new Array[Byte](6) ++ be16(1) ++ // dref index
       new Array[Byte](16) ++ be16(w) ++ be16(h) ++
       be(0x00480000) ++ be(0x00480000) ++ be(0) ++ be16(1) ++ // 72 dpi, 1 fpp
-      new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF)) // compressor/depth/-1
+      new Array[Byte](32) ++ be16(24) ++ be16(0xFFFF) ++ // compressor/depth/-1
+      entryChildren)
     val stbl = box("stbl",
       box("stsd", be(0) ++ be(1) ++ entry) ++
-      box("stts", be(0) ++ be(1) ++ be(frames.length) ++ be(1)) ++
-      box("stsc", be(0) ++ be(1) ++ be(1) ++ be(frames.length) ++ be(1)) ++
-      box("stsz", be(0) ++ be(0) ++ be(frames.length) ++
+      box("stts", be(0) ++ be(1) ++ be(payloads.length) ++ be(1)) ++
+      box("stsc", be(0) ++ be(1) ++ be(1) ++ be(payloads.length) ++ be(1)) ++
+      box("stsz", be(0) ++ be(0) ++ be(payloads.length) ++
         payloads.toArray.flatMap((p: Array[Byte]) => be(p.length))) ++
       box("stco", be(0) ++ be(1) ++ be(firstOff)))
     val tkhd = box("tkhd", new Array[Byte](4) ++ new Array[Byte](72) ++
@@ -1475,6 +1512,35 @@ object Multimodal {
       }
       Row(Long.box(id), "video", encodeMp4(frames, codecTag = Some("avc1")),
         Row(imgW, imgH, null, Int.box(nFrames), "video/mp4"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL H.264: a one-track `avc1` mp4 per row whose samples are
+    * baseline I_PCM IDR frames (gray v = (id+x+3y+7f) % 256, Cb=Cr=128,
+    * so full-range BT.601 reconstructs R=G=B=v exactly) with the avcC
+    * decoder configuration in the sample entry — decodable in-JVM by
+    * the [[H264]] subset decoder through the [[mp4Decoder]] seam, where
+    * the `syntheticMp4Unsupported` rows (declared avc1, non-NAL
+    * payloads) keep declining to the stub. */
+  def syntheticMp4H264(spark: org.apache.spark.sql.SparkSession, n: Long,
+                       widthMbs: Int = 1, heightMbs: Int = 1,
+                       nFrames: Int = 4): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val wL = widthMbs * 16; val hL = heightMbs * 16
+      val frames = (0 until nFrames).map { f =>
+        val y = Array.tabulate(wL * hL)(i =>
+          ((id + i % wL + 3L * (i / wL) + 7L * f) % 256).toInt)
+        (y, Array.fill(wL / 2 * hL / 2)(128), Array.fill(wL / 2 * hL / 2)(128))
+      }
+      val (avcC, samples) = H264.encodeIPcm(frames, widthMbs, heightMbs)
+      val boxLen = 8 + avcC.length
+      val avcCBox = Array((boxLen >>> 24).toByte, (boxLen >>> 16).toByte,
+        (boxLen >>> 8).toByte, boxLen.toByte) ++
+        "avcC".getBytes("US-ASCII") ++ avcC
+      Row(Long.box(id), "video",
+        encodeMp4Samples(wL, hL, "avc1", samples, avcCBox),
+        Row(wL, hL, null, Int.box(nFrames), "video/mp4"))
     }
     spark.createDataFrame(rdd, mediaSchema)
   }

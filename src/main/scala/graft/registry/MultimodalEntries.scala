@@ -199,6 +199,11 @@ private[registry] object MultimodalEntries {
             .withColumn("media_id", col("media_id") + 1000))
           .unionByName(Multimodal.syntheticMp4Unsupported(s, 30)
             .withColumn("media_id", col("media_id") + 2000))
+          // REAL avc1: baseline I_PCM bitstreams the in-JVM H264 subset
+          // decoder reconstructs pixel-exactly — same sniffed codec as
+          // the junk rows above, split by DECODABILITY in the audit
+          .unionByName(Multimodal.syntheticMp4H264(s, 30)
+            .withColumn("media_id", col("media_id") + 3000))
         Multimodal.extractFeaturesTagged(m, dim = 16,
             fallback = Multimodal.mp4Decoder)
           .groupBy("kind", "codec", "decoder").agg(count(lit(1)).as("n"))
@@ -208,6 +213,7 @@ private[registry] object MultimodalEntries {
              |  ('audio', 'wav',      'jdk',      CAST(100 AS BIGINT)),
              |  ('image', 'png',      'jdk',      CAST(100 AS BIGINT)),
              |  ('video', 'gif',      'jdk',      CAST(100 AS BIGINT)),
+             |  ('video', 'mp4/avc1', 'fallback', CAST(30 AS BIGINT)),
              |  ('video', 'mp4/avc1', 'stub',     CAST(30 AS BIGINT)),
              |  ('video', 'mp4/raw',  'fallback', CAST(60 AS BIGINT))
              |) AS t(kind, codec, decoder, n)

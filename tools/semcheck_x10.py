@@ -58,36 +58,50 @@ for name, nlist_s in targets:
     nlist = int(nlist_s)
     cents = V[:nlist].astype(np.float64)          # first nlist docs by doc_id
     Vf = V.astype(np.float64)
-    # exact: all quantities < 2^53
-    d2 = ((Vf * Vf).sum(1)[:, None] - 2.0 * Vf @ cents.T
-          + (cents * cents).sum(1)[None, :])
-    asg = np.argmin(d2, axis=1)                   # argmin takes smallest index on ties
+    # exact: all quantities < 2^53. Assignment and Gram are BLOCKED so the
+    # same checker runs at ×100 (500 k docs × nlist 6400 would be a 26 GB
+    # dense distance matrix unblocked) — blocking changes memory, not math.
+    c2 = (cents * cents).sum(1)
+    asg = np.empty(n, dtype=np.int64)
+    for s0 in range(0, n, 20000):
+        X = Vf[s0:s0 + 20000]
+        d2 = (X * X).sum(1)[:, None] - 2.0 * X @ cents.T + c2[None, :]
+        asg[s0:s0 + 20000] = np.argmin(d2, axis=1)  # ties -> smallest index
     n2 = (V.astype(np.int64) ** 2).sum(1)         # squared norms, int64
     dominated = np.zeros(n, dtype=bool)
     for l in range(min(nlist, n)):
         idx = np.flatnonzero(asg == l)
-        if len(idx) < 2:
+        m = len(idx)
+        if m < 2:
             continue
-        G = Vf[idx] @ Vf[idx].T                   # exact in float64
-        dots = G.astype(np.int64)
-        # accept: dot²·tauDen² >= na²·nb²·tauNum² — int64 safe (≤1.3e16)
-        acc = (dots * dots * (TAU_D * TAU_D)
-               >= np.outer(n2[idx], n2[idx]) * (TAU_N * TAU_N))
-        iu = np.triu_indices(len(idx), k=1)       # da < db by doc_id order
-        hit = np.zeros(len(idx), dtype=bool)
-        np.logical_or.at(hit, iu[1], acc[iu])
+        W = Vf[idx]
+        w2 = n2[idx]
+        hit = np.zeros(m, dtype=bool)
+        blk = max(1, int(2e8 // max(m, 1)))       # ~1.6 GB float64 per block
+        for r0 in range(0, m, blk):
+            r1 = min(m, r0 + blk)
+            dots = (W[r0:r1] @ W.T).astype(np.int64)   # exact in float64
+            # accept: dot²·tauDen² >= na²·nb²·tauNum² — int64 (≤1.3e16)
+            acc = (dots * dots * (TAU_D * TAU_D)
+                   >= np.outer(w2[r0:r1], w2) * (TAU_N * TAU_N))
+            # dominated = the LARGER doc_id of an accepted pair: column j
+            # is hit when any row i (global position) < j accepts
+            cols = np.arange(m)[None, :]
+            rows_g = np.arange(r0, r1)[:, None]
+            hit |= (acc & (cols > rows_g)).any(axis=0)
         dominated[idx[hit]] = True
     truth = {int(doc_ids[i]): (int(asg[i]), not bool(dominated[i]))
              for i in range(n)}
 
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         print(f"{name}: MISSING spark result")
         fails += 1
         continue
-    sp = pq.read_table(files[0])
-    got = {int(r["doc_id"]): (int(r["list_id"]), bool(r["is_kept"]))
-           for r in sp.to_pylist()}
+    got = {}
+    for f in files:
+        for r in pq.read_table(f).to_pylist():
+            got[int(r["doc_id"])] = (int(r["list_id"]), bool(r["is_kept"]))
     if got == truth:
         kept = sum(1 for _, k in truth.values() if k)
         print(f"{name}: OK ({len(truth)} rows, {kept} kept, nlist={nlist})")

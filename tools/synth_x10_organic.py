@@ -18,7 +18,17 @@ pass a maxDist ≤ 6 gate at these lengths.
 The vocabulary is 31 ASCII words with no digits, so the digit suffix is
 collision-free (no renamed token ever equals another domain's token).
 
-Usage: python3 tools/synth_x10_organic.py [outdir]   (default /tmp/testdata_x10org)
+×100 (round-13 VERDICT item 5): pass a factor as the second argument —
+the construction generalizes verbatim (the vocabulary has no digits, so
+multi-digit suffixes stay bijective and cross-domain-disjoint: a collision
+orig_a+"1" == orig_b+"12" would force orig_a to contain a digit). doc_id
+offsets k·10⁷ stay ≡ 0 (mod 5) and below 10⁹ for k ≤ 99. Factors beyond
+10 write the DOCUMENTS table only: the embeddings construction is a cyclic
+shift of 64 dims (domain 64 would alias domain 0), and the pair-tier
+spot-check targets (q15/q180/q183) read only documents.
+
+Usage: python3 tools/synth_x10_organic.py [outdir] [factor]
+       (default /tmp/testdata_x10org, 10)
 """
 import sys
 import os
@@ -27,6 +37,8 @@ import pyarrow.parquet as pq
 
 src = "/root/testdata/sf0.1/documents.parquet"
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_x10org"
+FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+assert FACTOR <= 100, "doc_id offset k*10^7 requires k <= 99 (k < FACTOR)"
 os.makedirs(out, exist_ok=True)
 
 t = pq.read_table(src)
@@ -36,7 +48,7 @@ lang = t.column("lang").to_pylist()
 source = t.column("source").to_pylist()
 
 ids, txts, langs, srcs, nchars = [], [], [], [], []
-for k in range(10):
+for k in range(FACTOR):
     off = k * 10_000_000
     sfx = str(k) if k else ""
     for i, tx in enumerate(text):
@@ -56,7 +68,11 @@ out_t = pa.table({
 })
 pq.write_table(out_t, f"{out}/documents.parquet")
 print(f"wrote {out}/documents.parquet: {out_t.num_rows} rows "
-      f"({t.num_rows} × 10 domains)")
+      f"({t.num_rows} × {FACTOR} domains)")
+
+if FACTOR != 10:
+    # documents-only mode: see the module docstring
+    sys.exit(0)
 
 # ---- embeddings: the same organic-density construction in vector space.
 # Domain k applies a CYCLIC DIMENSION SHIFT by k (an orthogonal permutation:
