@@ -104,6 +104,13 @@ object PlanAudit {
       "frames only; final corpus join against a small broadcastable component map)") {
       graft.pipeline.Dedup.nearDupClusters(docs, threshold = 0.8).explain("formatted")
     }
+    section("q184 band-index probe (expect: scans of the index's bands/grams " +
+      "parquet plus the BATCH only — no corpus documents scan anywhere; " +
+      "batch-band side BroadcastExchange into the stored-band scan)") {
+      val h = Registry.bandIndexFor(spark, sfDir)
+      graft.pipeline.Dedup.nearDupPairsAgainstIndex(h,
+        docs.where(pmod(col("doc_id"), lit(5)) === 0)).explain("formatted")
+    }
     section("q52 lineDedup (expect: one (line-hash) groupBy shuffle for the " +
       "frequency table, broadcast/AQE anti join on the 8-byte key, one doc_id " +
       "reassembly shuffle — line strings never shuffle for the join)") {

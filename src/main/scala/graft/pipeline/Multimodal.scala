@@ -982,6 +982,11 @@ object Multimodal {
   /** The default fallback: decline everything (bytes fall to the stub). */
   val noFallback: FallbackDecoder = (_, _, _) => None
 
+  /** Chain registered decoders: the first Some wins — so one call site
+    * can carry the mp4 demuxer AND the FLAC subset decoder. */
+  def chainFallbacks(a: FallbackDecoder, b: FallbackDecoder): FallbackDecoder =
+    (k, bytes, d) => a(k, bytes, d).orElse(b(k, bytes, d))
+
   /** THE UNSUPPORTED-CODEC CONTRACT, stated explicitly (the round-11
     * verdict's "honest close" for the codec gap):
     *
@@ -1404,7 +1409,7 @@ object Multimodal {
   /** Deterministic WAV bytes for audio id: sample i is a sawtooth whose
     * period and amplitude are fixed functions of id. Real audio for
     * tests/bench without any media library. */
-  private[pipeline] def patternWav(id: Long, nSamples: Int, rateHz: Int): Array[Byte] = {
+  private[pipeline] def patternSamples(id: Long, nSamples: Int): Array[Int] = {
     val period = (id % 50 + 2).toInt
     val amp = (id % 17 + 8).toInt * 1000 // ≤ 24000, inside 16-bit range
     val samples = new Array[Int](nSamples)
@@ -1413,7 +1418,24 @@ object Multimodal {
       samples(i) = ((i % period) * 2 * amp / (period - 1)) - amp
       i += 1
     }
-    encodeWav(samples, rateHz)
+    samples
+  }
+
+  private[pipeline] def patternWav(id: Long, nSamples: Int, rateHz: Int): Array[Byte] =
+    encodeWav(patternSamples(id, nSamples), rateHz)
+
+  /** REAL FLAC: the patternWav sawtooth encoded as verbatim-subframe
+    * FLAC — decodable in-JVM by the [[Flac]] subset decoder through its
+    * fallback seam, sample-identical to the WAV twin. */
+  def syntheticFlac(spark: org.apache.spark.sql.SparkSession, n: Long,
+                    nSamples: Int = 480, rateHz: Int = 16000): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val bytes = Flac.encodeVerbatim(rateHz,
+        Array(patternSamples(id, nSamples)), blockSize = 256)
+      Row(Long.box(id), "audio", bytes,
+        Row(null, null, Int.box(rateHz), Int.box(nSamples), "audio/flac"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Deterministic animated-GIF bytes for video id: frame f's pixel (x,y)

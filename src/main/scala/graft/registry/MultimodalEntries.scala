@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Series, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Cdc, Curate, Dedup, Eval, Joins, Multimodal, Packing, Profile, Sampling, Sketches, TextOps}
+import graft.pipeline.{Ann, Cdc, Curate, Dedup, Eval, Flac, Joins, Multimodal, Packing, Profile, Sampling, Sketches, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -204,12 +204,18 @@ private[registry] object MultimodalEntries {
           // the junk rows above, split by DECODABILITY in the audit
           .unionByName(Multimodal.syntheticMp4H264(s, 30)
             .withColumn("media_id", col("media_id") + 3000))
+          // REAL FLAC: verbatim-subframe streams the in-JVM Flac subset
+          // decoder reconstructs sample-exactly through its seam
+          .unionByName(Multimodal.syntheticFlac(s, 30)
+            .withColumn("media_id", col("media_id") + 4000))
         Multimodal.extractFeaturesTagged(m, dim = 16,
-            fallback = Multimodal.mp4Decoder)
+            fallback = Multimodal.chainFallbacks(Multimodal.mp4Decoder,
+              Flac.flacDecoder))
           .groupBy("kind", "codec", "decoder").agg(count(lit(1)).as("n"))
           .orderBy("kind", "codec", "decoder")
       },
       Some("""SELECT * FROM (VALUES
+             |  ('audio', 'flac',     'fallback', CAST(30 AS BIGINT)),
              |  ('audio', 'wav',      'jdk',      CAST(100 AS BIGINT)),
              |  ('image', 'png',      'jdk',      CAST(100 AS BIGINT)),
              |  ('video', 'gif',      'jdk',      CAST(100 AS BIGINT)),
