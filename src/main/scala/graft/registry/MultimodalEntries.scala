@@ -223,6 +223,48 @@ private[registry] object MultimodalEntries {
              |  ('video', 'mp4/avc1', 'stub',     CAST(30 AS BIGINT)),
              |  ('video', 'mp4/raw',  'fallback', CAST(60 AS BIGINT))
              |) AS t(kind, codec, decoder, n)
-             |ORDER BY kind, codec, decoder""".stripMargin))
+             |ORDER BY kind, codec, decoder""".stripMargin)),
+
+    // ---- FLAC decode pinned ARITHMETICALLY (the q36/q157 discipline):
+    //      the sawtooth is closed-form, the verbatim/constant subframes
+    //      reconstruct it exactly, so the oracle recomputes the pooled
+    //      |amplitude| features from the generator arithmetic — a hash
+    //      match proves encode → framing/CRC → decode → features is
+    //      bit-exact end-to-end, not merely that rows counted ----
+    Entry("q185_flac_features",
+      (s, _) => Multimodal.extractFeatures(
+          Multimodal.syntheticFlac(s, 300), dim = 16,
+          fallback = Flac.flacDecoder)
+        .withColumn("feat_norm",
+          sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+            lit(0.0), (acc, x) => acc + x)))
+        .select(col("media_id"), col("kind"),
+          round(col("feat_norm"), 6).as("feat_norm"))
+        .orderBy("media_id"),
+      Some {
+        // 480 samples of ((i%p)·2·amp)//(p−1) − amp (p = id%50+2,
+        // amp = (id%17+8)·1000), 16 bins of 30 |samples| each,
+        // v = Σ|a| / (30·32768) as float32; feat_norm folds f0²..f15²
+        // left-to-right in double, matching Spark's aggregate() order
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |audv AS (
+           |  SELECT media_id, bin, CAST(CAST(sum(a) AS DOUBLE) / 983040.0 AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id, t.i // 30 AS bin,
+           |           abs(((t.i % (i.media_id % 50 + 2)) * 2 * ((i.media_id % 17 + 8) * 1000))
+           |               // ((i.media_id % 50 + 2) - 1) - ((i.media_id % 17 + 8) * 1000)) AS a
+           |    FROM ids i, range(0, 480) t(i))
+           |  GROUP BY 1, 2),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN audv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id, 'audio' AS kind, round(sqrt($sq), 6) AS feat_norm
+           |FROM fm ORDER BY media_id""".stripMargin
+      })
   )
 }
