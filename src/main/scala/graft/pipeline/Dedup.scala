@@ -887,6 +887,17 @@ object Dedup {
     * measured recall; the q180 oracle reproduces the banding itself in SQL,
     * so the hash check pins the IMPLEMENTATION, not a recall claim).
     *
+    * GEOMETRY RULE (measured on a 50 k-type Zipf corpus — round-13
+    * SelectivityBench): the (b, r) S-curve knee sits at (1/b)^(1/r), and
+    * it must be placed ABOVE the corpus's random-pair set-Jaccard floor
+    * or the prescreen admits ~everything (the 16/2 default's knee of
+    * 0.25 is fine on shingle-like sets, but unigram token sets on
+    * natural vocabulary have a stopword floor near 0.1-0.3: there, use
+    * r ≥ 8 — e.g. numHashes 32 / bands 4, knee 0.84 — and buy recall
+    * back with more hashes at fixed r: 128/16 measured 1,994 of the
+    * 1,994 predicted true near-dups while keeping candidates at 8e-6 of
+    * all pairs). [[hashCoef]] provides up to 128 hash functions.
+    *
     * Shape at scale: one tokenize pass for the tf frame, one doc_id-keyed
     * signature shuffle (numHashes partial-aggregated mins), the capped
     * band-bucket expansion (8-byte keys, `maxBucket` bounds the quadratic
