@@ -164,6 +164,76 @@ object BandIndex {
     fs.delete(pending, true)
   }
 
+  /** Idempotent, batch-id-keyed streaming append — the continuous form
+    * of [[append]] for `foreachBatch` sinks (Structured Streaming
+    * replays a micro-batch after a crash, so every step must land the
+    * same end state on replay; the Warehouse `publishBatch` discipline):
+    *
+    *  1. commit marker `_stream_commits/<bid>` present → no-op;
+    *  2. staged intent present (a prior attempt finished staging) →
+    *     publish the STAGED rows without re-evaluating `novel` — the
+    *     batch's accepted set was fixed at first evaluation, so a probe
+    *     that feeds `novel` never sees this bid's own partially
+    *     published rows (publish starts strictly after the intent);
+    *  3. otherwise evaluate `novel` (by name), stage its band/gram rows
+    *     + an ABSOLUTE-target intent, then publish: delete any
+    *     `bid-N-*` leftovers, rename staged files to deterministic
+    *     `bid-N-k` names, rewrite meta from the intent, write the
+    *     marker LAST, drop staging.
+    *
+    * Underscore-prefixed staging/marker dirs are invisible to the
+    * probe's parquet scans. Readers see an append-only index: a batch's
+    * rows become visible file-by-file during publish and atomically
+    * "count" only once the meta/marker land — the same eventual-append
+    * exposure every streaming sink in this store family documents. */
+  def appendBatch(path: String, bid: Long, text: String = "text")
+                 (novel: => DataFrame): Unit = {
+    val fs = fsOf(path)
+    val marker = new HPath(s"$path/_stream_commits/$bid")
+    if (fs.exists(marker)) return
+    val h = open(path) // heals any interrupted OFFLINE append first
+    val staging = s"$path/_stream_staging/bid=$bid"
+    val intentP = new HPath(s"$staging/intent.json")
+    if (!fs.exists(intentP)) {
+      val docs = novel
+      Dedup.bandedRows(docs, h.ngram, h.numHashes, h.bands, text)
+        .select(col("doc_id"), col("bkey"), col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$staging/bands")
+      Dedup.shingleHashRows(docs, h.ngram, text, distinct = true)
+        .write.mode("overwrite").parquet(s"$staging/grams")
+      writeSmall(fs, intentP,
+        s"""{"n_docs":${h.nDocs + docs.count()}}""")
+    }
+    // publish with deterministic bid-keyed names (replay-safe: delete
+    // this bid's leftovers, then rename)
+    def moveIn(srcDir: HPath, dstDir: HPath): Unit = {
+      fs.mkdirs(dstDir)
+      for (st <- fs.listStatus(dstDir)
+           if st.getPath.getName.startsWith(s"bid-$bid-"))
+        fs.delete(st.getPath, false)
+      var k = 0
+      for (f <- fs.listStatus(srcDir)
+           if f.isFile && f.getPath.getName.startsWith("part-")) {
+        renameOrFail(fs, f.getPath,
+          new HPath(dstDir, s"bid-$bid-$k.parquet"))
+        k += 1
+      }
+    }
+    val stagedBands = new HPath(s"$staging/bands")
+    if (fs.exists(stagedBands))
+      for (b <- fs.listStatus(stagedBands) if b.isDirectory)
+        moveIn(b.getPath, new HPath(s"$path/bands/${b.getPath.getName}"))
+    val stagedGrams = new HPath(s"$staging/grams")
+    if (fs.exists(stagedGrams))
+      moveIn(stagedGrams, new HPath(s"$path/grams"))
+    val target = jsonField(readSmall(fs, intentP), "n_docs")
+    writeMeta(path, target, h.ngram, h.numHashes, h.bands)
+    fs.mkdirs(new HPath(s"$path/_stream_commits"))
+    writeSmall(fs, marker, "")
+    fs.delete(new HPath(staging), true)
+  }
+
   /** Offline maintenance: rewrite both tables into `filesPerPartition`
     * sorted files per band / per gram shard — every append renames one
     * file set per drop into the live dirs, and after many drops the

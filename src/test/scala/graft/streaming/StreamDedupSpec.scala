@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import graft.store.BandIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming corpus-dedup sink: micro-batches probe the persisted
+  * band index, survivors append, replays are no-ops — end state equal
+  * to the batch pipeline run over the same drops in order. */
+class StreamDedupSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String) = (id, text)
+  private val base = Seq(
+    doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+    doc(2, "one two three four five six seven eight nine"),
+    doc(3, "lorem ipsum dolor sit amet consectetur adipiscing"))
+
+  private def mkDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("stream sink: dups dropped, survivors appended, later batches see them") {
+    val path = tmpDir("sdx")
+    BandIndex.write(mkDf(base), path)
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamDedup.start(mem.toDF().toDF("doc_id", "text"), path,
+      tmpDir("sdx-ckpt"), threshold = 0.8)
+    try {
+      // batch 1: one near-copy of doc 1 (dropped), one novel (kept)
+      mem.addData(
+        doc(100, "alpha beta gamma delta epsilon zeta eta theta"),
+        doc(101, "completely novel tokens nothing shared here at all"))
+      q.processAllAvailable()
+      assert(BandIndex.open(path).nDocs === 4)
+      // batch 2: a near-copy of batch 1's ACCEPTED doc must now drop,
+      // and a fresh novel doc must land
+      mem.addData(
+        doc(200, "completely novel tokens nothing shared here at all"),
+        doc(201, "yet another entirely different document body text"))
+      q.processAllAvailable()
+      assert(BandIndex.open(path).nDocs === 5)
+      // the index now answers for every survivor: copies of kept docs
+      // match, copies of dropped docs match their ORIGINALS only
+      val h = BandIndex.open(path)
+      val probe = mkDf(Seq(
+        doc(900, "completely novel tokens nothing shared here at all")))
+      val hits = Dedup.nearDupPairsAgainstIndex(h, probe, 0.8)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+      assert(hits === Set(101L))
+    } finally q.stop()
+  }
+
+  test("appendBatch replays are no-ops (bid marker) and staged intents are reused") {
+    val path = tmpDir("sdx-replay")
+    BandIndex.write(mkDf(base), path)
+    var evals = 0
+    def novel = { evals += 1; mkDf(Seq(doc(500, "replay survivor document"))) }
+    BandIndex.appendBatch(path, bid = 7)(novel)
+    assert(BandIndex.open(path).nDocs === 4 && evals === 1)
+    // full replay: marker present -> nothing re-evaluated, nothing doubled
+    BandIndex.appendBatch(path, bid = 7)(novel)
+    assert(BandIndex.open(path).nDocs === 4 && evals === 1)
+    val h = BandIndex.open(path)
+    val hits = Dedup.nearDupPairsAgainstIndex(h,
+        mkDf(Seq(doc(901, "replay survivor document"))), 0.8)
+      .collect()
+    assert(hits.length === 1, "exactly one stored copy after replay")
+    // end state equals the offline append of the same survivor set
+    val off = BandIndex.append(mkDf(Seq(doc(500, "replay survivor document"))),
+      BandIndex.write(mkDf(base), tmpDir("sdx-off")))
+    assert(rowsOf(off) === rowsOf(h))
+  }
+
+  private def rowsOf(h: BandIndex.Handle): Set[Seq[Any]] =
+    Dedup.nearDupPairsAgainstIndex(h,
+        mkDf(Seq(doc(902, "replay survivor document"),
+          doc(903, "alpha beta gamma delta epsilon zeta eta theta"))), 0.8)
+      .select("batch_id", "corpus_id", "inter", "uni")
+      .collect().map(_.toSeq).toSet
+}
