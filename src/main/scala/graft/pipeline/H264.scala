@@ -55,6 +55,7 @@ object H264 {
       if (u1() != 0) throw new IllegalStateException("nonzero align bit") }
     def u8Aligned(): Int = { // fast path for PCM runs
       if (!byteAligned) throw new IllegalStateException("unaligned pcm")
+      if (pos >= b.length * 8) throw new IllegalStateException("eof")
       val v = b(pos >> 3) & 0xff; pos += 8; v
     }
     /** Spec §7.2 more_rbsp_data(): data remains iff the current position

@@ -70,6 +70,24 @@ class FlacSpec extends SparkSpec {
     assert(both(0L) === "fallback" && both(11L) === "fallback")
   }
 
+  test("decoder never throws on arbitrary or truncated bytes (fuzz)") {
+    val rng = new scala.util.Random(13)
+    val valid = Flac.encodeVerbatim(16000,
+      Array(Array.tabulate(400)(i => i - 200)), blockSize = 128)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(rng.nextInt(200) + 1)(rng.nextInt(256).toByte)
+      Flac.decode(junk) // any Option is fine; a throw fails the test
+      val cut = valid.clone().take(rng.nextInt(valid.length) + 1)
+      Flac.decode(cut)
+      val flip = valid.clone()
+      flip(rng.nextInt(flip.length)) = rng.nextInt(256).toByte
+      Flac.decode(flip)
+    }
+    // a fuzzed header must never be ACCEPTED with wrong content either:
+    // whatever survives decoding came through the CRCs
+    assert(Flac.decode(valid).nonEmpty)
+  }
+
   test("CONSTANT subframes decode exactly (encoder emits them for flat blocks)") {
     val samples = Array.fill(200)(-12345) ++ Array.tabulate(56)(i => i * 3)
     val enc = Flac.encodeVerbatim(44100, Array(samples), blockSize = 200)

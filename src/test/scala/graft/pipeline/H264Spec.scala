@@ -85,6 +85,33 @@ class H264Spec extends SparkSpec {
     assert(Multimodal.decodeMp4Frames(junk).isEmpty)
   }
 
+  test("decoder never throws on arbitrary or truncated bytes (fuzz)") {
+    val rng = new scala.util.Random(13)
+    val (avcC, samples) = H264.encodeIPcm(
+      Seq(grayFrame(16, 16, (x, y) => (x * y) % 256)), 1, 1)
+    val sample = samples.head
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(rng.nextInt(200) + 1)(rng.nextInt(256).toByte)
+      H264.decodeSample(avcC, junk, 0, junk.length)
+      H264.decodeSample(junk, sample, 0, sample.length)
+      val cutLen = rng.nextInt(sample.length) + 1
+      H264.decodeSample(avcC, sample, 0, cutLen)
+      val flip = sample.clone()
+      flip(rng.nextInt(flip.length)) = rng.nextInt(256).toByte
+      H264.decodeSample(avcC, flip, 0, flip.length)
+    }
+    // directed: shrink the NAL length prefix so the RBSP truncates MID-PCM
+    // (the one cut a whole-sample truncation cannot produce — the PCM run
+    // must hit the reader's EOF guard, not an array bounds error)
+    for (newLen <- Seq(8, 20, 100)) {
+      val short = sample.clone()
+      short(0) = 0; short(1) = 0
+      short(2) = (newLen >> 8).toByte; short(3) = newLen.toByte
+      assert(H264.decodeSample(avcC, short, 0, short.length).isEmpty)
+    }
+    assert(H264.decodeSample(avcC, sample, 0, sample.length).nonEmpty)
+  }
+
   test("mp4Decoder seam: real avc1 I_PCM tags fallback, junk avc1 stays stub") {
     val m = Multimodal.syntheticMp4H264(spark, 4)
       .unionByName(Multimodal.syntheticMp4Unsupported(spark, 3)
