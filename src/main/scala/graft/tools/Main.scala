@@ -48,7 +48,11 @@ object Main {
       |  generate [config.json] [count]
       |  retire <dir> <horizon-ns>
       |  index [--buckets N] [--append] <docs.parquet> <index-dir>
-      |  search [--k N] [--bm25] <index-dir> <term>...""".stripMargin
+      |  search [--k N] [--bm25] <index-dir> <term>...
+      |  neardup-index build [--ngram N] [--hashes N] [--bands N] <docs.parquet> <index-dir>
+      |  neardup-index append <docs.parquet> <index-dir>
+      |  neardup-index probe [--threshold T] [--max-bucket N] <index-dir> <batch.parquet>
+      |  neardup-index compact [--files N] <index-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
@@ -72,6 +76,7 @@ object Main {
         case "retire" :: dir :: h :: Nil =>
           Tools.retire(spark, dir, parseLong("horizon-ns", h)); 0
         case "index" :: rest    => cmdIndex(rest, spark)
+        case "neardup-index" :: rest => cmdNeardupIndex(rest, spark)
         case "search" :: rest   => cmdSearch(rest, spark)
         case ("--help" | "-h") :: _ | Nil => println(usage); 0
         case other =>
@@ -289,6 +294,71 @@ object Main {
         0
       case _ => fail("index: expected [--buckets N] [--append] " +
         "<docs.parquet> <index-dir>")
+    }
+  }
+
+  /** The persisted LSH band index as a maintenance tool: build once,
+    * append accepted drops, probe a batch for near-copies of the stored
+    * corpus (O(drop), corpus text never read), compact small files. */
+  private def cmdNeardupIndex(rest: List[String], spark: SparkSession): Int = {
+    import graft.store.BandIndex
+    rest match {
+      case "build" :: r =>
+        var ngram = 3; var hashes = 32; var bands = 16
+        def opts(l: List[String]): List[String] = l match {
+          case "--ngram" :: v :: t => ngram = parseLong("ngram", v).toInt; opts(t)
+          case "--hashes" :: v :: t => hashes = parseLong("hashes", v).toInt; opts(t)
+          case "--bands" :: v :: t => bands = parseLong("bands", v).toInt; opts(t)
+          case other => other
+        }
+        opts(r) match {
+          case docsPath :: idxDir :: Nil =>
+            val h = BandIndex.write(spark.read.parquet(docsPath), idxDir,
+              ngram, hashes, bands)
+            println(s"indexed ${h.nDocs} docs into ${h.path} " +
+              s"(ngram=${h.ngram}, hashes=${h.numHashes}, bands=${h.bands})")
+            0
+          case _ => fail("neardup-index build: expected [--ngram N] " +
+            "[--hashes N] [--bands N] <docs.parquet> <index-dir>")
+        }
+      case "append" :: docsPath :: idxDir :: Nil =>
+        val h = BandIndex.append(spark.read.parquet(docsPath),
+          BandIndex.open(idxDir))
+        println(s"index now holds ${h.nDocs} docs"); 0
+      case "probe" :: r =>
+        var threshold = 0.8; var maxBucket = 1000
+        def opts(l: List[String]): List[String] = l match {
+          case "--threshold" :: v :: t =>
+            threshold = parseDouble("threshold", v); opts(t)
+          case "--max-bucket" :: v :: t =>
+            maxBucket = parseLong("max-bucket", v).toInt; opts(t)
+          case other => other
+        }
+        opts(r) match {
+          case idxDir :: batchPath :: Nil =>
+            graft.pipeline.Dedup.nearDupPairsAgainstIndex(
+                BandIndex.open(idxDir), spark.read.parquet(batchPath),
+                threshold, maxBucket)
+              .orderBy("batch_id", "corpus_id").collect()
+              .foreach(row => println(s"${row.getLong(0)}	${row.getLong(1)}	" +
+                f"${row.getDouble(4)}%.4f"))
+            0
+          case _ => fail("neardup-index probe: expected [--threshold T] " +
+            "[--max-bucket N] <index-dir> <batch.parquet>")
+        }
+      case "compact" :: r =>
+        var files = 1
+        def opts(l: List[String]): List[String] = l match {
+          case "--files" :: v :: t => files = parseLong("files", v).toInt; opts(t)
+          case other => other
+        }
+        opts(r) match {
+          case idxDir :: Nil =>
+            BandIndex.compact(spark, BandIndex.open(idxDir), files)
+            println(s"compacted $idxDir"); 0
+          case _ => fail("neardup-index compact: expected [--files N] <index-dir>")
+        }
+      case _ => fail("neardup-index: expected build|append|probe|compact ...")
     }
   }
 

@@ -109,6 +109,37 @@ class ToolsSpec extends SparkSpec {
     assert(Main.run(Array("--help"), spark) === 0)
   }
 
+  test("CLI: neardup-index build/append/probe/compact round-trip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("clinix")
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus.parquet")
+    Seq((3L, "totally different text body here now"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/drop.parquet")
+    Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch.parquet")
+    val idx = s"$dir/bix"
+    assert(Main.run(Array("neardup-index", "build", "--bands", "8",
+      s"$dir/corpus.parquet", idx), spark) === 0)
+    assert(Main.run(Array("neardup-index", "append",
+      s"$dir/drop.parquet", idx), spark) === 0)
+    assert(Main.run(Array("neardup-index", "probe", "--threshold", "0.8",
+      idx, s"$dir/batch.parquet"), spark) === 0)
+    assert(Main.run(Array("neardup-index", "compact", idx), spark) === 0)
+    assert(graft.store.BandIndex.open(idx).nDocs === 3)
+    // the probe actually finds the planted copy through the CLI-built index
+    val hits = graft.pipeline.Dedup.nearDupPairsAgainstIndex(
+        graft.store.BandIndex.open(idx),
+        spark.read.parquet(s"$dir/batch.parquet"), 0.8)
+      .collect()
+    assert(hits.length === 1 && hits.head.getLong(1) === 1L)
+    // arg errors are reported, not thrown
+    assert(Main.run(Array("neardup-index", "probe", idx), spark) === 1)
+    assert(Main.run(Array("neardup-index", "frob"), spark) === 1)
+  }
+
   test("CLI: repair honors --abs/--drop-* and repairs in place (repair.cpp)") {
     val root = tmpDir("clirepair") + "/m"
     val dirty = fixtureDf.withColumn("value",
