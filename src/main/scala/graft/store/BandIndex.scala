@@ -60,6 +60,12 @@ object BandIndex {
       s"bands must divide numHashes: $numHashes/$bands")
     val fs = fsOf(path)
     fs.delete(new HPath(path, "append.pending"), true)
+    // a rebuild also supersedes STREAMING state: stale commit markers
+    // would silently suppress a fresh stream's first batches (a new
+    // checkpoint restarts bids at 0), and stale staging would publish
+    // a dead batch into the new index on the next appendBatch heal
+    fs.delete(new HPath(path, "_stream_commits"), true)
+    fs.delete(new HPath(path, "_stream_staging"), true)
     Dedup.bandedRows(corpus, ngram, numHashes, bands, text)
       .select(col("doc_id"), col("bkey"), col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")

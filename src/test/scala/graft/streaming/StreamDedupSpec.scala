@@ -78,6 +78,22 @@ class StreamDedupSpec extends SparkSpec {
     assert(rowsOf(off) === rowsOf(h))
   }
 
+  test("rebuild supersedes streaming state: old bid markers cannot suppress a fresh stream") {
+    val path = tmpDir("sdx-rebuild")
+    BandIndex.write(mkDf(base), path)
+    BandIndex.appendBatch(path, bid = 0)(mkDf(Seq(doc(600, "first stream survivor"))))
+    assert(BandIndex.open(path).nDocs === 4)
+    // rebuild at the same path (new corpus snapshot), then a NEW stream
+    // whose checkpoint restarts bids at 0 — its batch must land
+    BandIndex.write(mkDf(base), path)
+    BandIndex.appendBatch(path, bid = 0)(mkDf(Seq(doc(700, "second stream survivor"))))
+    assert(BandIndex.open(path).nDocs === 4)
+    val hits = Dedup.nearDupPairsAgainstIndex(BandIndex.open(path),
+        mkDf(Seq(doc(904, "second stream survivor"))), 0.8)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(700L), "the fresh stream's batch must not be suppressed")
+  }
+
   private def rowsOf(h: BandIndex.Handle): Set[Seq[Any]] =
     Dedup.nearDupPairsAgainstIndex(h,
         mkDf(Seq(doc(902, "replay survivor document"),
