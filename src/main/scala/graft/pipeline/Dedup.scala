@@ -1044,11 +1044,16 @@ object Dedup {
       .localCheckpoint()
     val stored = spark.read.parquet(s"${handle.path}/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
-    // batch bands are drop-sized: broadcast them into the stored-band
-    // scan, then size ONLY the touched buckets (matched rows = every
-    // stored row of a touched bucket, so the count is exact)
+    // batch bands are drop-sized and normally BROADCAST into the
+    // stored-band scan — but "drop-sized" is caller-controlled, so the
+    // probe frame routes on MEASURED size like every other data-
+    // dependent frame (a corpus-sized batch degrades to a sort-merge
+    // join instead of an unbounded broadcast); then size ONLY the
+    // touched buckets (matched rows = every stored row of a touched
+    // bucket, so the count is exact)
     val touched = stored.join(
-      broadcast(bb.select("band", "bkey").distinct()), Seq("band", "bkey"))
+      routePairFrame(bb.select("band", "bkey").distinct().localCheckpoint()),
+      Seq("band", "bkey"))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
     val cb = touched.withColumn("_n", count(lit(1)).over(wB))
       .where(col("_n") <= maxBucket).drop("_n")
