@@ -1544,6 +1544,36 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** [[nearDupClusters]] with a SURVIVORSHIP POLICY: the kept copy per
+    * cluster is the row maximizing `score` (ties to the smaller doc_id),
+    * not the smallest id — the production rule when copies differ in
+    * quality ("keep the longest / highest-quality variant"). cluster_id
+    * stays the component's minimum doc_id (a stable cluster KEY must not
+    * depend on the policy), only `keep` moves.
+    *
+    * Shape at scale: identical to [[nearDupClusters]] plus one window
+    * over the VERTEX-SIZED component frame (only docs in a verified pair
+    * rank; singletons keep themselves without entering the window), so
+    * the policy costs nothing corpus-sized. */
+  def nearDupClustersBy(docs: DataFrame, score: Column,
+                        threshold: Double = 0.8, ngram: Int = 3,
+                        numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold, ngram, numHashes, bands)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+    val scored = comp.join(docs.select(col("doc_id"), score.as("_score")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("_score"), asc("doc_id"))
+    val kept = scored
+      .withColumn("_rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), (col("_rn") === 1).as("keep"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   /** SimHash band blocking: split the fingerprint into `bands` bit-slices;
     * docs sharing any slice value are candidates (pigeonhole: any pair with
     * hamming < bands shares at least one slice → recall 1 for d < bands,

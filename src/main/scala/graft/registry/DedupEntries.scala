@@ -121,6 +121,35 @@ private[registry] object DedupEntries {
               |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- survivorship policy: same clusters as q49, but the kept copy
+    //      is the LONGEST variant (n_chars desc, ties to smaller id) —
+    //      the production rule when near-copies differ in quality.
+    //      cluster_id stays the component minimum (policy-independent) ----
+    Entry("q186_neardup_survivor",
+      (s, d) => Dedup.nearDupClustersBy(docs(s, d), col("n_chars"),
+          threshold = 0.8)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shCte,
+              |pr AS (SELECT a.doc_id AS u, b.doc_id AS v
+              |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |       WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+              |         (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.8),
+              |e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+              |reach(s, t) AS (
+              |  SELECT u, u FROM e
+              |  UNION
+              |  SELECT r.s, e.v FROM reach r JOIN e ON r.t = e.u),
+              |cc AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+              |rk AS (SELECT cc.doc_id, cc.cluster_id,
+              |         row_number() OVER (PARTITION BY cc.cluster_id
+              |           ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+              |       FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(rk.cluster_id, d.doc_id) AS cluster_id,
+              |  coalesce(rk.rn = 1, TRUE) AS keep
+              |FROM documents d LEFT JOIN rk ON d.doc_id = rk.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- corpus line dedup (boilerplate removal): testdata text is
     //      single-line, so the query seeds deterministic multi-line docs —
     //      two shared footers (frequent, removed) + a per-doc note line and
