@@ -240,6 +240,10 @@ object H264 {
                    len: Int): Option[BufferedImage] =
     for {
       (lenSize, spsN, ppsN) <- parseAvcC(avcC)
+      // multiple parameter sets: the slice header's pps_id would have
+      // to select among them; parsing it with the wrong PPS flags risks
+      // a MISparse instead of the honest-decline contract — decline
+      _ <- if (spsN.length == 1 && ppsN.length == 1) Some(()) else None
       sps <- parseSps(unescapeRbsp(spsN.head, 1, spsN.head.length - 1))
       pps <- parsePps(unescapeRbsp(ppsN.head, 1, ppsN.head.length - 1))
       img <- decodeNals(sps, pps, lenSize, sample, off, len)

@@ -211,19 +211,20 @@ object BandIndex {
       writeSmall(fs, intentP,
         s"""{"n_docs":${h.nDocs + docs.count()}}""")
     }
-    // publish with deterministic bid-keyed names (replay-safe: delete
-    // this bid's leftovers, then rename)
+    // publish with bid-keyed names DERIVED FROM the staged file names —
+    // staging is written exactly once (guarded by the intent), so the
+    // source names are stable across replays and each staged file maps
+    // to one destination. A replay after a crash mid-publish renames
+    // only the files still in staging; files already published keep
+    // their names and are never deleted (a delete-leftovers pass here
+    // would destroy rows whose staged source is already gone).
     def moveIn(srcDir: HPath, dstDir: HPath): Unit = {
       fs.mkdirs(dstDir)
-      for (st <- fs.listStatus(dstDir)
-           if st.getPath.getName.startsWith(s"bid-$bid-"))
-        fs.delete(st.getPath, false)
-      var k = 0
       for (f <- fs.listStatus(srcDir)
            if f.isFile && f.getPath.getName.startsWith("part-")) {
-        renameOrFail(fs, f.getPath,
-          new HPath(dstDir, s"bid-$bid-$k.parquet"))
-        k += 1
+        val dst = new HPath(dstDir, s"bid-$bid-${f.getPath.getName}")
+        if (fs.exists(dst)) fs.delete(f.getPath, false)
+        else renameOrFail(fs, f.getPath, dst)
       }
     }
     val stagedBands = new HPath(s"$staging/bands")
@@ -238,6 +239,21 @@ object BandIndex {
     fs.mkdirs(new HPath(s"$path/_stream_commits"))
     writeSmall(fs, marker, "")
     fs.delete(new HPath(staging), true)
+  }
+
+  /** Drop all streaming bookkeeping (`_stream_commits` markers and any
+    * `_stream_staging` intents) at an index path. A NEW stream — fresh
+    * checkpoint, batch ids restarting at 0 — must call this before its
+    * first batch: a stale staged intent from a dead stream at the same
+    * bid would otherwise be published in place of the new batch (whose
+    * `novel` thunk would never run), silently dropping its documents,
+    * and a stale commit marker would suppress the new batch outright.
+    * Safe because markers/staging only ever belong to ONE live stream
+    * (the append contract forbids concurrent writers). */
+  private[graft] def clearStreamState(path: String): Unit = {
+    val fs = fsOf(path)
+    fs.delete(new HPath(path, "_stream_commits"), true)
+    fs.delete(new HPath(path, "_stream_staging"), true)
   }
 
   /** Offline maintenance: rewrite both tables into `filesPerPartition`

@@ -24,7 +24,16 @@ object StreamDedup {
 
   def start(docs: DataFrame, indexPath: String, checkpoint: String,
             threshold: Double = 0.8, maxBucket: Int = 1000,
-            text: String = "text"): StreamingQuery =
+            text: String = "text"): StreamingQuery = {
+    // A FRESH checkpoint restarts batch ids at 0, so any streaming
+    // state a dead stream left at the index (commit markers, staged
+    // intents) refers to DIFFERENT data under the same bids — a stale
+    // staged intent would be published in place of this stream's first
+    // batches (their novel thunks never run → docs silently dropped).
+    // Clear it before the first batch; a RESUMED stream (checkpoint has
+    // committed offsets) keeps the state, which is its own replay log.
+    if (checkpointIsFresh(docs.sparkSession, checkpoint))
+      BandIndex.clearStreamState(indexPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -41,4 +50,15 @@ object StreamDedup {
         }
       }
       .start()
+  }
+
+  /** A checkpoint is fresh iff it has no committed offsets yet — i.e.
+    * Structured Streaming has never written an `offsets/<bid>` WAL
+    * entry there, so the next batch id is 0 and no replay is owed. */
+  private[streaming] def checkpointIsFresh(spark: org.apache.spark.sql.SparkSession,
+                                           checkpoint: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    !fs.exists(p) || fs.listStatus(p).forall(!_.isFile)
+  }
 }

@@ -336,11 +336,27 @@ object Main {
         }
         opts(r) match {
           case idxDir :: batchPath :: Nil =>
+            val raw = spark.read.parquet(batchPath)
+            // user-supplied parquet: doc_id may be int32/string — fail
+            // HERE with the schema, not after the probe with an opaque
+            // ClassCastException from the printer
+            val idType = raw.schema.fields.find(_.name == "doc_id")
+              .getOrElse(fail(s"$batchPath has no doc_id column " +
+                s"(schema: ${raw.schema.simpleString})")).dataType
+            val integral = {
+              import org.apache.spark.sql.types._
+              idType == ByteType || idType == ShortType ||
+                idType == IntegerType || idType == LongType
+            }
+            if (!integral)
+              fail(s"doc_id must be an integer type, got " +
+                s"${idType.simpleString} (schema: ${raw.schema.simpleString})")
+            val batch = raw.withColumn("doc_id",
+              org.apache.spark.sql.functions.col("doc_id").cast("long"))
             graft.pipeline.Dedup.nearDupPairsAgainstIndex(
-                BandIndex.open(idxDir), spark.read.parquet(batchPath),
-                threshold, maxBucket)
+                BandIndex.open(idxDir), batch, threshold, maxBucket)
               .orderBy("batch_id", "corpus_id").collect()
-              .foreach(row => println(s"${row.getLong(0)}	${row.getLong(1)}	" +
+              .foreach(row => println(s"${row.get(0)}	${row.get(1)}	" +
                 f"${row.getDouble(4)}%.4f"))
             0
           case _ => fail("neardup-index probe: expected [--threshold T] " +

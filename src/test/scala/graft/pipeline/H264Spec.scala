@@ -83,6 +83,26 @@ class H264Spec extends SparkSpec {
     val junk = Multimodal.syntheticMp4Unsupported(spark, 1)
       .collect().head.getAs[Array[Byte]]("bytes")
     assert(Multimodal.decodeMp4Frames(junk).isEmpty)
+    // MULTIPLE parameter sets decline: the slice header's pps_id would
+    // select among them, and parsing with the wrong PPS flags risks a
+    // misparse — the contract is None, never a maybe-wrong image
+    val (lenSize, spsN, ppsN) = H264.parseAvcC(avcC).get
+    def mkAvcC(sps: Seq[Array[Byte]], pps: Seq[Array[Byte]]): Array[Byte] = {
+      val b = scala.collection.mutable.ArrayBuffer[Byte](
+        1, 0x42, 0, 30, (0xfc | (lenSize - 1)).toByte,
+        (0xe0 | sps.length).toByte)
+      for (s <- sps) { b += (s.length >> 8).toByte; b += s.length.toByte; b ++= s }
+      b += pps.length.toByte
+      for (p <- pps) { b += (p.length >> 8).toByte; b += p.length.toByte; b ++= p }
+      b.toArray
+    }
+    // builder sanity: a rebuilt single-set avcC still decodes
+    assert(H264.decodeSample(mkAvcC(spsN, ppsN), samples.head, 0,
+      samples.head.length).nonEmpty)
+    assert(H264.decodeSample(mkAvcC(spsN ++ spsN, ppsN), samples.head, 0,
+      samples.head.length).isEmpty, "two SPS must decline")
+    assert(H264.decodeSample(mkAvcC(spsN, ppsN ++ ppsN), samples.head, 0,
+      samples.head.length).isEmpty, "two PPS must decline")
   }
 
   test("decoder never throws on arbitrary or truncated bytes (fuzz)") {

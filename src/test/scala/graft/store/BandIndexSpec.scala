@@ -97,6 +97,66 @@ class BandIndexSpec extends SparkSpec {
       rows(Dedup.nearDupPairsAgainstIndex(hFull, batch, 0.8)))
   }
 
+  test("streaming publish crashed mid-rename: replay equals a clean append") {
+    // a replay of appendBatch after a crash in the middle of the
+    // publish renames must land the identical end state — in
+    // particular it must NOT delete the already-published files of its
+    // own bid (their staged sources are gone; deleting them would lose
+    // those rows forever while the meta still records the full count)
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val drop = Seq((10L, "novel document body first survivor"),
+      (11L, "second novel survivor body text here"),
+      (12L, "third novel survivor entirely different"))
+      .toDF("doc_id", "text")
+    val path = freshPath("crash-mid-publish")
+    val h = BandIndex.write(base, path)
+    // stage EXACTLY what appendBatch stages for bid 9, with its intent
+    val staging = s"$path/_stream_staging/bid=9"
+    Dedup.bandedRows(drop, h.ngram, h.numHashes, h.bands, "text")
+      .select(col("doc_id"), col("bkey"), col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$staging/bands")
+    Dedup.shingleHashRows(drop, h.ngram, "text", distinct = true)
+      .write.mode("overwrite").parquet(s"$staging/grams")
+    val pw = new java.io.PrintWriter(s"$staging/intent.json")
+    pw.write(s"""{"n_docs":${h.nDocs + drop.count()}}"""); pw.close()
+    // simulate the crash: the first attempt published SOME band files
+    // (renamed out of staging into their bid-keyed destinations), then
+    // died before the meta/marker
+    def partFiles(d: java.io.File): Seq[java.io.File] =
+      if (!d.isDirectory) Nil
+      else d.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) partFiles(f) else if (f.getName.startsWith("part-")) Seq(f) else Nil)
+    val stagedBandFiles = partFiles(new java.io.File(s"$staging/bands"))
+    assert(stagedBandFiles.size >= 2, "need >=2 staged files to split the publish")
+    for (f <- stagedBandFiles.take(stagedBandFiles.size / 2)) {
+      val bandDir = f.getParentFile.getName // band=K
+      val dstDir = new java.io.File(s"$path/bands/$bandDir")
+      dstDir.mkdirs()
+      assert(f.renameTo(new java.io.File(dstDir, s"bid-9-${f.getName}")))
+    }
+    // replay: intent present -> novel must NOT re-run; publish resumes
+    BandIndex.appendBatch(path, bid = 9) {
+      fail("novel must not be re-evaluated when the intent is staged")
+    }
+    val healed = BandIndex.open(path)
+    val clean = BandIndex.append(drop, BandIndex.write(base,
+      freshPath("crash-clean")))
+    assert(healed.nDocs === clean.nDocs)
+    val probe = Seq((90L, "novel document body first survivor"),
+      (91L, "second novel survivor body text here"),
+      (92L, "third novel survivor entirely different"),
+      (93L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    def answers(hh: BandIndex.Handle) =
+      rows(Dedup.nearDupPairsAgainstIndex(hh, probe, 0.8))
+    assert(answers(healed) === answers(clean),
+      "replayed index must answer identically to a clean append")
+    assert(answers(healed).map(_.head).toSet ===
+      Set(90L, 91L, 92L, 93L), "every published doc must be findable")
+  }
+
   test("compact preserves probe results and shrinks the file count") {
     val p1 = corpus.where(pmod(col("doc_id"), lit(2)) === 1)
     val p2 = corpus.where(pmod(col("doc_id"), lit(2)) === 0)

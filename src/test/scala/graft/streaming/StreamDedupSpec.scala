@@ -94,6 +94,43 @@ class StreamDedupSpec extends SparkSpec {
     assert(hits === Set(700L), "the fresh stream's batch must not be suppressed")
   }
 
+  test("new stream with a fresh checkpoint supersedes a dead stream's state") {
+    // a dead stream left a commit marker for bid 0; a NEW stream (fresh
+    // checkpoint, bids restarting at 0) against the SAME index — no
+    // rebuild — must not have its first batch suppressed by that marker
+    val path = tmpDir("sdx-fresh")
+    BandIndex.write(mkDf(base), path)
+    BandIndex.appendBatch(path, bid = 0)(
+      mkDf(Seq(doc(600, "dead stream survivor document"))))
+    assert(BandIndex.open(path).nDocs === 4)
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = tmpDir("sdx-fresh-ckpt")
+    assert(StreamDedup.checkpointIsFresh(s, ckpt))
+    val q = StreamDedup.start(mem.toDF().toDF("doc_id", "text"), path,
+      ckpt, threshold = 0.8)
+    try {
+      mem.addData(doc(700, "new stream first batch novel body"))
+      q.processAllAvailable()
+      assert(BandIndex.open(path).nDocs === 5,
+        "the fresh stream's bid-0 batch must land despite the stale marker")
+      val hits = Dedup.nearDupPairsAgainstIndex(BandIndex.open(path),
+          mkDf(Seq(doc(905, "new stream first batch novel body"))), 0.8)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+      assert(hits === Set(700L))
+      // the checkpoint now has committed offsets: a RESUME is not fresh
+      assert(!StreamDedup.checkpointIsFresh(s, ckpt))
+    } finally q.stop()
+    // and the dead stream's APPLIED data is untouched (markers cleared,
+    // rows kept — clearing only drops bookkeeping, never index rows)
+    val deadHits = Dedup.nearDupPairsAgainstIndex(BandIndex.open(path),
+        mkDf(Seq(doc(906, "dead stream survivor document"))), 0.8)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(deadHits === Set(600L))
+  }
+
   private def rowsOf(h: BandIndex.Handle): Set[Seq[Any]] =
     Dedup.nearDupPairsAgainstIndex(h,
         mkDf(Seq(doc(902, "replay survivor document"),
