@@ -238,21 +238,24 @@ object Dedup {
     * doc emits nothing. */
   def streamingNearDupPairs(docs: DataFrame, eventTime: String,
                             delay: String, threshold: Double = 0.8,
-                            ngram: Int = 3, numHashes: Int = 32,
-                            bands: Int = 16, maxBucket: Int = 1000,
+                            ngram: Int = 3, numHashes: Int = 0,
+                            bands: Int = 0, maxBucket: Int = 1000,
                             text: String = "text"): Dataset[VerifiedPair] = {
-    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
-    val rowsPerBand = numHashes / bands
+    // geometry derives from the threshold like the batch sibling — the
+    // parity spec compares both tiers' DEFAULTS, so they must move together
+    val (nh, nb) = resolveBandGeometry(numHashes, bands, threshold,
+      "streamingNearDupPairs", ngram)
+    val rowsPerBand = nh / nb
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = withRowSigAndGrams(
         docs.select(col("doc_id").cast("long").as("doc_id"),
           col(eventTime).cast("timestamp").as("ts"), col(text)),
-        text, "sig", "grams", ngram, numHashes)
+        text, "sig", "grams", ngram, nh)
       .select("doc_id", "ts", "sig", "grams")
       .withWatermark("ts", delay)
       .select(col("doc_id"), col("ts"), col("sig"), col("grams"),
-        posexplode(array((0 until bands).map(b =>
+        posexplode(array((0 until nb).map(b =>
           xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*)): _*))
           .as(Seq("band", "bkey")))
@@ -275,7 +278,7 @@ object Dedup {
                 for (o <- members) {
                   // minimal slot-equal band rule: emit here only if this
                   // band is the FIRST whose signature slots agree
-                  val minBand = (0 until bands).find(b =>
+                  val minBand = (0 until nb).find(b =>
                     (0 until rowsPerBand).forall(r =>
                       d.sig(b * rowsPerBand + r) == o.sig(b * rowsPerBand + r)))
                   if (minBand.contains(key._1)) {
@@ -381,6 +384,82 @@ object Dedup {
     as.filter(_ > 1).take(256).toVector
   }
   def hashCoef(i: Int): (Long, Long) = (rng(2 * i) | 1L, rng(2 * i + 1))
+
+  /** The S-curve knee of a (bands, rowsPerBand) LSH geometry: the Jaccard
+    * value (1/b)^(1/r) where a pair's candidate probability 1-(1-j^r)^b
+    * crosses ~1-1/e. Pairs far below the knee are (almost) never
+    * candidates; pairs above it (almost) always are — so the knee must sit
+    * ABOVE the corpus's random-pair similarity floor or the prescreen
+    * admits ~everything (round-13 SelectivityBench: unigram token sets on
+    * Zipf vocabulary have a stopword floor near J≈0.1-0.3, and the old
+    * 16-band/2-row default's knee of 0.25 made 14% of UNRELATED pairs
+    * collide — near-quadratic candidates, rescued only by the bucket cap's
+    * silent recall loss). */
+  def bandKnee(numHashes: Int, bands: Int): Double =
+    math.pow(1.0 / bands, bands.toDouble / numHashes)
+
+  /** Derive an LSH band geometry (numHashes, bands) from the similarity
+    * threshold — the measured knee rule from round-13's SelectivityBench
+    * encoded as the API default: pick the LARGEST rows-per-band r (the
+    * most selective geometry, highest knee) whose recall at the threshold,
+    * 1-(1-t^r)^b with b = numHashesMax/r, still clears 0.9 — recall rises
+    * steeply above t, so true near-dups land well past 0.9 while the knee
+    * sits as close under t as the hash budget allows. At the default
+    * 128-hash budget: t ≥ 0.92 → r=16/b=8 (knee 0.88); t in [0.78, 0.92)
+    * → r=8/b=16 (knee 0.707 — the geometry the bench measured at
+    * 1,994/1,994 predicted true pairs and 8e-6 of all pairs as
+    * candidates, 41.5 s vs 2,290 s for the r=2 knee); t in [0.52, 0.78)
+    * → r=4/b=32 (knee 0.42); lower thresholds fall back to r=2/r=1 where
+    * no selective geometry can also recall (callers there want the exact
+    * joins). [[hashCoef]] bounds numHashesMax at 128. */
+  def bandGeometryFor(threshold: Double, numHashesMax: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(numHashesMax >= 2 && numHashesMax <= 128,
+      s"numHashesMax must be in [2, 128] (hashCoef budget): $numHashesMax")
+    val r = Seq(16, 8, 4, 2).filter(r => r <= numHashesMax / 2).find { r =>
+      val b = numHashesMax / r
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b) >= 0.9
+    }.getOrElse(1)
+    val b = numHashesMax / r
+    (b * r, b)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val kneeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+
+  /** Resolve a caller-supplied geometry: (0, 0) — the API default — derives
+    * from the threshold via [[bandGeometryFor]]; explicit values are kept
+    * verbatim but WARNED (once per call site and geometry) when the
+    * similarity space is UNIGRAM TOKEN SETS (`ngram == 1` — the space
+    * whose random-pair floor round-13's SelectivityBench measured at
+    * J ≈ 0.1-0.3 on natural vocabulary) and the knee sits far enough
+    * under the threshold that the floor floods the candidate set.
+    * Shingle-space callers (`ngram ≥ 2`, random shingle overlap ≈ 0)
+    * stay quiet: a low knee only costs them a larger exact-verify input,
+    * never a quadratic prescreen. */
+  private[graft] def resolveBandGeometry(numHashes: Int, bands: Int,
+                                         threshold: Double,
+                                         caller: String,
+                                         ngram: Int = 3): (Int, Int) = {
+    require((numHashes == 0) == (bands == 0),
+      s"pass both numHashes and bands or neither: $numHashes/$bands")
+    if (numHashes == 0) bandGeometryFor(threshold)
+    else {
+      require(bands > 0 && numHashes % bands == 0,
+        s"bands must divide numHashes: $numHashes/$bands")
+      if (ngram <= 1 && bandKnee(numHashes, bands) < threshold - 0.35 &&
+          kneeWarned.add((caller, numHashes, bands)))
+        log.warn(s"$caller: forced geometry $numHashes hashes/$bands bands " +
+          f"has S-curve knee ${bandKnee(numHashes, bands)}%.2f, far below " +
+          f"threshold $threshold%.2f - on unigram token sets the random-" +
+          "pair floor (J~0.1-0.3 on natural vocabulary) floods the " +
+          "candidate set: expect near-quadratic candidates or bucket-cap " +
+          "recall loss. Pass (0, 0) to derive the knee-rule geometry.")
+      (numHashes, bands)
+    }
+  }
 
   /** MinHash signatures from shingle rows: one row per doc, `sig` = array of
     * numHashes minima — a single groupBy(doc) with numHashes
@@ -683,11 +762,16 @@ object Dedup {
   }
 
   /** End-to-end MinHash-LSH near-dup pairs at a Jaccard threshold.
-    * Default 32 hashes / 16 bands of 2: P(candidate | j=0.8) ≈ 1 - 8e-8.
+    * Geometry defaults to the knee-rule derivation [[bandGeometryFor]]
+    * (numHashes = bands = 0 means "derive from the threshold"); explicit
+    * values are honored with a once-per-geometry warning when the knee
+    * sits far below the threshold (the round-13-measured degenerate zone).
     * The verify step is a gram-equality join on the (tiny) candidate set —
     * no array materialization anywhere in the pipeline. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.8, ngram: Int = 3,
-                   numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                   numHashes: Int = 0, bands: Int = 0): DataFrame = {
+    val (nh, nb) = resolveBandGeometry(numHashes, bands, threshold,
+      "nearDupPairs", ngram)
     // grams are 60-bit longs from per-token hashes (shingleHashRows): every
     // shuffle in the pipeline moves 8-byte keys, never ~25-char strings, and
     // hashing work is one md5 per TOKEN rather than per gram. NO corpus-wide
@@ -704,7 +788,7 @@ object Dedup {
     // ONCE, without pinning a CacheManager entry the caller cannot release
     // (blocks go when the frame is GC'd)
     val candsDf = lshCandidates(
-      minhashSignatures(sh, numHashes), bands, numHashes / bands).localCheckpoint()
+      minhashSignatures(sh, nh), nb, nh / nb).localCheckpoint()
     verifyCandidatePairs(docs, candsDf, threshold, ngram, "text")
   }
 
@@ -905,19 +989,26 @@ object Dedup {
     * is never self-joined and never cached; an xxhash64 band-key collision
     * can only ADD a candidate, which the exact verify discards. */
   def cosineJoinBucketed(docs: DataFrame, tauNum: Long, tauDen: Long,
-                         text: String = "text", numHashes: Int = 32,
-                         bands: Int = 16,
+                         text: String = "text", numHashes: Int = 0,
+                         bands: Int = 0,
                          maxBucket: Int = 1000): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands must divide numHashes: $numHashes/$bands")
+    // geometry derives from tau directly (numHashes = bands = 0): the
+    // recall law is stated in token-set Jaccard, and measured true
+    // cosine-tau pairs on natural text sit near set-J ≈ tau (round-13: the
+    // 128/16 derivation at tau 9/10 caught 1,994/1,994) — the conservative
+    // binary-set floor is J = tau², so borderline-tau pairs with extreme
+    // length ratios may be missed; callers below that margin want the
+    // exact [[cosineJoin]]
+    val (nh, nb) = resolveBandGeometry(numHashes, bands,
+      tauNum.toDouble / tauDen, "cosineJoinBucketed", ngram = 1)
     val f = tfVectors(docs, text)
     // f already holds one row per distinct (doc, term): duplicate grams
     // cannot change a min, so no further distinct is needed
     val sigs = minhashSignatures(
-      f.select(col("doc_id"), col("term").as("gram")), numHashes)
-    val cands = lshCandidates(sigs, bands, numHashes / bands, maxBucket)
+      f.select(col("doc_id"), col("term").as("gram")), nh)
+    val cands = lshCandidates(sigs, nb, nh / nb, maxBucket)
       .localCheckpoint()
     cosineVerify(f, cands, tauNum, tauDen)
   }
@@ -944,15 +1035,17 @@ object Dedup {
     * jaccard) at `threshold`. */
   def nearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
                           threshold: Double = 0.8, ngram: Int = 3,
-                          numHashes: Int = 32, bands: Int = 16,
+                          numHashes: Int = 0, bands: Int = 0,
                           maxBucket: Int = 1000,
                           text: String = "text"): DataFrame = {
+    val (nh, nb) = resolveBandGeometry(numHashes, bands, threshold,
+      "nearDupPairsAgainst", ngram)
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-    val cb = bandedRows(corpus, ngram, numHashes, bands, text)
+    val cb = bandedRows(corpus, ngram, nh, nb, text)
       .withColumn("_n", count(lit(1)).over(wB))
       .where(col("_n") <= maxBucket).drop("_n")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
-    val bb = bandedRows(batch, ngram, numHashes, bands, text)
+    val bb = bandedRows(batch, ngram, nh, nb, text)
       .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
     val cands = bb.join(cb, Seq("band", "bkey"))
       .select("batch_id", "corpus_id").distinct()
@@ -1533,8 +1626,8 @@ object Dedup {
     * verified pair — a vanishing fraction of the corpus), so the final
     * assignment join is corpus × small; singleton docs keep themselves. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
-                      ngram: Int = 3, numHashes: Int = 32,
-                      bands: Int = 16): DataFrame = {
+                      ngram: Int = 3, numHashes: Int = 0,
+                      bands: Int = 0): DataFrame = {
     val pairs = nearDupPairs(docs, threshold, ngram, numHashes, bands)
       .select("doc_a", "doc_b")
     val comp = connectedComponents(pairs)
@@ -1557,7 +1650,7 @@ object Dedup {
     * the policy costs nothing corpus-sized. */
   def nearDupClustersBy(docs: DataFrame, score: Column,
                         threshold: Double = 0.8, ngram: Int = 3,
-                        numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 0, bands: Int = 0): DataFrame = {
     val pairs = nearDupPairs(docs, threshold, ngram, numHashes, bands)
       .select("doc_a", "doc_b")
     val comp = connectedComponents(pairs)

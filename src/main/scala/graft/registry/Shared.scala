@@ -177,7 +177,7 @@ private[registry] object Shared {
       val corpus = docs(s, d).where(pmod(col("doc_id"), lit(5)) =!= 0)
       val base = graft.store.BandIndex.write(
         corpus.where(pmod(col("doc_id"), lit(2)) === 1),
-        s"/tmp/graft_wh_$digest")
+        s"/tmp/graft_wh_$digest", numHashes = 32, bands = 16)
       graft.store.BandIndex.append(
         corpus.where(pmod(col("doc_id"), lit(2)) === 0), base)
     }

@@ -52,12 +52,18 @@ object BandIndex {
     * as parquet. A rebuild at a path SUPERSEDES any staged append there
     * (even one past its commit marker) — same rationale as
     * [[TextIndex.write]]: healing a stale staging into a fresh rebuild
-    * would corrupt it with no error. */
+    * would corrupt it with no error.
+    *
+    * Geometry defaults (numHashes = bands = 0) derive from `threshold` —
+    * the Jaccard level the index's PROBES will target — via the knee rule
+    * [[graft.pipeline.Dedup.bandGeometryFor]]; the family parameters are
+    * fixed at write time (probes reuse them from `band_index.json`), so
+    * choose the threshold here, not at probe time. */
   def write(corpus: DataFrame, path: String, ngram: Int = 3,
-            numHashes: Int = 32, bands: Int = 16,
-            text: String = "text"): Handle = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands must divide numHashes: $numHashes/$bands")
+            numHashes: Int = 0, bands: Int = 0,
+            text: String = "text", threshold: Double = 0.8): Handle = {
+    val (nHashes, nBands) = Dedup.resolveBandGeometry(numHashes, bands,
+      threshold, "BandIndex.write", ngram)
     val fs = fsOf(path)
     fs.delete(new HPath(path, "append.pending"), true)
     // a rebuild also supersedes STREAMING state: stale commit markers
@@ -66,14 +72,14 @@ object BandIndex {
     // a dead batch into the new index on the next appendBatch heal
     fs.delete(new HPath(path, "_stream_commits"), true)
     fs.delete(new HPath(path, "_stream_staging"), true)
-    Dedup.bandedRows(corpus, ngram, numHashes, bands, text)
+    Dedup.bandedRows(corpus, ngram, nHashes, nBands, text)
       .select(col("doc_id"), col("bkey"), col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
     Dedup.shingleHashRows(corpus, ngram, text, distinct = true)
       .write.mode("overwrite").parquet(s"$path/grams")
     val nDocs = corpus.count()
-    writeMeta(path, nDocs, ngram, numHashes, bands)
-    Handle(path, nDocs, ngram, numHashes, bands)
+    writeMeta(path, nDocs, ngram, nHashes, nBands)
+    Handle(path, nDocs, ngram, nHashes, nBands)
   }
 
   def open(path: String): Handle = {

@@ -304,22 +304,25 @@ object Main {
     import graft.store.BandIndex
     rest match {
       case "build" :: r =>
-        var ngram = 3; var hashes = 32; var bands = 16
+        // hashes/bands 0 = derive from --threshold via the knee rule
+        var ngram = 3; var hashes = 0; var bands = 0; var threshold = 0.8
         def opts(l: List[String]): List[String] = l match {
           case "--ngram" :: v :: t => ngram = parseLong("ngram", v).toInt; opts(t)
           case "--hashes" :: v :: t => hashes = parseLong("hashes", v).toInt; opts(t)
           case "--bands" :: v :: t => bands = parseLong("bands", v).toInt; opts(t)
+          case "--threshold" :: v :: t =>
+            threshold = parseDouble("threshold", v); opts(t)
           case other => other
         }
         opts(r) match {
           case docsPath :: idxDir :: Nil =>
             val h = BandIndex.write(spark.read.parquet(docsPath), idxDir,
-              ngram, hashes, bands)
+              ngram, hashes, bands, threshold = threshold)
             println(s"indexed ${h.nDocs} docs into ${h.path} " +
               s"(ngram=${h.ngram}, hashes=${h.numHashes}, bands=${h.bands})")
             0
           case _ => fail("neardup-index build: expected [--ngram N] " +
-            "[--hashes N] [--bands N] <docs.parquet> <index-dir>")
+            "[--hashes N] [--bands N] [--threshold T] <docs.parquet> <index-dir>")
         }
       case "append" :: docsPath :: idxDir :: Nil =>
         val h = BandIndex.append(spark.read.parquet(docsPath),

@@ -461,8 +461,11 @@ class DedupGraphSpec extends SparkSpec {
     }
     val corpus = (base ++ copies).toDF("doc_id", "text").cache()
     val exact = bruteCosine(corpus, 4L, 5L)
+    // geometry pinned at 32/16: this test pins THAT S-curve's stated
+    // margin (miss 2.3e-5 at set-J 0.7); the auto default derives a
+    // higher-knee geometry whose margin sits at ~0.78 (BandGeometrySpec)
     val got = Dedup.cosineJoinBucketed(corpus, 4L, 5L,
-        maxBucket = Int.MaxValue)
+        numHashes = 32, bands = 16, maxBucket = Int.MaxValue)
       .select("doc_a", "doc_b", "dot", "na2", "nb2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
@@ -492,12 +495,13 @@ class DedupGraphSpec extends SparkSpec {
       .select("doc_a", "doc_b", "dot").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val lsh = Dedup.cosineJoinBucketed(corpus, 4L, 5L,
-        maxBucket = Int.MaxValue)
+        numHashes = 32, bands = 16, maxBucket = Int.MaxValue)
       .select("doc_a", "doc_b", "dot").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // testdata near-dups sit far above the banding margin: realized
+    // testdata near-dups sit far above the 32/16 banding margin: realized
     // recall is 1 here (q180's sf0.1 run misses exactly the one
-    // set-Jaccard-0.43 below-margin pair — documented in the Scaladoc)
+    // set-Jaccard-0.43 below-margin pair — documented in the Scaladoc);
+    // geometry pinned to q180's registered family
     assert(lsh === exact)
     assert(exact.nonEmpty)
     corpus.unpersist()

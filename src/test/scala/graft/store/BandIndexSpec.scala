@@ -36,8 +36,10 @@ class BandIndexSpec extends SparkSpec {
     // TOUCHED buckets, which must still reproduce the live path's
     // whole-corpus occupancy filter exactly
     val h = BandIndex.write(corpus, freshPath("cap"))
+    // the probe reuses the index's write-time geometry; the live side
+    // derives from ITS threshold by default — pin it to the handle's
     val live = rows(Dedup.nearDupPairsAgainst(corpus, batch, 0.2,
-      maxBucket = 2))
+      numHashes = h.numHashes, bands = h.bands, maxBucket = 2))
     val idx = rows(Dedup.nearDupPairsAgainstIndex(h, batch, 0.2,
       maxBucket = 2))
     assert(idx === live)
