@@ -29,15 +29,17 @@ object SelectivityBench {
     val tauD = args.lift(2).map(_.toLong).getOrElse(10L)
     // band geometry must MATCH the threshold: the b-band/r-row S-curve
     // knee sits at (1/b)^(1/r), and unigram token sets on a Zipf corpus
-    // have a stopword floor of J ~ 0.3 between RANDOM pairs - q180's
-    // default (b=16, r=2, knee 0.25) admits nearly all pairs here, while
-    // (b=4, r=8, knee 0.84) is selective for tau 9/10. Geometry is a
-    // caller knob on cosineJoinBucketed; the demo records the knee choice.
-    val bands = args.lift(3).map(_.toInt).getOrElse(4)
-    // more hashes buy recall WITHOUT losing selectivity: at fixed r the
-    // band count multiplies the hit chance of TRUE pairs (1-(1-j^r)^b)
-    // while random pairs stay at j^r ~ 1e-8 per band on this corpus
-    val numHashes = args.lift(4).map(_.toInt).getOrElse(32)
+    // have a stopword floor of J ~ 0.3 between RANDOM pairs - the old
+    // fixed default (b=16, r=2, knee 0.25) admits nearly all pairs here.
+    // Since round 14 the API DEFAULT derives the geometry from the
+    // threshold (Dedup.bandGeometryFor — this bench's round-13 finding
+    // encoded as code), so the default run now measures exactly what a
+    // caller gets with no geometry knobs at all; explicit bands/hashes
+    // remain available to reproduce the degenerate geometries
+    val (autoHashes, autoBands) =
+      graft.pipeline.Dedup.bandGeometryFor(tauN.toDouble / tauD)
+    val bands = args.lift(3).map(_.toInt).getOrElse(autoBands)
+    val numHashes = args.lift(4).map(_.toInt).getOrElse(autoHashes)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
