@@ -1135,8 +1135,19 @@ object Dedup {
       text)
       .select(col("doc_id").as("batch_id"), col("band"), col("bkey"))
       .localCheckpoint()
-    val stored = spark.read.parquet(s"${handle.path}/bands")
+    // outstanding retirements are honored IMMEDIATELY: the tombstone
+    // anti-join runs BEFORE bucket occupancy is sized, so retired rows
+    // neither match nor inflate a bucket toward the cap — the probe is
+    // bit-equal to one against a fresh index of the surviving corpus
+    // (compact later makes the drop physical and clears the table)
+    val stored0 = spark.read.parquet(s"${handle.path}/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    val stored = graft.store.BandIndex.tombstones(spark, handle.path) match {
+      case Some(t) => stored0.join(
+        broadcast(t.select(col("doc_id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")
+      case None => stored0
+    }
     // batch bands are drop-sized and normally BROADCAST into the
     // stored-band scan — but "drop-sized" is caller-controlled, so the
     // probe frame routes on MEASURED size like every other data-

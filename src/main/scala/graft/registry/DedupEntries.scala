@@ -174,6 +174,28 @@ private[registry] object DedupEntries {
               |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) >= 0.9
               |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q184's index with doc_id%7==0 RETIRED (takedown path): the
+    //      tombstone anti-join must exclude retired docs from probe
+    //      answers immediately — oracle is q101's brute force with the
+    //      retired ids removed from the corpus side ----
+    Entry("q188_neardup_retired",
+      (s, d) => Dedup.nearDupPairsAgainstIndex(
+          Shared.bandIndexRetiredFor(s, d),
+          docs(s, d).where(pmod(col("doc_id"), lit(5)) === 0),
+          threshold = 0.8)
+        .orderBy("batch_id", "corpus_id"),
+      Some(s"""WITH $shCte
+              |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+              |  CAST(len(list_intersect(b.st, c.st)) AS BIGINT) AS inter,
+              |  CAST(len(b.st) + len(c.st) - len(list_intersect(b.st, c.st)) AS BIGINT) AS uni,
+              |  CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+              |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) AS jaccard
+              |FROM sh b JOIN sh c
+              |  ON b.doc_id % 5 = 0 AND c.doc_id % 5 != 0 AND c.doc_id % 7 != 0
+              |WHERE CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+              |    (len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))) >= 0.8
+              |ORDER BY 1, 2""".stripMargin)),
+
     // ---- corpus line dedup (boilerplate removal): testdata text is
     //      single-line, so the query seeds deterministic multi-line docs —
     //      two shared footers (frequent, removed) + a per-doc note line and

@@ -182,6 +182,25 @@ private[registry] object Shared {
         corpus.where(pmod(col("doc_id"), lit(2)) === 0), base)
     }
 
+  val bandIndexRetiredCache = new java.util.concurrent.ConcurrentHashMap[String, graft.store.BandIndex.Handle]()
+
+  /** q188's index: the q184 corpus with every doc_id%7==0 RETIRED after
+    * the build — probes must exclude them immediately (tombstone
+    * anti-join), so the oracle is q101's cross-set Jaccard with the
+    * retired ids removed from the corpus side. */
+  def bandIndexRetiredFor(s: SparkSession, d: String): graft.store.BandIndex.Handle =
+    memo(bandIndexRetiredCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("bixr:" + d).getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val corpus = docs(s, d).where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val h = graft.store.BandIndex.write(corpus,
+        s"/tmp/graft_wh_$digest", numHashes = 32, bands = 16)
+      graft.store.BandIndex.retire(
+        corpus.where(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"), h)
+      h
+    }
+
   def ivfIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
     memo(ivfCache, d) {
       val digest = java.security.MessageDigest.getInstance("SHA-256")

@@ -72,6 +72,10 @@ object BandIndex {
     // a dead batch into the new index on the next appendBatch heal
     fs.delete(new HPath(path, "_stream_commits"), true)
     fs.delete(new HPath(path, "_stream_staging"), true)
+    // ...and stale tombstones: they belong to the superseded generation
+    // and would wrongly suppress docs of the new corpus
+    fs.delete(new HPath(path, "tombstones"), true)
+    fs.delete(new HPath(path, "retire.pending"), true)
     Dedup.bandedRows(corpus, ngram, nHashes, nBands, text)
       .select(col("doc_id"), col("bkey"), col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
@@ -86,9 +90,58 @@ object BandIndex {
     val fs = fsOf(path)
     for (d <- Seq("bands", "grams")) restoreInterruptedSwap(fs, path, d)
     healPending(path)
+    // an interrupted retire is ABORTED (tombstones are set-semantics and
+    // the caller re-runs retire on failure — duplicates are harmless),
+    // so a half-published pending dir must not linger as live state
+    fs.delete(new HPath(path, "retire.pending"), true)
     val s = readSmall(fs, new HPath(path, "band_index.json"))
     Handle(path, jsonField(s, "n_docs"), jsonField(s, "ngram").toInt,
       jsonField(s, "num_hashes").toInt, jsonField(s, "bands").toInt)
+  }
+
+  /** Retire documents from the index: their ids land in a `tombstones/`
+    * parquet table that every probe ANTI-JOINS before sizing or matching
+    * buckets — takedowns, license changes and quality purges stop
+    * suppressing new near-copies immediately, without the O(corpus)
+    * rebuild that was previously the only remedy. Physical removal is
+    * deferred to [[compact]], which applies the tombstones and clears
+    * them; until then retired rows cost only their storage.
+    *
+    * Crash-safe by staging + rename: ids are written to `retire.pending`
+    * and published file-by-file (Spark part names are unique per job, so
+    * republishing after a crash cannot collide); an interrupted retire is
+    * aborted at the next [[open]] and the caller re-runs it — tombstones
+    * are a SET, so re-retiring already-retired ids is a no-op in effect.
+    * Retiring an id not in the index is allowed (and meaningless);
+    * re-appending a retired doc_id is NOT supported (the append contract
+    * requires new ids; a tombstone would suppress the reincarnation until
+    * the next compact-then-append anyway). */
+  def retire(ids: DataFrame, h: Handle): Handle = {
+    val fs = fsOf(h.path)
+    val pending = new HPath(h.path, "retire.pending")
+    fs.delete(pending, true) // abort any interrupted predecessor
+    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"${h.path}/retire.pending")
+    val dst = new HPath(h.path, "tombstones")
+    fs.mkdirs(dst)
+    for (f <- fs.listStatus(pending)
+         if f.isFile && f.getPath.getName.startsWith("part-"))
+      renameOrFail(fs, f.getPath, new HPath(dst, f.getPath.getName))
+    fs.delete(pending, true)
+    h
+  }
+
+  /** The retired-doc_id table, if any retirements are outstanding —
+    * probes anti-join it; [[compact]] applies and clears it. */
+  private[graft] def tombstones(spark: SparkSession,
+                                path: String): Option[DataFrame] = {
+    val fs = fsOf(path)
+    val dir = new HPath(path, "tombstones")
+    if (fs.exists(dir) &&
+        fs.listStatus(dir).exists(f => f.isFile &&
+          f.getPath.getName.startsWith("part-")))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
   }
 
   /** Index an ACCEPTED drop: its band rows and gram rows are staged,
@@ -265,9 +318,13 @@ object BandIndex {
   /** Offline maintenance: rewrite both tables into `filesPerPartition`
     * sorted files per band / per gram shard — every append renames one
     * file set per drop into the live dirs, and after many drops the
-    * probe pays file-open latency instead of scan throughput. Content
-    * is identical before and after (spec-pinned); crash-safe via the
-    * swap-with-backup discipline [[open]] restores. */
+    * probe pays file-open latency instead of scan throughput. Outstanding
+    * [[retire]] tombstones are APPLIED (retired rows physically dropped,
+    * tombstone table cleared, meta doc count refreshed); live content is
+    * otherwise identical before and after (spec-pinned). Crash-safe via
+    * the swap-with-backup discipline [[open]] restores — a crash between
+    * the swaps and the tombstone clear leaves the anti-join to re-apply
+    * over already-dropped rows, a no-op. */
   def compact(spark: SparkSession, h: Handle,
               filesPerPartition: Int = 1): Handle = {
     require(filesPerPartition >= 1,
@@ -284,18 +341,33 @@ object BandIndex {
       renameOrFail(fs, tmpP, dstP)
       fs.delete(bakP, true)
     }
-    spark.read.parquet(s"${h.path}/bands")
+    val tomb = tombstones(spark, h.path)
+    def dropRetired(df: DataFrame): DataFrame = tomb match {
+      case Some(t) => df.join(broadcast(t.select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    dropRetired(spark.read.parquet(s"${h.path}/bands"))
       .repartition(col("band"),
         pmod(xxhash64(col("bkey")), lit(filesPerPartition)))
       .sortWithinPartitions("bkey", "doc_id")
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"${h.path}/bands_compact_tmp")
     swap("bands_compact_tmp", "bands")
-    spark.read.parquet(s"${h.path}/grams")
+    dropRetired(spark.read.parquet(s"${h.path}/grams"))
       .repartition(filesPerPartition, col("doc_id"))
       .sortWithinPartitions("doc_id", "gram")
       .write.mode("overwrite").parquet(s"${h.path}/grams_compact_tmp")
     swap("grams_compact_tmp", "grams")
-    h // layout maintenance only — content and meta unchanged
+    if (tomb.isEmpty) h // layout maintenance only — content/meta unchanged
+    else {
+      // retirement applied: refresh the doc count from the surviving gram
+      // table (exact — grams hold every doc once) and clear the tombstones
+      val nLive = spark.read.parquet(s"${h.path}/grams")
+        .select("doc_id").distinct().count()
+      writeMeta(h.path, nLive, h.ngram, h.numHashes, h.bands)
+      fs.delete(new HPath(h.path, "tombstones"), true)
+      h.copy(nDocs = nLive)
+    }
   }
 }

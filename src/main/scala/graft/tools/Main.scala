@@ -49,9 +49,10 @@ object Main {
       |  retire <dir> <horizon-ns>
       |  index [--buckets N] [--append] <docs.parquet> <index-dir>
       |  search [--k N] [--bm25] <index-dir> <term>...
-      |  neardup-index build [--ngram N] [--hashes N] [--bands N] <docs.parquet> <index-dir>
+      |  neardup-index build [--ngram N] [--hashes N] [--bands N] [--threshold T] <docs.parquet> <index-dir>
       |  neardup-index append <docs.parquet> <index-dir>
       |  neardup-index probe [--threshold T] [--max-bucket N] <index-dir> <batch.parquet>
+      |  neardup-index retire <ids.parquet> <index-dir>
       |  neardup-index compact [--files N] <index-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -365,6 +366,11 @@ object Main {
           case _ => fail("neardup-index probe: expected [--threshold T] " +
             "[--max-bucket N] <index-dir> <batch.parquet>")
         }
+      case "retire" :: idsPath :: idxDir :: Nil =>
+        val h = BandIndex.open(idxDir)
+        BandIndex.retire(spark.read.parquet(idsPath), h)
+        println(s"retired ids from $idsPath (probes exclude them now; " +
+          "run compact to drop the rows)"); 0
       case "compact" :: r =>
         var files = 1
         def opts(l: List[String]): List[String] = l match {
@@ -373,11 +379,11 @@ object Main {
         }
         opts(r) match {
           case idxDir :: Nil =>
-            BandIndex.compact(spark, BandIndex.open(idxDir), files)
-            println(s"compacted $idxDir"); 0
+            val h = BandIndex.compact(spark, BandIndex.open(idxDir), files)
+            println(s"compacted $idxDir (${h.nDocs} live docs)"); 0
           case _ => fail("neardup-index compact: expected [--files N] <index-dir>")
         }
-      case _ => fail("neardup-index: expected build|append|probe|compact ...")
+      case _ => fail("neardup-index: expected build|append|probe|retire|compact ...")
     }
   }
 
