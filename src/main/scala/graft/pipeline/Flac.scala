@@ -1,16 +1,18 @@
 package graft.pipeline
 
-/** Minimal FLAC decoder for the VERBATIM/CONSTANT-subframe subset — the
-  * audio sibling of the [[H264]] I_PCM leg: the two subframe types that
-  * carry raw samples (no prediction, no Rice residuals), so decode is
-  * exact by definition, wrapped in the format's real framing (metadata
-  * blocks, frame headers with CRC-8, frame CRC-16, UTF-8 coded frame
-  * numbers, wasted-bits). Everything outside the subset — FIXED/LPC
-  * subframes, stereo decorrelation (left/right/mid-side), bit depths
-  * other than 16 — declines to None and the caller falls through to the
-  * tagged stub, exactly the [[Multimodal.FallbackDecoder]] contract; a
-  * CRC mismatch also declines (corrupt audio must not be silently
-  * pooled into features). Format per the public xiph.org FLAC spec. */
+/** Minimal FLAC decoder for the VERBATIM/CONSTANT/FIXED-subframe subset —
+  * the audio sibling of the [[H264]] I_PCM leg, extended in round 14 with
+  * the FIXED-prediction tier most real-world FLAC actually uses: orders
+  * 0-4 polynomial predictors with Rice/Rice2-coded residuals (partitioned,
+  * escape-to-raw supported), all integer-exact per the public xiph.org
+  * FLAC spec §9, wrapped in the format's real framing (metadata blocks,
+  * frame headers with CRC-8, frame CRC-16, UTF-8 coded frame numbers,
+  * wasted-bits). Everything outside the subset — LPC subframes, stereo
+  * decorrelation (left/right/mid-side), bit depths other than 16 —
+  * declines to None and the caller falls through to the tagged stub,
+  * exactly the [[Multimodal.FallbackDecoder]] contract; a CRC mismatch
+  * also declines (corrupt audio must not be silently pooled into
+  * features). */
 object Flac {
 
   private final class BitReader(b: Array[Byte]) {
@@ -54,6 +56,47 @@ object Flac {
       i += 1
     }
     crc
+  }
+
+  /** Rice/Rice2-partitioned residual decode (spec §9.2.7): fills
+    * `x(order until blockSize)` with the RESIDUALS (prediction is applied
+    * by the caller). Throws IllegalStateException on malformed geometry —
+    * the decode() wrapper turns that into a decline. */
+  private def readResiduals(r: BitReader, x: Array[Int], blockSize: Int,
+                            order: Int): Unit = {
+    val method = r.ui(2)
+    if (method > 1) throw new IllegalStateException("reserved residual method")
+    val pBits = if (method == 0) 4 else 5    // RICE 4-bit / RICE2 5-bit
+    val escape = (1 << pBits) - 1
+    val po = r.ui(4)
+    val partitions = 1 << po
+    if (blockSize % partitions != 0 || (blockSize >> po) < order)
+      throw new IllegalStateException("invalid partition geometry")
+    var s = order
+    var part = 0
+    while (part < partitions) {
+      val n = (blockSize >> po) - (if (part == 0) order else 0)
+      val param = r.ui(pBits)
+      if (param == escape) {
+        val raw = r.ui(5)                    // raw bit width, 0 = all zero
+        var i = 0
+        while (i < n) {
+          x(s) = if (raw == 0) 0
+            else (r.u(raw) << (64 - raw) >> (64 - raw)).toInt
+          s += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          var q = 0                          // unary quotient: 0s then a 1
+          while (r.u1() == 0) q += 1
+          val v = (q.toLong << param) | r.u(param)
+          x(s) = ((v >>> 1) ^ -(v & 1L)).toInt  // zigzag to signed
+          s += 1; i += 1
+        }
+      }
+      part += 1
+    }
   }
 
   /** Decode a FLAC stream to (sampleRate, mono-mixed 16-bit samples) —
@@ -156,7 +199,32 @@ object Flac {
                 (r.u(effBps) << (64 - effBps) >> (64 - effBps)).toInt << wasted
               s += 1
             }
-          case _ => return None              // FIXED/LPC: out of subset
+          case t if t >= 8 && t <= 12 =>     // FIXED, order 0-4 (spec §9.2.5)
+            val order = t - 8
+            if (order > blockSize) return None
+            val x = chans(c)
+            var s = 0
+            while (s < order) {              // warm-up: plain signed samples
+              x(s) = (r.u(effBps) << (64 - effBps) >> (64 - effBps)).toInt
+              s += 1
+            }
+            readResiduals(r, x, blockSize, order)
+            // polynomial reconstruction, exact integer (spec §9.2.5's
+            // fixed predictors; residual already sits in x(s))
+            s = order
+            while (s < blockSize) {
+              x(s) += (order match {
+                case 0 => 0
+                case 1 => x(s - 1)
+                case 2 => 2 * x(s - 1) - x(s - 2)
+                case 3 => 3 * x(s - 1) - 3 * x(s - 2) + x(s - 3)
+                case _ => 4 * x(s - 1) - 6 * x(s - 2) + 4 * x(s - 3) - x(s - 4)
+              })
+              s += 1
+            }
+            if (wasted > 0) { s = 0
+              while (s < blockSize) { x(s) = x(s) << wasted; s += 1 } }
+          case _ => return None              // LPC/reserved: out of subset
         }
         c += 1
       }
@@ -245,6 +313,123 @@ object Flac {
         } else {                             // pad, VERBATIM, no wasted bits
           wc.u1(0); wc.u(1, 6); wc.u1(0)
           for (s <- off until off + bs) wc.u(chans(c)(s).toLong & 0xffff, 16)
+        }
+      }
+      wc.align()
+      val body = wc.bytes
+      out.write(body, 0, body.length)
+      val c16 = crc16(body, 0, body.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      frame += 1
+      off += bs
+    }
+    out.toByteArray
+  }
+
+  /** Encode 16-bit per-channel samples with FIXED-order prediction and
+    * Rice-coded residuals — the fixture twin of the round-14 decoder
+    * tier. Each frame carries one FIXED subframe per channel (order
+    * 0-4), residuals in `1 << partitionOrder` Rice partitions with a
+    * per-partition cost-optimal parameter, escaping to raw n-bit storage
+    * when that is cheaper (both spec §9.2.7 modes exercised). Frames too
+    * short for the order or the partition geometry fall back to VERBATIM
+    * subframes — a legal mix, and the decoder must take both paths. */
+  private[pipeline] def encodeFixed(rate: Int, chans: Array[Array[Int]],
+                                    order: Int, blockSize: Int = 1024,
+                                    partitionOrder: Int = 0): Array[Byte] = {
+    require(chans.nonEmpty && chans.forall(_.length == chans(0).length))
+    require(rate > 0 && rate < (1 << 20) && blockSize >= 16)
+    require(order >= 0 && order <= 4, s"fixed order 0-4: $order")
+    require(partitionOrder >= 0 && partitionOrder <= 4)
+    val nCh = chans.length
+    val total = chans(0).length
+    val si = new BitWriter()
+    si.u(blockSize.toLong, 16); si.u(blockSize.toLong, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(rate.toLong, 20); si.u(nCh - 1L, 3); si.u(15L, 5)
+    si.u(total.toLong, 36)
+    si.u(0, 128)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+
+    def predict(x: Array[Int], i: Int): Int = order match {
+      case 0 => 0
+      case 1 => x(i - 1)
+      case 2 => 2 * x(i - 1) - x(i - 2)
+      case 3 => 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
+      case _ => 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
+    }
+    def zigzag(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+    def rawBitsFor(res: Array[Long]): Int = {
+      // smallest signed width holding every zigzag-decoded residual
+      var w = 0
+      for (z <- res) {
+        val v = ((z >>> 1) ^ -(z & 1L)).toInt
+        val need = 33 - Integer.numberOfLeadingZeros(
+          if (v < 0) ~v else v) // sign bit + magnitude
+        if (need > w) w = need
+      }
+      math.max(w, 1)
+    }
+    var frame = 0
+    var off = 0
+    while (off < total) {
+      val bs = math.min(blockSize, total - off)
+      val w = new BitWriter()
+      w.u(0x3ffe, 14); w.u1(0); w.u1(0)
+      w.u(7, 4); w.u(0, 4)
+      w.u(nCh - 1L, 4)
+      w.u(4, 3); w.u1(0)
+      require(frame < 128, "fixture frames fit one UTF-8 byte")
+      w.u(frame.toLong, 8)
+      w.u(bs - 1L, 16)
+      val hdr = w.bytes
+      val wc = new BitWriter()
+      for (b <- hdr) wc.u(b & 0xffL, 8)
+      wc.u(crc8(hdr, 0, hdr.length).toLong, 8)
+      // partition geometry must hold on THIS frame (the last may be short)
+      val po = if (bs % (1 << partitionOrder) == 0 &&
+        (bs >> partitionOrder) > order) partitionOrder else 0
+      for (c <- 0 until nCh) {
+        val x = java.util.Arrays.copyOfRange(chans(c), off, off + bs)
+        if (bs <= order || (bs >> po) <= order) { // VERBATIM fallback
+          wc.u1(0); wc.u(1, 6); wc.u1(0)
+          for (s <- 0 until bs) wc.u(x(s).toLong & 0xffff, 16)
+        } else {
+          wc.u1(0); wc.u(8L + order, 6); wc.u1(0) // FIXED subframe header
+          for (s <- 0 until order) wc.u(x(s).toLong & 0xffff, 16)
+          wc.u(0, 2)                              // method 0: 4-bit RICE
+          wc.u(po.toLong, 4)
+          var s = order
+          for (part <- 0 until (1 << po)) {
+            val n = (bs >> po) - (if (part == 0) order else 0)
+            val res = Array.tabulate(n)(i => zigzag(x(s + i) - predict(x, s + i)))
+            // cost-optimal Rice parameter vs the raw escape
+            var bestP = 0; var bestCost = Long.MaxValue
+            for (p <- 0 to 14) {
+              val cost = res.map(_ >>> p).sum + n.toLong * (p + 1)
+              if (cost < bestCost) { bestCost = cost; bestP = p }
+            }
+            val raw = rawBitsFor(res)
+            if (5L + n.toLong * raw < bestCost) {  // escape: raw n-bit
+              wc.u(15, 4); wc.u(raw.toLong, 5)
+              for (z <- res) {
+                val v = ((z >>> 1) ^ -(z & 1L)).toInt
+                wc.u(v.toLong & ((1L << raw) - 1), raw)
+              }
+            } else {
+              wc.u(bestP.toLong, 4)
+              for (z <- res) {
+                val q = (z >>> bestP).toInt
+                for (_ <- 0 until q) wc.u1(0)
+                wc.u1(1)
+                if (bestP > 0) wc.u(z & ((1L << bestP) - 1), bestP)
+              }
+            }
+            s += n
+          }
         }
       }
       wc.align()

@@ -1438,6 +1438,24 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** REAL FLAC, FIXED-prediction tier: the same sawtooth encoded with
+    * order-(id%5) polynomial predictors and Rice-coded residuals in
+    * 2^(id%3) partitions — the subframe family that dominates wild FLAC,
+    * decoded integer-exactly by the [[Flac]] subset decoder. Sample-
+    * identical to [[syntheticFlac]]'s verbatim twin, so the same
+    * closed-form oracle pins the whole predict/Rice path. */
+  def syntheticFlacFixed(spark: org.apache.spark.sql.SparkSession, n: Long,
+                         nSamples: Int = 480, rateHz: Int = 16000): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val bytes = Flac.encodeFixed(rateHz,
+        Array(patternSamples(id, nSamples)), order = (id % 5).toInt,
+        blockSize = 256, partitionOrder = (id % 3).toInt)
+      Row(Long.box(id), "audio", bytes,
+        Row(null, null, Int.box(rateHz), Int.box(nSamples), "audio/flac"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Deterministic animated-GIF bytes for video id: frame f's pixel (x,y)
     * is the grayscale value (id + x + 3y + 7f) mod 256. Frames are indexed
     * grayscale (identity palette) so the GIF round-trips pixel-exact. Real

@@ -208,6 +208,11 @@ private[registry] object MultimodalEntries {
           // decoder reconstructs sample-exactly through its seam
           .unionByName(Multimodal.syntheticFlac(s, 30)
             .withColumn("media_id", col("media_id") + 4000))
+          // REAL FLAC, FIXED+Rice tier (round 14): polynomial-predicted,
+          // Rice-partitioned streams — the wild-FLAC family — decoded
+          // integer-exactly by the same seam
+          .unionByName(Multimodal.syntheticFlacFixed(s, 30)
+            .withColumn("media_id", col("media_id") + 5000))
         Multimodal.extractFeaturesTagged(m, dim = 16,
             fallback = Multimodal.chainFallbacks(Multimodal.mp4Decoder,
               Flac.flacDecoder))
@@ -215,7 +220,7 @@ private[registry] object MultimodalEntries {
           .orderBy("kind", "codec", "decoder")
       },
       Some("""SELECT * FROM (VALUES
-             |  ('audio', 'flac',     'fallback', CAST(30 AS BIGINT)),
+             |  ('audio', 'flac',     'fallback', CAST(60 AS BIGINT)),
              |  ('audio', 'wav',      'jdk',      CAST(100 AS BIGINT)),
              |  ('image', 'png',      'jdk',      CAST(100 AS BIGINT)),
              |  ('video', 'gif',      'jdk',      CAST(100 AS BIGINT)),
@@ -246,6 +251,43 @@ private[registry] object MultimodalEntries {
         // amp = (id%17+8)·1000), 16 bins of 30 |samples| each,
         // v = Σ|a| / (30·32768) as float32; feat_norm folds f0²..f15²
         // left-to-right in double, matching Spark's aggregate() order
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |audv AS (
+           |  SELECT media_id, bin, CAST(CAST(sum(a) AS DOUBLE) / 983040.0 AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id, t.i // 30 AS bin,
+           |           abs(((t.i % (i.media_id % 50 + 2)) * 2 * ((i.media_id % 17 + 8) * 1000))
+           |               // ((i.media_id % 50 + 2) - 1) - ((i.media_id % 17 + 8) * 1000)) AS a
+           |    FROM ids i, range(0, 480) t(i))
+           |  GROUP BY 1, 2),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN audv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id, 'audio' AS kind, round(sqrt($sq), 6) AS feat_norm
+           |FROM fm ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- the q185 arithmetic pin over the FIXED+Rice tier: identical
+    //      sawtooth samples, encoded with order-(id%5) predictors and
+    //      2^(id%3) Rice partitions instead of verbatim frames — the
+    //      SAME closed-form oracle, so a hash match proves the
+    //      predict/Rice/escape decode path is bit-exact end-to-end ----
+    Entry("q189_flac_fixed",
+      (s, _) => Multimodal.extractFeatures(
+          Multimodal.syntheticFlacFixed(s, 300), dim = 16,
+          fallback = Flac.flacDecoder)
+        .withColumn("feat_norm",
+          sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+            lit(0.0), (acc, x) => acc + x)))
+        .select(col("media_id"), col("kind"),
+          round(col("feat_norm"), 6).as("feat_norm"))
+        .orderBy("media_id"),
+      Some {
         val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
         val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
         s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
