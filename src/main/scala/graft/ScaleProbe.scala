@@ -80,17 +80,39 @@ object ScaleProbe {
           .writeValueAsString(SparkEntry.oracleSql("q180_cosine_join_lsh")) +
         "}")
 
+    // geometry pinned to the REGISTERED q15/q180 families (the API
+    // default now derives from the threshold — the probes measure the
+    // queries the driver actually runs, and the checkers replay their
+    // registered oracles)
     run("q15_dedup_neardup") {
-      Dedup.nearDupPairs(docs, threshold = 0.8).orderBy("doc_a", "doc_b")
+      Dedup.nearDupPairs(docs, threshold = 0.8, numHashes = 32, bands = 16)
+        .orderBy("doc_a", "doc_b")
     }
     run("q180_cosine_join_lsh") {
       Dedup.cosineJoinBucketed(
         docs.where(pmod(col("doc_id"), lit(5)) === 0),
-        tauNum = 4L, tauDen = 5L).orderBy("doc_a", "doc_b")
+        tauNum = 4L, tauDen = 5L, numHashes = 32, bands = 16)
+        .orderBy("doc_a", "doc_b")
     }
     run(s"q183x100") {
       Dedup.semanticDedup(docs, tauNum = 19L, tauDen = 20L,
         dim = 64, nlist = nlist).orderBy("doc_id")
+    }
+    // the AUTO-nlist default (round 14): nlist = max(8, ceil(n/1000))
+    // derived inside semanticDedup from one count — 500 at this corpus;
+    // checker: semcheck_x10.py <dir> <out> q190x100_auto:500
+    run("q190x100_auto") {
+      Dedup.semanticDedup(docs, tauNum = 19L, tauDen = 20L, dim = 64)
+        .orderBy("doc_id")
+    }
+    // the two EXACT pair tiers (q48 PPJoin / q102 Bayardo) at ×100 —
+    // previously evidenced only at ×10; checker: exactcheck_x100.py
+    run("q48_jaccard_join") {
+      Dedup.jaccardJoin(docs, tau = 0.5).orderBy("doc_a", "doc_b")
+    }
+    run("q102_cosine_join") {
+      Dedup.cosineJoin(docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        tauNum = 4L, tauDen = 5L).orderBy("doc_a", "doc_b")
     }
     spark.stop()
   }

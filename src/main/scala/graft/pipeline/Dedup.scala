@@ -1810,13 +1810,26 @@ object Dedup {
     * arithmetic — chunk long docs ([[TextOps.chunkDocs]]), raise `dim`,
     * or reduce `tauDen`.
     *
+    * nlist contract: the in-cluster exact verify is quadratic PER
+    * cluster (≈ n²/nlist pairs total when balanced), so a fixed nlist is
+    * quadratically infeasible as the corpus grows — round-13's ScaleProbe
+    * measured the registered demo geometry (nlist 64) structurally
+    * un-runnable at 500 k docs. The DEFAULT (`nlist = 0`) therefore
+    * derives `max(8, ceil(n/1000))` from one cheap count: expected
+    * cluster size ~1000 keeps the verify at ~500·n pairs — linear in the
+    * corpus — and the `blocks` grid already parallelizes skewed clusters.
+    *
     * @return one row per doc: (doc_id, list_id, is_kept) */
   def semanticDedup(docs: DataFrame, tauNum: Long, tauDen: Long,
-                    dim: Int = 16, nlist: Int = 8,
+                    dim: Int = 16, nlist: Int = 0,
                     text: String = "text", blocks: Int = 8): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
     require(blocks >= 1, s"blocks must be >= 1: $blocks")
+    require(nlist >= 0, s"nlist must be >= 0 (0 = derive from count): $nlist")
+    val nlist0 =
+      if (nlist > 0) nlist
+      else math.max(8L, (docs.count() + 999L) / 1000L).toInt
     val spark = docs.sparkSession
     // hashVectorize emits no row for a zero-token doc (its explode yields
     // nothing) — left-join the vectors back onto the input so empty docs
@@ -1832,7 +1845,7 @@ object Dedup {
       .withColumn("cv",
         coalesce(col("cv"), array_repeat(lit(0L), dim)))
     val emb = v.select(col("doc_id").as("vec_id"), col("cv").as("embedding"))
-    val cents = Ann.ivfCentroids(emb, nlist)
+    val cents = Ann.ivfCentroids(emb, nlist0)
     val asg = Ann.ivfAssign(emb, cents)
       .select(col("vid").as("doc_id"), col("list_id"))
     // max n2 with n2a·n2b·tauDen² provably < 2⁶³ (see the Scaladoc

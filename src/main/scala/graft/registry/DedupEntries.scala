@@ -667,6 +667,60 @@ private[registry] object DedupEntries {
              |SELECT a.doc_id, CAST(a.list_id AS BIGINT) AS list_id,
              |  (dom.doc_id IS NULL) AS is_kept
              |FROM asg a LEFT JOIN dom ON dom.doc_id = a.doc_id
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- q115 under the AUTO nlist default (nlist omitted -> one cheap
+    //      count, max(8, ceil(n/1000)) - the geometry that keeps the
+    //      in-cluster verify LINEAR in corpus size; round-13 measured the
+    //      fixed demo geometry quadratically infeasible at x100). Every
+    //      driver SF has n <= 5000 docs, so the derived nlist is 8 and
+    //      q115's oracle applies verbatim; the x100 ScaleProbe leg pins
+    //      the derived geometry at 500k docs (IMPLEMENTATION.md) ----
+    Entry("q190_semantic_dedup_auto",
+      (s, d) => Dedup.semanticDedup(docs(s, d), tauNum = 19L, tauDen = 20L,
+          dim = 64)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |cnt AS (SELECT doc_id,
+             |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS b,
+             |          count(*) AS c
+             |        FROM t GROUP BY 1, 2),
+             |grid AS (SELECT g.doc_id, g.j, coalesce(cnt.c, 0) AS c
+             |         FROM (SELECT d.doc_id, j.j
+             |               FROM (SELECT DISTINCT doc_id FROM documents) d,
+             |                    range(0, 64) j(j)) g
+             |         LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.b = g.j),
+             |cents AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS list_id,
+             |            doc_id AS cdoc
+             |          FROM (SELECT DISTINCT doc_id FROM documents
+             |                ORDER BY doc_id LIMIT 8)),
+             |cg AS (SELECT cents.list_id, grid.j, grid.c AS cc
+             |       FROM cents JOIN grid ON grid.doc_id = cents.cdoc),
+             |dist AS (SELECT g.doc_id, cg.list_id,
+             |           sum((g.c - cg.cc) * (g.c - cg.cc)) AS d2
+             |         FROM grid g JOIN cg ON g.j = cg.j GROUP BY 1, 2),
+             |asg AS (SELECT doc_id, list_id FROM (
+             |          SELECT doc_id, list_id,
+             |            row_number() OVER (PARTITION BY doc_id
+             |              ORDER BY d2, list_id) AS rn
+             |          FROM dist) WHERE rn = 1),
+             |n2 AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS nn
+             |       FROM cnt GROUP BY 1),
+             |pr AS (SELECT a1.doc_id AS da, a2.doc_id AS db
+             |       FROM asg a1 JOIN asg a2
+             |         ON a1.list_id = a2.list_id AND a1.doc_id < a2.doc_id),
+             |dt AS (SELECT pr.da, pr.db, CAST(sum(x.c * y.c) AS BIGINT) AS dot
+             |       FROM pr JOIN cnt x ON x.doc_id = pr.da
+             |               JOIN cnt y ON y.doc_id = pr.db AND y.b = x.b
+             |       GROUP BY 1, 2),
+             |dom AS (SELECT DISTINCT dt.db AS doc_id FROM dt
+             |        JOIN n2 xa ON dt.da = xa.doc_id
+             |        JOIN n2 yb ON dt.db = yb.doc_id
+             |        WHERE dot * dot * 400 >= xa.nn * yb.nn * 361)
+             |SELECT a.doc_id, CAST(a.list_id AS BIGINT) AS list_id,
+             |  (dom.doc_id IS NULL) AS is_kept
+             |FROM asg a LEFT JOIN dom ON dom.doc_id = a.doc_id
              |ORDER BY 1""".stripMargin))
   )
 }

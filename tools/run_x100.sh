@@ -12,4 +12,5 @@ NLIST=${3:-6400}
 python3 tools/synth_x10_organic.py "$X100" 100
 sbt -batch "runMain graft.ScaleProbe $X100 $OUT $NLIST"
 python3 tools/x100check.py "$X100" "$OUT"
-python3 tools/semcheck_x10.py "$X100" "$OUT" "q183x100:$NLIST"
+python3 tools/semcheck_x10.py "$X100" "$OUT" "q183x100:$NLIST" "q190x100_auto:500"
+python3 tools/exactcheck_x100.py "$X100" "$OUT"
