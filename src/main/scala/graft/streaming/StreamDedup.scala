@@ -15,16 +15,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * replays to the identical end state and each drop costs O(drop +
   * touched buckets), the production nightly/continuous shape.
   *
-  * Accepted docs become part of the corpus for every LATER batch
-  * (batch-internal pairs are still the batch's own responsibility —
-  * run [[Dedup.nearDupPairs]] inside the batch first if intra-drop
-  * dedup is wanted; this sink dedups against the CORPUS). Doc_ids must
-  * be new per the index append contract. */
+  * Accepted docs become part of the corpus for every LATER batch. By
+  * default batch-internal pairs are the batch's own responsibility
+  * (this sink dedups against the CORPUS); `dedupWithinBatch = true`
+  * additionally runs the in-batch near-dup pass ([[Dedup.nearDupPairs]]
+  * + min-id survivorship via [[Dedup.nearDupClusters]]) BEFORE the
+  * corpus probe, so a drop carrying five copies of one novel document
+  * appends exactly one survivor — the production continuous shape.
+  * Doc_ids must be new per the index append contract. */
 object StreamDedup {
 
   def start(docs: DataFrame, indexPath: String, checkpoint: String,
             threshold: Double = 0.8, maxBucket: Int = 1000,
-            text: String = "text"): StreamingQuery = {
+            text: String = "text",
+            dedupWithinBatch: Boolean = false): StreamingQuery = {
     // A FRESH checkpoint restarts batch ids at 0, so any streaming
     // state a dead stream left at the index (commit markers, staged
     // intents) refers to DIFFERENT data under the same bids — a stale
@@ -42,11 +46,23 @@ object StreamDedup {
         // first attempt finished staging, the staged rows publish and
         // the probe never re-runs against partially-published state
         BandIndex.appendBatch(indexPath, bid, text) {
+          // intra-batch pass first (optional): keep one survivor per
+          // in-batch near-dup cluster (min doc_id — deterministic under
+          // replay), THEN probe the survivors against the corpus; order
+          // matters, or a batch's own copies would all pass the corpus
+          // probe together and append as mutual near-dups
+          val b0 = batch.toDF()
+          val inBatch =
+            if (!dedupWithinBatch) b0
+            else b0.join(
+              Dedup.nearDupClusters(b0, threshold)
+                .where(col("keep")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
           val h = BandIndex.open(indexPath)
-          val dups = Dedup.nearDupPairsAgainstIndex(h, batch.toDF(),
+          val dups = Dedup.nearDupPairsAgainstIndex(h, inBatch,
               threshold, maxBucket, text)
             .select(col("batch_id").as("doc_id")).distinct()
-          batch.toDF().join(dups, Seq("doc_id"), "left_anti")
+          inBatch.join(dups, Seq("doc_id"), "left_anti")
         }
       }
       .start()

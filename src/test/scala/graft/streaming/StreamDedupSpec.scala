@@ -131,6 +131,49 @@ class StreamDedupSpec extends SparkSpec {
     assert(deadHits === Set(600L))
   }
 
+  test("dedupWithinBatch: five copies of one novel doc append one survivor") {
+    val path = tmpDir("sdx-intra")
+    BandIndex.write(mkDf(base), path)
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamDedup.start(mem.toDF().toDF("doc_id", "text"), path,
+      tmpDir("sdx-intra-ckpt"), threshold = 0.8, dedupWithinBatch = true)
+    try {
+      // one batch: 5 copies of a novel doc + a near-copy of corpus doc 1
+      mem.addData(
+        doc(300, "brand new document body with original tokens"),
+        doc(301, "brand new document body with original tokens"),
+        doc(302, "brand new document body with original tokens"),
+        doc(303, "brand new document body with original tokens"),
+        doc(304, "brand new document body with original tokens"),
+        doc(305, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      // exactly ONE survivor of the 5 copies (min id), corpus dup dropped
+      assert(BandIndex.open(path).nDocs === 4)
+      val hits = Dedup.nearDupPairsAgainstIndex(BandIndex.open(path),
+          mkDf(Seq(doc(910, "brand new document body with original tokens"))),
+          0.8)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+      assert(hits === Set(300L),
+        "min-id survivor of the in-batch cluster must be the one appended")
+    } finally q.stop()
+    // end-state equality with the offline path over the same drop:
+    // in-batch clusters keep min id, then the corpus probe drops dups
+    val off = mkDf(base ++ Seq(
+      doc(300, "brand new document body with original tokens")))
+    val offline = BandIndex.write(off, tmpDir("sdx-intra-off"))
+    assert(rowsOf2(BandIndex.open(path)) === rowsOf2(offline))
+  }
+
+  private def rowsOf2(h: BandIndex.Handle): Set[Seq[Any]] =
+    Dedup.nearDupPairsAgainstIndex(h,
+        mkDf(Seq(doc(911, "brand new document body with original tokens"),
+          doc(912, "alpha beta gamma delta epsilon zeta eta theta"))), 0.8)
+      .select("batch_id", "corpus_id", "inter", "uni")
+      .collect().map(_.toSeq).toSet
+
   private def rowsOf(h: BandIndex.Handle): Set[Seq[Any]] =
     Dedup.nearDupPairsAgainstIndex(h,
         mkDf(Seq(doc(902, "replay survivor document"),
