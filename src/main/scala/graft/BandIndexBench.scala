@@ -35,12 +35,19 @@ object BandIndexBench {
     val (h, tBuild) = time(BandIndex.write(corpus, idxPath))
     val (idxRows, tProbe) = time(
       Dedup.nearDupPairsAgainstIndex(h, drop).collect().map(_.toSeq).toSet)
+    // cap-drop accounting of the probe just run (round-14 visibility:
+    // a clean run and one that dropped its hottest buckets must be
+    // distinguishable in the artifact)
+    val drops = Dedup.lastCapDropStats()
+      .map(d => s""","probe_dropped_rows":${d.droppedRows},""" +
+        s""""probe_dropped_buckets":${d.droppedBuckets},""" +
+        s""""probe_max_bucket":${d.maxBucketSeen}""").getOrElse("")
     val (liveRows, tLive) = time(
       Dedup.nearDupPairsAgainst(corpus, drop).collect().map(_.toSeq).toSet)
     require(idxRows == liveRows, "index and live answers must be identical")
     println(s"""BANDIXBENCH {"corpus_docs":${h.nDocs},"drop_docs":${drop.count()},""" +
       s""""pairs":${idxRows.size},"t_build_s":$tBuild,""" +
-      s""""t_probe_s":$tProbe,"t_live_s":$tLive}""")
+      s""""t_probe_s":$tProbe,"t_live_s":$tLive$drops}""")
     spark.stop()
   }
 }
