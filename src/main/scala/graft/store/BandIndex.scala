@@ -246,12 +246,19 @@ object BandIndex {
     *     `bid-N-k` names, rewrite meta from the intent, write the
     *     marker LAST, drop staging.
     *
+    * `autoCompactAt > 0` bounds small-file fragmentation: when the live
+    * `bands/` part-file count exceeds it after a publish, [[compact]]
+    * runs in-line (post-marker, so replays never re-trigger it; its
+    * swap-with-backup discipline keeps it crash-safe). 0 disables —
+    * offline callers schedule [[compact]] themselves.
+    *
     * Underscore-prefixed staging/marker dirs are invisible to the
     * probe's parquet scans. Readers see an append-only index: a batch's
     * rows become visible file-by-file during publish and atomically
     * "count" only once the meta/marker land — the same eventual-append
     * exposure every streaming sink in this store family documents. */
-  def appendBatch(path: String, bid: Long, text: String = "text")
+  def appendBatch(path: String, bid: Long, text: String = "text",
+                  autoCompactAt: Int = 0)
                  (novel: => DataFrame): Unit = {
     val fs = fsOf(path)
     val marker = new HPath(s"$path/_stream_commits/$bid")
@@ -298,7 +305,27 @@ object BandIndex {
     fs.mkdirs(new HPath(s"$path/_stream_commits"))
     writeSmall(fs, marker, "")
     fs.delete(new HPath(staging), true)
+    // auto-compact policy (autoCompactAt > 0): per-drop appends rename
+    // one file set per batch into the live dirs, so a long-running
+    // stream accumulates small files until probes pay file-open latency
+    // instead of scan throughput. Compacting AFTER the commit marker is
+    // replay-safe (a replayed bid no-ops above and never re-compacts)
+    // and crash-safe (compact's swap-with-backup heals at open).
+    if (autoCompactAt > 0 &&
+        countPartFiles(fs, new HPath(path, "bands")) > autoCompactAt)
+      compact(org.apache.spark.sql.SparkSession.active, open(path))
   }
+
+  private def countPartFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: HPath): Int =
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).map { st =>
+      if (st.isDirectory) countPartFiles(fs, st.getPath)
+      // streaming publishes bid-keyed names (bid-N-part-...): contains,
+      // not startsWith, or the policy would never count the very files
+      // the per-batch appends accumulate
+      else if (st.getPath.getName.contains("part-")) 1 else 0
+    }.sum
 
   /** Drop all streaming bookkeeping (`_stream_commits` markers and any
     * `_stream_staging` intents) at an index path. A NEW stream — fresh

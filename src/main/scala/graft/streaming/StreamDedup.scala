@@ -22,13 +22,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * + min-id survivorship via [[Dedup.nearDupClusters]]) BEFORE the
   * corpus probe, so a drop carrying five copies of one novel document
   * appends exactly one survivor — the production continuous shape.
-  * Doc_ids must be new per the index append contract. */
+  * Doc_ids must be new per the index append contract. `autoCompactAt`
+  * (default 1024) bounds the small-file fragmentation a long-running
+  * stream accumulates — see [[BandIndex.appendBatch]]; 0 disables. */
 object StreamDedup {
 
   def start(docs: DataFrame, indexPath: String, checkpoint: String,
             threshold: Double = 0.8, maxBucket: Int = 1000,
             text: String = "text",
-            dedupWithinBatch: Boolean = false): StreamingQuery = {
+            dedupWithinBatch: Boolean = false,
+            autoCompactAt: Int = 1024): StreamingQuery = {
     // A FRESH checkpoint restarts batch ids at 0, so any streaming
     // state a dead stream left at the index (commit markers, staged
     // intents) refers to DIFFERENT data under the same bids — a stale
@@ -45,7 +48,9 @@ object StreamDedup {
         // novel evaluates lazily INSIDE appendBatch: on a replay whose
         // first attempt finished staging, the staged rows publish and
         // the probe never re-runs against partially-published state
-        BandIndex.appendBatch(indexPath, bid, text) {
+        // a continuous stream accumulates one small file set per batch —
+        // the auto-compact policy bounds bands/ fragmentation in-line
+        BandIndex.appendBatch(indexPath, bid, text, autoCompactAt) {
           // intra-batch pass first (optional): keep one survivor per
           // in-batch near-dup cluster (min doc_id — deterministic under
           // replay), THEN probe the survivors against the corpus; order

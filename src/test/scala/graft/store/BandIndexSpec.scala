@@ -178,6 +178,39 @@ class BandIndexSpec extends SparkSpec {
     assert(nFiles("grams") === 1)
   }
 
+  test("auto-compact bounds bands/ fragmentation across small appends, " +
+    "answers unchanged") {
+    def nBandFiles(path: String): Int = {
+      // streaming appends publish bid-keyed names (bid-N-part-...), so
+      // count every parquet part file, not only "part-" prefixes
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.contains("part-")) 1 else 0
+      walk(new java.io.File(s"$path/bands"))
+    }
+    val base = corpus.where(pmod(col("doc_id"), lit(2)) === 1)
+    val drops = (0 until 4).map(k =>
+      corpus.where(pmod(col("doc_id"), lit(2)) === 0 &&
+        pmod(col("doc_id"), lit(8)) === k * 2))
+    // twin A: auto-compact at 40 band files; twin B: never compacts
+    val pa = freshPath("autocpt")
+    val pb = freshPath("autocpt-off")
+    BandIndex.write(base, pa)
+    BandIndex.write(base, pb)
+    for ((d, i) <- drops.zipWithIndex) {
+      BandIndex.appendBatch(pa, i, autoCompactAt = 40)(d)
+      BandIndex.appendBatch(pb, i)(d)
+    }
+    assert(nBandFiles(pb) > 40,
+      "the uncompacted twin must actually exceed the threshold")
+    assert(nBandFiles(pa) <= 40,
+      "auto-compact must keep the live file count under the threshold")
+    val got = rows(Dedup.nearDupPairsAgainstIndex(BandIndex.open(pa), batch, 0.8))
+    assert(got === rows(Dedup.nearDupPairsAgainstIndex(BandIndex.open(pb),
+      batch, 0.8)), "compaction must not change any probe answer")
+    assert(BandIndex.open(pa).nDocs === BandIndex.open(pb).nDocs)
+  }
+
   test("probe never reads corpus text — only index bytes and the batch") {
     // behavioral proof, stronger than a plan-string grep (the probe
     // localCheckpoints its stages, which hides upstream scans from the
