@@ -1,18 +1,22 @@
 package graft.pipeline
 
-/** Minimal FLAC decoder for the VERBATIM/CONSTANT/FIXED-subframe subset —
-  * the audio sibling of the [[H264]] I_PCM leg, extended in round 14 with
-  * the FIXED-prediction tier most real-world FLAC actually uses: orders
-  * 0-4 polynomial predictors with Rice/Rice2-coded residuals (partitioned,
-  * escape-to-raw supported), all integer-exact per the public xiph.org
-  * FLAC spec §9, wrapped in the format's real framing (metadata blocks,
-  * frame headers with CRC-8, frame CRC-16, UTF-8 coded frame numbers,
-  * wasted-bits). Everything outside the subset — LPC subframes, stereo
-  * decorrelation (left/right/mid-side), bit depths other than 16 —
-  * declines to None and the caller falls through to the tagged stub,
-  * exactly the [[Multimodal.FallbackDecoder]] contract; a CRC mismatch
-  * also declines (corrupt audio must not be silently pooled into
-  * features). */
+/** FLAC decoder for the full prediction ladder real-world files use —
+  * the audio sibling of the [[H264]] I_PCM leg, extended across round 14:
+  * VERBATIM/CONSTANT raw subframes, FIXED polynomial prediction (orders
+  * 0-4), general LPC prediction (orders 1-32, quantized integer
+  * coefficients with arithmetic-shift scaling), Rice/Rice2-partitioned
+  * residuals with escape-to-raw, and the three stereo-decorrelation
+  * channel assignments (left/side, right/side, mid/side — the side
+  * channel carries one extra bit per spec). All arithmetic is
+  * integer-exact per the public xiph.org FLAC spec §9, wrapped in the
+  * format's real framing (metadata blocks, frame headers with CRC-8,
+  * frame CRC-16, UTF-8 coded frame numbers, wasted-bits). Still outside
+  * the subset — bit depths other than 16, negative LPC quantization
+  * shifts (spec-legal but unseen in practice; libFLAC's encoder never
+  * emits them) — declines to None and the caller falls through to the
+  * tagged stub, exactly the [[Multimodal.FallbackDecoder]] contract; a
+  * CRC mismatch also declines (corrupt audio must not be silently
+  * pooled into features). */
 object Flac {
 
   private final class BitReader(b: Array[Byte]) {
@@ -149,8 +153,13 @@ object Flac {
       val chAsgn = r.ui(4)
       val ssCode = r.ui(3)
       r.u1()                                // reserved
-      if (chAsgn > 7) return None           // stereo decorrelation: decline
-      if (chAsgn + 1 != channels) return None
+      // 0-7: independent channels; 8/9/10: left-side / right-side /
+      // mid-side stereo decorrelation (side channel carries bps+1 bits)
+      val stereoMode = chAsgn match {
+        case c if c <= 7 => if (c + 1 != channels) return None; 0
+        case c if c <= 10 => if (channels != 2) return None; c - 7
+        case _ => return None               // reserved assignments
+      }
       // sample size: must agree with STREAMINFO's 16-bit (code 100)
       if (ssCode != 0 && ssCode != 4) return None
       // UTF-8 coded frame/sample number: skip by its leading-ones width
@@ -187,7 +196,14 @@ object Flac {
         var wasted = 0
         if (r.u1() == 1) { wasted = 1
           while (r.u1() == 0) wasted += 1 }
-        val effBps = bps - wasted
+        // the SIDE channel of a decorrelated pair is one bit wider
+        // (it holds a difference): left/side and mid/side widen ch1,
+        // right/side widens ch0 (spec §9.2.2)
+        val sideBit =
+          if ((stereoMode == 1 || stereoMode == 3) && c == 1) 1
+          else if (stereoMode == 2 && c == 0) 1
+          else 0
+        val effBps = bps - wasted + sideBit
         tpe match {
           case 0 =>                          // CONSTANT
             val v = (r.u(effBps) << (64 - effBps) >> (64 - effBps)).toInt
@@ -224,9 +240,64 @@ object Flac {
             }
             if (wasted > 0) { s = 0
               while (s < blockSize) { x(s) = x(s) << wasted; s += 1 } }
-          case _ => return None              // LPC/reserved: out of subset
+          case t if t >= 32 =>               // LPC, order 1-32 (spec §9.2.6)
+            val order = t - 31
+            if (order > blockSize) return None
+            val x = chans(c)
+            var s = 0
+            while (s < order) {              // warm-up: plain signed samples
+              x(s) = (r.u(effBps) << (64 - effBps) >> (64 - effBps)).toInt
+              s += 1
+            }
+            val prec = r.ui(4) + 1
+            if (prec == 16) return None      // 0b1111 is invalid per spec
+            val shift = (r.u(5) << 59 >> 59).toInt // signed 5-bit
+            if (shift < 0) return None       // spec-legal, never emitted
+            val coefs = new Array[Long](order)
+            var j = 0
+            while (j < order) {
+              coefs(j) = r.u(prec) << (64 - prec) >> (64 - prec)
+              j += 1
+            }
+            readResiduals(r, x, blockSize, order)
+            // x[i] += (Σ c_j · x[i-1-j]) >> shift — 64-bit accumulation,
+            // arithmetic shift: exact integer per the spec's fixed-point
+            // contract (coefs ≤ 15 bits, samples ≤ 17 bits, order ≤ 32 →
+            // the sum is < 2⁵⁷, no wrap)
+            s = order
+            while (s < blockSize) {
+              var acc = 0L
+              j = 0
+              while (j < order) { acc += coefs(j) * x(s - 1 - j); j += 1 }
+              x(s) += (acc >> shift).toInt
+              s += 1
+            }
+            if (wasted > 0) { s = 0
+              while (s < blockSize) { x(s) = x(s) << wasted; s += 1 } }
+          case _ => return None              // reserved: out of subset
         }
         c += 1
+      }
+      // undo stereo decorrelation (integer-exact inverses, spec §9.2.2)
+      stereoMode match {
+        case 1 =>                            // left/side: right = left − side
+          var s = 0
+          while (s < blockSize) {
+            chans(1)(s) = chans(0)(s) - chans(1)(s); s += 1 }
+        case 2 =>                            // right/side: left = side + right
+          var s = 0
+          while (s < blockSize) {
+            chans(0)(s) = chans(0)(s) + chans(1)(s); s += 1 }
+        case 3 =>                            // mid/side
+          var s = 0
+          while (s < blockSize) {
+            val side = chans(1)(s)
+            val mid2 = (chans(0)(s) << 1) | (side & 1)
+            chans(0)(s) = (mid2 + side) >> 1
+            chans(1)(s) = (mid2 - side) >> 1
+            s += 1
+          }
+        case _ => ()
       }
       r.alignToByte()
       val bodyLen = r.bytePos - frameStart
@@ -439,6 +510,147 @@ object Flac {
       out.write(c16 >> 8); out.write(c16 & 0xff)
       frame += 1
       off += bs
+    }
+    out.toByteArray
+  }
+
+  /** Encode 16-bit per-channel samples with GENERAL LPC prediction —
+    * caller-chosen integer coefficients (newest-first: prediction is
+    * `(Σ coefs(j)·x(i-1-j)) >> shift`) and Rice-coded residuals in one
+    * partition. Frames too short for the order fall back to VERBATIM. */
+  private[pipeline] def encodeLpc(rate: Int, chans: Array[Array[Int]],
+                                  coefs: Array[Int], shift: Int,
+                                  blockSize: Int = 1024): Array[Byte] = {
+    require(chans.nonEmpty && chans.forall(_.length == chans(0).length))
+    require(rate > 0 && rate < (1 << 20) && blockSize >= 16)
+    val order = coefs.length
+    require(order >= 1 && order <= 32, s"LPC order 1-32: $order")
+    require(shift >= 0 && shift <= 15, s"shift 0-15: $shift")
+    val prec = math.max(2, coefs.map(v =>
+      33 - Integer.numberOfLeadingZeros(if (v < 0) ~v else v)).max)
+    require(prec <= 15, s"coefficients need <= 15 bits, got $prec")
+    val nCh = chans.length
+    val total = chans(0).length
+    val si = new BitWriter()
+    si.u(blockSize.toLong, 16); si.u(blockSize.toLong, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(rate.toLong, 20); si.u(nCh - 1L, 3); si.u(15L, 5)
+    si.u(total.toLong, 36); si.u(0, 128)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    def predict(x: Array[Int], i: Int): Int = {
+      var acc = 0L; var j = 0
+      while (j < order) { acc += coefs(j).toLong * x(i - 1 - j); j += 1 }
+      (acc >> shift).toInt
+    }
+    var frame = 0; var off = 0
+    while (off < total) {
+      val bs = math.min(blockSize, total - off)
+      val w = new BitWriter()
+      w.u(0x3ffe, 14); w.u1(0); w.u1(0)
+      w.u(7, 4); w.u(0, 4); w.u(nCh - 1L, 4); w.u(4, 3); w.u1(0)
+      require(frame < 128); w.u(frame.toLong, 8); w.u(bs - 1L, 16)
+      val hdr = w.bytes
+      val wc = new BitWriter()
+      for (b <- hdr) wc.u(b & 0xffL, 8)
+      wc.u(crc8(hdr, 0, hdr.length).toLong, 8)
+      for (c <- 0 until nCh) {
+        val x = java.util.Arrays.copyOfRange(chans(c), off, off + bs)
+        if (bs <= order) {                   // VERBATIM fallback
+          wc.u1(0); wc.u(1, 6); wc.u1(0)
+          for (s <- 0 until bs) wc.u(x(s).toLong & 0xffff, 16)
+        } else {
+          wc.u1(0); wc.u(31L + order, 6); wc.u1(0) // LPC subframe header
+          for (s <- 0 until order) wc.u(x(s).toLong & 0xffff, 16)
+          wc.u(prec - 1L, 4)
+          wc.u(shift.toLong & 0x1f, 5)
+          for (cf <- coefs) wc.u(cf.toLong & ((1L << prec) - 1), prec)
+          wc.u(0, 2); wc.u(0, 4)             // RICE, one partition
+          val res = Array.tabulate(bs - order)(i => {
+            val v = x(order + i) - predict(x, order + i)
+            ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+          })
+          var bestP = 0; var bestCost = Long.MaxValue
+          for (p <- 0 to 14) {
+            val cost = res.map(_ >>> p).sum + res.length.toLong * (p + 1)
+            if (cost < bestCost) { bestCost = cost; bestP = p }
+          }
+          wc.u(bestP.toLong, 4)
+          for (z <- res) {
+            val q = (z >>> bestP).toInt
+            for (_ <- 0 until q) wc.u1(0)
+            wc.u1(1)
+            if (bestP > 0) wc.u(z & ((1L << bestP) - 1), bestP)
+          }
+        }
+      }
+      wc.align()
+      val body = wc.bytes
+      out.write(body, 0, body.length)
+      val c16 = crc16(body, 0, body.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      frame += 1; off += bs
+    }
+    out.toByteArray
+  }
+
+  /** Encode a STEREO pair with decorrelation — mode 1 = left/side,
+    * 2 = right/side, 3 = mid/side — as verbatim subframes (the side
+    * channel at 17 bits per spec §9.2.2), so the decoder's inverse
+    * reconstruction is pinned independently of any predictor. */
+  private[pipeline] def encodeStereo(rate: Int, left: Array[Int],
+                                     right: Array[Int], mode: Int,
+                                     blockSize: Int = 1024): Array[Byte] = {
+    require(left.length == right.length && mode >= 1 && mode <= 3)
+    require(rate > 0 && rate < (1 << 20) && blockSize >= 16)
+    val total = left.length
+    val si = new BitWriter()
+    si.u(blockSize.toLong, 16); si.u(blockSize.toLong, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(rate.toLong, 20); si.u(1L, 3); si.u(15L, 5) // 2 channels, 16-bit
+    si.u(total.toLong, 36); si.u(0, 128)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    var frame = 0; var off = 0
+    while (off < total) {
+      val bs = math.min(blockSize, total - off)
+      val w = new BitWriter()
+      w.u(0x3ffe, 14); w.u1(0); w.u1(0)
+      w.u(7, 4); w.u(0, 4)
+      w.u(7L + mode, 4)                      // chAsgn 8/9/10
+      w.u(4, 3); w.u1(0)
+      require(frame < 128); w.u(frame.toLong, 8); w.u(bs - 1L, 16)
+      val hdr = w.bytes
+      val wc = new BitWriter()
+      for (b <- hdr) wc.u(b & 0xffL, 8)
+      wc.u(crc8(hdr, 0, hdr.length).toLong, 8)
+      for (c <- 0 until 2) {
+        val wide = (mode != 2 && c == 1) || (mode == 2 && c == 0)
+        val bits = if (wide) 17 else 16
+        wc.u1(0); wc.u(1, 6); wc.u1(0)       // VERBATIM
+        for (s <- off until off + bs) {
+          val l = left(s); val r0 = right(s)
+          val v = (mode, c) match {
+            case (1, 0) => l                  // left
+            case (1, 1) => l - r0             // side
+            case (2, 0) => l - r0             // side
+            case (2, 1) => r0                 // right
+            case (3, 0) => (l + r0) >> 1      // mid
+            case _ => l - r0                  // side
+          }
+          wc.u(v.toLong & ((1L << bits) - 1), bits)
+        }
+      }
+      wc.align()
+      val body = wc.bytes
+      out.write(body, 0, body.length)
+      val c16 = crc16(body, 0, body.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      frame += 1; off += bs
     }
     out.toByteArray
   }

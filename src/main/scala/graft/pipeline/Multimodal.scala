@@ -1456,6 +1456,47 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** REAL FLAC, LPC tier: the sawtooth under GENERAL linear prediction —
+    * integer coefficient sets (order 1-3, shifts 0-1) rotating by id —
+    * the subframe family that dominates wild FLAC encoders. Exactness is
+    * predictor-independent (residuals absorb any misprediction), so the
+    * same closed-form oracle pins the quantized-coefficient decode. */
+  def syntheticFlacLpc(spark: org.apache.spark.sql.SparkSession, n: Long,
+                       nSamples: Int = 480, rateHz: Int = 16000): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val (coefs, shift) = (id % 4).toInt match {
+        case 0 => (Array(1), 0)
+        case 1 => (Array(2, -1), 0)
+        case 2 => (Array(1, 1), 1)
+        case _ => (Array(3, -3, 1), 0)
+      }
+      val bytes = Flac.encodeLpc(rateHz, Array(patternSamples(id, nSamples)),
+        coefs, shift, blockSize = 256)
+      Row(Long.box(id), "audio", bytes,
+        Row(null, null, Int.box(rateHz), Int.box(nSamples), "audio/flac"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL FLAC, stereo-decorrelated: left = the sawtooth, right = left
+    * plus an alternating +1 (so mid/side sums go odd and the inverse's
+    * rounding is exercised on NEGATIVE samples too), channel assignment
+    * rotating left/side, right/side, mid/side by id. The mono mix is
+    * closed-form: trunc((2·l + i%2)/2) = l + 1 exactly when i is odd
+    * and l < 0 (Java integer division truncates toward zero). */
+  def syntheticFlacStereo(spark: org.apache.spark.sql.SparkSession, n: Long,
+                          nSamples: Int = 480, rateHz: Int = 16000): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val left = patternSamples(id, nSamples)
+      val right = Array.tabulate(nSamples)(i => left(i) + (i % 2))
+      val bytes = Flac.encodeStereo(rateHz, left, right,
+        mode = (id % 3).toInt + 1, blockSize = 256)
+      Row(Long.box(id), "audio", bytes,
+        Row(null, null, Int.box(rateHz), Int.box(nSamples), "audio/flac"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Deterministic animated-GIF bytes for video id: frame f's pixel (x,y)
     * is the grayscale value (id + x + 3y + 7f) mod 256. Frames are indexed
     * grayscale (identity palette) so the GIF round-trips pixel-exact. Real

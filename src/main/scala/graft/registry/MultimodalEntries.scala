@@ -213,6 +213,13 @@ private[registry] object MultimodalEntries {
           // integer-exactly by the same seam
           .unionByName(Multimodal.syntheticFlacFixed(s, 30)
             .withColumn("media_id", col("media_id") + 5000))
+          // REAL FLAC, general-LPC + stereo-decorrelated tiers (round 14
+          // second wave): quantized-coefficient prediction and the three
+          // channel assignments, same seam, same integer exactness
+          .unionByName(Multimodal.syntheticFlacLpc(s, 30)
+            .withColumn("media_id", col("media_id") + 6000))
+          .unionByName(Multimodal.syntheticFlacStereo(s, 30)
+            .withColumn("media_id", col("media_id") + 7000))
         Multimodal.extractFeaturesTagged(m, dim = 16,
             fallback = Multimodal.chainFallbacks(Multimodal.mp4Decoder,
               Flac.flacDecoder))
@@ -220,7 +227,7 @@ private[registry] object MultimodalEntries {
           .orderBy("kind", "codec", "decoder")
       },
       Some("""SELECT * FROM (VALUES
-             |  ('audio', 'flac',     'fallback', CAST(60 AS BIGINT)),
+             |  ('audio', 'flac',     'fallback', CAST(120 AS BIGINT)),
              |  ('audio', 'wav',      'jdk',      CAST(100 AS BIGINT)),
              |  ('image', 'png',      'jdk',      CAST(100 AS BIGINT)),
              |  ('video', 'gif',      'jdk',      CAST(100 AS BIGINT)),
@@ -299,6 +306,84 @@ private[registry] object MultimodalEntries {
            |           abs(((t.i % (i.media_id % 50 + 2)) * 2 * ((i.media_id % 17 + 8) * 1000))
            |               // ((i.media_id % 50 + 2) - 1) - ((i.media_id % 17 + 8) * 1000)) AS a
            |    FROM ids i, range(0, 480) t(i))
+           |  GROUP BY 1, 2),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN audv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id, 'audio' AS kind, round(sqrt($sq), 6) AS feat_norm
+           |FROM fm ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- the q185 pin over the GENERAL-LPC tier: same sawtooth, encoded
+    //      with quantized integer coefficient sets (orders 1-3, shifts
+    //      0-1 rotating by id) — exactness is predictor-independent, so
+    //      the verbatim oracle applies unchanged ----
+    Entry("q191_flac_lpc",
+      (s, _) => Multimodal.extractFeatures(
+          Multimodal.syntheticFlacLpc(s, 300), dim = 16,
+          fallback = Flac.flacDecoder)
+        .withColumn("feat_norm",
+          sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+            lit(0.0), (acc, x) => acc + x)))
+        .select(col("media_id"), col("kind"),
+          round(col("feat_norm"), 6).as("feat_norm"))
+        .orderBy("media_id"),
+      Some {
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |audv AS (
+           |  SELECT media_id, bin, CAST(CAST(sum(a) AS DOUBLE) / 983040.0 AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id, t.i // 30 AS bin,
+           |           abs(((t.i % (i.media_id % 50 + 2)) * 2 * ((i.media_id % 17 + 8) * 1000))
+           |               // ((i.media_id % 50 + 2) - 1) - ((i.media_id % 17 + 8) * 1000)) AS a
+           |    FROM ids i, range(0, 480) t(i))
+           |  GROUP BY 1, 2),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN audv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id, 'audio' AS kind, round(sqrt($sq), 6) AS feat_norm
+           |FROM fm ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- stereo-decorrelated FLAC, arithmetically pinned: left = the
+    //      sawtooth, right = left + (i%2), assignment rotating L/S, R/S,
+    //      M/S by id. The decoder's mono mix is trunc((l+r)/2), i.e.
+    //      l + 1 exactly when i is odd AND l < 0 (Java int division
+    //      truncates toward zero) — the oracle reproduces that rounding,
+    //      so the hash pins the three inverse reconstructions AND the
+    //      17-bit side-channel read end-to-end ----
+    Entry("q192_flac_stereo",
+      (s, _) => Multimodal.extractFeatures(
+          Multimodal.syntheticFlacStereo(s, 300), dim = 16,
+          fallback = Flac.flacDecoder)
+        .withColumn("feat_norm",
+          sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+            lit(0.0), (acc, x) => acc + x)))
+        .select(col("media_id"), col("kind"),
+          round(col("feat_norm"), 6).as("feat_norm"))
+        .orderBy("media_id"),
+      Some {
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |audv AS (
+           |  SELECT media_id, bin, CAST(CAST(sum(a) AS DOUBLE) / 983040.0 AS REAL) AS v
+           |  FROM (
+           |    SELECT media_id, i // 30 AS bin,
+           |           abs(CASE WHEN i % 2 = 1 AND raw < 0 THEN raw + 1 ELSE raw END) AS a
+           |    FROM (
+           |      SELECT i.media_id, t.i,
+           |             ((t.i % (i.media_id % 50 + 2)) * 2 * ((i.media_id % 17 + 8) * 1000))
+           |               // ((i.media_id % 50 + 2) - 1) - ((i.media_id % 17 + 8) * 1000) AS raw
+           |      FROM ids i, range(0, 480) t(i)))
            |  GROUP BY 1, 2),
            |fv AS (
            |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v

@@ -317,6 +317,10 @@ object Main {
         }
         opts(r) match {
           case docsPath :: idxDir :: Nil =>
+            if ((hashes == 0) != (bands == 0))
+              fail("neardup-index build: pass BOTH --hashes and --bands, " +
+                "or neither (the geometry then derives from --threshold " +
+                "via the knee rule)")
             val h = BandIndex.write(spark.read.parquet(docsPath), idxDir,
               ngram, hashes, bands, threshold = threshold)
             println(s"indexed ${h.nDocs} docs into ${h.path} " +

@@ -251,6 +251,88 @@ class FlacSpec extends SparkSpec {
     }
   }
 
+  test("hand-built order-1 LPC (coef 1, shift 0) decodes like FIXED-1") {
+    // LPC with one coefficient of 1 and no shift predicts x[i-1] — the
+    // same ramp as the FIXED test, but through the LPC wire format
+    // (precision field, shift field, coefficient array)
+    val head = streaminfo(8000, 16, 16)
+    val hw = new BW()
+    hw.u(0x3ffe, 14); hw.u1(0); hw.u1(0)
+    hw.u(6, 4); hw.u(0, 4); hw.u(0, 4); hw.u(4, 3); hw.u1(0)
+    hw.u(0, 8); hw.u(15, 8)
+    val hdr = hw.bytes
+    val bw = new BW()
+    for (b <- hdr) bw.u(b & 0xffL, 8)
+    bw.u(Flac.crc8(hdr, 0, hdr.length).toLong, 8)
+    bw.u1(0); bw.u(32, 6); bw.u1(0) // LPC order 1 (type 100000)
+    bw.u(100, 16)    // warm-up
+    bw.u(1, 4)       // precision-1 = 1 -> 2-bit coefficients
+    bw.u(0, 5)       // shift 0
+    bw.u(1, 2)       // coefficient +1
+    bw.u(0, 2)       // RICE
+    bw.u(0, 4)       // one partition
+    bw.u(1, 4)       // rice param 1
+    for (_ <- 0 until 15) { bw.u1(0); bw.u1(1); bw.u1(0) } // residual +1
+    bw.align()
+    val body = bw.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length); out.write(body, 0, body.length)
+    val c16 = Flac.crc16(body, 0, body.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    val (_, got) = Flac.decode(out.toByteArray).get
+    assert(got.toSeq === (100 to 115))
+  }
+
+  test("LPC roundtrips across orders, shifts and negative coefficients") {
+    val rng = new scala.util.Random(41)
+    val samples = Array.tabulate(600)(i =>
+      (1800 * math.sin(i / 11.0)).toInt + rng.nextInt(32) - 16)
+    for (coefs <- Seq(Array(1), Array(2, -1), Array(1, 1), Array(3, -3, 1),
+        Array(5, -3, 1, -1), Array(13, -7, 3));
+         shift <- Seq(0, 1, 2, 4)) {
+      val enc = Flac.encodeLpc(16000, Array(samples), coefs, shift,
+        blockSize = 128)
+      val dec = Flac.decode(enc)
+      assert(dec.nonEmpty, s"coefs=${coefs.toSeq} shift=$shift must decode")
+      assert(dec.get._2.toSeq === samples.toSeq,
+        s"coefs=${coefs.toSeq} shift=$shift")
+    }
+  }
+
+  test("stereo decorrelation: all three modes reconstruct the mono mix " +
+    "exactly, including odd mid/side sums and negative samples") {
+    val left = Array.tabulate(300)(i => (1500 * math.sin(i / 7.0)).toInt)
+    val right = Array.tabulate(300)(i => (900 * math.cos(i / 5.0)).toInt + (i % 3) - 1)
+    val expect = left.indices.map(i => (left(i) + right(i)) / 2)
+    for (mode <- 1 to 3) {
+      val enc = Flac.encodeStereo(8000, left, right, mode, blockSize = 128)
+      val dec = Flac.decode(enc)
+      assert(dec.nonEmpty, s"mode=$mode must decode")
+      assert(dec.get._2.toSeq === expect, s"mode=$mode")
+    }
+  }
+
+  test("LPC and stereo fuzz never throws; negative shift declines") {
+    val rng = new scala.util.Random(47)
+    val valid = Flac.encodeLpc(16000,
+      Array(Array.tabulate(300)(i => (700 * math.sin(i / 6.0)).toInt)),
+      Array(2, -1), 0, blockSize = 128)
+    assert(Flac.decode(valid).nonEmpty)
+    for (_ <- 0 until 200) {
+      Flac.decode(valid.clone().take(rng.nextInt(valid.length) + 1))
+      val flip = valid.clone()
+      flip(rng.nextInt(flip.length)) = rng.nextInt(256).toByte
+      Flac.decode(flip)
+    }
+    val st = Flac.encodeStereo(8000, Array.tabulate(100)(_ - 50),
+      Array.tabulate(100)(i => 2 * i), 3, blockSize = 64)
+    for (_ <- 0 until 100) {
+      val flip = st.clone()
+      flip(rng.nextInt(flip.length)) = rng.nextInt(256).toByte
+      Flac.decode(flip)
+    }
+  }
+
   test("CONSTANT subframes decode exactly (encoder emits them for flat blocks)") {
     val samples = Array.fill(200)(-12345) ++ Array.tabulate(56)(i => i * 3)
     val enc = Flac.encodeVerbatim(44100, Array(samples), blockSize = 200)

@@ -121,8 +121,12 @@ class ToolsSpec extends SparkSpec {
     Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text").write.parquet(s"$dir/batch.parquet")
     val idx = s"$dir/bix"
+    // half-specified geometry is a clear error (both flags or neither —
+    // neither derives the knee-rule geometry from --threshold)
     assert(Main.run(Array("neardup-index", "build", "--bands", "8",
-      s"$dir/corpus.parquet", idx), spark) === 0)
+      s"$dir/corpus.parquet", idx), spark) === 1)
+    assert(Main.run(Array("neardup-index", "build", "--hashes", "32",
+      "--bands", "8", s"$dir/corpus.parquet", idx), spark) === 0)
     assert(Main.run(Array("neardup-index", "append",
       s"$dir/drop.parquet", idx), spark) === 0)
     assert(Main.run(Array("neardup-index", "probe", "--threshold", "0.8",
