@@ -470,12 +470,21 @@ object Ann {
     }
     spark.createDataFrame(java.util.Arrays.asList(cRows: _*), centroidSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    ivfAssign(corpus, cents)
-      .withColumn("vn", normQ(col("ve")))
+    ivfStoredRows(corpus,
+        cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$root/vectors")
     IvfIndex(root, cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
   }
+
+  /** The persisted row form of one corpus slice under a FROZEN quantizer —
+    * exactly what [[writeIvfIndex]] writes, factored out so the staged
+    * delta append ([[graft.store.IvfStore.append]]) stages byte-compatible
+    * rows: assignment against the stored centroids plus the precomputed
+    * norm probes consume. */
+  private[graft] def ivfStoredRows(corpus: DataFrame,
+                                   cents: Array[(Long, Array[Long])]): DataFrame =
+    ivfAssign(corpus, cents).withColumn("vn", normQ(col("ve")))
 
   /** Open a persisted index: only the nlist-row quantizer is read eagerly
     * (it must sit on the driver to route probes); the inverted lists stay
@@ -493,7 +502,8 @@ object Ann {
     * pruning visible in the plan, no runtime DPP dependence: the scan reads
     * at most `nprobe × nqueries` of the nlist partitions. */
   def ivfProbeTopK(queries: DataFrame, index: IvfIndex, k: Int,
-                   nprobe: Int = 4): DataFrame = {
+                   nprobe: Int = 4,
+                   exclude: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val qs = queries.select(col("vec_id"), quantize(col("embedding")).as("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -507,9 +517,18 @@ object Ann {
     }
     // prune on the raw (partition-inferred int) column, then normalize type
     val lists = probes.map(_._3.toInt).distinct.sorted
-    val vecs = spark.read.parquet(s"${index.root}/vectors")
+    val vecs0 = spark.read.parquet(s"${index.root}/vectors")
       .where(col("list_id").isin(lists: _*))
       .withColumn("list_id", col("list_id").cast("long"))
+    // retirement support (IvfStore tombstones): excluded ids leave the
+    // candidate side BEFORE ranking, so the top-k backfills from live
+    // vectors exactly as a fresh index of the survivors would
+    val vecs = exclude match {
+      case Some(t) => vecs0.join(
+        broadcast(t.select(col("vec_id").cast("long").as("vid"))),
+        Seq("vid"), "left_anti")
+      case None => vecs0
+    }
     val qRows = probes.map { case (id, v, li) =>
       org.apache.spark.sql.Row(id, v.toSeq, li)
     }

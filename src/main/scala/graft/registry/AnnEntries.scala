@@ -75,6 +75,91 @@ private[registry] object AnnEntries {
               |      FROM p)
               |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
 
+    // ---- q43's index built INCREMENTALLY: odd vec_ids written, evens
+    //      landed through the frozen-quantizer staged append (IvfStore) —
+    //      the oracle's centroids therefore come from the ODD subset only,
+    //      and the hash match pins the delta path end-to-end ----
+    Entry("q193_ivf_delta",
+      (s, d) => {
+        val e = emb(s, d)
+        graft.store.IvfStore.probeTopK(e.where(col("vec_id") < 3),
+            ivfDeltaIndexFor(s, d), k = 5, nprobe = 4)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $quantCte,
+              |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+              |           e AS ce
+              |         FROM nrm WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT vec_id, list_id FROM (
+              |          SELECT v.vec_id, c.list_id,
+              |            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |              list_sum(list_transform(list_zip(v.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |              c.list_id) AS rn
+              |          FROM nrm v, cent c)
+              |        WHERE rn = 1),
+              |probe AS (SELECT qid, list_id FROM (
+              |           SELECT q.vec_id AS qid, c.list_id,
+              |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |               list_sum(list_transform(list_zip(q.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |               c.list_id) AS rn
+              |           FROM nrm q, cent c WHERE q.vec_id < 3)
+              |         WHERE rn <= 4),
+              |p AS (SELECT pr.qid, a.vec_id AS vid,
+              |        CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |          / (q.n * v.n) AS cosine
+              |      FROM probe pr
+              |        JOIN asg a ON a.list_id = pr.list_id
+              |        JOIN nrm q ON q.vec_id = pr.qid
+              |        JOIN nrm v ON v.vec_id = a.vec_id
+              |      WHERE v.vec_id != pr.qid),
+              |r AS (SELECT qid, vid, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+              |      FROM p)
+              |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
+
+    // ---- q193's index with vec_id%7==0 RETIRED (embedding takedowns):
+    //      the tombstone anti-join excludes them BEFORE ranking, so the
+    //      top-k backfills from live vectors; the quantizer stays frozen
+    //      (retired seeds keep shaping geometry), which the oracle
+    //      mirrors by filtering ONLY the candidate side ----
+    Entry("q194_ivf_retired",
+      (s, d) => {
+        val e = emb(s, d)
+        graft.store.IvfStore.probeTopK(e.where(col("vec_id") < 3),
+            ivfRetiredIndexFor(s, d), k = 5, nprobe = 4)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH $quantCte,
+              |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+              |           e AS ce
+              |         FROM nrm WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT vec_id, list_id FROM (
+              |          SELECT v.vec_id, c.list_id,
+              |            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |              list_sum(list_transform(list_zip(v.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |              c.list_id) AS rn
+              |          FROM nrm v, cent c)
+              |        WHERE rn = 1),
+              |probe AS (SELECT qid, list_id FROM (
+              |           SELECT q.vec_id AS qid, c.list_id,
+              |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |               list_sum(list_transform(list_zip(q.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |               c.list_id) AS rn
+              |           FROM nrm q, cent c WHERE q.vec_id < 3)
+              |         WHERE rn <= 4),
+              |p AS (SELECT pr.qid, a.vec_id AS vid,
+              |        CAST(list_sum(list_transform(list_zip(q.e, v.e), t -> t[1]*t[2])) AS DOUBLE)
+              |          / (q.n * v.n) AS cosine
+              |      FROM probe pr
+              |        JOIN asg a ON a.list_id = pr.list_id
+              |        JOIN nrm q ON q.vec_id = pr.qid
+              |        JOIN nrm v ON v.vec_id = a.vec_id
+              |      WHERE v.vec_id != pr.qid AND a.vec_id % 7 != 0),
+              |r AS (SELECT qid, vid, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS BIGINT) AS rnk
+              |      FROM p)
+              |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
+
     Entry("q20_cosine_pairs",
       (s, d) => Ann.cosinePairsFast(emb(s, d), threshold = 0.5).orderBy("vid_a", "vid_b"),
       Some(s"""WITH $quantCte

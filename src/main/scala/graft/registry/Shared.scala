@@ -209,6 +209,45 @@ private[registry] object Shared {
         s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0)
     }
 
+  val ivfDeltaCache = new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Ann.IvfIndex]()
+
+  /** q193's IVF index: built from the odd vec_ids, then the evens land
+    * through the FROZEN-quantizer staged append ([[graft.store.IvfStore]])
+    * — centroids are the first 16 odd vec_ids forever, which the oracle
+    * replicates with a WHERE on its cent CTE. */
+  def ivfDeltaIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
+    memo(ivfDeltaCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("ivfd:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val e = Tables.embeddings(s, d)
+      graft.store.IvfStore.append(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        graft.pipeline.Ann.writeIvfIndex(
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0))
+    }
+
+  val ivfRetiredCache = new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Ann.IvfIndex]()
+
+  /** q194's index: q193's delta build with every vec_id%7==0 RETIRED —
+    * probes must exclude them (tombstone anti-join, top-k backfilled)
+    * while the quantizer stays frozen (retired SEED vectors still shape
+    * the geometry; their values are index state, not live vectors). */
+  def ivfRetiredIndexFor(s: SparkSession, d: String): graft.pipeline.Ann.IvfIndex =
+    memo(ivfRetiredCache, d) {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(("ivfr:" + d).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val e = Tables.embeddings(s, d)
+      val h = graft.store.IvfStore.append(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        graft.pipeline.Ann.writeIvfIndex(
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          s"/tmp/graft_wh_$digest", nlist = 16, kmeansIters = 0))
+      graft.store.IvfStore.retire(
+        e.where(pmod(col("vec_id"), lit(7)) === 0).select("vec_id"), h)
+      h
+    }
+
   /** DuckDB recompute of the synthetic images' aHash (decode → 8×8
     * resize → strict-mean bits packed as two 32-bit halves) — the
     * closed-form pattern arithmetic. CTE chain ending in
