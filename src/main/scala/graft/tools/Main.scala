@@ -53,7 +53,12 @@ object Main {
       |  neardup-index append <docs.parquet> <index-dir>
       |  neardup-index probe [--threshold T] [--max-bucket N] <index-dir> <batch.parquet>
       |  neardup-index retire <ids.parquet> <index-dir>
-      |  neardup-index compact [--files N] <index-dir>""".stripMargin
+      |  neardup-index compact [--files N] <index-dir>
+      |  ann-index build [--nlist N] [--kmeans-iters N] <embeddings.parquet> <index-dir>
+      |  ann-index append <embeddings.parquet> <index-dir>
+      |  ann-index probe [--k N] [--nprobe N] <index-dir> <queries.parquet>
+      |  ann-index retire <ids.parquet> <index-dir>
+      |  ann-index compact [--files N] <index-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
@@ -78,6 +83,7 @@ object Main {
           Tools.retire(spark, dir, parseLong("horizon-ns", h)); 0
         case "index" :: rest    => cmdIndex(rest, spark)
         case "neardup-index" :: rest => cmdNeardupIndex(rest, spark)
+        case "ann-index" :: rest => cmdAnnIndex(rest, spark)
         case "search" :: rest   => cmdSearch(rest, spark)
         case ("--help" | "-h") :: _ | Nil => println(usage); 0
         case other =>
@@ -388,6 +394,74 @@ object Main {
           case _ => fail("neardup-index compact: expected [--files N] <index-dir>")
         }
       case _ => fail("neardup-index: expected build|append|probe|retire|compact ...")
+    }
+  }
+
+  /** The persisted IVF ANN index as a maintenance tool: build once,
+    * append drops under the frozen quantizer, probe top-k, retire
+    * (tombstones), compact. */
+  private def cmdAnnIndex(rest: List[String], spark: SparkSession): Int = {
+    import graft.pipeline.Ann
+    import graft.store.IvfStore
+    rest match {
+      case "build" :: r =>
+        var nlist = 16; var iters = 3
+        def opts(l: List[String]): List[String] = l match {
+          case "--nlist" :: v :: t => nlist = parseLong("nlist", v).toInt; opts(t)
+          case "--kmeans-iters" :: v :: t =>
+            iters = parseLong("kmeans-iters", v).toInt; opts(t)
+          case other => other
+        }
+        opts(r) match {
+          case embPath :: idxDir :: Nil =>
+            val h = Ann.writeIvfIndex(spark.read.parquet(embPath), idxDir,
+              nlist, iters)
+            println(s"indexed into ${h.root} (nlist=${h.centroids.length})")
+            0
+          case _ => fail("ann-index build: expected [--nlist N] " +
+            "[--kmeans-iters N] <embeddings.parquet> <index-dir>")
+        }
+      case "append" :: embPath :: idxDir :: Nil =>
+        IvfStore.append(spark.read.parquet(embPath),
+          IvfStore.open(spark, idxDir))
+        println(s"appended into $idxDir (quantizer frozen)"); 0
+      case "probe" :: r =>
+        var k = 5; var nprobe = 4
+        def opts(l: List[String]): List[String] = l match {
+          case "--k" :: v :: t => k = parseLong("k", v).toInt; opts(t)
+          case "--nprobe" :: v :: t =>
+            nprobe = parseLong("nprobe", v).toInt; opts(t)
+          case other => other
+        }
+        opts(r) match {
+          case idxDir :: qPath :: Nil =>
+            IvfStore.probeTopK(spark.read.parquet(qPath),
+                IvfStore.open(spark, idxDir), k, nprobe)
+              .orderBy("qid", "rnk").collect()
+              .foreach(row => println(s"${row.get(0)}\t${row.get(1)}\t" +
+                s"${row.get(2)}\t" + f"${row.getDouble(3)}%.6f"))
+            0
+          case _ => fail("ann-index probe: expected [--k N] [--nprobe N] " +
+            "<index-dir> <queries.parquet>")
+        }
+      case "retire" :: idsPath :: idxDir :: Nil =>
+        IvfStore.retire(spark.read.parquet(idsPath),
+          IvfStore.open(spark, idxDir))
+        println(s"retired ids from $idsPath (probes exclude them now; " +
+          "run compact to drop the rows)"); 0
+      case "compact" :: r =>
+        var files = 1
+        def opts(l: List[String]): List[String] = l match {
+          case "--files" :: v :: t => files = parseLong("files", v).toInt; opts(t)
+          case other => other
+        }
+        opts(r) match {
+          case idxDir :: Nil =>
+            IvfStore.compact(spark, IvfStore.open(spark, idxDir), files)
+            println(s"compacted $idxDir"); 0
+          case _ => fail("ann-index compact: expected [--files N] <index-dir>")
+        }
+      case _ => fail("ann-index: expected build|append|probe|retire|compact ...")
     }
   }
 

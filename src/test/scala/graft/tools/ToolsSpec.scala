@@ -144,6 +144,40 @@ class ToolsSpec extends SparkSpec {
     assert(Main.run(Array("neardup-index", "frob"), spark) === 1)
   }
 
+  test("CLI: ann-index build/append/probe/retire/compact round-trip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("cliann")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.where(col("vec_id") < 250).write.parquet(s"$dir/base.parquet")
+    emb.where(col("vec_id") >= 250).write.parquet(s"$dir/drop.parquet")
+    emb.where(col("vec_id") === 400).select(lit(9400L).as("vec_id"),
+      col("embedding")).write.parquet(s"$dir/q.parquet")
+    val idx = s"$dir/ivf"
+    assert(Main.run(Array("ann-index", "build", "--nlist", "16",
+      "--kmeans-iters", "0", s"$dir/base.parquet", idx), spark) === 0)
+    assert(Main.run(Array("ann-index", "append",
+      s"$dir/drop.parquet", idx), spark) === 0)
+    assert(Main.run(Array("ann-index", "probe", "--k", "1",
+      idx, s"$dir/q.parquet"), spark) === 0)
+    // the appended twin is findable at rank 1 through the CLI-built index
+    val hit = graft.store.IvfStore.probeTopK(
+      spark.read.parquet(s"$dir/q.parquet"),
+      graft.store.IvfStore.open(spark, idx), k = 1).collect()
+    assert(hit.length === 1 && hit(0).getLong(1) === 400L)
+    Seq(400L).toDF("vec_id").write.parquet(s"$dir/ret.parquet")
+    assert(Main.run(Array("ann-index", "retire",
+      s"$dir/ret.parquet", idx), spark) === 0)
+    val hit2 = graft.store.IvfStore.probeTopK(
+      spark.read.parquet(s"$dir/q.parquet"),
+      graft.store.IvfStore.open(spark, idx), k = 1).collect()
+    assert(hit2.length === 1)
+    assert(hit2(0).getLong(1) !== 400L)
+    assert(Main.run(Array("ann-index", "compact", idx), spark) === 0)
+    assert(Main.run(Array("ann-index", "probe", idx), spark) === 1)
+    assert(Main.run(Array("ann-index", "frob"), spark) === 1)
+  }
+
   test("CLI: repair honors --abs/--drop-* and repairs in place (repair.cpp)") {
     val root = tmpDir("clirepair") + "/m"
     val dirty = fixtureDf.withColumn("value",
