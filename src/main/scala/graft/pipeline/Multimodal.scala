@@ -1020,6 +1020,7 @@ object Multimodal {
     if (bytes.length >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "jpeg"
     else if (bytes.length >= 4 && b(0) == 0x89 && at(1, "PNG")) "png"
     else if (at(0, "GIF8")) "gif"
+    else if (at(0, "qoif")) "qoi"
     else if (at(0, "BM")) "bmp"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
     else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
@@ -1493,6 +1494,32 @@ object Multimodal {
         mode = (id % 3).toInt + 1, blockSize = 256)
       Row(Long.box(id), "audio", bytes,
         Row(null, null, Int.box(rateHz), Int.box(nSamples), "audio/flac"))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL QOI images: the patternPng pixel grid encoded as QOI — the
+    * format is fully algorithmic (no entropy tables), so the [[Qoi]]
+    * decoder reconstructs it pixel-exactly through the fallback seam and
+    * the PNG twin's features/oracle apply verbatim. */
+  def syntheticQoi(spark: org.apache.spark.sql.SparkSession, n: Long,
+                   w: Int = 64, h: Int = 48): DataFrame = {
+    val rdd = spark.range(n).rdd.map { id =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id + x) % 256).toInt
+          val g = ((id + y) % 256).toInt
+          val b = ((id + x.toLong * y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      Row(Long.box(id), "image", Qoi.encode(img),
+        Row(Int.box(w), Int.box(h), null, null, "image/qoi"))
     }
     spark.createDataFrame(rdd, mediaSchema)
   }

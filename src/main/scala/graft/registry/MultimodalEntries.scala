@@ -2,7 +2,7 @@ package graft.registry
 
 import graft.hta.{AggOps, Queries, Scoped, Series, Throttle}
 import graft.model.{IntervalScope, Scope}
-import graft.pipeline.{Ann, Cdc, Curate, Dedup, Eval, Flac, Joins, Multimodal, Packing, Profile, Sampling, Sketches, TextOps}
+import graft.pipeline.{Ann, Cdc, Curate, Dedup, Eval, Flac, Joins, Multimodal, Packing, Profile, Qoi, Sampling, Sketches, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -220,9 +220,14 @@ private[registry] object MultimodalEntries {
             .withColumn("media_id", col("media_id") + 6000))
           .unionByName(Multimodal.syntheticFlacStereo(s, 30)
             .withColumn("media_id", col("media_id") + 7000))
+          // REAL QOI images: fully-algorithmic format, decoded
+          // pixel-exactly through the same seam
+          .unionByName(Multimodal.syntheticQoi(s, 30)
+            .withColumn("media_id", col("media_id") + 8000))
         Multimodal.extractFeaturesTagged(m, dim = 16,
-            fallback = Multimodal.chainFallbacks(Multimodal.mp4Decoder,
-              Flac.flacDecoder))
+            fallback = Multimodal.chainFallbacks(
+              Multimodal.chainFallbacks(Multimodal.mp4Decoder,
+                Flac.flacDecoder), Qoi.qoiDecoder))
           .groupBy("kind", "codec", "decoder").agg(count(lit(1)).as("n"))
           .orderBy("kind", "codec", "decoder")
       },
@@ -230,6 +235,7 @@ private[registry] object MultimodalEntries {
              |  ('audio', 'flac',     'fallback', CAST(120 AS BIGINT)),
              |  ('audio', 'wav',      'jdk',      CAST(100 AS BIGINT)),
              |  ('image', 'png',      'jdk',      CAST(100 AS BIGINT)),
+             |  ('image', 'qoi',      'fallback', CAST(30 AS BIGINT)),
              |  ('video', 'gif',      'jdk',      CAST(100 AS BIGINT)),
              |  ('video', 'mp4/avc1', 'fallback', CAST(30 AS BIGINT)),
              |  ('video', 'mp4/avc1', 'stub',     CAST(30 AS BIGINT)),
@@ -391,6 +397,45 @@ private[registry] object MultimodalEntries {
            |  LEFT JOIN audv a ON g.media_id = a.media_id AND g.bin = a.bin),
            |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
            |SELECT media_id, 'audio' AS kind, round(sqrt($sq), 6) AS feat_norm
+           |FROM fm ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- QOI decode pinned ARITHMETICALLY: the patternPng pixel grid
+    //      encoded as QOI (fully algorithmic format - no subset caveat),
+    //      decoded through the fallback seam; the oracle recomputes the
+    //      16-bin integer-luminance histogram from the generator
+    //      arithmetic over the 64x48 grid ----
+    Entry("q195_qoi_features",
+      (s, _) => Multimodal.extractFeatures(
+          Multimodal.syntheticQoi(s, 300), dim = 16,
+          fallback = Qoi.qoiDecoder)
+        .withColumn("feat_norm",
+          sqrt(aggregate(transform(col("features"), x => x.cast("double") * x),
+            lit(0.0), (acc, x) => acc + x)))
+        .select(col("media_id"), col("kind"),
+          round(col("feat_norm"), 6).as("feat_norm"))
+        .orderBy("media_id"),
+      Some {
+        val fsel = (0 until 16).map(j => s"max(CASE WHEN bin = $j THEN v END) AS f$j").mkString(", ")
+        val sq = (0 until 16).map(j => s"CAST(f$j AS DOUBLE) * f$j").mkString(" + ")
+        s"""WITH ids AS (SELECT media_id FROM range(0, 300) t(media_id)),
+           |bins AS (SELECT bin FROM range(0, 16) t(bin)),
+           |imgv AS (
+           |  SELECT media_id, (lum * 16) // 256 AS bin,
+           |         CAST(CAST(count(*) AS REAL) / CAST(3072 AS REAL) AS REAL) AS v
+           |  FROM (
+           |    SELECT i.media_id,
+           |           ((((i.media_id + x.x) % 256) * 299
+           |             + ((i.media_id + y.y) % 256) * 587
+           |             + ((i.media_id + x.x * y.y) % 256) * 114) // 1000) AS lum
+           |    FROM ids i, range(0, 64) x(x), range(0, 48) y(y))
+           |  GROUP BY 1, 2),
+           |fv AS (
+           |  SELECT g.media_id, g.bin, coalesce(a.v, CAST(0 AS REAL)) AS v
+           |  FROM (SELECT i.media_id, b.bin FROM ids i, bins b) g
+           |  LEFT JOIN imgv a ON g.media_id = a.media_id AND g.bin = a.bin),
+           |fm AS (SELECT media_id, $fsel FROM fv GROUP BY media_id)
+           |SELECT media_id, 'image' AS kind, round(sqrt($sq), 6) AS feat_norm
            |FROM fm ORDER BY media_id""".stripMargin
       })
   )
