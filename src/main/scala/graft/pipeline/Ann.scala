@@ -460,6 +460,17 @@ object Ann {
   def writeIvfIndex(corpus: DataFrame, root: String, nlist: Int = 16,
                     kmeansIters: Int = 3): IvfIndex = {
     val spark = corpus.sparkSession
+    // a REBUILD supersedes every maintenance generation at this root:
+    // stale tombstones would wrongly suppress new vectors, stale
+    // streaming state would suppress or replace a fresh stream's first
+    // batches, and a staged append belongs to the superseded index
+    locally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      for (d <- Seq("tombstones", "retire.pending", "append.pending",
+          "_stream_commits", "_stream_staging"))
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+    }
     val cents =
       if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
       else ivfCentroids(corpus, nlist)

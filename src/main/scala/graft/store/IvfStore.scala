@@ -77,6 +77,76 @@ object IvfStore {
     fs.delete(pending, true)
   }
 
+  /** Idempotent, batch-id-keyed streaming append — the continuous form
+    * of [[append]] for `foreachBatch` sinks, with [[BandIndex.appendBatch]]'s
+    * replay discipline verbatim:
+    *
+    *  1. commit marker `_stream_commits/<bid>` present → no-op;
+    *  2. staged rows present (a prior attempt finished staging) → publish
+    *     them without re-evaluating `novel` — the batch's accepted set
+    *     was fixed at first evaluation, so a probe that feeds `novel`
+    *     never sees this bid's own partially published rows;
+    *  3. otherwise evaluate `novel`, stage its assigned+normed rows under
+    *     the FROZEN quantizer, then publish with bid-keyed names derived
+    *     from the staged file names (stable across replays — files
+    *     already published are skipped, never deleted), write meta-free
+    *     state, marker LAST, drop staging.
+    *
+    * `autoCompactAt > 0` bounds small-file fragmentation exactly as in
+    * [[BandIndex.appendBatch]] (post-marker, replay-safe). */
+  def appendBatch(root: String, bid: Long, autoCompactAt: Int = 0)
+                 (novel: => DataFrame): Unit = {
+    val fs = fsOf(root)
+    val marker = new HPath(s"$root/_stream_commits/$bid")
+    if (fs.exists(marker)) return
+    val h = open(org.apache.spark.sql.SparkSession.active, root)
+    val staging = s"$root/_stream_staging/bid=$bid"
+    val stagedDone = new HPath(s"$staging/_staged")
+    if (!fs.exists(stagedDone)) {
+      Ann.ivfStoredRows(novel, h.centroids)
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite")
+        .parquet(s"$staging/vectors")
+      writeSmall(fs, stagedDone, "")
+    }
+    val staged = new HPath(s"$staging/vectors")
+    if (fs.exists(staged)) {
+      for (d <- fs.listStatus(staged) if d.isDirectory) {
+        val dst = new HPath(s"$root/vectors/${d.getPath.getName}")
+        fs.mkdirs(dst)
+        for (f <- fs.listStatus(d.getPath)
+             if f.isFile && f.getPath.getName.startsWith("part-")) {
+          val dstF = new HPath(dst, s"bid-$bid-${f.getPath.getName}")
+          if (fs.exists(dstF)) fs.delete(f.getPath, false)
+          else renameOrFail(fs, f.getPath, dstF)
+        }
+      }
+    }
+    fs.mkdirs(new HPath(s"$root/_stream_commits"))
+    writeSmall(fs, marker, "")
+    fs.delete(new HPath(staging), true)
+    if (autoCompactAt > 0 &&
+        countPartFiles(fs, new HPath(root, "vectors")) > autoCompactAt)
+      compact(org.apache.spark.sql.SparkSession.active, h)
+  }
+
+  private def countPartFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: HPath): Int =
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).map { st =>
+      if (st.isDirectory) countPartFiles(fs, st.getPath)
+      else if (st.getPath.getName.contains("part-")) 1 else 0
+    }.sum
+
+  /** Drop all streaming bookkeeping at an index root — a NEW stream
+    * (fresh checkpoint, bids restarting at 0) must call this before its
+    * first batch, for exactly [[BandIndex.clearStreamState]]'s reasons. */
+  private[graft] def clearStreamState(root: String): Unit = {
+    val fs = fsOf(root)
+    fs.delete(new HPath(root, "_stream_commits"), true)
+    fs.delete(new HPath(root, "_stream_staging"), true)
+  }
+
   /** Retire vectors: ids land in `tombstones/` through the staged-rename
     * discipline (interrupted retires abort at [[open]]; tombstones are a
     * set, so re-running is harmless). Probes exclude them immediately;
