@@ -54,7 +54,12 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
+    // SPARK_GRAFT_PROBE_ONLY=name1,name2 runs selected legs (re-runs
+    // after a fix, or a new leg without the full sweep)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     def run(name: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      if (only.exists(!_.contains(name))) return
       L.reset()
       val t0 = System.nanoTime()
       val df = body
@@ -104,6 +109,12 @@ object ScaleProbe {
     run("q190x100_auto") {
       Dedup.semanticDedup(docs, tauNum = 19L, tauDen = 20L, dim = 64)
         .orderBy("doc_id")
+    }
+    // the KNEE-RULE default geometry at corpus scale: q187's auto path
+    // (threshold 0.9 → 128 hashes / 16 bands) over the full corpus —
+    // same brute-force-checkable contract as q15 (x100check.py domains)
+    run("q187_neardup_auto") {
+      Dedup.nearDupPairs(docs, threshold = 0.9).orderBy("doc_a", "doc_b")
     }
     // the two EXACT pair tiers (q48 PPJoin / q102 Bayardo) at ×100 —
     // previously evidenced only at ×10; checker: exactcheck_x100.py
