@@ -19,6 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietAdjudicatedWarnings()
     // warm the JVM/codegen once on the smallest SF so per-query numbers
     // measure the plan, not first-call classloading; pre-build the warehouse
     // the round-trip queries read (built once, queried many times)

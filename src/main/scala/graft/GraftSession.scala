@@ -30,9 +30,26 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
 
+  /** WindowExec's "No Partition Defined" warning fires on EVERY
+    * unpartitioned window — including the ADJUDICATED answer-sized
+    * frames this engine uses deliberately (top-k rank fusions,
+    * vocabulary cuts, grid carries: frames bounded by construction,
+    * never corpus-sized). A constant partition key cannot silence it
+    * (the optimizer's EliminateWindowPartitions removes foldable
+    * specs), so the logger is scoped to ERROR and the inventory is
+    * ENFORCED instead: UnpartitionedWindowAuditSpec fails the build if
+    * any registered query outside the adjudicated list plans an
+    * unpartitioned window — a stronger guarantee than a log line that
+    * scrolls past. Call AFTER `setLogLevel` (which resets levels). */
+  def quietAdjudicatedWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def local(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietAdjudicatedWarnings()
     s
   }
 }

@@ -756,9 +756,7 @@ object Series {
     // deliberate unpartitioned window: the frame is the HOURLY grid
     // ((e−b)/1h rows — 8.8k/year), aggregated before the window ever
     // runs; corpus rows never enter it
-    // constant partition key: the hourly grid is aggregate-sized and
-    // declared bounded (no WindowExec all-to-one warning)
-    val w6 = Window.partitionBy(lit(0)).orderBy("bucket").rowsBetween(-5, 0)
+    val w6 = Window.orderBy("bucket").rowsBetween(-5, 0)
     val full = grid.join(f, Seq("bucket"), "left")
       .withColumn("n_tot", coalesce(col("_t"), lit(0L)))
       .withColumn("n_err", coalesce(col("_e"), lit(0L)))

@@ -74,8 +74,7 @@ object Eval {
     // deliberate unpartitioned window: the frame is the k-row depth grid
     // (answer-sized by construction), never corpus data — one task holds
     // k rows regardless of input size
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy("d")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     depths.join(firstCo.withColumnRenamed("_d", "d"), Seq("d"), "left")

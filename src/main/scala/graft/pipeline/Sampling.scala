@@ -114,12 +114,11 @@ object Sampling {
     // deliberate unpartitioned windows: they run over the post-aggregate
     // SOURCE-cardinality frame (tens to thousands of rows — the mixture
     // table a human reads), never over corpus rows
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(groupCol)
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(groupCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(groupCol)
+      .orderBy(groupCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))

@@ -285,16 +285,13 @@ private[registry] object AnnEntries {
     //      arithmetic only, fixed-point contributions, k = 60 ----
     Entry("q92_rrf_fuse",
       (s, d) => {
-        // constant partition key = same single-partition execution on
-        // this answer-sized frame, DECLARED bounded (no WindowExec
-        // all-to-one warning polluting the bench artifact)
-        val wSearch = Window.partitionBy(lit(0)).orderBy(desc("score"), asc("doc_id"))
+        val wSearch = Window.orderBy(desc("score"), asc("doc_id"))
         val a = TextOps.searchTopK(docs(s, d),
             Seq("join", "filter", "vector"), k = 100)
           .withColumn("rnk", row_number().over(wSearch).cast("long"))
         // TakeOrdered cut FIRST, then rank the 100-row frame — a global
         // row_number over the full corpus would be a global sort
-        val wLen = Window.partitionBy(lit(0)).orderBy(desc("n_chars"), asc("doc_id"))
+        val wLen = Window.orderBy(desc("n_chars"), asc("doc_id"))
         val b = docs(s, d).select(col("doc_id"), col("n_chars"))
           .orderBy(desc("n_chars"), asc("doc_id")).limit(100)
           .withColumn("rnk", row_number().over(wLen).cast("long"))
@@ -529,10 +526,8 @@ private[registry] object AnnEntries {
         val k = 100
         def top(ord: Seq[org.apache.spark.sql.Column]) = base
           .orderBy(ord: _*).limit(k)
-          .withColumn("rnk", row_number().over( // k-row frame: constant
-            // partition key declares it bounded (no all-to-one warning)
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(lit(0)).orderBy(ord: _*)))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
           .select("doc_id", "rnk")
         val a = top(Seq(desc("n_chars"), asc("doc_id")))
         val b = top(Seq(TextOps.md5Long(col("text")).asc, asc("doc_id")))
@@ -746,8 +741,7 @@ private[registry] object AnnEntries {
     Entry("q176_hybrid_search",
       (s, d) => {
         val dd = docs(s, d)
-        // constant partition key: bounded-by-construction 20-row frame
-        val wLex = Window.partitionBy(lit(0)).orderBy(desc("score"), asc("doc_id"))
+        val wLex = Window.orderBy(desc("score"), asc("doc_id"))
         val lex = TextOps.bm25TopK(dd, Seq("hash", "join", "scan"), k = 20)
           // rank AFTER the TakeOrdered cut: a 20-row frame (bounded)
           .withColumn("rnk", row_number().over(wLex).cast("long"))
