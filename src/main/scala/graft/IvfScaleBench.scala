@@ -89,11 +89,54 @@ object IvfScaleBench {
     val (probe3, tProbeCpt) = time(
       IvfStore.probeTopK(queries, h, k = 10).collect().map(_.toSeq).toSet)
     require(probe3 == probe2, "compact must not change answers")
+
+    // ---- recall drift under the frozen quantizer (round 15): append a
+    // SHIFTED domain (+0.5/dim on unit-norm vectors: a far cluster), read
+    // the advisory, measure probe recall of drifted queries against the
+    // exact truth BEFORE a rebuild and AFTER one (kmeans re-derives the
+    // geometry over the union and resets the drift baseline) ----
+    val drifted = base0.select(
+        (col("vec_id") + 250L * 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+      .localCheckpoint()
+    val (_, tDriftAppend) = time(IvfStore.append(drifted, h))
+    val drift = IvfStore.driftStats(spark, root).get
+    require(drift.rebuildAdvised(),
+      s"a shifted domain must trip the advisory, ratio ${drift.ratio}")
+    val liveC = corpus.where(!(col("vec_id") >= nlist &&
+        pmod(col("vec_id"), lit(10)) === 3))
+      .unionByName(drifted).localCheckpoint()
+    val dq = drifted.where(col("vec_id") < 250L * 10000000L + 10)
+      .localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthPairs = pairsOf(Ann.bruteForceTopK(dq, liveC, k = 10))
+    val (frozenPairs, tProbeDrift) = time(
+      pairsOf(IvfStore.probeTopK(dq, h, k = 10)))
+    val recallFrozen = frozenPairs.intersect(truthPairs).size.toDouble /
+      truthPairs.size
+    val (rebuilt, tRebuild) = time(Ann.writeIvfIndex(liveC, root + "_rb",
+      nlist, kmeansIters = 1))
+    val (rebuiltPairs, tProbeRb) = time(
+      pairsOf(Ann.ivfProbeTopK(dq, rebuilt, k = 10)))
+    val recallRebuilt = rebuiltPairs.intersect(truthPairs).size.toDouble /
+      truthPairs.size
+    val driftRb = IvfStore.driftStats(spark, root + "_rb").get
+    require(driftRb.appendedN == 0 && !driftRb.rebuildAdvised(),
+      "a rebuild must reset the drift ledger")
+
     println(s"""IVFSCALE {"vectors":$n,"nlist":$nlist,"drop":${drop.count()},""" +
       s""""retired":$nRet,"t_build_s":$tBuild,"t_append_s":$tAppend,""" +
       s""""t_probe_s":$tProbe,"t_brute_s":$tBrute,""" +
       s""""t_retire_s":$tRetire,"t_probe_tombstoned_s":$tProbeTomb,""" +
-      s""""t_compact_s":$tCompact,"t_probe_compacted_s":$tProbeCpt}""")
+      s""""t_compact_s":$tCompact,"t_probe_compacted_s":$tProbeCpt,""" +
+      s""""drift_ratio":${math.round(drift.ratio * 100) / 100.0},""" +
+      s""""t_drift_append_s":$tDriftAppend,""" +
+      s""""recall_drifted_frozen":$recallFrozen,""" +
+      s""""t_probe_drifted_s":$tProbeDrift,"t_rebuild_s":$tRebuild,""" +
+      s""""recall_after_rebuild":$recallRebuilt,""" +
+      s""""t_probe_rebuilt_s":$tProbeRb}""")
     spark.stop()
   }
 }

@@ -116,6 +116,18 @@ object ScaleProbe {
     run("q187_neardup_auto") {
       Dedup.nearDupPairs(docs, threshold = 0.9).orderBy("doc_a", "doc_b")
     }
+    // the CLUSTERING layer that consumes the pair tiers (round-14 VERDICT
+    // item 5): star-contraction connected components + min-id
+    // survivorship over the full corpus — the step a 100 TB dedup run
+    // executes right after pairs, previously unmeasured at ×100.
+    // Checker: clustercheck_x100.py replays union-find over the q15 leg's
+    // pair dump (same registered 32/16 geometry) and compares component
+    // assignment + survivor flags row-exactly for ALL docs.
+    run("q49_clusters_x100") {
+      Dedup.nearDupClusters(docs, threshold = 0.8, numHashes = 32,
+          bands = 16)
+        .orderBy("doc_id")
+    }
     // the two EXACT pair tiers (q48 PPJoin / q102 Bayardo) at ×100 —
     // previously evidenced only at ×10; checker: exactcheck_x100.py
     run("q48_jaccard_join") {

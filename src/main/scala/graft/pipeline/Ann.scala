@@ -323,10 +323,25 @@ object Ann {
     org.apache.spark.sql.types.StructField("list_id",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
+  private val ivfAssignDistSchema = org.apache.spark.sql.types.StructType(
+    ivfAssignSchema.fields :+ org.apache.spark.sql.types.StructField(
+      "adist", org.apache.spark.sql.types.LongType, nullable = false))
+
   // Row/RDD form rather than Dataset[(Long, Array[Long])]: Product encoders
   // need compile-time reflection that breaks under REPL/notebook
   // classloaders, and a library entry point can't assume an application one.
-  def ivfAssign(corpus: DataFrame, centroids: Array[(Long, Array[Long])]): DataFrame = {
+  def ivfAssign(corpus: DataFrame, centroids: Array[(Long, Array[Long])]): DataFrame =
+    ivfAssignWithDist(corpus, centroids).drop("adist")
+
+  /** [[ivfAssign]] plus `adist`, the SQUARED distance to the assigned
+    * centroid in quantized-long units — the per-vector quantization
+    * residual. All-integer (exact in any engine), and the ingredient the
+    * IVF drift monitor observes: under a frozen quantizer, a drop drawn
+    * from a drifted distribution lands FAR from every stored centroid,
+    * so its residuals grow while an in-distribution drop's match the
+    * build-time baseline ([[graft.store.IvfStore.driftStats]]). */
+  def ivfAssignWithDist(corpus: DataFrame,
+                        centroids: Array[(Long, Array[Long])]): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val rdd = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
@@ -343,9 +358,9 @@ object Ann {
           if (d < bestD) { bestD = d; best = i }
           i += 1
         }
-        org.apache.spark.sql.Row(id, v.toSeq, best.toLong)
+        org.apache.spark.sql.Row(id, v.toSeq, best.toLong, bestD)
       }
-    spark.createDataFrame(rdd, ivfAssignSchema)
+    spark.createDataFrame(rdd, ivfAssignDistSchema)
   }
 
   def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Array[Long])] =
@@ -458,7 +473,8 @@ object Ann {
     * no corpus-side sqrt work. One assignment pass over the corpus, one
     * shuffle into the list partitions — both linear. */
   def writeIvfIndex(corpus: DataFrame, root: String, nlist: Int = 16,
-                    kmeansIters: Int = 3): IvfIndex = {
+                    kmeansIters: Int = 3): IvfIndex =
+      graft.store.Lease.withLease(root, "Ann.writeIvfIndex") {
     val spark = corpus.sparkSession
     // a REBUILD supersedes every maintenance generation at this root:
     // stale tombstones would wrongly suppress new vectors, stale
@@ -481,10 +497,19 @@ object Ann {
     }
     spark.createDataFrame(java.util.Arrays.asList(cRows: _*), centroidSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    ivfStoredRows(corpus,
+    // drift baseline: the build-time assignment-residual distribution,
+    // observed on the SAME pass that writes the lists (zero extra jobs) —
+    // appends compare their drops against it (IvfStore.driftStats)
+    val obs = new org.apache.spark.sql.Observation()
+    ivfStoredRowsWithDist(corpus,
         cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
+      .observe(obs, count(lit(1)).as("n"),
+        sum(col("adist").cast("double")).as("s"),
+        sum(col("adist").cast("double") * col("adist").cast("double")).as("s2"))
+      .drop("adist")
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$root/vectors")
+    graft.store.IvfStore.writeDriftBaseline(root, obs)
     IvfIndex(root, cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
   }
 
@@ -496,6 +521,14 @@ object Ann {
   private[graft] def ivfStoredRows(corpus: DataFrame,
                                    cents: Array[(Long, Array[Long])]): DataFrame =
     ivfAssign(corpus, cents).withColumn("vn", normQ(col("ve")))
+
+  /** [[ivfStoredRows]] plus the `adist` residual column — the writer
+    * observes drift aggregates on it DURING the write pass
+    * (`Dataset.observe`, zero extra jobs) and drops it before persisting,
+    * so the stored schema stays (vid, ve, list_id, vn). */
+  private[graft] def ivfStoredRowsWithDist(corpus: DataFrame,
+                                           cents: Array[(Long, Array[Long])]): DataFrame =
+    ivfAssignWithDist(corpus, cents).withColumn("vn", normQ(col("ve")))
 
   /** Open a persisted index: only the nlist-row quantizer is read eagerly
     * (it must sit on the driver to route probes); the inverted lists stay

@@ -74,7 +74,11 @@ object Flac {
     val escape = (1 << pBits) - 1
     val po = r.ui(4)
     val partitions = 1 << po
-    if (blockSize % partitions != 0 || (blockSize >> po) < order)
+    // RFC 9639 §9.2.7: the FIRST partition holds (blockSize >> po) − order
+    // samples, which must be POSITIVE — equality (an empty first
+    // partition) is spec-invalid geometry and declines like any other
+    // malformed stream (round-14 ADVICE: == was previously accepted)
+    if (blockSize % partitions != 0 || (blockSize >> po) <= order)
       throw new IllegalStateException("invalid partition geometry")
     var s = order
     var part = 0

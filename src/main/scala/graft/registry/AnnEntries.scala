@@ -160,6 +160,41 @@ private[registry] object AnnEntries {
               |      FROM p)
               |SELECT qid, vid, rnk, cosine FROM r WHERE rnk <= 5 ORDER BY 1, 3""".stripMargin)),
 
+    // ---- the IVF drift monitor's observable (round 15): per-vector
+    //      SQUARED assignment distance (quantization residual) under the
+    //      q193 delta index's frozen odd-seeded quantizer, plus the
+    //      vector's quantized norm² — all-integer, so DuckDB recomputes
+    //      centroids, argmin assignment and both distances exactly.
+    //      IvfStore.driftStats aggregates exactly these residuals
+    //      (in-distribution drops track the build baseline; drifted drops
+    //      inflate it → rebuild advisory); IvfDriftSpec pins the
+    //      statistic and the advisory, this row pins the ingredient ----
+    Entry("q196_ivf_assign_dist",
+      (s, d) => {
+        val idx = ivfDeltaIndexFor(s, d)
+        Ann.ivfAssignWithDist(emb(s, d), idx.centroids)
+          .select(col("vid").as("vec_id"), col("list_id"), col("adist"),
+            aggregate(transform(col("ve"), x => x * x), lit(0L),
+              (acc, x) => acc + x).as("norm2"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $quantCte,
+              |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list_id,
+              |           e AS ce
+              |         FROM nrm WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 16),
+              |asg AS (SELECT vec_id, list_id, adist FROM (
+              |          SELECT v.vec_id, c.list_id,
+              |            CAST(list_sum(list_transform(list_zip(v.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS adist,
+              |            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              |              list_sum(list_transform(list_zip(v.e, c.ce), t -> (t[1]-t[2])*(t[1]-t[2]))),
+              |              c.list_id) AS rn
+              |          FROM nrm v, cent c)
+              |        WHERE rn = 1)
+              |SELECT a.vec_id, a.list_id, a.adist,
+              |  CAST(list_sum(list_transform(n.e, x -> x*x)) AS BIGINT) AS norm2
+              |FROM asg a JOIN nrm n ON a.vec_id = n.vec_id
+              |ORDER BY 1""".stripMargin)),
+
     Entry("q20_cosine_pairs",
       (s, d) => Ann.cosinePairsFast(emb(s, d), threshold = 0.5).orderBy("vid_a", "vid_b"),
       Some(s"""WITH $quantCte

@@ -61,7 +61,8 @@ object BandIndex {
     * choose the threshold here, not at probe time. */
   def write(corpus: DataFrame, path: String, ngram: Int = 3,
             numHashes: Int = 0, bands: Int = 0,
-            text: String = "text", threshold: Double = 0.8): Handle = {
+            text: String = "text", threshold: Double = 0.8): Handle =
+      Lease.withLease(path, "BandIndex.write") {
     val (nHashes, nBands) = Dedup.resolveBandGeometry(numHashes, bands,
       threshold, "BandIndex.write", ngram)
     val fs = fsOf(path)
@@ -85,6 +86,30 @@ object BandIndex {
     writeMeta(path, nDocs, ngram, nHashes, nBands)
     Handle(path, nDocs, ngram, nHashes, nBands)
   }
+
+  /** Fail-fast guard on the reincarnation hazard: appending a doc_id that
+    * is currently TOMBSTONED would not resurrect it — the tombstone
+    * anti-join keeps suppressing the id until the next [[compact]], so
+    * the "successful" append silently contributes nothing, the worst
+    * failure shape this repo allows. Takedown-then-repost is a real
+    * corpus event, so the contract is explicit: run [[compact]] (which
+    * applies and CLEARS tombstones) before re-appending a retired id.
+    * Answer-sized work: broadcast semi-join against the tombstone table,
+    * and only when retirements are outstanding (the common case skips
+    * straight through). */
+  private def requireNoTombstoned(docs: DataFrame, path: String,
+                                  idCol: String, op: String): Unit =
+    tombstones(docs.sparkSession, path).foreach { t =>
+      val clash = docs.join(
+          broadcast(t.select(col(idCol).cast("long").as(idCol))),
+          Seq(idCol), "left_semi")
+        .select(idCol).limit(3).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"$op: ${idCol}s ${clash.mkString(", ")} are tombstoned at $path — " +
+          "a tombstone would suppress the re-appended doc until the next " +
+          "compact; run compact(...) (applies + clears tombstones) before " +
+          "re-appending a retired id")
+    }
 
   def open(path: String): Handle = {
     val fs = fsOf(path)
@@ -113,10 +138,12 @@ object BandIndex {
     * aborted at the next [[open]] and the caller re-runs it — tombstones
     * are a SET, so re-retiring already-retired ids is a no-op in effect.
     * Retiring an id not in the index is allowed (and meaningless);
-    * re-appending a retired doc_id is NOT supported (the append contract
-    * requires new ids; a tombstone would suppress the reincarnation until
-    * the next compact-then-append anyway). */
-  def retire(ids: DataFrame, h: Handle): Handle = {
+    * re-appending a retired doc_id FAILS FAST at append (the tombstone
+    * would silently suppress the reincarnation until the next compact —
+    * see `requireNoTombstoned`); the sanctioned takedown-then-repost path
+    * is [[compact]] (applies + clears tombstones), then append. */
+  def retire(ids: DataFrame, h: Handle): Handle =
+      Lease.withLease(h.path, "BandIndex.retire") {
     val fs = fsOf(h.path)
     val pending = new HPath(h.path, "retire.pending")
     fs.delete(pending, true) // abort any interrupted predecessor
@@ -156,11 +183,13 @@ object BandIndex {
   /** [[append]] with an injected crash point — spec-only seam for the
     * heal matrix (2 = before the commit marker, 3 = after it). */
   private[store] def append(newDocs: DataFrame, h: Handle, text: String,
-                            crashAfterStep: Int): Handle = {
+                            crashAfterStep: Int): Handle =
+      Lease.withLease(h.path, "BandIndex.append") {
     def crash(step: Int): Unit = if (step == crashAfterStep)
       throw new IllegalStateException(s"injected crash after step $step")
     val fs = fsOf(h.path)
     healPending(h.path) // resolve any interrupted predecessor first
+    requireNoTombstoned(newDocs, h.path, "doc_id", "BandIndex.append")
     val pending = new HPath(h.path, "append.pending")
     require(!fs.exists(pending),
       s"append.pending survived heal — concurrent append? ${h.path}")
@@ -262,20 +291,36 @@ object BandIndex {
                  (novel: => DataFrame): Unit = {
     val fs = fsOf(path)
     val marker = new HPath(s"$path/_stream_commits/$bid")
-    if (fs.exists(marker)) return
+    if (fs.exists(marker)) return // replay no-op: no lease, no work
+    Lease.withLease(path, "BandIndex.appendBatch") {
     val h = open(path) // heals any interrupted OFFLINE append first
     val staging = s"$path/_stream_staging/bid=$bid"
     val intentP = new HPath(s"$staging/intent.json")
     if (!fs.exists(intentP)) {
-      val docs = novel
+      // evaluate `novel` exactly ONCE (round-14 VERDICT: three separate
+      // actions — two writes + a count — re-ran the thunk's plan, and in
+      // StreamDedup that plan is the corpus probe + verify anti-join).
+      // An eager localCheckpoint materializes it a single time; both
+      // staging writes read the checkpointed blocks and the row count
+      // rides along as an observed metric on the checkpoint job itself.
+      val obs = new org.apache.spark.sql.Observation()
+      val docs = novel.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      requireNoTombstoned(docs, path, "doc_id", "BandIndex.appendBatch")
       Dedup.bandedRows(docs, h.ngram, h.numHashes, h.bands, text)
         .select(col("doc_id"), col("bkey"), col("band"))
         .write.mode("overwrite").partitionBy("band")
         .parquet(s"$staging/bands")
       Dedup.shingleHashRows(docs, h.ngram, text, distinct = true)
         .write.mode("overwrite").parquet(s"$staging/grams")
-      writeSmall(fs, intentP,
-        s"""{"n_docs":${h.nDocs + docs.count()}}""")
+      val n = try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "s"))
+        if (row.length == 1 && !row.isNullAt(0)) row.getLong(0)
+        else docs.count() // metrics node pruned (empty batch) — cheap scan
+      } catch { // never observed — count the checkpointed blocks instead
+        case _: java.util.concurrent.TimeoutException => docs.count()
+      }
+      writeSmall(fs, intentP, s"""{"n_docs":${h.nDocs + n}}""")
     }
     // publish with bid-keyed names DERIVED FROM the staged file names —
     // staging is written exactly once (guarded by the intent), so the
@@ -314,6 +359,7 @@ object BandIndex {
     if (autoCompactAt > 0 &&
         countPartFiles(fs, new HPath(path, "bands")) > autoCompactAt)
       compact(org.apache.spark.sql.SparkSession.active, open(path))
+    }
   }
 
   private def countPartFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -353,7 +399,8 @@ object BandIndex {
     * the swaps and the tombstone clear leaves the anti-join to re-apply
     * over already-dropped rows, a no-op. */
   def compact(spark: SparkSession, h: Handle,
-              filesPerPartition: Int = 1): Handle = {
+              filesPerPartition: Int = 1): Handle =
+      Lease.withLease(h.path, "BandIndex.compact") {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1: $filesPerPartition")
     val fs = fsOf(h.path)
@@ -374,6 +421,18 @@ object BandIndex {
         Seq("doc_id"), "left_anti")
       case None => df
     }
+    // Tombstones covering EVERY live doc would compact into a zero-row
+    // partitionBy parquet dir (only _SUCCESS) that spark.read can no
+    // longer infer a schema from — the index would be unreadable until a
+    // full rebuild (round-14 ADVICE). Refuse instead: probes keep working
+    // (tombstones apply logically), and retiring the whole corpus means
+    // delete-or-rebuild, never compact. Existence probe, not a count.
+    if (tomb.isDefined)
+      require(dropRetired(spark.read.parquet(s"${h.path}/grams"))
+          .select("doc_id").limit(1).count() > 0,
+        s"BandIndex.compact: tombstones at ${h.path} retire EVERY live " +
+          "doc — compacting would write an empty unreadable index. Delete " +
+          "the index or rebuild it instead of compacting a full retirement")
     dropRetired(spark.read.parquet(s"${h.path}/bands"))
       .repartition(col("band"),
         pmod(xxhash64(col("bkey")), lit(filesPerPartition)))

@@ -27,21 +27,32 @@ import org.apache.spark.sql.functions._
   *    interrupted retires — then reads the quantizer.
   *
   * Same staged-append/commit-marker file protocol as [[TextIndex]] and
-  * [[BandIndex]]; vec_ids must be new per the append contract
-  * (re-appending a retired id is not supported). */
+  * [[BandIndex]]; vec_ids must be new per the append contract.
+  * Re-appending a RETIRED id fails fast (the tombstone would silently
+  * suppress it — run [[compact]] first, which applies and clears
+  * tombstones). All mutations run under the single-writer [[Lease]]. */
 object IvfStore {
-  import TextIndex.{fsOf, writeSmall, renameOrFail, restoreInterruptedSwap}
+  import TextIndex.{fsOf, readSmall, writeSmall, renameOrFail,
+    restoreInterruptedSwap}
 
   /** Stage a drop's assigned+normed rows, then publish by rename. The
     * probe result after append is spec-pinned equal to an index WRITTEN
     * with the same centroids over the union corpus. */
-  def append(newVecs: DataFrame, index: Ann.IvfIndex): Ann.IvfIndex = {
+  def append(newVecs: DataFrame, index: Ann.IvfIndex): Ann.IvfIndex =
+      Lease.withLease(index.root, "IvfStore.append") {
     val fs = fsOf(index.root)
     healPending(index.root)
     val pending = new HPath(index.root, "append.pending")
     require(!fs.exists(pending),
       s"append.pending survived heal — concurrent append? ${index.root}")
-    Ann.ivfStoredRows(newVecs, index.centroids)
+    requireNoTombstoned(newVecs, index.root, "IvfStore.append")
+    // drift: observe the drop's assignment residuals on the staging pass
+    // itself (zero extra jobs) — recorded after publish
+    val obs = new org.apache.spark.sql.Observation()
+    Ann.ivfStoredRowsWithDist(newVecs, index.centroids)
+      .observe(obs, count(lit(1)).as("n"),
+        sum(col("adist").cast("double")).as("s"))
+      .drop("adist")
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite")
       .parquet(s"${index.root}/append.pending/vectors")
@@ -50,8 +61,28 @@ object IvfStore {
     // staging listing, Spark part names are unique per job)
     writeSmall(fs, new HPath(pending, "_staged"), "")
     publishPending(index.root)
+    // advisory update AFTER publish: a crash in this window loses the
+    // drop's drift record (statistic goes stale, never wrong/doubled)
+    readObs2(obs).foreach { case (n, s) => recordDrop(index.root, n, s) }
     index
   }
+
+  /** Fail-fast reincarnation guard — [[BandIndex]]'s `requireNoTombstoned`
+    * for vec_ids: a tombstoned id re-appended would stay suppressed by
+    * the probe anti-join until the next [[compact]], silently. Sanctioned
+    * repost path: compact (applies + clears tombstones), then append. */
+  private def requireNoTombstoned(vecs: DataFrame, root: String,
+                                  op: String): Unit =
+    tombstones(vecs.sparkSession, root).foreach { t =>
+      val clash = vecs.join(
+          broadcast(t.select(col("vec_id").cast("long").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .select("vec_id").limit(3).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"$op: vec_ids ${clash.mkString(", ")} are tombstoned at $root — " +
+          "the tombstone would suppress the re-appended vector until the " +
+          "next compact; run compact(...) before re-appending a retired id")
+    }
 
   private def healPending(root: String): Unit = {
     val fs = fsOf(root)
@@ -98,15 +129,36 @@ object IvfStore {
                  (novel: => DataFrame): Unit = {
     val fs = fsOf(root)
     val marker = new HPath(s"$root/_stream_commits/$bid")
-    if (fs.exists(marker)) return
+    if (fs.exists(marker)) return // replay no-op: no lease, no work
+    Lease.withLease(root, "IvfStore.appendBatch") {
     val h = open(org.apache.spark.sql.SparkSession.active, root)
     val staging = s"$root/_stream_staging/bid=$bid"
     val stagedDone = new HPath(s"$staging/_staged")
     if (!fs.exists(stagedDone)) {
-      Ann.ivfStoredRows(novel, h.centroids)
+      // `novel` stays single-evaluation: its one action is the staged
+      // write below, except when tombstones are outstanding — then the
+      // reincarnation guard needs a second action, so checkpoint first
+      val docs0 = novel
+      val docs =
+        if (tombstones(org.apache.spark.sql.SparkSession.active, root)
+            .isDefined) docs0.localCheckpoint()
+        else docs0
+      requireNoTombstoned(docs, root, "IvfStore.appendBatch")
+      val obs = new org.apache.spark.sql.Observation()
+      Ann.ivfStoredRowsWithDist(docs, h.centroids)
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("adist").cast("double")).as("s"))
+        .drop("adist")
         .repartition(col("list_id"))
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(s"$staging/vectors")
+      // drift aggregates persist WITH the staging (the accepted set is
+      // fixed at first evaluation; a replay publishes without re-running
+      // `novel`, so the observation only exists on this first attempt)
+      readObs2(obs).foreach { case (n, s) =>
+        writeSmall(fs, new HPath(s"$staging/drift_stats.json"),
+          s"""{"n":$n,"sum":$s}""")
+      }
       writeSmall(fs, stagedDone, "")
     }
     val staged = new HPath(s"$staging/vectors")
@@ -124,10 +176,19 @@ object IvfStore {
     }
     fs.mkdirs(new HPath(s"$root/_stream_commits"))
     writeSmall(fs, marker, "")
+    // drift merge strictly AFTER the marker: a replayed bid no-ops at the
+    // marker check and can never double-count; a crash between marker and
+    // merge loses this drop's drift record (stale advisory, never wrong)
+    val ds = new HPath(s"$staging/drift_stats.json")
+    if (fs.exists(ds)) {
+      val j = readSmall(fs, ds)
+      recordDrop(root, TextIndex.jsonField(j, "n"), jsonD(j, "sum"))
+    }
     fs.delete(new HPath(staging), true)
     if (autoCompactAt > 0 &&
         countPartFiles(fs, new HPath(root, "vectors")) > autoCompactAt)
       compact(org.apache.spark.sql.SparkSession.active, h)
+    }
   }
 
   private def countPartFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -154,7 +215,8 @@ object IvfStore {
     * seeded a CENTROID does not move the quantizer — frozen geometry is
     * the delta contract, and the seed's VALUE is part of the index, not
     * a live vector. */
-  def retire(ids: DataFrame, index: Ann.IvfIndex): Ann.IvfIndex = {
+  def retire(ids: DataFrame, index: Ann.IvfIndex): Ann.IvfIndex =
+      Lease.withLease(index.root, "IvfStore.retire") {
     val fs = fsOf(index.root)
     val pending = new HPath(index.root, "retire.pending")
     fs.delete(pending, true)
@@ -193,7 +255,8 @@ object IvfStore {
     * identical before and after (spec-pinned); crash-safe via the
     * swap-with-backup discipline [[open]] restores. */
   def compact(spark: SparkSession, index: Ann.IvfIndex,
-              filesPerPartition: Int = 1): Ann.IvfIndex = {
+              filesPerPartition: Int = 1): Ann.IvfIndex =
+      Lease.withLease(index.root, "IvfStore.compact") {
     require(filesPerPartition >= 1)
     val fs = fsOf(index.root)
     restoreInterruptedSwap(fs, index.root, "vectors")
@@ -205,6 +268,15 @@ object IvfStore {
           Seq("vid"), "left_anti")
       case None => spark.read.parquet(s"${index.root}/vectors")
     }
+    // A full retirement would compact into a zero-row partitionBy dir
+    // (only _SUCCESS) that open/probe can't infer a schema from — the
+    // index would be unreadable until rebuild (round-14 ADVICE). Refuse:
+    // probes keep working (tombstones apply logically at probe time).
+    if (tomb.isDefined)
+      require(live.select("vid").limit(1).count() > 0,
+        s"IvfStore.compact: tombstones at ${index.root} retire EVERY " +
+          "live vector — compacting would write an empty unreadable " +
+          "index. Delete or rebuild instead of compacting a full retirement")
     live
       .repartition(col("list_id"),
         pmod(xxhash64(col("vid")), lit(filesPerPartition)))
@@ -230,5 +302,136 @@ object IvfStore {
     healPending(root)
     fs.delete(new HPath(root, "retire.pending"), true)
     Ann.openIvfIndex(spark, root)
+  }
+
+  // ===================== recall-drift monitoring =========================
+  //
+  // The frozen-quantizer delta contract is standard IVF practice, but its
+  // failure mode is SILENT: a pipeline appending distribution-drifted
+  // embeddings for months gets steadily worsening probe recall with no
+  // signal — drifted vectors land far from every stored centroid, cram
+  // into a few lists, and nprobe stops covering the true neighbors. The
+  // per-vector squared assignment distance (`adist`) is the observable:
+  // in-distribution drops reproduce the build-time residual distribution;
+  // drifted drops inflate it. Every write pass already computes the
+  // assignment, so the monitor costs zero extra jobs (`Dataset.observe`
+  // on the staging write — the cap-drop pattern).
+
+  /** Drift state of a persisted index: the build-time residual baseline
+    * vs everything appended since (cumulative) and the most recent drop.
+    * [[ratio]] ~ 1.0 for in-distribution appends; it grows as appends
+    * drift off the frozen quantizer's geometry. */
+  final case class IvfDrift(buildN: Long, buildMean: Double,
+                            buildStd: Double, appendedN: Long,
+                            appendedMean: Double, lastDropN: Long,
+                            lastDropMean: Double) {
+    /** Mean appended residual over mean build residual. */
+    def ratio: Double =
+      if (appendedN == 0 || buildMean <= 0) 1.0 else appendedMean / buildMean
+    /** Rebuild advisory: appended residuals exceed the baseline by
+      * `bound`× over a non-noise sample. The remedy is a rebuild
+      * ([[Ann.writeIvfIndex]] re-derives the quantizer over the union
+      * corpus and writes a FRESH baseline); the bound is a policy knob —
+      * 1.5 flags a clearly stale geometry while tolerating ordinary
+      * corpus evolution. */
+    def rebuildAdvised(bound: Double = 1.5): Boolean =
+      appendedN >= 16 && ratio > bound
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Drift state at `root`: None for an index built before the monitor
+    * existed (no baseline — rebuild to start monitoring). */
+  def driftStats(spark: SparkSession, root: String): Option[IvfDrift] = {
+    val fs = fsOf(root)
+    val p = new HPath(root, "drift.json")
+    if (!fs.exists(p)) None
+    else {
+      val j = readSmall(fs, p)
+      val buildN = TextIndex.jsonField(j, "build_n")
+      val appN = TextIndex.jsonField(j, "app_n")
+      val lastN = TextIndex.jsonField(j, "last_n")
+      Some(IvfDrift(buildN, jsonD(j, "build_mean"), jsonD(j, "build_std"),
+        appN, if (appN > 0) jsonD(j, "app_sum") / appN else 0.0,
+        lastN, if (lastN > 0) jsonD(j, "last_sum") / lastN else 0.0))
+    }
+  }
+
+  /** Numeric JSON field as Double (the metas otherwise hold only longs;
+    * drift means/stds are genuinely fractional). */
+  private def jsonD(s: String, k: String): Double = {
+    val parts = s.split(s""""$k":""")
+    if (parts.length < 2) 0.0
+    else parts(1).takeWhile(c => c.isDigit || "+-.eE".contains(c)).toDouble
+  }
+
+  /** Bounded read of an (n, sum) observation — the staging write is the
+    * action, so metrics arrive within milliseconds of it; None (skip the
+    * advisory update, never block a pipeline) if they don't. */
+  private def readObs2(obs: org.apache.spark.sql.Observation): Option[(Long, Double)] = {
+    val deadline = System.nanoTime() + 30000000000L // 30 s
+    while (!obs.future.isCompleted && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    if (!obs.future.isCompleted) None
+    else {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(1, "s"))
+      if (row.length < 2 || row.isNullAt(0)) None
+      else Some((row.getLong(0),
+        if (row.isNullAt(1)) 0.0 else row.getDouble(1)))
+    }
+  }
+
+  /** Write the build-time residual baseline (called by
+    * [[Ann.writeIvfIndex]] on the same pass that writes the lists).
+    * A rebuild thus RESETS the drift ledger — fresh geometry, fresh
+    * baseline, cumulative append stats back to zero. */
+  private[graft] def writeDriftBaseline(
+      root: String, obs: org.apache.spark.sql.Observation): Unit = {
+    val deadline = System.nanoTime() + 30000000000L
+    while (!obs.future.isCompleted && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    if (obs.future.isCompleted) {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(1, "s"))
+      if (row.length == 3 && !row.isNullAt(0) && row.getLong(0) > 0) {
+        val n = row.getLong(0)
+        val s = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+        val s2 = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
+        val mean = s / n
+        val variance = math.max(0.0, s2 / n - mean * mean)
+        writeSmall(fsOf(root), new HPath(root, "drift.json"),
+          s"""{"build_n":$n,"build_mean":$mean,""" +
+            s""""build_std":${math.sqrt(variance)},"app_n":0,""" +
+            s""""app_sum":0.0,"last_n":0,"last_sum":0.0}""")
+      }
+    }
+  }
+
+  /** Merge one drop's residual aggregates into the ledger and warn when
+    * the advisory FIRST crosses its bound (once per crossing, not per
+    * append). No-ops without a baseline (pre-monitor index). */
+  private def recordDrop(root: String, n: Long, s: Double): Unit = {
+    if (n <= 0) return
+    val fs = fsOf(root)
+    val p = new HPath(root, "drift.json")
+    if (!fs.exists(p)) return
+    val j = readSmall(fs, p)
+    val before = driftStats(org.apache.spark.sql.SparkSession.active, root)
+    val appN = TextIndex.jsonField(j, "app_n") + n
+    val appSum = jsonD(j, "app_sum") + s
+    writeSmall(fs, p,
+      s"""{"build_n":${TextIndex.jsonField(j, "build_n")},""" +
+        s""""build_mean":${jsonD(j, "build_mean")},""" +
+        s""""build_std":${jsonD(j, "build_std")},""" +
+        s""""app_n":$appN,"app_sum":$appSum,"last_n":$n,"last_sum":$s}""")
+    val after = driftStats(org.apache.spark.sql.SparkSession.active, root)
+    if (after.exists(_.rebuildAdvised()) &&
+        !before.exists(_.rebuildAdvised()))
+      log.warn(s"IvfStore: appended-residual drift at $root crossed the " +
+        s"rebuild bound (ratio ${after.map(_.ratio).getOrElse(0.0)} over " +
+        s"$appN appended vectors) — probe recall is degrading under the " +
+        "frozen quantizer; rebuild with Ann.writeIvfIndex to refresh the " +
+        "geometry and reset the baseline")
   }
 }

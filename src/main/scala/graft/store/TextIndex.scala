@@ -82,7 +82,8 @@ object TextIndex {
         pmod(TextOps.md5Long(col("token")), lit(buckets.toLong)))
 
   def write(docs: DataFrame, path: String, buckets: Int = 64,
-            text: String = "text"): Handle = {
+            text: String = "text"): Handle =
+      Lease.withLease(path, "TextIndex.write") {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     // A rebuild SUPERSEDES any staged append at this path — even one past
     // its `_staged` commit marker. Without this discard, the next
@@ -167,7 +168,8 @@ object TextIndex {
   /** [[append]] with an injected crash point — spec-only seam for the
     * heal matrix (2 = before the commit marker, 4 = after it). */
   private[store] def append(newDocs: DataFrame, h: Handle, text: String,
-                            crashAfterStep: Int): Handle = {
+                            crashAfterStep: Int): Handle =
+      Lease.withLease(h.path, "TextIndex.append") {
     def crash(step: Int): Unit = if (step == crashAfterStep)
       throw new IllegalStateException(s"injected crash after step $step")
     // a legacy (pre-BM25) index carries bigL = -1 as a refusal marker;
@@ -304,7 +306,8 @@ object TextIndex {
     * [[open]] (or the next compact) restores an interrupted swap. Run
     * offline, like every reference maintenance tool. */
   def compact(spark: SparkSession, h: Handle,
-              filesPerPartition: Int = 1): Handle = {
+              filesPerPartition: Int = 1): Handle =
+      Lease.withLease(h.path, "TextIndex.compact") {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1: $filesPerPartition")
     val fs = fsOf(h.path)
@@ -354,6 +357,7 @@ object TextIndex {
     * phrase probes only its terms' buckets. */
   def writePositional(docs: DataFrame, h: Handle,
                       text: String = "text"): Unit =
+      Lease.withLease(h.path, "TextIndex.writePositional") {
     docs
       .select(col("doc_id"),
         posexplode(TextOps.tokens(col(text))).as(Seq("pos", "token")))
@@ -361,6 +365,7 @@ object TextIndex {
         pmod(TextOps.md5Long(col("token")), lit(h.buckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${h.path}/positions")
+    }
 
   /** Exact phrase search over the positional tier — [[TextOps
     * .phraseSearch]] semantics (consecutive tokens, overlapping matches

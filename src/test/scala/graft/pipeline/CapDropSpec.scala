@@ -71,4 +71,59 @@ class CapDropSpec extends SparkSpec {
     val st3 = Dedup.lastCapDropStats().get
     assert(st3.droppedRows === 0L && st3.droppedBuckets === 0L)
   }
+
+  test("concurrent capped queries each read their OWN stats (per-thread handles)") {
+    // round-14 VERDICT #2: the JVM-global last-writer-wins reference let
+    // two concurrent capped tiers clobber each other. Two threads run
+    // distinguishable workloads (5-copy vs 3-copy hot cluster) many
+    // times; each must always see its own maxBucketSeen.
+    val s = spark
+    import s.implicits._
+    // each corpus keeps one under-cap pair so the result is nonempty —
+    // a fully-capped EMPTY result hits AQE's empty-relation propagation
+    // (the documented None case the library tiers avoid by checkpointing)
+    def corpus(copies: Int) = (Seq.tabulate(copies)(i =>
+        (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
+        Seq((90L, "one two three four five six seven"),
+          (91L, "one two three four five six seven")))
+      .toDF("doc_id", "text")
+    def runCapped(copies: Int): Dedup.CapDropStats = {
+      val sigs = Dedup.minhashSignatures(
+        Dedup.shingleHashRows(corpus(copies), 3, distinct = false), 32)
+      Dedup.lshCandidates(sigs, bands = 16, rowsPerBand = 2,
+        maxBucket = 2).collect()
+      val h = Dedup.capDropHandle().get // this thread's own run
+      h.stats().get
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rounds = 4
+    val a = Future(Seq.fill(rounds)(runCapped(5)))
+    val b = Future(Seq.fill(rounds)(runCapped(3)))
+    val (ra, rb) = (Await.result(a, Duration(120, "s")),
+      Await.result(b, Duration(120, "s")))
+    assert(ra.forall(_.maxBucketSeen === 5L),
+      s"thread A saw ${ra.map(_.maxBucketSeen)} — clobbered by thread B")
+    assert(rb.forall(_.maxBucketSeen === 3L),
+      s"thread B saw ${rb.map(_.maxBucketSeen)} — clobbered by thread A")
+    assert(ra.forall(_.droppedRows === 80L) &&
+      rb.forall(_.droppedRows === 48L))
+  }
+
+  test("an unexecuted capped plan returns None within the poll bound, not a stall") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingleHashRows(docs, 3, distinct = false), 32)
+    // build the plan, never run an action on it
+    Dedup.lshCandidates(sigs, bands = 16, rowsPerBand = 2, maxBucket = 2)
+    val t0 = System.nanoTime()
+    val st = Dedup.capDropHandle().get.stats(waitMs = 300)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(st.isEmpty, "no action ran — must not report stats")
+    assert(elapsedMs < 5000, s"bounded poll expected, took ${elapsedMs}ms")
+  }
 }

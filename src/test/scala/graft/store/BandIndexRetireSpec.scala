@@ -127,4 +127,47 @@ class BandIndexRetireSpec extends SparkSpec {
     assert(rows(Dedup.nearDupPairsAgainstIndex(hApp, batch, 0.8)) ===
       rows(Dedup.nearDupPairsAgainstIndex(expect, batch, 0.8)))
   }
+
+  test("re-appending a TOMBSTONED doc_id fails fast; compact-then-append succeeds") {
+    // reincarnation hazard (round-14 VERDICT): a tombstone would silently
+    // suppress the re-appended doc until the next compact — the contract
+    // is fail-fast at append, with compact (applies + clears) as the
+    // sanctioned takedown-then-repost path
+    val h = BandIndex.write(corpus, freshPath("reinc"))
+    val victim = corpus.where(col("doc_id") === 11)
+    assert(victim.count() === 1)
+    BandIndex.retire(victim.select("doc_id"), h)
+    val e = intercept[IllegalArgumentException](
+      BandIndex.append(victim, BandIndex.open(h.path)))
+    assert(e.getMessage.contains("tombstoned") &&
+      e.getMessage.contains("compact"))
+    // the streaming append enforces the same contract
+    val e2 = intercept[IllegalArgumentException](
+      BandIndex.appendBatch(h.path, bid = 0)(victim))
+    assert(e2.getMessage.contains("tombstoned"))
+    // sanctioned path: compact applies + clears the tombstone, then the
+    // repost lands and probes answer for it again
+    val hc = BandIndex.compact(spark, BandIndex.open(h.path))
+    val hr = BandIndex.append(victim, hc)
+    val expect = BandIndex.write(corpus, freshPath("reinc-fresh"))
+    assert(rows(Dedup.nearDupPairsAgainstIndex(hr, batch, 0.8)) ===
+      rows(Dedup.nearDupPairsAgainstIndex(expect, batch, 0.8)))
+  }
+
+  test("compact refuses a FULL retirement instead of writing an unreadable index") {
+    // tombstones covering every live doc would compact into a zero-row
+    // partitionBy dir (only _SUCCESS) — unreadable until rebuild
+    // (round-14 ADVICE). The refusal keeps the index fully probe-able.
+    val h = BandIndex.write(corpus.where(col("doc_id") < 30),
+      freshPath("full-ret"))
+    BandIndex.retire(
+      corpus.where(col("doc_id") < 30).select("doc_id"), h)
+    val e = intercept[IllegalArgumentException](
+      BandIndex.compact(spark, BandIndex.open(h.path)))
+    assert(e.getMessage.contains("EVERY live"))
+    // still readable and probes still exclude everything retired
+    val probe = Dedup.nearDupPairsAgainstIndex(BandIndex.open(h.path),
+      batch, 0.8)
+    assert(probe.count() === 0)
+  }
 }

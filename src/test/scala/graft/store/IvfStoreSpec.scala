@@ -115,4 +115,39 @@ class IvfStoreSpec extends SparkSpec {
     IvfStore.open(spark, root)
     assert(!new java.io.File(s"$root/retire.pending").exists)
   }
+
+  test("re-appending a TOMBSTONED vec_id fails fast; compact-then-append succeeds") {
+    val root = tmpDir("ivf-reinc")
+    val h = Ann.writeIvfIndex(emb.where(col("vec_id") < 250), root,
+      nlist = 16, kmeansIters = 0)
+    val victim = emb.where(col("vec_id") === 100)
+    IvfStore.retire(victim.select("vec_id"), h)
+    val e = intercept[IllegalArgumentException](IvfStore.append(victim, h))
+    assert(e.getMessage.contains("tombstoned") &&
+      e.getMessage.contains("compact"))
+    val e2 = intercept[IllegalArgumentException](
+      IvfStore.appendBatch(root, bid = 0)(victim))
+    assert(e2.getMessage.contains("tombstoned"))
+    // sanctioned repost: compact applies + clears, append lands, and the
+    // reincarnated vector is findable again (cosine-1 self hit)
+    val hc = IvfStore.compact(spark, h)
+    IvfStore.append(victim, hc)
+    val probe = victim.withColumn("vec_id", lit(9100L))
+    val hit = IvfStore.probeTopK(probe, IvfStore.open(spark, root), k = 1)
+      .collect()
+    assert(hit.length === 1 && hit(0).getLong(1) === 100L)
+  }
+
+  test("compact refuses a FULL retirement instead of writing an unreadable index") {
+    val root = tmpDir("ivf-full-ret")
+    val sub = emb.where(col("vec_id") < 64)
+    val h = Ann.writeIvfIndex(sub, root, nlist = 4, kmeansIters = 0)
+    IvfStore.retire(sub.select("vec_id"), h)
+    val e = intercept[IllegalArgumentException](IvfStore.compact(spark, h))
+    assert(e.getMessage.contains("EVERY"))
+    // the index stays open-able and the probe answers (empty: everything
+    // is retired, excluded logically) instead of throwing schema errors
+    val got = IvfStore.probeTopK(queries, IvfStore.open(spark, root), k = 5)
+    assert(got.count() === 0)
+  }
 }

@@ -1,0 +1,98 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.pipeline.Ann
+import org.apache.spark.sql.functions._
+
+/** Single-writer lease on the persisted stores: a live foreign lease
+  * fails every mutation fast, a crashed writer's stale lease is taken
+  * over, the lease is released on success AND on failure, and nested
+  * store operations (appendBatch → auto-compact, append → heal) re-enter
+  * the held lease instead of deadlocking. */
+class LeaseSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs =
+    spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb =
+    spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val base = docs.where(col("doc_id") < 20)
+  private lazy val drop = docs.where(col("doc_id") >= 400 && col("doc_id") < 405)
+
+  test("live foreign lease fails BandIndex / IvfStore / TextIndex mutations fast") {
+    val bp = tmpDir("lease-band")
+    val h = BandIndex.write(base, bp)
+    Lease.plant(bp, ageMs = 0) // a live concurrent writer
+    for (op <- Seq[() => Any](
+        () => BandIndex.write(base, bp),
+        () => BandIndex.append(drop, h),
+        () => BandIndex.appendBatch(bp, bid = 0)(drop),
+        () => BandIndex.retire(drop.select("doc_id"), h),
+        () => BandIndex.compact(spark, h))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("another writer holds the lease"))
+    }
+    assert(Lease.exists(bp), "a failed acquire must not release the foreign lease")
+
+    val ip = tmpDir("lease-ivf")
+    val ebase = emb.where(col("vec_id") < 64)
+    val ih = Ann.writeIvfIndex(ebase, ip, nlist = 4, kmeansIters = 0)
+    Lease.plant(ip, ageMs = 0)
+    val vdrop = emb.where(col("vec_id") >= 400 && col("vec_id") < 405)
+    for (op <- Seq[() => Any](
+        () => Ann.writeIvfIndex(ebase, ip, nlist = 4, kmeansIters = 0),
+        () => IvfStore.append(vdrop, ih),
+        () => IvfStore.appendBatch(ip, bid = 0)(vdrop),
+        () => IvfStore.retire(vdrop.select("vec_id"), ih),
+        () => IvfStore.compact(spark, ih))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("another writer holds the lease"))
+    }
+
+    val tp2 = tmpDir("lease-text")
+    val th = TextIndex.write(base, tp2, buckets = 4)
+    Lease.plant(tp2, ageMs = 0)
+    for (op <- Seq[() => Any](
+        () => TextIndex.write(base, tp2, buckets = 4),
+        () => TextIndex.append(drop, th),
+        () => TextIndex.compact(spark, th),
+        () => TextIndex.writePositional(base, th))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("another writer holds the lease"))
+    }
+  }
+
+  test("a crashed writer's stale lease is taken over and the op succeeds") {
+    val bp = tmpDir("lease-stale")
+    val h = BandIndex.write(base, bp)
+    Lease.plant(bp, ageMs = Lease.staleMs + 60000) // crashed long ago
+    val h2 = BandIndex.append(drop, h) // takes over, completes
+    assert(h2.nDocs === 25)
+    assert(!Lease.exists(bp), "released after the takeover op")
+  }
+
+  test("lease is released on success and on failure") {
+    val bp = tmpDir("lease-release")
+    BandIndex.write(base, bp)
+    assert(!Lease.exists(bp))
+    // a FAILING mutation (reincarnated doc_id) must still release
+    val h = BandIndex.open(bp)
+    val someDoc = docs.where(col("doc_id") === 3)
+    BandIndex.retire(someDoc.select("doc_id"), h)
+    intercept[IllegalArgumentException](BandIndex.append(someDoc, h))
+    assert(!Lease.exists(bp), "released after the failed append")
+    // and the store is still writable afterwards (fresh, un-retired ids)
+    val h3 = BandIndex.append(drop, BandIndex.open(bp))
+    assert(h3.nDocs === 25)
+  }
+
+  test("nested store ops re-enter the held lease (appendBatch auto-compact)") {
+    val bp = tmpDir("lease-reenter")
+    BandIndex.write(base, bp)
+    // autoCompactAt = 1 forces an in-line compact inside the held lease;
+    // without reentrancy this would fail on its own lease
+    BandIndex.appendBatch(bp, bid = 0, autoCompactAt = 1)(drop)
+    assert(!Lease.exists(bp))
+    assert(BandIndex.open(bp).nDocs === 25)
+  }
+}

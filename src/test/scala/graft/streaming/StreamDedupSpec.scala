@@ -78,6 +78,32 @@ class StreamDedupSpec extends SparkSpec {
     assert(rowsOf(off) === rowsOf(h))
   }
 
+  test("appendBatch evaluates its novel plan exactly ONCE per batch") {
+    // round-14 VERDICT: the two staging writes + the intent count were
+    // three separate actions over the same uncached plan — in StreamDedup
+    // that plan is the corpus probe + verify anti-join, re-run ~3× per
+    // micro-batch. The eager localCheckpoint must make it exactly one
+    // evaluation; a row-counting UDF in the novel plan proves it.
+    val path = tmpDir("sdx-oneeval")
+    BandIndex.write(mkDf(base), path)
+    val acc = spark.sparkContext.longAccumulator("novel-evals")
+    val tick = udf((id: Long) => { acc.add(1L); id })
+    val novel = mkDf(Seq(
+        doc(800, "single evaluation probe document body"),
+        doc(801, "second single evaluation document body")))
+      .withColumn("doc_id", tick(col("doc_id")))
+    BandIndex.appendBatch(path, bid = 3)(novel)
+    assert(BandIndex.open(path).nDocs === 5)
+    assert(acc.value === 2L,
+      s"2 rows but ${acc.value} UDF evaluations — the novel plan ran " +
+        s"${acc.value / 2}×; appendBatch must evaluate it exactly once")
+    // the intent's count matches what actually staged (observed metric)
+    val hits = Dedup.nearDupPairsAgainstIndex(BandIndex.open(path),
+        mkDf(Seq(doc(902, "single evaluation probe document body"))), 0.8)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(800L))
+  }
+
   test("rebuild supersedes streaming state: old bid markers cannot suppress a fresh stream") {
     val path = tmpDir("sdx-rebuild")
     BandIndex.write(mkDf(base), path)

@@ -23,6 +23,7 @@ Usage: python3 tools/x100check.py <x100dir> <probe_outdir> [domains]
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -68,7 +69,18 @@ for name, sql in (("q15_dedup_neardup", Q15_AGG),
     try:
         rows = load(name)
     except AssertionError:
-        print(f"{name}: no dump, skipped")
+        # A missing dump is a FAILURE unless the leg was explicitly
+        # excluded (X100CHECK_SKIP=name1,name2 — set it to mirror a
+        # SPARK_GRAFT_PROBE_ONLY partial probe run). Round-14 ADVICE: the
+        # unconditional skip let a crashed/filtered leg pass vacuously.
+        skips = {s.strip() for s in
+                 os.environ.get("X100CHECK_SKIP", "").split(",") if s.strip()}
+        if name in skips:
+            print(f"{name}: no dump, explicitly excluded (X100CHECK_SKIP)")
+        else:
+            print(f"{name}: FAIL — no dump under {outdir} and not in "
+                  f"X100CHECK_SKIP (did the ScaleProbe leg run?)")
+            fails += 1
         continue
     ka, kb = ("doc_a", "doc_b")
     cross = [r for r in rows if r[ka] // OFF != r[kb] // OFF]
