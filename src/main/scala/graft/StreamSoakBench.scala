@@ -50,7 +50,11 @@ object StreamSoakBench {
       if (!d.exists) 0
       else d.listFiles.map { f =>
         if (f.isDirectory) partFiles(f.getPath)
-        else if (f.getName.contains("part-")) 1 else 0
+        // skip Hadoop .crc sidecars — the library's Hadoop-API counter
+        // never sees them (ChecksumFileSystem hides them)
+        else if (!f.getName.startsWith(".") &&
+          f.getName.contains("part-")) 1
+        else 0
       }.sum
     }
 

@@ -282,10 +282,17 @@ object Sketches {
                             dayNs: Long = 86400000000000L): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val withDay = df.withColumn("_day", expr(s"$timeCol div ${dayNs}L"))
-    val daily = hllRegisters(withDay, keys :+ "_day", valueCol, p)
-      .withColumnRenamed("_day", "_rday")
+    // rename EVERY join column on the daily side, not just _day: both
+    // sides descend from withDay, so daily(k) === grid(k) compares one
+    // attribute to itself — correct under Spark's self-join
+    // disambiguation but warned as a trivially-true predicate on every
+    // run (r14 bench-log hygiene finding)
+    val daily = keys.foldLeft(
+        hllRegisters(withDay, keys :+ "_day", valueCol, p)
+          .withColumnRenamed("_day", "_rday"))(
+        (d, k) => d.withColumnRenamed(k, "_r" + k))
     val grid = withDay.select((keys.map(col) :+ col("_day")): _*).distinct()
-    val joinCond = keys.map(k => daily(k) === grid(k))
+    val joinCond = keys.map(k => daily("_r" + k) === grid(k))
       .reduce(_ && _) &&
       daily("_rday") > grid("_day") - windowDays.toLong &&
       daily("_rday") <= grid("_day")
