@@ -29,12 +29,12 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *    the same root (e.g. `appendBatch` auto-compact, append's heal)
   *    re-enters the held lease instead of deadlocking on itself.
   *
-  * The holder does not heartbeat DURING an operation, so `staleMs`
-  * bounds the longest mutation a deployment expects (default 30 min —
-  * appends are O(drop) and compacts are bounded rewrites; raise
-  * [[Lease.staleMs]] for a deployment whose compacts run longer).
-  * Readers (probes, `open`) take no lease: every table here exposes
-  * append-only or swap-published state that readers tolerate by design. */
+  * A daemon heartbeat refreshes the lease timestamp every `staleMs / 3`
+  * while an operation runs, so `staleMs` (default 30 min) bounds how
+  * fast a CRASHED writer is detected — not how long a live compact may
+  * take. Readers (probes, `open`) take no lease: every table here
+  * exposes append-only or swap-published state that readers tolerate by
+  * design. */
 object Lease {
   import TextIndex.{fsOf, readSmall, writeSmall}
 
@@ -54,21 +54,44 @@ object Lease {
   private def leasePath(root: String) = new HPath(root, "_writer.lease")
 
   /** Run `body` as the sole writer at `root`. Fail-fast
-    * IllegalStateException if another live writer holds the lease. */
+    * IllegalStateException if another live writer holds the lease.
+    * While held, a daemon heartbeat rewrites the lease timestamp every
+    * `staleMs / 3`, so liveness detection is independent of how long the
+    * operation runs — `staleMs` bounds crash DETECTION latency, not the
+    * longest permissible compact. */
   def withLease[T](root: String, op: String)(body: => T): T = {
     val key = new HPath(root).toString // normalized
     if (held.get().contains(key)) return body // reentrant on this thread
     val fs = fsOf(root)
-    acquire(fs, root, op)
+    val owner = ownerId
+    acquire(fs, root, op, owner)
     held.get() += key
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        try Thread.sleep(math.max(250L, staleMs / 3))
+        catch { case _: InterruptedException => stop.set(true) }
+        if (!stop.get())
+          // overwrite-create; a reader catching the file mid-write parses
+          // it as live (conservative) and retries
+          try writeSmall(fs, leasePath(root),
+            s"""{"owner":"$owner","ts":${System.currentTimeMillis()}}""")
+          catch { case _: Exception => () }
+      }
+    }, s"graft-lease-heartbeat-$key")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
+      stop.set(true)
+      beat.interrupt()
       held.get() -= key
       fs.delete(leasePath(root), false)
     }
   }
 
-  private def acquire(fs: FileSystem, root: String, op: String): Unit = {
+  private def acquire(fs: FileSystem, root: String, op: String,
+                      owner: String): Unit = {
     val p = leasePath(root)
     if (fs.exists(p)) {
       // read defensively: a lease mid-write (or 0-byte from a dying
@@ -96,7 +119,7 @@ object Lease {
               "concurrent writers", e)
       }
     try out.write(
-      s"""{"owner":"$ownerId","ts":${System.currentTimeMillis()}}"""
+      s"""{"owner":"$owner","ts":${System.currentTimeMillis()}}"""
         .getBytes("UTF-8"))
     finally out.close()
   }

@@ -86,6 +86,32 @@ class LeaseSpec extends SparkSpec {
     assert(h3.nDocs === 25)
   }
 
+  test("heartbeat keeps a LONG operation's lease live past staleMs") {
+    // staleMs bounds crash DETECTION, not op duration: with a 2 s
+    // horizon, an op running 5 s must still hold off a waiter probing at
+    // 3.5 s — the daemon heartbeat refreshes the timestamp under it
+    val bp = tmpDir("lease-beat")
+    val prev = Lease.staleMs
+    Lease.staleMs = 2000
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val slowOp = Future(Lease.withLease(bp, "spec.slowOp") {
+        Thread.sleep(5000); "done"
+      })
+      Thread.sleep(3500) // well past staleMs, inside the op
+      val e = intercept[IllegalStateException](
+        Lease.withLease(bp, "spec.waiter") { "stolen" })
+      assert(e.getMessage.contains("another writer holds the lease"),
+        "the heartbeat must keep the running op's lease live")
+      assert(Await.result(slowOp, Duration(30, "s")) === "done")
+      assert(!Lease.exists(bp))
+      // and once released, a new writer proceeds immediately
+      assert(Lease.withLease(bp, "spec.next") { 42 } === 42)
+    } finally Lease.staleMs = prev
+  }
+
   test("nested store ops re-enter the held lease (appendBatch auto-compact)") {
     val bp = tmpDir("lease-reenter")
     BandIndex.write(base, bp)
