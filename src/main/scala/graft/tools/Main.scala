@@ -58,7 +58,8 @@ object Main {
       |  ann-index append <embeddings.parquet> <index-dir>
       |  ann-index probe [--k N] [--nprobe N] <index-dir> <queries.parquet>
       |  ann-index retire <ids.parquet> <index-dir>
-      |  ann-index compact [--files N] <index-dir>""".stripMargin
+      |  ann-index compact [--files N] <index-dir>
+      |  ann-index drift <index-dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
@@ -424,7 +425,33 @@ object Main {
       case "append" :: embPath :: idxDir :: Nil =>
         IvfStore.append(spark.read.parquet(embPath),
           IvfStore.open(spark, idxDir))
-        println(s"appended into $idxDir (quantizer frozen)"); 0
+        val note = IvfStore.driftStats(spark, idxDir) match {
+          case Some(d) if d.rebuildAdvised() =>
+            f"; DRIFT ratio ${d.ratio}%.2f over ${d.appendedN} appended " +
+              "vectors — REBUILD ADVISED (ann-index build refreshes the " +
+              "geometry and resets the baseline)"
+          case Some(d) => f"; drift ratio ${d.ratio}%.2f"
+          case None => ""
+        }
+        println(s"appended into $idxDir (quantizer frozen)$note"); 0
+      case "drift" :: idxDir :: Nil =>
+        IvfStore.driftStats(spark, idxDir) match {
+          case Some(d) =>
+            println(f"build: n=${d.buildN} mean=${d.buildMean}%.1f " +
+              f"std=${d.buildStd}%.1f")
+            println(f"appended: n=${d.appendedN} mean=${d.appendedMean}%.1f " +
+              f"(last drop: n=${d.lastDropN} mean=${d.lastDropMean}%.1f)")
+            println(f"ratio=${d.ratio}%.3f rebuild_advised=" +
+              s"${d.rebuildAdvised()}")
+            if (d.rebuildAdvised())
+              println("appends have drifted off the frozen quantizer — " +
+                "probe recall is degrading; rebuild with `ann-index build` " +
+                "(re-derives centroids over the union, resets the baseline)")
+            0
+          case None =>
+            println(s"no drift baseline at $idxDir (index predates the " +
+              "monitor) — rebuild to start monitoring"); 0
+        }
       case "probe" :: r =>
         var k = 5; var nprobe = 4
         def opts(l: List[String]): List[String] = l match {
@@ -461,7 +488,8 @@ object Main {
             println(s"compacted $idxDir"); 0
           case _ => fail("ann-index compact: expected [--files N] <index-dir>")
         }
-      case _ => fail("ann-index: expected build|append|probe|retire|compact ...")
+      case _ =>
+        fail("ann-index: expected build|append|probe|retire|compact|drift ...")
     }
   }
 

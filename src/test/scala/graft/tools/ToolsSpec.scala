@@ -175,6 +175,7 @@ class ToolsSpec extends SparkSpec {
     assert(hit2(0).getLong(1) !== 400L)
     assert(Main.run(Array("ann-index", "compact", idx), spark) === 0)
     assert(Main.run(Array("ann-index", "probe", idx), spark) === 1)
+    assert(Main.run(Array("ann-index", "drift", idx), spark) === 0)
     assert(Main.run(Array("ann-index", "frob"), spark) === 1)
   }
 
