@@ -22,7 +22,14 @@ class StreamSoakSpec extends SparkSpec {
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val path = tmpDir("soak-idx")
     val ckpt = tmpDir("soak-ckpt")
-    val autoCompactAt = 16
+    // compact(filesPerPartition = 1) floors bands/ at 16 files (one per
+    // band partition), and the in-line compact runs INSIDE appendBatch —
+    // post-batch observations can never catch the count above the
+    // trigger when the trigger sits at that floor. A trigger BELOW the
+    // floor makes every crossing observable: post-batch counts rest at
+    // 16 > 8, proving the trigger region is genuinely reached while the
+    // bound still holds.
+    val autoCompactAt = 8
     val batches = 24
     val base = (0 until 10).map(i => (i.toLong, docText(i)))
       .toDF("doc_id", "text")
