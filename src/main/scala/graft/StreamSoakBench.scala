@@ -88,6 +88,15 @@ object StreamSoakBench {
         require(hits >= 1, s"batch $b: probe panel lost its corpus hit")
       }
     } finally q.stop()
+    // maintenance files must never leak into the data listings
+    def anyLease(dir: String): Boolean = {
+      val d = new java.io.File(dir)
+      d.exists && d.listFiles.exists(f =>
+        if (f.isDirectory) anyLease(f.getPath)
+        else f.getName.contains("_writer.lease"))
+    }
+    require(!anyLease(s"$path/bands") && !anyLease(s"$path/grams"),
+      "lease files leaked into bands/ or grams/")
 
     val h = BandIndex.open(path)
     require(h.nDocs == 20 + batches,

@@ -483,8 +483,12 @@ object Ann {
     locally {
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // drift.json goes too: if writeDriftBaseline below skips its write
+      // (empty corpus, observation timeout), the SUPERSEDED generation's
+      // ledger — possibly rebuildAdvised=true — must not be reported for
+      // the fresh index (round-15 ADVICE)
       for (d <- Seq("tombstones", "retire.pending", "append.pending",
-          "_stream_commits", "_stream_staging"))
+          "_stream_commits", "_stream_staging", "drift.json"))
         fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
     }
     val cents =
@@ -495,6 +499,7 @@ object Ann {
     val cRows = cents.zipWithIndex.map { case ((_, v), i) =>
       org.apache.spark.sql.Row(i.toLong, v.toSeq)
     }
+    graft.store.Lease.fence(root, "Ann.writeIvfIndex") // publish starts here
     spark.createDataFrame(java.util.Arrays.asList(cRows: _*), centroidSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     // drift baseline: the build-time assignment-residual distribution,

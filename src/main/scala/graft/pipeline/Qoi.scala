@@ -39,10 +39,12 @@ object Qoi {
     if ((channels != 3 && channels != 4) || colorspace > 1) return None
     // hostile-header allocation bound (round-14 ADVICE): a 22-byte stream
     // claiming 32768×32768 would force a ~4 GiB BufferedImage before any
-    // content validation. Bound total pixels, and require the stream to
-    // be at least the minimum encodable size for the claimed pixel count
-    // (QOI_OP_RUN covers ≤ 62 px/byte; header 14 + end marker 8).
-    if (w * h > (1L << 24)) return None
+    // content validation. Require the stream to be at least the minimum
+    // encodable size for the claimed pixel count (QOI_OP_RUN covers ≤ 62
+    // px/byte; header 14 + end marker 8) — allocation is then bounded at
+    // ~248 bytes per input byte, proportional, with NO hard pixel cap:
+    // spec-valid large images (> 2^24 px) stay decodable (round-15
+    // ADVICE — the earlier cap silently declined them).
     if (bytes.length < 14 + (w * h + 61) / 62 + 8) return None
     val n = (w * h).toInt
     val img = new BufferedImage(w.toInt, h.toInt, BufferedImage.TYPE_INT_RGB)

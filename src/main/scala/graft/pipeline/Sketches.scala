@@ -281,21 +281,32 @@ object Sketches {
                             windowDays: Int, p: Int = 9,
                             dayNs: Long = 86400000000000L): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(!keys.contains("_day") && valueCol != "_day" &&
+        timeCol != "_day",
+      "approxDistinctSliding: '_day' is reserved for the internal day column")
     val withDay = df.withColumn("_day", expr(s"$timeCol div ${dayNs}L"))
     // rename EVERY join column on the daily side, not just _day: both
     // sides descend from withDay, so daily(k) === grid(k) compares one
     // attribute to itself — correct under Spark's self-join
     // disambiguation but warned as a trivially-true predicate on every
-    // run (r14 bench-log hygiene finding)
-    val daily = keys.foldLeft(
-        hllRegisters(withDay, keys :+ "_day", valueCol, p)
-          .withColumnRenamed("_day", "_rday"))(
-        (d, k) => d.withColumnRenamed(k, "_r" + k))
+    // run (r14 bench-log hygiene finding). The prefix is grown until no
+    // rename TARGET collides with an existing column — a fixed "_r"
+    // collided when a user key was literally "day" ("_day"→"_rday" and
+    // "day"→"_rday" duplicated) or equaled "_r"+another (r15 ADVICE);
+    // one select applies all renames so targets are checked as a set.
+    val daily0 = hllRegisters(withDay, keys :+ "_day", valueCol, p)
+    val renameSrcs = keys :+ "_day"
+    var pfx = "_r"
+    while (renameSrcs.exists(s => daily0.columns.contains(pfx + s)))
+      pfx = pfx + "_"
+    val daily = daily0.select(daily0.columns.map { c =>
+      if (renameSrcs.contains(c)) col(c).as(pfx + c) else col(c)
+    }.toSeq: _*)
     val grid = withDay.select((keys.map(col) :+ col("_day")): _*).distinct()
-    val joinCond = keys.map(k => daily("_r" + k) === grid(k))
+    val joinCond = keys.map(k => daily(pfx + k) === grid(k))
       .reduce(_ && _) &&
-      daily("_rday") > grid("_day") - windowDays.toLong &&
-      daily("_rday") <= grid("_day")
+      daily(pfx + "_day") > grid("_day") - windowDays.toLong &&
+      daily(pfx + "_day") <= grid("_day")
     val merged = grid.join(daily, joinCond)
       .select((keys.map(grid(_)) :+ grid("_day").as("day") :+
         daily("_j") :+ daily("_mj")): _*)

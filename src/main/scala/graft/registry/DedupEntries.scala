@@ -494,6 +494,23 @@ private[registry] object DedupEntries {
              |WHERE inter * 25 >= n_sub * 24
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- the BandIndex drift monitor's observable (round 16): per-doc
+    //      DISTINCT shingle count, exactly the quantity whose per-drop
+    //      sum rides the gram staging write into band_drift.json
+    //      (BandIndex.driftStats aggregates these counts; BandDriftSpec
+    //      pins the statistic and the advisory, this row pins the
+    //      ingredient — q196's discipline for the LSH tier). Hashed
+    //      distinct count == textual distinct count by q15's 60-bit
+    //      injectivity; short docs (< 3 tokens) contribute their single
+    //      whole-text fallback gram on both sides ----
+    Entry("q197_shingle_stats",
+      (s, d) => Dedup.shingleHashRows(docs(s, d), n = 3)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $shCte
+              |SELECT doc_id, CAST(len(st) AS BIGINT) AS n_shingles
+              |FROM sh ORDER BY 1""".stripMargin)),
+
     // ---- per-doc n-gram novelty: fraction of a doc's distinct shingles
     //      first seen in THIS doc (smallest owning doc_id) — the
     //      crawl-saturation / originality signal ----

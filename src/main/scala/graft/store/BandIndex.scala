@@ -77,13 +77,24 @@ object BandIndex {
     // and would wrongly suppress docs of the new corpus
     fs.delete(new HPath(path, "tombstones"), true)
     fs.delete(new HPath(path, "retire.pending"), true)
+    // ...and the drift ledger: a rebuild re-derives the knee-rule
+    // geometry from THIS corpus, so the shingle baseline resets with it
+    // (and a skipped baseline write must not leave the superseded
+    // generation's ledger reporting for the new index)
+    fs.delete(new HPath(path, "band_drift.json"), true)
     Dedup.bandedRows(corpus, ngram, nHashes, nBands, text)
       .select(col("doc_id"), col("bkey"), col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // drift baseline: observe the corpus's distinct-shingle volume on the
+    // SAME pass that writes the gram table (zero extra jobs)
+    val gobs = new org.apache.spark.sql.Observation()
     Dedup.shingleHashRows(corpus, ngram, text, distinct = true)
+      .observe(gobs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/grams")
     val nDocs = corpus.count()
+    Lease.fence(path, "BandIndex.write") // meta is the publish point
     writeMeta(path, nDocs, ngram, nHashes, nBands)
+    readObs1(gobs).foreach(g => writeDriftBaseline(path, nDocs, g))
     Handle(path, nDocs, ngram, nHashes, nBands)
   }
 
@@ -151,6 +162,7 @@ object BandIndex {
       .write.mode("overwrite").parquet(s"${h.path}/retire.pending")
     val dst = new HPath(h.path, "tombstones")
     fs.mkdirs(dst)
+    Lease.fence(h.path, "BandIndex.retire")
     for (f <- fs.listStatus(pending)
          if f.isFile && f.getPath.getName.startsWith("part-"))
       renameOrFail(fs, f.getPath, new HPath(dst, f.getPath.getName))
@@ -198,7 +210,11 @@ object BandIndex {
       .select(col("doc_id"), col("bkey"), col("band"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"${h.path}/append.pending/bands")
+    // drift: observe the drop's distinct-shingle volume on the staging
+    // pass itself (zero extra jobs) — recorded after publish
+    val gobs = new org.apache.spark.sql.Observation()
     Dedup.shingleHashRows(newDocs, h.ngram, text, distinct = true)
+      .observe(gobs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"${h.path}/append.pending/grams")
     crash(1)
     // 2. intent: the TARGET count (idempotent for the roll-forward)
@@ -206,11 +222,17 @@ object BandIndex {
     writeSmall(fs, new HPath(pending, "intent.json"),
       s"""{"n_docs":$target}""")
     crash(2)
-    // 3. commit point
+    // 3. commit point — fenced: a writer that lost its lease to a
+    // stale-takeover while staging must not commit into the successor's
+    // generation (open() will then ABORT the unmarked staging)
+    Lease.fence(h.path, "BandIndex.append")
     writeSmall(fs, new HPath(pending, "_staged"), "")
     crash(3)
     // 4-6. publish (renames, meta, clean)
     publishPending(h.path)
+    // advisory update AFTER publish: a crash in this window loses the
+    // drop's drift record (statistic goes stale, never wrong/doubled)
+    readObs1(gobs).foreach(g => recordDrop(h.path, target - h.nDocs, g))
     h.copy(nDocs = target)
   }
 
@@ -231,6 +253,9 @@ object BandIndex {
     * loop is idempotent; the meta write lands the intent's absolute
     * target. */
   private def publishPending(path: String): Unit = {
+    // no-op from the lease-free heal path (open); aborts a leased writer
+    // whose lease was taken over while it staged
+    Lease.fence(path, "BandIndex.publishPending")
     val fs = fsOf(path)
     val pending = new HPath(path, "append.pending")
     val stagedBands = new HPath(pending, "bands")
@@ -310,7 +335,12 @@ object BandIndex {
         .select(col("doc_id"), col("bkey"), col("band"))
         .write.mode("overwrite").partitionBy("band")
         .parquet(s"$staging/bands")
+      // drift: the drop's distinct-shingle volume rides the gram staging
+      // write (zero extra jobs; persisted WITH the staging so a replay —
+      // which never re-runs `novel` — still merges it post-marker)
+      val gobs = new org.apache.spark.sql.Observation()
       Dedup.shingleHashRows(docs, h.ngram, text, distinct = true)
+        .observe(gobs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$staging/grams")
       val n = try {
         val row = scala.concurrent.Await.result(obs.future,
@@ -319,6 +349,10 @@ object BandIndex {
         else docs.count() // metrics node pruned (empty batch) — cheap scan
       } catch { // never observed — count the checkpointed blocks instead
         case _: java.util.concurrent.TimeoutException => docs.count()
+      }
+      readObs1(gobs).foreach { g =>
+        writeSmall(fs, new HPath(s"$staging/drift_stats.json"),
+          s"""{"n":$n,"grams":$g}""")
       }
       writeSmall(fs, intentP, s"""{"n_docs":${h.nDocs + n}}""")
     }
@@ -338,6 +372,7 @@ object BandIndex {
         else renameOrFail(fs, f.getPath, dst)
       }
     }
+    Lease.fence(path, "BandIndex.appendBatch") // publish starts here
     val stagedBands = new HPath(s"$staging/bands")
     if (fs.exists(stagedBands))
       for (b <- fs.listStatus(stagedBands) if b.isDirectory)
@@ -349,6 +384,14 @@ object BandIndex {
     writeMeta(path, target, h.ngram, h.numHashes, h.bands)
     fs.mkdirs(new HPath(s"$path/_stream_commits"))
     writeSmall(fs, marker, "")
+    // drift merge strictly AFTER the marker: a replayed bid no-ops at the
+    // marker check and can never double-count; a crash between marker and
+    // merge loses this drop's drift record (stale advisory, never wrong)
+    val ds = new HPath(s"$staging/drift_stats.json")
+    if (fs.exists(ds)) {
+      val j = readSmall(fs, ds)
+      recordDrop(path, jsonField(j, "n"), jsonField(j, "grams"))
+    }
     fs.delete(new HPath(staging), true)
     // auto-compact policy (autoCompactAt > 0): per-drop appends rename
     // one file set per batch into the live dirs, so a long-running
@@ -407,6 +450,7 @@ object BandIndex {
     for (d <- Seq("bands", "grams")) restoreInterruptedSwap(fs, h.path, d)
     healPending(h.path) // an unresolved append must publish before rewrite
     def swap(tmp: String, dir: String): Unit = {
+      Lease.fence(h.path, "BandIndex.compact")
       val tmpP = new HPath(h.path, tmp)
       val dstP = new HPath(h.path, dir)
       val bakP = new HPath(h.path, dir + "_compact_bak")
@@ -455,5 +499,122 @@ object BandIndex {
       fs.delete(new HPath(h.path, "tombstones"), true)
       h.copy(nDocs = nLive)
     }
+  }
+
+  // ================ shingle-distribution drift monitoring ================
+  //
+  // The [[graft.pipeline.Dedup.bandGeometryFor]] knee rule fixes (bands,
+  // rows-per-band) at WRITE time from the probe threshold, and the
+  // resulting S-curve's effective recall depends on the document/shingle
+  // distribution the index was built over: a corpus whose appended docs
+  // become much SHORTER (fewer distinct shingles) gets noisier MinHash
+  // signatures — near-dup pairs at the threshold start missing buckets —
+  // while much LONGER docs shift where real-world Jaccard mass sits
+  // relative to the fixed threshold. Both directions are SILENT: probes
+  // keep answering, recall decays only for the drifted docs. The per-drop
+  // mean distinct-shingle count is the drop-side observable (it needs no
+  // join against the corpus — the IVF monitor's zero-extra-jobs
+  // discipline: the aggregate rides the gram staging write). A bucket-
+  // collision-rate observable would need a probe join per drop; the
+  // streaming sink already RUNS that probe, and its accept/drop ledger is
+  // the collision signal there — so the store-level monitor keeps to the
+  // join-free statistic. The remedy on advisory is a rebuild: [[write]]
+  // re-derives the geometry over the union corpus and resets the
+  // baseline. Failure mode is bounded: drift only degrades recall on
+  // NEW (drifted) docs; the stored corpus's buckets are unaffected.
+
+  /** Drift state of a persisted band index: the build-time mean
+    * distinct-shingle count vs everything appended since (cumulative)
+    * and the most recent drop. [[ratio]] ~ 1.0 for in-distribution
+    * appends; it moves AWAY from 1 in either direction as appended docs
+    * stop resembling the corpus the knee-rule geometry was derived
+    * from. */
+  final case class BandDrift(buildN: Long, buildMeanShingles: Double,
+                             appendedN: Long, appendedMeanShingles: Double,
+                             lastDropN: Long, lastDropMean: Double) {
+    /** Mean appended shingles-per-doc over the build-time mean. */
+    def ratio: Double =
+      if (appendedN == 0 || buildMeanShingles <= 0) 1.0
+      else appendedMeanShingles / buildMeanShingles
+    /** Rebuild advisory: appended shingle counts deviate from the
+      * baseline by `bound`× IN EITHER DIRECTION over a non-noise sample
+      * (shorter docs → noisier signatures; longer docs → shifted Jaccard
+      * mass — both erode the fixed geometry's recall law). */
+    def rebuildAdvised(bound: Double = 1.5): Boolean =
+      appendedN >= 16 && (ratio > bound || ratio < 1.0 / bound)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Drift state at `path`: None for an index built before the monitor
+    * existed (no baseline — rebuild to start monitoring). */
+  def driftStats(path: String): Option[BandDrift] = {
+    val fs = fsOf(path)
+    val p = new HPath(path, "band_drift.json")
+    if (!fs.exists(p)) None
+    else {
+      val j = readSmall(fs, p)
+      val buildN = jsonField(j, "build_n")
+      val buildG = jsonField(j, "build_grams")
+      val appN = jsonField(j, "app_n")
+      val appG = jsonField(j, "app_grams")
+      val lastN = jsonField(j, "last_n")
+      val lastG = jsonField(j, "last_grams")
+      Some(BandDrift(buildN,
+        if (buildN > 0) buildG.toDouble / buildN else 0.0,
+        appN, if (appN > 0) appG.toDouble / appN else 0.0,
+        lastN, if (lastN > 0) lastG.toDouble / lastN else 0.0))
+    }
+  }
+
+  /** Bounded read of a single-count observation — the staging write is
+    * the action, so the metric arrives within milliseconds of it; None
+    * (skip the advisory update, never block a pipeline) if it doesn't
+    * (e.g. the metrics node was pruned on an empty batch). */
+  private def readObs1(obs: org.apache.spark.sql.Observation): Option[Long] = {
+    val deadline = System.nanoTime() + 30000000000L // 30 s
+    while (!obs.future.isCompleted && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    if (!obs.future.isCompleted) None
+    else {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(1, "s"))
+      if (row.length < 1 || row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+  }
+
+  /** Write the build-time shingle baseline (all integers — gram counts). */
+  private def writeDriftBaseline(path: String, nDocs: Long,
+                                 grams: Long): Unit =
+    if (nDocs > 0)
+      writeSmall(fsOf(path), new HPath(path, "band_drift.json"),
+        s"""{"build_n":$nDocs,"build_grams":$grams,"app_n":0,""" +
+          s""""app_grams":0,"last_n":0,"last_grams":0}""")
+
+  /** Merge one drop's shingle aggregates into the ledger and warn when
+    * the advisory FIRST crosses its bound (once per crossing, not per
+    * append). No-ops without a baseline (pre-monitor index). */
+  private def recordDrop(path: String, n: Long, grams: Long): Unit = {
+    if (n <= 0) return
+    val fs = fsOf(path)
+    val p = new HPath(path, "band_drift.json")
+    if (!fs.exists(p)) return
+    val j = readSmall(fs, p)
+    val before = driftStats(path)
+    val appN = jsonField(j, "app_n") + n
+    val appG = jsonField(j, "app_grams") + grams
+    writeSmall(fs, p,
+      s"""{"build_n":${jsonField(j, "build_n")},""" +
+        s""""build_grams":${jsonField(j, "build_grams")},""" +
+        s""""app_n":$appN,"app_grams":$appG,""" +
+        s""""last_n":$n,"last_grams":$grams}""")
+    val after = driftStats(path)
+    if (after.exists(_.rebuildAdvised()) && !before.exists(_.rebuildAdvised()))
+      log.warn(s"BandIndex: appended shingle-count drift at $path crossed " +
+        s"the rebuild bound (ratio ${after.map(_.ratio).getOrElse(0.0)} " +
+        s"over $appN appended docs) — the knee-rule geometry no longer " +
+        "matches the appended docs and probe recall on them is degrading; " +
+        "rebuild with BandIndex.write to re-derive the geometry and reset " +
+        "the baseline")
   }
 }

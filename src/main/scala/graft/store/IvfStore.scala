@@ -58,7 +58,10 @@ object IvfStore {
       .parquet(s"${index.root}/append.pending/vectors")
     // commit point: everything before is abortable, everything after
     // rolls forward (publish is idempotent — renamed files leave the
-    // staging listing, Spark part names are unique per job)
+    // staging listing, Spark part names are unique per job). Fenced: a
+    // writer that lost its lease while staging must not commit into the
+    // successor's generation.
+    Lease.fence(index.root, "IvfStore.append")
     writeSmall(fs, new HPath(pending, "_staged"), "")
     publishPending(index.root)
     // advisory update AFTER publish: a crash in this window loses the
@@ -94,6 +97,9 @@ object IvfStore {
   }
 
   private def publishPending(root: String): Unit = {
+    // no-op from the lease-free heal path (open); aborts a leased writer
+    // whose lease was taken over while it staged
+    Lease.fence(root, "IvfStore.publishPending")
     val fs = fsOf(root)
     val pending = new HPath(root, "append.pending")
     val staged = new HPath(pending, "vectors")
@@ -161,6 +167,7 @@ object IvfStore {
       }
       writeSmall(fs, stagedDone, "")
     }
+    Lease.fence(root, "IvfStore.appendBatch") // publish starts here
     val staged = new HPath(s"$staging/vectors")
     if (fs.exists(staged)) {
       for (d <- fs.listStatus(staged) if d.isDirectory) {
@@ -224,6 +231,7 @@ object IvfStore {
       .write.mode("overwrite").parquet(s"${index.root}/retire.pending")
     val dst = new HPath(index.root, "tombstones")
     fs.mkdirs(dst)
+    Lease.fence(index.root, "IvfStore.retire")
     for (f <- fs.listStatus(pending)
          if f.isFile && f.getPath.getName.startsWith("part-"))
       renameOrFail(fs, f.getPath, new HPath(dst, f.getPath.getName))
@@ -283,6 +291,7 @@ object IvfStore {
       .sortWithinPartitions("vid")
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"${index.root}/vectors_compact_tmp")
+    Lease.fence(index.root, "IvfStore.compact")
     val tmpP = new HPath(index.root, "vectors_compact_tmp")
     val dstP = new HPath(index.root, "vectors")
     val bakP = new HPath(index.root, "vectors_compact_bak")

@@ -39,9 +39,27 @@ object TextIndex {
     java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
   }
 
-  private[store] def fsOf(path: String): FileSystem =
-    new HPath(path).getFileSystem(
+  /** Schemes already warned about — the store contract ([[Lease]]
+    * scaladoc) requires HDFS-class atomic create/rename, which S3-class
+    * object stores emulate non-atomically; warn once per scheme, not per
+    * call. */
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[store] def fsOf(path: String): FileSystem = {
+    val p = new HPath(path)
+    val scheme = Option(p.toUri.getScheme).getOrElse("").toLowerCase
+    if (Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss")(scheme) &&
+        warnedSchemes.add(scheme))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft store at a '$scheme' object-store path: the Lease and " +
+          "staging protocols require HDFS-class atomic create/rename " +
+          "(see graft.store.Lease scaladoc) — on this store the lease " +
+          "degrades to advisory and crash atomicity is best-effort; use " +
+          "a conditional-write backend for production mutation")
+    p.getFileSystem(
       org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+  }
 
   private[store] def readSmall(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)
@@ -112,6 +130,7 @@ object TextIndex {
     val bigL = spark.read.parquet(s"$path/doclen")
       .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     val nDocs = docs.count()
+    Lease.fence(path, "TextIndex.write") // meta is the publish point
     writeSmall(fsOf(path), new HPath(path, "text_index.json"),
       s"""{"n_docs":$nDocs,"buckets":$buckets,"big_l":$bigL}""")
     Handle(path, nDocs, buckets, bigL)
@@ -212,7 +231,10 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${h.path}/dict.next")
     crash(3)
-    // 4. commit point
+    // 4. commit point — fenced: a writer that lost its lease to a
+    // stale-takeover while staging must not commit into the successor's
+    // generation (open() will then ABORT the unmarked staging)
+    Lease.fence(h.path, "TextIndex.append")
     writeSmall(fs, new HPath(pending, "_staged"), "")
     crash(4)
     // 5-8. publish
@@ -240,6 +262,9 @@ object TextIndex {
     * renames skip already-moved files, the swap skips when already
     * done, the meta write lands the intent's absolute target. */
   private def publishPending(path: String): Unit = {
+    // no-op from the lease-free heal path (open); aborts a leased writer
+    // whose lease was taken over while it staged
+    Lease.fence(path, "TextIndex.publishPending")
     val fs = fsOf(path)
     val pending = new HPath(path, "append.pending")
     val staged = new HPath(pending, "postings")
@@ -315,6 +340,7 @@ object TextIndex {
       restoreInterruptedSwap(fs, h.path, d)
     healPending(h.path) // an unresolved append must publish before rewrite
     def swap(tmp: String, dir: String): Unit = {
+      Lease.fence(h.path, "TextIndex.compact")
       val tmpP = new HPath(h.path, tmp)
       val dstP = new HPath(h.path, dir)
       val bakP = new HPath(h.path, dir + "_compact_bak")
@@ -358,6 +384,7 @@ object TextIndex {
   def writePositional(docs: DataFrame, h: Handle,
                       text: String = "text"): Unit =
       Lease.withLease(h.path, "TextIndex.writePositional") {
+    Lease.fence(h.path, "TextIndex.writePositional")
     docs
       .select(col("doc_id"),
         posexplode(TextOps.tokens(col(text))).as(Seq("pos", "token")))

@@ -54,6 +54,7 @@ object Main {
       |  neardup-index probe [--threshold T] [--max-bucket N] <index-dir> <batch.parquet>
       |  neardup-index retire <ids.parquet> <index-dir>
       |  neardup-index compact [--files N] <index-dir>
+      |  neardup-index drift <index-dir>
       |  ann-index build [--nlist N] [--kmeans-iters N] <embeddings.parquet> <index-dir>
       |  ann-index append <embeddings.parquet> <index-dir>
       |  ann-index probe [--k N] [--nprobe N] <index-dir> <queries.parquet>
@@ -339,7 +340,35 @@ object Main {
       case "append" :: docsPath :: idxDir :: Nil =>
         val h = BandIndex.append(spark.read.parquet(docsPath),
           BandIndex.open(idxDir))
-        println(s"index now holds ${h.nDocs} docs"); 0
+        val note = BandIndex.driftStats(idxDir) match {
+          case Some(d) if d.rebuildAdvised() =>
+            f"; DRIFT ratio ${d.ratio}%.2f over ${d.appendedN} appended " +
+              "docs — REBUILD ADVISED (neardup-index build re-derives the " +
+              "geometry and resets the baseline)"
+          case Some(d) => f"; drift ratio ${d.ratio}%.2f"
+          case None => ""
+        }
+        println(s"index now holds ${h.nDocs} docs$note"); 0
+      case "drift" :: idxDir :: Nil =>
+        BandIndex.driftStats(idxDir) match {
+          case Some(d) =>
+            println(f"build: n=${d.buildN} " +
+              f"mean_shingles=${d.buildMeanShingles}%.1f")
+            println(f"appended: n=${d.appendedN} " +
+              f"mean_shingles=${d.appendedMeanShingles}%.1f " +
+              f"(last drop: n=${d.lastDropN} mean=${d.lastDropMean}%.1f)")
+            println(f"ratio=${d.ratio}%.3f rebuild_advised=" +
+              s"${d.rebuildAdvised()}")
+            if (d.rebuildAdvised())
+              println("appended docs no longer resemble the corpus the " +
+                "knee-rule geometry was derived from — probe recall on " +
+                "them is degrading; rebuild with `neardup-index build` " +
+                "(re-derives the geometry, resets the baseline)")
+            0
+          case None =>
+            println(s"no drift baseline at $idxDir (index predates the " +
+              "monitor) — rebuild to start monitoring"); 0
+        }
       case "probe" :: r =>
         var threshold = 0.8; var maxBucket = 1000
         def opts(l: List[String]): List[String] = l match {
@@ -394,7 +423,8 @@ object Main {
             println(s"compacted $idxDir (${h.nDocs} live docs)"); 0
           case _ => fail("neardup-index compact: expected [--files N] <index-dir>")
         }
-      case _ => fail("neardup-index: expected build|append|probe|retire|compact ...")
+      case _ => fail("neardup-index: expected build|append|probe|retire|" +
+        "compact|drift ...")
     }
   }
 

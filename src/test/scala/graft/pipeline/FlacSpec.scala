@@ -181,6 +181,46 @@ class FlacSpec extends SparkSpec {
     assert(got.toSeq === (p1 ++ p2)) // order 0: residuals ARE the samples
   }
 
+  test("spec-invalid partition geometry declines: (blockSize >> po) == order " +
+    "leaves an EMPTY first partition") {
+    // RFC 9639 §9.2.7: the first partition holds (blockSize >> po) − order
+    // samples, which must be positive. Build an otherwise well-formed
+    // order-1 FIXED frame (valid CRC-8 and CRC-16) whose only defect is
+    // po = 4 over a 16-sample block: 16 >> 4 = 1 == order, so the first
+    // of 16 partitions would be empty — decline, never misdecode
+    // (pre-r15 the == case was accepted).
+    val head = streaminfo(8000, 16, 16)
+    val hw = new BW()
+    hw.u(0x3ffe, 14); hw.u1(0); hw.u1(0)
+    hw.u(6, 4); hw.u(0, 4); hw.u(0, 4); hw.u(4, 3); hw.u1(0)
+    hw.u(0, 8); hw.u(15, 8)
+    val hdr = hw.bytes
+    val bw = new BW()
+    for (b <- hdr) bw.u(b & 0xffL, 8)
+    bw.u(Flac.crc8(hdr, 0, hdr.length).toLong, 8)
+    bw.u1(0); bw.u(9, 6); bw.u1(0) // FIXED order 1
+    bw.u(100, 16)    // warm-up
+    bw.u(0, 2)       // RICE method
+    bw.u(4, 4)       // partition order 4 -> 16 partitions of 16>>4 = 1
+    // plausible content: 16 partitions at rice param 1, one residual
+    // each (the decoder must reject on GEOMETRY, before any of this)
+    for (_ <- 0 until 16) { bw.u(1, 4); bw.u1(0); bw.u1(1); bw.u1(0) }
+    bw.align()
+    val body = bw.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length); out.write(body, 0, body.length)
+    val c16 = Flac.crc16(body, 0, body.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    assert(Flac.decode(out.toByteArray).isEmpty,
+      "an empty first partition is spec-invalid geometry and must decline")
+    // the boundary VALID case one notch below: po = 3 -> 16 >> 3 = 2 > 1
+    // (first partition holds one sample) stays decodable via the encoder
+    val samples = Array.tabulate(64)(i => 100 + i)
+    val enc = Flac.encodeFixed(8000, Array(samples), order = 1,
+      blockSize = 16, partitionOrder = 3)
+    assert(Flac.decode(enc).map(_._2.toSeq) === Some(samples.toSeq))
+  }
+
   test("FIXED orders 0-4 x partition orders 0-2 roundtrip sample-exact") {
     val rng = new scala.util.Random(7)
     // a waveform with structure (so every order's predictor differs) +

@@ -94,6 +94,65 @@ class QoiSpec extends SparkSpec {
     }
   }
 
+  test("hostile headers decline without allocation; size guard is exact") {
+    // a minimal 22-byte stream (header + end marker only) claiming
+    // 32768x32768 would force a ~4 GiB BufferedImage before any content
+    // validation — the min-encodable-size guard must decline it from the
+    // header alone (pre-r15 this allocated first)
+    def claim(w: Int, h: Int, content: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      for (v <- Seq(w >>> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+          h >>> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff))
+        out.write(v)
+      out.write(3); out.write(0)
+      out.write(content, 0, content.length)
+      for (_ <- 0 until 7) out.write(0)
+      out.write(1)
+      out.toByteArray
+    }
+    assert(Qoi.decode(claim(32768, 32768, Array.empty)).isEmpty)
+    // undersized for the claimed pixel count: 1000x1000 px needs at
+    // least ceil(1e6/62) content bytes; 50 bytes must decline
+    assert(Qoi.decode(claim(1000, 1000, Array.fill(50)(0xfd.toByte))).isEmpty)
+    // exactness: one byte BELOW the minimum declines, the minimum itself
+    // decodes (62 px RUN ops, all-black per the spec's initial state)
+    val w = 124; val h = 1 // 2 full 62-px runs
+    assert(Qoi.decode(claim(w, h,
+      Array[Byte](0xfd.toByte))).isEmpty)
+    val ok = Qoi.decode(claim(w, h,
+      Array[Byte](0xfd.toByte, 0xfd.toByte)))
+    assert(ok.nonEmpty && ok.get.getWidth === 124)
+  }
+
+  test("spec-valid images above 2^24 pixels decode (no hard pixel cap)") {
+    // r15 ADVICE: the former 2^24 total-pixel cap silently declined
+    // legitimate large images. 4096x4097 = 16,781,312 px > 2^24, all
+    // black via maximal RUN ops — allocation stays proportional to the
+    // ~270 KB input, and the decode must succeed.
+    val w = 4096; val h = 4097
+    val n = w.toLong * h
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    for (v <- Seq(w >>> 24, (w >> 16) & 0xff, (w >> 8) & 0xff, w & 0xff,
+        h >>> 24, (h >> 16) & 0xff, (h >> 8) & 0xff, h & 0xff))
+      out.write(v)
+    out.write(3); out.write(0)
+    var left = n
+    while (left > 0) {
+      val run = math.min(62L, left).toInt
+      out.write(0xc0 | (run - 1)) // QOI_OP_RUN, bias -1
+      left -= run
+    }
+    for (_ <- 0 until 7) out.write(0)
+    out.write(1)
+    val dec = Qoi.decode(out.toByteArray)
+    assert(dec.nonEmpty, "a spec-valid > 2^24 px image must decode")
+    assert(dec.get.getWidth === w && dec.get.getHeight === h)
+    assert((dec.get.getRGB(0, 0) & 0xffffff) === 0)
+    assert((dec.get.getRGB(w - 1, h - 1) & 0xffffff) === 0)
+  }
+
   test("seam: QOI rows tag fallback with features equal to the PNG twin") {
     val qoi = Multimodal.syntheticQoi(spark, 5)
     val tagged = Multimodal.extractFeaturesTagged(qoi, dim = 16,

@@ -112,6 +112,90 @@ class LeaseSpec extends SparkSpec {
     } finally Lease.staleMs = prev
   }
 
+  private def leaseOwner(root: String): String = {
+    val fs = TextIndex.fsOf(root)
+    val s = TextIndex.readSmall(fs,
+      new org.apache.hadoop.fs.Path(root, "_writer.lease"))
+    s.split("\"owner\":\"")(1).takeWhile(_ != '"')
+  }
+
+  test("fence passes while owned, aborts after a foreign takeover") {
+    val p = tmpDir("lease-fence-unit")
+    Lease.withLease(p, "spec.op") {
+      Lease.fence(p, "spec.op") // owned: no throw
+      Lease.plant(p, ageMs = 0) // a takeover replaced our lease
+      val e = intercept[IllegalStateException](Lease.fence(p, "spec.op"))
+      assert(e.getMessage.contains("takeover"))
+    }
+    // release must NOT delete the successor's lease
+    assert(Lease.exists(p), "release deleted the successor's lease")
+    assert(leaseOwner(p) === "foreign:0:0")
+    // and with no lease held, fence is a no-op (the heal paths)
+    Lease.fence(p, "spec.heal")
+  }
+
+  test("a writer that loses its lease mid-operation aborts at the commit " +
+    "fence and the store heals clean") {
+    val bp = tmpDir("lease-fence-store")
+    val h = BandIndex.write(base, bp)
+    // simulate the GC-pause split brain: while we hold the lease (outer
+    // withLease — the inner append re-enters it), a waiter takes over
+    val e = intercept[IllegalStateException] {
+      Lease.withLease(bp, "spec.outer") {
+        Lease.plant(bp, ageMs = 0) // takeover landed during our "pause"
+        BandIndex.append(drop, h)  // stages, then must abort at the fence
+      }
+    }
+    assert(e.getMessage.contains("takeover"))
+    // the abort happened BEFORE the commit marker: the staged append is
+    // rolled back by the next open(), and the index is untouched
+    val healed = BandIndex.open(bp)
+    assert(healed.nDocs === h.nDocs, "aborted staging must not publish")
+    assert(!TextIndex.fsOf(bp).exists(
+      new org.apache.hadoop.fs.Path(bp, "append.pending")),
+      "open() must abort the unmarked staging")
+    // the successor's lease survived our release; once IT crashes
+    // (stale), a new writer takes over and the store works normally
+    Lease.plant(bp, ageMs = Lease.staleMs + 60000)
+    assert(BandIndex.append(drop, healed).nDocs === h.nDocs + 5)
+  }
+
+  test("heartbeat observes a takeover, stops, and never clobbers the " +
+    "successor's lease") {
+    val p = tmpDir("lease-beat-loss")
+    val prev = Lease.staleMs
+    Lease.staleMs = 750 // heartbeat every 250 ms
+    try {
+      Lease.withLease(p, "spec.paused") {
+        Lease.plant(p, ageMs = 0)
+        Thread.sleep(900) // >= 3 heartbeat cycles observe the takeover
+        assert(leaseOwner(p) === "foreign:0:0",
+          "the heartbeat must stop refreshing, not clobber the successor")
+        val e = intercept[IllegalStateException](Lease.fence(p, "spec.paused"))
+        assert(e.getMessage.contains("takeover"))
+      }
+      assert(leaseOwner(p) === "foreign:0:0",
+        "release must leave the successor's lease in place")
+    } finally Lease.staleMs = prev
+  }
+
+  test("release joins the heartbeat: no lease file survives rapid " +
+    "acquire/release loops under a fast heartbeat") {
+    val p = tmpDir("lease-join")
+    val prev = Lease.staleMs
+    Lease.staleMs = 750 // heartbeat every 250 ms
+    try {
+      for (i <- 0 until 15) {
+        // op duration straddles the heartbeat interval so releases land
+        // WHILE refresh writes are in flight — without the join, a
+        // refresh could recreate the lease after the delete and strand
+        // an orphan "live" lease for staleMs
+        Lease.withLease(p, "spec.loop") { Thread.sleep(20 * (i % 4)) }
+        assert(!Lease.exists(p), s"iteration $i left an orphan lease")
+      }
+    } finally Lease.staleMs = prev
+  }
+
   test("nested store ops re-enter the held lease (appendBatch auto-compact)") {
     val bp = tmpDir("lease-reenter")
     BandIndex.write(base, bp)

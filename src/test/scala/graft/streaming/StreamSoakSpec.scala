@@ -66,6 +66,16 @@ class StreamSoakSpec extends SparkSpec {
     } finally q.stop()
     assert(maxFiles > autoCompactAt,
       "the soak must actually cross the compaction trigger")
+    // maintenance files must never leak into the data listings (they'd
+    // be picked up by spark.read.parquet and corrupt probes)
+    def anyLease(dir: String): Boolean = {
+      val d = new java.io.File(dir)
+      d.exists && d.listFiles.exists(f =>
+        if (f.isDirectory) anyLease(f.getPath)
+        else f.getName.contains("_writer.lease"))
+    }
+    assert(!anyLease(s"$path/bands") && !anyLease(s"$path/grams"),
+      "lease files leaked into bands/ or grams/")
 
     val h = BandIndex.open(path)
     assert(h.nDocs === 10L + batches, "one survivor per batch, no copies")
