@@ -160,6 +160,42 @@ class LeaseSpec extends SparkSpec {
     assert(BandIndex.append(drop, healed).nDocs === h.nDocs + 5)
   }
 
+  test("fence symmetry: TextIndex and IvfStore appends also abort at the " +
+    "commit fence after a takeover, staging rolled back") {
+    // TextIndex
+    val tp = tmpDir("lease-fence-text")
+    val th = TextIndex.write(base, tp, buckets = 4)
+    val te = intercept[IllegalStateException] {
+      Lease.withLease(tp, "spec.outer") {
+        Lease.plant(tp, ageMs = 0)
+        TextIndex.append(drop, th)
+      }
+    }
+    assert(te.getMessage.contains("takeover"))
+    Lease.plant(tp, ageMs = Lease.staleMs + 60000) // successor "crashed"
+    val tHealed = TextIndex.open(tp)
+    assert(tHealed.nDocs === th.nDocs, "aborted staging must not publish")
+    assert(TextIndex.append(drop, tHealed).nDocs === th.nDocs + 5)
+
+    // IvfStore
+    val ip = tmpDir("lease-fence-ivf")
+    val ih = Ann.writeIvfIndex(emb.where(col("vec_id") < 64), ip,
+      nlist = 4, kmeansIters = 0)
+    val vdrop = emb.where(col("vec_id") >= 400 && col("vec_id") < 405)
+    val ie = intercept[IllegalStateException] {
+      Lease.withLease(ip, "spec.outer") {
+        Lease.plant(ip, ageMs = 0)
+        IvfStore.append(vdrop, ih)
+      }
+    }
+    assert(ie.getMessage.contains("takeover"))
+    Lease.plant(ip, ageMs = Lease.staleMs + 60000)
+    val before = spark.read.parquet(s"$ip/vectors").count()
+    assert(before === 64, "aborted staging must not publish")
+    IvfStore.append(vdrop, IvfStore.open(spark, ip))
+    assert(spark.read.parquet(s"$ip/vectors").count() === 69)
+  }
+
   test("heartbeat observes a takeover, stops, and never clobbers the " +
     "successor's lease") {
     val p = tmpDir("lease-beat-loss")
