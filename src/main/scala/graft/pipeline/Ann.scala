@@ -474,23 +474,27 @@ object Ann {
     * shuffle into the list partitions — both linear. */
   def writeIvfIndex(corpus: DataFrame, root: String, nlist: Int = 16,
                     kmeansIters: Int = 3): IvfIndex =
+    writeIvfIndex(corpus, root, nlist, kmeansIters, 0)
+
+  private[graft] def writeIvfIndex(corpus: DataFrame, root: String,
+                    nlist: Int, kmeansIters: Int,
+                    crashAfterStep: Int): IvfIndex =
       graft.store.Lease.withLease(root, "Ann.writeIvfIndex") {
+    def crash(step: Int): Unit = if (step == crashAfterStep)
+      throw new RuntimeException(s"spec crash seam: rebuild step $step")
     val spark = corpus.sparkSession
-    // a REBUILD supersedes every maintenance generation at this root:
-    // stale tombstones would wrongly suppress new vectors, stale
-    // streaming state would suppress or replace a fresh stream's first
-    // batches, and a staged append belongs to the superseded index
-    locally {
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      // drift.json goes too: if writeDriftBaseline below skips its write
-      // (empty corpus, observation timeout), the SUPERSEDED generation's
-      // ledger — possibly rebuildAdvised=true — must not be reported for
-      // the fresh index (round-15 ADVICE)
-      for (d <- Seq("tombstones", "retire.pending", "append.pending",
-          "_stream_commits", "_stream_staging", "drift.json"))
-        fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
-    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // roll forward a prior COMMITTED rebuild first, so staging starts
+    // clean; then stage the new generation into tmp dirs — the live
+    // index (quantizer AND lists) stays fully intact and probe-able
+    // until the commit marker below: a crash (or a lease lost to a
+    // GC-pause takeover) during the long list write must not leave new
+    // centroids over old assignments, or half-written lists
+    graft.store.IvfStore.completeRebuild(root)
+    for (d <- Seq("centroids", "vectors"))
+      fs.delete(new org.apache.hadoop.fs.Path(root, d + "_rebuild_tmp"),
+        true)
     val cents =
       if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
       else ivfCentroids(corpus, nlist)
@@ -499,12 +503,14 @@ object Ann {
     val cRows = cents.zipWithIndex.map { case ((_, v), i) =>
       org.apache.spark.sql.Row(i.toLong, v.toSeq)
     }
-    graft.store.Lease.fence(root, "Ann.writeIvfIndex") // publish starts here
     spark.createDataFrame(java.util.Arrays.asList(cRows: _*), centroidSchema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/centroids_rebuild_tmp")
     // drift baseline: the build-time assignment-residual distribution,
     // observed on the SAME pass that writes the lists (zero extra jobs) —
-    // appends compare their drops against it (IvfStore.driftStats)
+    // appends compare their drops against it (IvfStore.driftStats); the
+    // aggregates travel in the commit marker so the roll-forward writes
+    // the fresh ledger whoever completes it
     val obs = new org.apache.spark.sql.Observation()
     ivfStoredRowsWithDist(corpus,
         cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
@@ -513,8 +519,22 @@ object Ann {
         sum(col("adist").cast("double") * col("adist").cast("double")).as("s2"))
       .drop("adist")
       .repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(s"$root/vectors")
-    graft.store.IvfStore.writeDriftBaseline(root, obs)
+      .write.partitionBy("list_id").mode("overwrite")
+      .parquet(s"$root/vectors_rebuild_tmp")
+    val baseStats = graft.store.IvfStore.readObs3(obs)
+    crash(1) // staged, not committed: open() leaves the old index as-is
+    // commit point — fenced (a writer that lost its lease must not
+    // supersede the successor's generation), then the marker rename is
+    // the atomic commit; everything after rolls forward
+    graft.store.Lease.fence(root, "Ann.writeIvfIndex")
+    graft.store.TextIndex.writeSmallAtomic(fs,
+      new org.apache.hadoop.fs.Path(root, "rebuild.intent.json"),
+      baseStats match {
+        case Some((n, s, s2)) => s"""{"n":$n,"s":$s,"s2":$s2}"""
+        case None => "{}"
+      })
+    crash(2) // committed: open() completes the rebuild
+    graft.store.IvfStore.completeRebuild(root)
     IvfIndex(root, cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
   }
 

@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   * from the index path, so local disk, HDFS and object stores behave
   * the same (the TextIndex/Warehouse rule). */
 object BandIndex {
-  import TextIndex.{fsOf, readSmall, writeSmall, jsonField, renameOrFail,
-    restoreInterruptedSwap}
+  import TextIndex.{fsOf, readSmall, writeSmall, writeSmallAtomic,
+    jsonField, jsonFieldOpt, renameOrFail, restoreInterruptedSwap,
+    readObsRow}
 
   final case class Handle(path: String, nDocs: Long, ngram: Int,
                           numHashes: Int, bands: Int)
@@ -62,40 +63,86 @@ object BandIndex {
   def write(corpus: DataFrame, path: String, ngram: Int = 3,
             numHashes: Int = 0, bands: Int = 0,
             text: String = "text", threshold: Double = 0.8): Handle =
+    write(corpus, path, ngram, numHashes, bands, text, threshold, 0)
+
+  private[store] def write(corpus: DataFrame, path: String, ngram: Int,
+            numHashes: Int, bands: Int, text: String, threshold: Double,
+            crashAfterStep: Int): Handle =
       Lease.withLease(path, "BandIndex.write") {
+    def crash(step: Int): Unit = if (step == crashAfterStep)
+      throw new RuntimeException(s"spec crash seam: rebuild step $step")
     val (nHashes, nBands) = Dedup.resolveBandGeometry(numHashes, bands,
       threshold, "BandIndex.write", ngram)
     val fs = fsOf(path)
-    fs.delete(new HPath(path, "append.pending"), true)
-    // a rebuild also supersedes STREAMING state: stale commit markers
-    // would silently suppress a fresh stream's first batches (a new
-    // checkpoint restarts bids at 0), and stale staging would publish
-    // a dead batch into the new index on the next appendBatch heal
-    fs.delete(new HPath(path, "_stream_commits"), true)
-    fs.delete(new HPath(path, "_stream_staging"), true)
-    // ...and stale tombstones: they belong to the superseded generation
-    // and would wrongly suppress docs of the new corpus
-    fs.delete(new HPath(path, "tombstones"), true)
-    fs.delete(new HPath(path, "retire.pending"), true)
-    // ...and the drift ledger: a rebuild re-derives the knee-rule
-    // geometry from THIS corpus, so the shingle baseline resets with it
-    // (and a skipped baseline write must not leave the superseded
-    // generation's ledger reporting for the new index)
-    fs.delete(new HPath(path, "band_drift.json"), true)
+    // roll forward a prior COMMITTED rebuild first (its marker supersedes
+    // everything at this root), so the staging below starts clean
+    completeRebuild(path)
+    // 1. stage the new generation into tmp dirs — the live index stays
+    //    fully intact and readable until the commit marker below: a crash
+    //    (or a lease lost to a GC-pause takeover) during these long
+    //    writes must not leave a mixed-generation index (new bands under
+    //    the old meta was exactly that corruption)
+    for (d <- Seq("bands", "grams"))
+      fs.delete(new HPath(path, d + "_rebuild_tmp"), true)
     Dedup.bandedRows(corpus, ngram, nHashes, nBands, text)
       .select(col("doc_id"), col("bkey"), col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands_rebuild_tmp")
     // drift baseline: observe the corpus's distinct-shingle volume on the
     // SAME pass that writes the gram table (zero extra jobs)
     val gobs = new org.apache.spark.sql.Observation()
     Dedup.shingleHashRows(corpus, ngram, text, distinct = true)
       .observe(gobs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/grams")
+      .write.mode("overwrite").parquet(s"$path/grams_rebuild_tmp")
     val nDocs = corpus.count()
-    Lease.fence(path, "BandIndex.write") // meta is the publish point
-    writeMeta(path, nDocs, ngram, nHashes, nBands)
-    readObs1(gobs).foreach(g => writeDriftBaseline(path, nDocs, g))
+    val baseGrams = readObsRow(gobs)
+      .filter(r => r.length >= 1 && !r.isNullAt(0)).map(_.getLong(0))
+    crash(1) // staged, not committed: open() leaves the old index as-is
+    // 2. commit point — fenced (a writer that lost its lease must not
+    //    supersede the successor's generation), then the marker rename
+    //    is the atomic commit; everything after rolls forward
+    Lease.fence(path, "BandIndex.write")
+    writeSmallAtomic(fs, new HPath(path, "rebuild.intent.json"),
+      s"""{"n_docs":$nDocs,"ngram":$ngram,"num_hashes":$nHashes,""" +
+        s""""bands":$nBands${baseGrams.map(g => s""","drift_grams":$g""").getOrElse("")}}""")
+    crash(2) // committed: open() completes the rebuild
+    completeRebuild(path)
     Handle(path, nDocs, ngram, nHashes, nBands)
+  }
+
+  /** Roll a COMMITTED rebuild forward — idempotent from every crash
+    * point, called by [[open]] and [[write]]; no-op without the marker.
+    * Order: the superseded generation's maintenance state dies first
+    * (stale tombstones would wrongly suppress new docs, stale streaming
+    * markers would suppress a fresh stream's first batches, a stale
+    * staged append belongs to the dead generation, and the drift ledger
+    * resets with the re-derived geometry), then each data dir swaps in
+    * via rename (old aside, tmp in, old dropped), then the meta and
+    * fresh drift baseline land, then the marker clears. A crash anywhere
+    * re-runs harmlessly: deletes are idempotent, a swap whose tmp is
+    * gone already happened, and the meta rewrite lands the same
+    * values. */
+  private def completeRebuild(path: String): Unit = {
+    val fs = fsOf(path)
+    val marker = new HPath(path, "rebuild.intent.json")
+    if (!fs.exists(marker)) return
+    // no-op from the lease-free heal path (open); aborts a leased writer
+    // whose lease was taken over — the successor's own open() rolls the
+    // committed marker forward to the identical end state
+    Lease.fence(path, "BandIndex.completeRebuild")
+    val intent = readSmall(fs, marker)
+    for (d <- Seq("append.pending", "_stream_commits", "_stream_staging",
+        "tombstones", "retire.pending", "band_drift.json"))
+      fs.delete(new HPath(path, d), true)
+    for (d <- Seq("bands", "grams"))
+      TextIndex.rollRebuildSwap(fs, path, d)
+    val nDocs = jsonField(intent, "n_docs")
+    writeMeta(path, nDocs, jsonField(intent, "ngram").toInt,
+      jsonField(intent, "num_hashes").toInt,
+      jsonField(intent, "bands").toInt)
+    jsonFieldOpt(intent, "drift_grams")
+      .foreach(g => writeDriftBaseline(path, nDocs, g))
+    fs.delete(marker, false)
   }
 
   /** Fail-fast guard on the reincarnation hazard: appending a doc_id that
@@ -124,6 +171,9 @@ object BandIndex {
 
   def open(path: String): Handle = {
     val fs = fsOf(path)
+    // a COMMITTED rebuild supersedes every other pending state — roll it
+    // forward before the per-generation heals below
+    completeRebuild(path)
     for (d <- Seq("bands", "grams")) restoreInterruptedSwap(fs, path, d)
     healPending(path)
     // an interrupted retire is ABORTED (tombstones are set-semantics and
@@ -547,74 +597,98 @@ object BandIndex {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Drift state at `path`: None for an index built before the monitor
-    * existed (no baseline — rebuild to start monitoring). */
+    * existed (no baseline — rebuild to start monitoring) — or whose
+    * ledger is unreadable/corrupt: the monitor is ADVISORY, so a damaged
+    * ledger degrades to "no baseline" (rebuild restarts monitoring),
+    * never to a parse error that breaks probes or appends. */
   def driftStats(path: String): Option[BandDrift] = {
     val fs = fsOf(path)
     val p = new HPath(path, "band_drift.json")
     if (!fs.exists(p)) None
-    else {
+    else try {
       val j = readSmall(fs, p)
-      val buildN = jsonField(j, "build_n")
-      val buildG = jsonField(j, "build_grams")
-      val appN = jsonField(j, "app_n")
-      val appG = jsonField(j, "app_grams")
-      val lastN = jsonField(j, "last_n")
-      val lastG = jsonField(j, "last_grams")
-      Some(BandDrift(buildN,
+      for {
+        buildN <- jsonFieldOpt(j, "build_n")
+        buildG <- jsonFieldOpt(j, "build_grams")
+        appN <- jsonFieldOpt(j, "app_n")
+        appG <- jsonFieldOpt(j, "app_grams")
+        lastN <- jsonFieldOpt(j, "last_n")
+        lastG <- jsonFieldOpt(j, "last_grams")
+      } yield BandDrift(buildN,
         if (buildN > 0) buildG.toDouble / buildN else 0.0,
         appN, if (appN > 0) appG.toDouble / appN else 0.0,
-        lastN, if (lastN > 0) lastG.toDouble / lastN else 0.0))
-    }
+        lastN, if (lastN > 0) lastG.toDouble / lastN else 0.0)
+    } catch { case _: Exception => None }
   }
 
-  /** Bounded read of a single-count observation — the staging write is
-    * the action, so the metric arrives within milliseconds of it; None
-    * (skip the advisory update, never block a pipeline) if it doesn't
-    * (e.g. the metrics node was pruned on an empty batch). */
-  private def readObs1(obs: org.apache.spark.sql.Observation): Option[Long] = {
-    val deadline = System.nanoTime() + 30000000000L // 30 s
-    while (!obs.future.isCompleted && System.nanoTime() < deadline)
-      Thread.sleep(10)
-    if (!obs.future.isCompleted) None
-    else {
-      val row = scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(1, "s"))
-      if (row.length < 1 || row.isNullAt(0)) None else Some(row.getLong(0))
-    }
-  }
+  /** The count of a single-`count` observation riding a staging write
+    * ([[TextIndex.readObsRow]] poll). */
+  private def readObs1(obs: org.apache.spark.sql.Observation): Option[Long] =
+    readObsRow(obs).filter(r => r.length >= 1 && !r.isNullAt(0))
+      .map(_.getLong(0))
 
-  /** Write the build-time shingle baseline (all integers — gram counts). */
+  /** Write the build-time shingle baseline (all integers — gram counts;
+    * atomic — a crashed baseline write must not strand a truncated
+    * ledger that every later parse trips over). */
   private def writeDriftBaseline(path: String, nDocs: Long,
                                  grams: Long): Unit =
     if (nDocs > 0)
-      writeSmall(fsOf(path), new HPath(path, "band_drift.json"),
+      try writeSmallAtomic(fsOf(path), new HPath(path, "band_drift.json"),
         s"""{"build_n":$nDocs,"build_grams":$grams,"app_n":0,""" +
           s""""app_grams":0,"last_n":0,"last_grams":0}""")
+      catch { case e: Exception =>
+        log.warn(s"BandIndex: drift baseline write at $path failed — " +
+          s"monitoring disabled until the next rebuild (${e.getMessage})")
+      }
 
   /** Merge one drop's shingle aggregates into the ledger and warn when
     * the advisory FIRST crosses its bound (once per crossing, not per
-    * append). No-ops without a baseline (pre-monitor index). */
-  private def recordDrop(path: String, n: Long, grams: Long): Unit = {
+    * append). No-ops without a (readable) baseline. The whole update is
+    * best-effort and runs strictly AFTER the drop published: an advisory
+    * bookkeeping failure (corrupt ledger, transient FS error) must never
+    * surface as a failed append — the caller would retry an append that
+    * actually committed and duplicate its rows. */
+  private def recordDrop(path: String, n: Long, grams: Long): Unit = try {
     if (n <= 0) return
     val fs = fsOf(path)
     val p = new HPath(path, "band_drift.json")
     if (!fs.exists(p)) return
     val j = readSmall(fs, p)
-    val before = driftStats(path)
-    val appN = jsonField(j, "app_n") + n
-    val appG = jsonField(j, "app_grams") + grams
-    writeSmall(fs, p,
-      s"""{"build_n":${jsonField(j, "build_n")},""" +
-        s""""build_grams":${jsonField(j, "build_grams")},""" +
-        s""""app_n":$appN,"app_grams":$appG,""" +
-        s""""last_n":$n,"last_grams":$grams}""")
-    val after = driftStats(path)
-    if (after.exists(_.rebuildAdvised()) && !before.exists(_.rebuildAdvised()))
-      log.warn(s"BandIndex: appended shingle-count drift at $path crossed " +
-        s"the rebuild bound (ratio ${after.map(_.ratio).getOrElse(0.0)} " +
-        s"over $appN appended docs) — the knee-rule geometry no longer " +
-        "matches the appended docs and probe recall on them is degrading; " +
-        "rebuild with BandIndex.write to re-derive the geometry and reset " +
-        "the baseline")
+    // exact-integer ledger arithmetic, one read: any missing/garbled
+    // field means a damaged ledger — skip (monitoring resumes at the
+    // next rebuild), never throw past the published append
+    val parsed = for {
+      buildN <- jsonFieldOpt(j, "build_n")
+      buildG <- jsonFieldOpt(j, "build_grams")
+      priorN <- jsonFieldOpt(j, "app_n")
+      priorG <- jsonFieldOpt(j, "app_grams")
+    } yield (buildN, buildG, priorN, priorG)
+    parsed.foreach { case (buildN, buildG, priorN, priorG) =>
+      val appN = priorN + n
+      val appG = priorG + grams
+      writeSmallAtomic(fs, p,
+        s"""{"build_n":$buildN,"build_grams":$buildG,""" +
+          s""""app_n":$appN,"app_grams":$appG,""" +
+          s""""last_n":$n,"last_grams":$grams}""")
+      def advised(an: Long, ag: Long): Boolean = {
+        val buildMean = if (buildN > 0) buildG.toDouble / buildN else 0.0
+        BandDrift(buildN, buildMean, an,
+          if (an > 0) ag.toDouble / an else 0.0, n,
+          if (n > 0) grams.toDouble / n else 0.0).rebuildAdvised()
+      }
+      if (advised(appN, appG) && !advised(priorN, priorG)) {
+        val buildMean = if (buildN > 0) buildG.toDouble / buildN else 1.0
+        val ratio = (appG.toDouble / appN) / buildMean
+        log.warn(s"BandIndex: appended shingle-count drift at $path " +
+          s"crossed the rebuild bound (ratio $ratio over $appN appended " +
+          "docs) — the knee-rule geometry no longer matches the appended " +
+          "docs and probe recall on them is degrading; rebuild with " +
+          "BandIndex.write to re-derive the geometry and reset the " +
+          "baseline")
+      }
+    }
+  } catch { case e: Exception =>
+    log.warn(s"BandIndex: drift ledger update at $path failed — advisory " +
+      s"is stale, the published append is unaffected (${e.getMessage})")
   }
 }

@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * suppress it — run [[compact]] first, which applies and clears
   * tombstones). All mutations run under the single-writer [[Lease]]. */
 object IvfStore {
-  import TextIndex.{fsOf, readSmall, writeSmall, renameOrFail,
-    restoreInterruptedSwap}
+  import TextIndex.{fsOf, readSmall, writeSmall, writeSmallAtomic,
+    jsonFieldOpt, renameOrFail, restoreInterruptedSwap, readObsRow}
 
   /** Stage a drop's assigned+normed rows, then publish by rename. The
     * probe result after append is spec-pinned equal to an index WRITTEN
@@ -303,15 +303,59 @@ object IvfStore {
     index
   }
 
-  /** Heal-then-open: resolve any interrupted append/compact/retire, then
-    * read the stored quantizer. */
+  /** Heal-then-open: resolve any interrupted rebuild/append/compact/
+    * retire, then read the stored quantizer. */
   def open(spark: SparkSession, root: String): Ann.IvfIndex = {
     val fs = fsOf(root)
+    // a COMMITTED rebuild supersedes every other pending state — roll it
+    // forward before the per-generation heals below
+    completeRebuild(root)
     restoreInterruptedSwap(fs, root, "vectors")
     healPending(root)
     fs.delete(new HPath(root, "retire.pending"), true)
     Ann.openIvfIndex(spark, root)
   }
+
+  /** Roll a COMMITTED rebuild ([[Ann.writeIvfIndex]]) forward —
+    * idempotent from every crash point, called by [[open]] and the
+    * rebuild itself; no-op without the marker. The superseded
+    * generation's maintenance state dies first (stale tombstones would
+    * wrongly suppress new vectors, stale streaming markers a fresh
+    * stream's first batches, a staged append belongs to the dead
+    * generation, and the drift ledger resets with the fresh quantizer),
+    * then centroids and vectors swap in — the quantizer and its lists
+    * land together, so probes never see new centroids over old
+    * assignments — then the fresh drift baseline (observed residual
+    * aggregates carried in the marker) lands and the marker clears. */
+  private[graft] def completeRebuild(root: String): Unit = {
+    val fs = fsOf(root)
+    val marker = new HPath(root, "rebuild.intent.json")
+    if (!fs.exists(marker)) return
+    // no-op from the lease-free heal path (open); aborts a leased writer
+    // whose lease was taken over — the successor's own open() rolls the
+    // committed marker forward to the identical end state
+    Lease.fence(root, "IvfStore.completeRebuild")
+    val intent = readSmall(fs, marker)
+    for (d <- Seq("tombstones", "retire.pending", "append.pending",
+        "_stream_commits", "_stream_staging", "drift.json"))
+      fs.delete(new HPath(root, d), true)
+    for (d <- Seq("centroids", "vectors"))
+      TextIndex.rollRebuildSwap(fs, root, d)
+    jsonFieldOpt(intent, "n").foreach(n =>
+      writeDriftBaselineStats(root, n, jsonD(intent, "s"),
+        jsonD(intent, "s2")))
+    fs.delete(marker, false)
+  }
+
+  /** The (n, Σd, Σd²) residual aggregates of a rebuild's staging-write
+    * observation, for the drift-baseline marker. */
+  private[graft] def readObs3(
+      obs: org.apache.spark.sql.Observation): Option[(Long, Double, Double)] =
+    readObsRow(obs)
+      .filter(r => r.length >= 3 && !r.isNullAt(0) && r.getLong(0) > 0)
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
 
   // ===================== recall-drift monitoring =========================
   //
@@ -350,20 +394,24 @@ object IvfStore {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Drift state at `root`: None for an index built before the monitor
-    * existed (no baseline — rebuild to start monitoring). */
+    * existed (no baseline — rebuild to start monitoring) — or whose
+    * ledger is unreadable/corrupt: the monitor is ADVISORY, so a damaged
+    * ledger degrades to "no baseline" (rebuild restarts monitoring),
+    * never to a parse error that breaks probes or appends. */
   def driftStats(spark: SparkSession, root: String): Option[IvfDrift] = {
     val fs = fsOf(root)
     val p = new HPath(root, "drift.json")
     if (!fs.exists(p)) None
-    else {
+    else try {
       val j = readSmall(fs, p)
-      val buildN = TextIndex.jsonField(j, "build_n")
-      val appN = TextIndex.jsonField(j, "app_n")
-      val lastN = TextIndex.jsonField(j, "last_n")
-      Some(IvfDrift(buildN, jsonD(j, "build_mean"), jsonD(j, "build_std"),
+      for {
+        buildN <- jsonFieldOpt(j, "build_n")
+        appN <- jsonFieldOpt(j, "app_n")
+        lastN <- jsonFieldOpt(j, "last_n")
+      } yield IvfDrift(buildN, jsonD(j, "build_mean"), jsonD(j, "build_std"),
         appN, if (appN > 0) jsonD(j, "app_sum") / appN else 0.0,
-        lastN, if (lastN > 0) jsonD(j, "last_sum") / lastN else 0.0))
-    }
+        lastN, if (lastN > 0) jsonD(j, "last_sum") / lastN else 0.0)
+    } catch { case _: Exception => None }
   }
 
   /** Numeric JSON field as Double (the metas otherwise hold only longs;
@@ -374,73 +422,74 @@ object IvfStore {
     else parts(1).takeWhile(c => c.isDigit || "+-.eE".contains(c)).toDouble
   }
 
-  /** Bounded read of an (n, sum) observation — the staging write is the
-    * action, so metrics arrive within milliseconds of it; None (skip the
-    * advisory update, never block a pipeline) if they don't. */
-  private def readObs2(obs: org.apache.spark.sql.Observation): Option[(Long, Double)] = {
-    val deadline = System.nanoTime() + 30000000000L // 30 s
-    while (!obs.future.isCompleted && System.nanoTime() < deadline)
-      Thread.sleep(10)
-    if (!obs.future.isCompleted) None
-    else {
-      val row = scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(1, "s"))
-      if (row.length < 2 || row.isNullAt(0)) None
-      else Some((row.getLong(0),
-        if (row.isNullAt(1)) 0.0 else row.getDouble(1)))
-    }
-  }
+  /** The (n, sum) pair of a drop observation riding a staging write
+    * ([[TextIndex.readObsRow]] poll). */
+  private def readObs2(obs: org.apache.spark.sql.Observation): Option[(Long, Double)] =
+    readObsRow(obs).filter(r => r.length >= 2 && !r.isNullAt(0))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
 
-  /** Write the build-time residual baseline (called by
-    * [[Ann.writeIvfIndex]] on the same pass that writes the lists).
-    * A rebuild thus RESETS the drift ledger — fresh geometry, fresh
-    * baseline, cumulative append stats back to zero. */
-  private[graft] def writeDriftBaseline(
-      root: String, obs: org.apache.spark.sql.Observation): Unit = {
-    val deadline = System.nanoTime() + 30000000000L
-    while (!obs.future.isCompleted && System.nanoTime() < deadline)
-      Thread.sleep(10)
-    if (obs.future.isCompleted) {
-      val row = scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(1, "s"))
-      if (row.length == 3 && !row.isNullAt(0) && row.getLong(0) > 0) {
-        val n = row.getLong(0)
-        val s = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-        val s2 = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
-        val mean = s / n
-        val variance = math.max(0.0, s2 / n - mean * mean)
-        writeSmall(fsOf(root), new HPath(root, "drift.json"),
-          s"""{"build_n":$n,"build_mean":$mean,""" +
-            s""""build_std":${math.sqrt(variance)},"app_n":0,""" +
-            s""""app_sum":0.0,"last_n":0,"last_sum":0.0}""")
-      }
+  /** Write the build-time residual baseline from the rebuild's observed
+    * (n, Σd, Σd²) aggregates. A rebuild thus RESETS the drift ledger —
+    * fresh geometry, fresh baseline, cumulative append stats back to
+    * zero. Atomic, best-effort: a failed write means no baseline, never
+    * a truncated one (and never a failed rebuild). */
+  private def writeDriftBaselineStats(root: String, n: Long, s: Double,
+                                      s2: Double): Unit =
+    if (n > 0) try {
+      val mean = s / n
+      val variance = math.max(0.0, s2 / n - mean * mean)
+      writeSmallAtomic(fsOf(root), new HPath(root, "drift.json"),
+        s"""{"build_n":$n,"build_mean":$mean,""" +
+          s""""build_std":${math.sqrt(variance)},"app_n":0,""" +
+          s""""app_sum":0.0,"last_n":0,"last_sum":0.0}""")
+    } catch { case e: Exception =>
+      log.warn(s"IvfStore: drift baseline write at $root failed — " +
+        s"monitoring disabled until the next rebuild (${e.getMessage})")
     }
-  }
 
   /** Merge one drop's residual aggregates into the ledger and warn when
     * the advisory FIRST crosses its bound (once per crossing, not per
-    * append). No-ops without a baseline (pre-monitor index). */
-  private def recordDrop(root: String, n: Long, s: Double): Unit = {
+    * append). No-ops without a (readable) baseline. Best-effort and
+    * strictly post-publish: an advisory bookkeeping failure (corrupt
+    * ledger, transient FS error) must never surface as a failed append —
+    * the caller would retry an append that actually committed and
+    * duplicate its vectors. */
+  private def recordDrop(root: String, n: Long, s: Double): Unit = try {
     if (n <= 0) return
     val fs = fsOf(root)
     val p = new HPath(root, "drift.json")
     if (!fs.exists(p)) return
     val j = readSmall(fs, p)
-    val before = driftStats(org.apache.spark.sql.SparkSession.active, root)
-    val appN = TextIndex.jsonField(j, "app_n") + n
-    val appSum = jsonD(j, "app_sum") + s
-    writeSmall(fs, p,
-      s"""{"build_n":${TextIndex.jsonField(j, "build_n")},""" +
-        s""""build_mean":${jsonD(j, "build_mean")},""" +
-        s""""build_std":${jsonD(j, "build_std")},""" +
-        s""""app_n":$appN,"app_sum":$appSum,"last_n":$n,"last_sum":$s}""")
-    val after = driftStats(org.apache.spark.sql.SparkSession.active, root)
-    if (after.exists(_.rebuildAdvised()) &&
-        !before.exists(_.rebuildAdvised()))
-      log.warn(s"IvfStore: appended-residual drift at $root crossed the " +
-        s"rebuild bound (ratio ${after.map(_.ratio).getOrElse(0.0)} over " +
-        s"$appN appended vectors) — probe recall is degrading under the " +
-        "frozen quantizer; rebuild with Ann.writeIvfIndex to refresh the " +
-        "geometry and reset the baseline")
+    val parsed = for {
+      buildN <- jsonFieldOpt(j, "build_n")
+      priorN <- jsonFieldOpt(j, "app_n")
+    } yield (buildN, priorN)
+    parsed.foreach { case (buildN, priorN) =>
+      val buildMean = jsonD(j, "build_mean")
+      val buildStd = jsonD(j, "build_std")
+      val priorSum = jsonD(j, "app_sum")
+      val appN = priorN + n
+      val appSum = priorSum + s
+      writeSmallAtomic(fs, p,
+        s"""{"build_n":$buildN,"build_mean":$buildMean,""" +
+          s""""build_std":$buildStd,""" +
+          s""""app_n":$appN,"app_sum":$appSum,"last_n":$n,"last_sum":$s}""")
+      def advised(an: Long, asum: Double): Boolean =
+        IvfDrift(buildN, buildMean, buildStd, an,
+          if (an > 0) asum / an else 0.0, n,
+          if (n > 0) s / n else 0.0).rebuildAdvised()
+      if (advised(appN, appSum) && !advised(priorN, priorSum)) {
+        val ratio =
+          if (buildMean > 0) (appSum / appN) / buildMean else 0.0
+        log.warn(s"IvfStore: appended-residual drift at $root crossed " +
+          s"the rebuild bound (ratio $ratio over $appN appended " +
+          "vectors) — probe recall is degrading under the frozen " +
+          "quantizer; rebuild with Ann.writeIvfIndex to refresh the " +
+          "geometry and reset the baseline")
+      }
+    }
+  } catch { case e: Exception =>
+    log.warn(s"IvfStore: drift ledger update at $root failed — advisory " +
+      s"is stale, the published append is unaffected (${e.getMessage})")
   }
 }

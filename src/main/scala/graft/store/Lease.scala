@@ -158,11 +158,24 @@ object Lease {
       held.get().remove(key)
       // delete only OUR lease: after a stale-takeover the file names the
       // successor, and deleting it would re-open the root to a third
-      // writer while the successor still operates
-      val stillOurs =
-        try ownerOf(readSmall(fs, leasePath(root))).contains(owner)
-        catch { case _: Exception => false }
-      if (stillOurs) fs.delete(leasePath(root), false)
+      // writer while the successor still operates. A TRANSIENT read
+      // failure must not be mistaken for "not ours" — skipping the
+      // delete then strands a fresh-timestamped orphan that fail-fasts
+      // every writer for up to staleMs — so an unreadable lease retries
+      // (the fence's discipline) and, if it stays unreadable, is deleted
+      // anyway UNLESS the heartbeat observed a takeover: the only way
+      // the file can name a successor is a takeover after a > staleMs
+      // pause, which the stopped heartbeat records in lostRoots.
+      var verdict: Option[Boolean] = None // Some(ours?) once a read parses
+      var tries = 0
+      while (verdict.isEmpty && tries < 5) {
+        try verdict = ownerOf(readSmall(fs, leasePath(root))).map(_ == owner)
+        catch { case _: Exception => () }
+        tries += 1
+        if (verdict.isEmpty && tries < 5) Thread.sleep(20)
+      }
+      if (verdict.getOrElse(!lostRoots.contains(key)))
+        fs.delete(leasePath(root), false)
       lostRoots.remove(key)
     }
   }

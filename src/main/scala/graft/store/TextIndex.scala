@@ -75,6 +75,41 @@ object TextIndex {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Atomic replacement for [[writeSmall]] where a PARTIAL file must
+    * never be observable (commit markers, advisory ledgers): the content
+    * lands complete in a tmp name first and the rename is the publish.
+    * A crash leaves either the old file, no file, or the new file —
+    * never a truncated one (the plain create-truncate shape can strand a
+    * 0-byte file that poisons every later parse). The delete→rename pair
+    * is not itself atomic (Hadoop rename refuses existing targets): a
+    * crash between them loses the OLD file, so callers must tolerate
+    * absence — every caller here does (markers are existence checks,
+    * ledgers degrade to "no baseline"). */
+  private[graft] def writeSmallAtomic(fs: FileSystem, p: HPath,
+                                      s: String): Unit = {
+    val tmp = new HPath(p.getParent,
+      s"${p.getName}.tmp.${System.nanoTime()}")
+    writeSmall(fs, tmp, s)
+    fs.delete(p, false)
+    renameOrFail(fs, tmp, p)
+  }
+
+  /** Bounded poll of a `Dataset.observe` metric row — the observed write
+    * is the action, so metrics arrive within milliseconds of it; None
+    * (callers skip their advisory update, never block a pipeline) if the
+    * metrics node was pruned (e.g. an empty batch) or never fires within
+    * `timeoutMs`. One implementation for every store-side ride-along
+    * observation (BandIndex/IvfStore drift, baselines). */
+  private[store] def readObsRow(obs: org.apache.spark.sql.Observation,
+                                timeoutMs: Long = 30000L): Option[org.apache.spark.sql.Row] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!obs.future.isCompleted && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    if (!obs.future.isCompleted) None
+    else Some(scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(1, "s")))
+  }
+
   private[store] def jsonField(s: String, k: String): Long =
     s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '-').toLong
 
@@ -91,6 +126,24 @@ object TextIndex {
       s"TextIndex: rename $src -> $dst failed (Hadoop rename returns " +
         "false on missing destination parents or existing targets)")
 
+  /** One step of a committed-rebuild roll-forward: swap
+    * `<dir>_rebuild_tmp` into `<dir>` (old generation aside, then
+    * dropped). Idempotent from every crash point — a tmp that is gone
+    * already swapped; the backup always clears. Only ever called under a
+    * rebuild marker, so the old generation is never needed back. */
+  private[store] def rollRebuildSwap(fs: FileSystem, path: String,
+                                     dir: String): Unit = {
+    val tmp = new HPath(path, dir + "_rebuild_tmp")
+    val bak = new HPath(path, dir + "_rebuild_bak")
+    val dst = new HPath(path, dir)
+    if (fs.exists(tmp)) {
+      fs.delete(bak, true)
+      if (fs.exists(dst)) renameOrFail(fs, dst, bak)
+      renameOrFail(fs, tmp, dst)
+    }
+    fs.delete(bak, true)
+  }
+
   private def postingsOf(docs: DataFrame, buckets: Int,
                          text: String): DataFrame =
     docs
@@ -101,42 +154,95 @@ object TextIndex {
 
   def write(docs: DataFrame, path: String, buckets: Int = 64,
             text: String = "text"): Handle =
+    write(docs, path, buckets, text, 0)
+
+  private[store] def write(docs: DataFrame, path: String, buckets: Int,
+            text: String, crashAfterStep: Int): Handle =
       Lease.withLease(path, "TextIndex.write") {
+    def crash(step: Int): Unit = if (step == crashAfterStep)
+      throw new RuntimeException(s"spec crash seam: rebuild step $step")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    // A rebuild SUPERSEDES any staged append at this path — even one past
-    // its `_staged` commit marker. Without this discard, the next
-    // open()/append() heal would roll the stale staged postings into the
-    // NEW index and overwrite its meta with the stale intent's
-    // n_docs/big_l (corruption with no error). Rebuilding at a fixed
-    // path after a crashed append is exactly the CLI `index` /
-    // textIndexDeltaFor flow, so this is a live path, not paranoia.
     val wfs = fsOf(path)
-    wfs.delete(new HPath(path, "append.pending"), true)
-    wfs.delete(new HPath(path, "dict.next"), true)
+    // roll forward a prior COMMITTED rebuild first (its marker
+    // supersedes everything at this path), so the staging below starts
+    // clean
+    completeRebuild(path)
+    // 1. stage the new generation into tmp dirs — the live index stays
+    //    fully intact and searchable until the commit marker below: a
+    //    crash (or a lease lost to a GC-pause takeover) during these
+    //    long writes must not leave a mixed-generation index (new
+    //    postings under the old meta's n_docs/big_l was exactly that
+    //    corruption)
+    for (d <- Seq("postings", "dict", "doclen"))
+      wfs.delete(new HPath(path, d + "_rebuild_tmp"), true)
     val tf = postingsOf(docs, buckets, text)
     tf.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings_rebuild_tmp")
     // df = docs-per-token over the postings just written (re-read: the
     // written files are the one materialization; no second corpus scan)
     val spark = docs.sparkSession
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings_rebuild_tmp")
       .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/dict")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/dict_rebuild_tmp")
     // per-doc length (Σ tf) — the BM25 normalizer; derived from the
     // written postings, so still a single corpus scan overall
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings_rebuild_tmp")
       .groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    val bigL = spark.read.parquet(s"$path/doclen")
+      .write.mode("overwrite").parquet(s"$path/doclen_rebuild_tmp")
+    val bigL = spark.read.parquet(s"$path/doclen_rebuild_tmp")
       .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     val nDocs = docs.count()
-    Lease.fence(path, "TextIndex.write") // meta is the publish point
-    writeSmall(fsOf(path), new HPath(path, "text_index.json"),
+    crash(1) // staged, not committed: open() leaves the old index as-is
+    // 2. commit point — fenced (a writer that lost its lease must not
+    //    supersede the successor's generation), then the marker rename
+    //    is the atomic commit; everything after rolls forward
+    Lease.fence(path, "TextIndex.write")
+    writeSmallAtomic(wfs, new HPath(path, "rebuild.intent.json"),
       s"""{"n_docs":$nDocs,"buckets":$buckets,"big_l":$bigL}""")
+    crash(2) // committed: open() completes the rebuild
+    completeRebuild(path)
     Handle(path, nDocs, buckets, bigL)
   }
 
+  /** Roll a COMMITTED rebuild forward — idempotent from every crash
+    * point, called by [[open]] and [[write]]; no-op without the marker.
+    * The superseded generation's maintenance state dies first: a staged
+    * append — even one past its `_staged` commit marker — belongs to the
+    * dead generation (healing it into the NEW index would roll stale
+    * postings in and overwrite the fresh meta with the stale intent's
+    * n_docs/big_l: corruption with no error — rebuilding at a fixed path
+    * after a crashed append is exactly the CLI `index` /
+    * textIndexDeltaFor flow, so this is a live path, not paranoia), and
+    * so does the POSITIONAL tier: `positions/` indexes the superseded
+    * corpus, and [[phraseSearch]] answering from it after a rebuild
+    * would silently return the old corpus's phrases — re-run
+    * [[writePositional]] after a rebuild. Then postings/dict/doclen
+    * swap in, the meta lands, and the marker clears. */
+  private def completeRebuild(path: String): Unit = {
+    val fs = fsOf(path)
+    val marker = new HPath(path, "rebuild.intent.json")
+    if (!fs.exists(marker)) return
+    // no-op from the lease-free heal path (open); aborts a leased writer
+    // whose lease was taken over — the successor's own open() rolls the
+    // committed marker forward to the identical end state
+    Lease.fence(path, "TextIndex.completeRebuild")
+    val intent = readSmall(fs, marker)
+    for (d <- Seq("append.pending", "dict.next", "positions"))
+      fs.delete(new HPath(path, d), true)
+    for (d <- Seq("postings", "dict", "doclen"))
+      rollRebuildSwap(fs, path, d)
+    writeSmall(fs, new HPath(path, "text_index.json"),
+      s"""{"n_docs":${jsonField(intent, "n_docs")},""" +
+        s""""buckets":${jsonField(intent, "buckets")},""" +
+        s""""big_l":${jsonField(intent, "big_l")}}""")
+    fs.delete(marker, false)
+  }
+
   def open(path: String): Handle = {
+    // a COMMITTED rebuild supersedes every other pending state — roll it
+    // forward before the per-generation heals below
+    completeRebuild(path)
     // restore interrupted compact swaps BEFORE the append heal: its
     // publishPending mkdirs into postings/, and a writer that recreates
     // a mid-swap-missing dir strands the backup for the next compact's
@@ -403,6 +509,14 @@ object TextIndex {
   def phraseSearch(spark: SparkSession, h: Handle,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phrase needs at least two tokens")
+    // refuse loudly, like bm25TopK on a pre-BM25 index: a missing
+    // positional tier (never built, or superseded by a rebuild — write()
+    // deletes positions/ because they index the OLD corpus) must not
+    // surface as an opaque path-not-found from the scan
+    require(fsOf(h.path).exists(new HPath(h.path, "positions")),
+      s"TextIndex.phraseSearch: no positional tier at ${h.path} — run " +
+        "writePositional(...) first (a rebuild supersedes positions/: " +
+        "they index the superseded corpus)")
     val bs = phrase.map(t => md5Long60(t) % h.buckets).distinct
     val post = spark.read.parquet(s"${h.path}/positions")
       .where(col("bucket").isin(bs: _*) &&

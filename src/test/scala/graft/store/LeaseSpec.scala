@@ -221,12 +221,14 @@ class LeaseSpec extends SparkSpec {
     val prev = Lease.staleMs
     Lease.staleMs = 750 // heartbeat every 250 ms
     try {
-      for (i <- 0 until 15) {
-        // op duration straddles the heartbeat interval so releases land
-        // WHILE refresh writes are in flight — without the join, a
-        // refresh could recreate the lease after the delete and strand
-        // an orphan "live" lease for staleMs
-        Lease.withLease(p, "spec.loop") { Thread.sleep(20 * (i % 4)) }
+      for (i <- 0 until 8) {
+        // op duration must STRADDLE the heartbeat interval (250 ms) so
+        // releases land while refresh writes can be in flight — without
+        // the join, a refresh could recreate the lease after the delete
+        // and strand an orphan "live" lease for staleMs. Sleeping under
+        // 250 ms would release before the FIRST refresh ever fires and
+        // assert nothing (the round-16 review's vacuity finding).
+        Lease.withLease(p, "spec.loop") { Thread.sleep(255 + 10 * (i % 4)) }
         assert(!Lease.exists(p), s"iteration $i left an orphan lease")
       }
     } finally Lease.staleMs = prev
