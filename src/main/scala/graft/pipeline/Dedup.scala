@@ -345,7 +345,16 @@ object Dedup {
     val tk = TextOps.tokens(col(text))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val tokHashed = docs.where(size(tk) >= n)
+    // repartition the COMPACT text rows by doc_id BEFORE the token
+    // explode: the per-doc window below needs a doc_id exchange anyway,
+    // and moving it ahead of the explode (a) shuffles raw text (~1 KB/doc)
+    // instead of exploded token-hash rows (~24 B x tokens/doc — 4-5x the
+    // bytes; guide §2.3), and (b) parallelizes the tokenize+md5 fan-out,
+    // which otherwise runs inside the SCAN stage — a single task when the
+    // input is one small file (measured 1.6 s/branch on q48 at sf0.1).
+    // The window then reuses this HashPartitioning, so the exchange COUNT
+    // is unchanged: it moved earlier and carries fewer bytes.
+    val tokHashed = pinParallelism(docs.where(size(tk) >= n), col("doc_id"))
       .select(col("doc_id"), size(tk).as("_n"), posexplode(tk).as(Seq("pos", "tok")))
       .withColumn("th", TextOps.md5Long(col("tok")))
     val gram = (0 until n).map { i =>
@@ -596,6 +605,23 @@ object Dedup {
     * materialization costs nothing measurable; the session conf is
     * restored immediately (brief visibility to concurrent queries loses
     * only that optimization, never correctness). */
+  /** Repartition to the session's CONFIGURED shuffle parallelism, keyed
+    * on `key`, ahead of an eager localCheckpoint that feeds an expensive
+    * fan-out join. AQE's bytes-based coalescing is blind to downstream
+    * per-row cost: a few-MB candidate-vector frame coalesces to ONE
+    * post-shuffle partition, the checkpoint inherits it, and every map
+    * stage over the checkpoint then runs single-task — measured 3.6 s on
+    * one core for q180's verify join at sf0.1 (guide §2.5/2.6: idle
+    * capacity, not skew). A NUMBERED repartition is exempt from AQE
+    * coalescing, and the number comes from spark.sql.shuffle.partitions,
+    * so it stays cluster- and CPU-adaptive (the bench drives it through
+    * SPARK_GRAFT_CPUS) rather than hard-coding local geometry. At scale
+    * these frames are candidate-doc-sized and shuffle once more (cheap —
+    * they are about to be scanned by 2-3 joins), keyed by doc id so the
+    * doc-keyed probe joins can reuse the distribution. */
+  private def pinParallelism(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
+
   private def checkpointKeepingMetrics(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.optimizer.excludedRules"
@@ -878,9 +904,9 @@ object Dedup {
     val candDocs = candsDf.select(col("doc_a").as("doc_id"))
       .unionByName(candsDf.select(col("doc_b").as("doc_id")))
       .distinct()
-    val candSh = shingleHashRows(
+    val candSh = pinParallelism(shingleHashRows(
       docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), ngram,
-      text, distinct = true).localCheckpoint()
+      text, distinct = true), col("doc_id")).localCheckpoint()
     val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = candSh.select(col("doc_id").as("doc_a"), col("gram"))
     val b = candSh.select(col("doc_id").as("doc_b"), col("gram"))
@@ -962,9 +988,7 @@ object Dedup {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
     val W = org.apache.spark.sql.expressions.Window
-    val f = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col(text))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
+    val f = tfVectors(docs, text)
     val dfTbl = f.groupBy("term").agg(count(lit(1)).as("_df"))
     val wDoc = W.partitionBy("doc_id").orderBy(desc("_df"), asc("term"))
     val withPs = f.join(dfTbl, "term")
@@ -990,7 +1014,13 @@ object Dedup {
     * every cosine tier ([[cosineJoin]], [[cosineJoinBucketed]]) shares, so
     * their accept decisions are comparable bit-for-bit. */
   private def tfVectors(docs: DataFrame, text: String): DataFrame =
-    docs.select(col("doc_id"), explode(TextOps.tokens(col(text))).as("term"))
+    // text shuffles by doc_id BEFORE the explode (same trade as
+    // positionalGramHashes: fewer bytes than exploded token rows, and the
+    // tokenize fan-out parallelizes out of the scan stage); the
+    // (doc_id, term) aggregation then needs NO exchange — HashPartitioning
+    // on doc_id already clusters every (doc_id, term) group
+    pinParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col(text))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
 
   /** Shared EXACT-INTEGER cosine accept tier over a candidate pair set:
@@ -1067,8 +1097,8 @@ object Dedup {
     val t2n = tauNum * tauNum; val t2d = tauDen * tauDen
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val candF = f.join(candDocs, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val candF = pinParallelism(f.join(candDocs, Seq("doc_id"), "left_semi"),
+      col("doc_id")).localCheckpoint()
     val n2 = candF.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val c = routePairFrame(cands)
     c.join(candF.select(col("doc_id").as("doc_a"), col("term"),
