@@ -605,6 +605,38 @@ object Dedup {
     * materialization costs nothing measurable; the session conf is
     * restored immediately (brief visibility to concurrent queries loses
     * only that optimization, never correctness). */
+  /** Eagerly localCheckpoint `df` while OBSERVING one long-valued
+    * aggregate on the same materialization pass — the iterative-loop
+    * version of the cap-drop ride-along: convergence tests (changed-row
+    * counts, frontier sizes, fixpoint row counts) previously cost one
+    * extra count() action per round on top of the checkpoint job, and at
+    * bench scale the per-round job overhead IS the cost of the loop
+    * (q51: 133 jobs, 4.3 s, biggest stage 0.25 s). The observation rides
+    * the checkpoint job — zero extra jobs.
+    *
+    * Round-14 observe traps all apply and are handled: the delivered Row
+    * is positional; AQE's empty-relation propagation can delete the
+    * CollectMetrics node (empty row) — excluded for this materialization
+    * via [[checkpointKeepingMetrics]]; a null aggregate (sum over zero
+    * rows) reads as 0; and any residual delivery failure falls back to
+    * `fallback` on the cached blocks, so the stat is never wrong, only
+    * occasionally one cheap job slower. */
+  private[pipeline] def checkpointWithStat(df: DataFrame, agg: Column)(
+      fallback: DataFrame => Long): (DataFrame, Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val ck = checkpointKeepingMetrics(df.observe(obs, agg.as("_stat")))
+    val stat =
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30,
+            java.util.concurrent.TimeUnit.SECONDS))
+        if (row.length == 0) fallback(ck)
+        else if (row.isNullAt(0)) 0L
+        else row.getLong(0)
+      } catch { case _: java.util.concurrent.TimeoutException => fallback(ck) }
+    (ck, stat)
+  }
+
   /** Repartition to the session's CONFIGURED shuffle parallelism, keyed
     * on `key`, ahead of an eager localCheckpoint that feeds an expensive
     * fan-out join. AQE's bytes-based coalescing is blind to downstream
@@ -1703,17 +1735,37 @@ object Dedup {
     var changed = labels.count() // any vertices? enter the loop
     var iters = 0
     while (changed > 0 && iters < maxIters) {
+      // POINTER JUMP first (label := min(label, label of the label) —
+      // every label value is itself a vertex of the component, so the
+      // lookup always resolves), then the one-hop neighbour propagation.
+      // Jumping halves chain distances per round on top of the hop,
+      // turning O(diameter) rounds into O(log diameter) on the
+      // chain-shaped graphs transitive near-dup pairs produce (measured:
+      // q51's pair graph took ~19 one-hop rounds at ~5 jobs each). The
+      // jump self-joins the CHECKPOINTED labels frame only — both sides
+      // are cached blocks, so the twice-referenced `jumped` subtree
+      // re-evaluates a broadcast join of cached vertex-sized frames, not
+      // the edge-sized prop chain. Fixpoint — min reachable id — is
+      // unchanged (spec: ComponentsSpec; oracle: q49/q51/q114/q186).
+      val jt = labels.select(col("doc_id").as("_jk"), col("cluster_id").as("_jmp"))
+      val jumped = labels.join(jt, col("cluster_id") === jt("_jk"), "left")
+        .select(col("doc_id"), col("cluster_id").as("_old"),
+          least(col("cluster_id"), coalesce(col("_jmp"), col("cluster_id")))
+            .as("_jl"))
       val prop = sym
-        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("_lbl")), "src")
+        .join(jumped.select(col("doc_id").as("src"), col("_jl").as("_lbl")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("_lbl").as("_nbr"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("_nbr"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("_nbr"), lit(Long.MaxValue)) < col("cluster_id"))
-            .as("_chg"))
-        .localCheckpoint()
-      changed = next.where(col("_chg")).count()
+      // the changed-row count rides the checkpoint materialization
+      // (checkpointWithStat) instead of a second count() action per round
+      val (next, nChanged) = checkpointWithStat(
+        jumped.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("_jl"), coalesce(col("_nbr"), col("_jl")))
+              .as("cluster_id"),
+            (least(col("_jl"), coalesce(col("_nbr"), col("_jl"))) <
+              col("_old")).as("_chg")),
+        sum(col("_chg").cast("long")))(_.where(col("_chg")).count())
+      changed = nChanged
       labels = next.drop("_chg")
       iters += 1
     }
@@ -1766,16 +1818,24 @@ object Dedup {
     }
     val verts = edges.select(col(a).as("doc_id"))
       .unionByName(edges.select(col(b).as("doc_id"))).distinct()
-    var cur = canon(edges.select(col(a).as("u"), col(b).as("v")))
-      .localCheckpoint()
+    // row counts ride each checkpoint materialization (checkpointWithStat)
+    // so the fixpoint test costs zero extra jobs per round until the
+    // counts first agree — only then is the set-equality anti-join run
+    val (cur0, cnt0) = checkpointWithStat(
+      canon(edges.select(col(a).as("u"), col(b).as("v"))),
+      count(lit(1)))(_.count())
+    var cur = cur0
+    var curCnt = cnt0
     var iters = 0
-    var done = cur.isEmpty // edge-free input: nothing to contract
+    var done = curCnt == 0L // edge-free input: nothing to contract
     while (!done && iters < maxIters) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+      val (next, nextCnt) = checkpointWithStat(
+        canon(smallStar(largeStar(cur))), count(lit(1)))(_.count())
       // fixpoint test on canonical SETS: equal count + no fresh edge
-      done = next.count() == cur.count() &&
+      done = nextCnt == curCnt &&
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       cur = next
+      curCnt = nextCnt
       iters += 1
     }
     require(done,

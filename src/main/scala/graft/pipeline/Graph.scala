@@ -66,6 +66,14 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val teleport = ((scale - damp) * scale) / scale
+    // Per-round eager checkpoints are ALSO what lets AQE plan each
+    // round's joins from MEASURED sizes: the rank frame is vertex-sized
+    // and broadcasts. (r16 optimization note: chaining all rounds into
+    // one lazy plan — `rank` is single-referenced, so depth only grows
+    // linearly — was MEASURED 6x SLOWER at sf0.1: the un-materialized
+    // rank side loses its runtime size, the per-round joins fall back to
+    // shuffle joins on estimates, and the edge frame re-shuffles every
+    // round. Kept per-round.)
     var rank = nodes.withColumn("rank_scaled", lit(scale))
     for (_ <- 1 to iters) {
       val contrib = ed
@@ -176,15 +184,22 @@ object Graph {
     var frontier = dist
     var d = 0L
     var frontierSize = frontier.count()
+    // the frontier size rides the frontier's checkpoint materialization
+    // (Dedup.checkpointWithStat) instead of a per-round count() action.
+    // (r16 optimization note: replacing the accumulated visited-set
+    // checkpoint with a lazy union of per-round legs was MEASURED SLOWER
+    // — 3.0 -> 3.5 s at sf0.1 — the per-round anti-join over a growing
+    // union re-plans worse than one cached frame; kept as-is.)
     while (frontierSize > 0 && d < maxDepth) {
       d += 1
-      val next = frontier
-        .join(e, frontier("node") === e("_s"))
-        .select(col("_d").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(d))
-        .localCheckpoint()
-      frontierSize = next.count()
+      val (next, n) = Dedup.checkpointWithStat(
+        frontier
+          .join(e, frontier("node") === e("_s"))
+          .select(col("_d").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d)),
+        count(lit(1)))(_.count())
+      frontierSize = n
       if (frontierSize > 0) dist = dist.unionByName(next).localCheckpoint()
       frontier = next
     }

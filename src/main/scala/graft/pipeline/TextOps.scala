@@ -553,7 +553,12 @@ object TextOps {
           top(0).getLong(2))
         merges += ((rank, a, b, cnt))
         rank += 1
-        // checkpoint blocks of the superseded iterate free on GC
+        // checkpoint blocks of the superseded iterate free on GC.
+        // (r16 optimization note: batching checkpoints every 8 rounds was
+        // MEASURED SLOWER — 3.3 -> 4.5 s at sf0.1 — because aggregate()
+        // folds are interpreted, not codegen'd, so the argmax job re-paid
+        // up to 7 stacked folds per round; the per-round eager
+        // materialization is the cheaper trade on both sides.)
         vocab = vocab.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
             when(size(acc) > 0 &&
