@@ -285,9 +285,18 @@ object Ann {
       // first position of the min → smallest c on ties
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
+    // the codes frame repartitions to the configured shuffle parallelism
+    // before the ADC join: codes are m small ints per vector (the column
+    // this scaladoc already prescribes STORING at scale — shuffling it is
+    // m bytes/vector), and without the exchange the interpreted ADC
+    // lookup join stays fused into the corpus scan — a single task when
+    // the input is one parquet row group (profiled 2.8 s on one core at
+    // sf0.1, the whole query)
     val c = corpus.select(col("vec_id").as("vid"),
         quantize(col("embedding")).as("ve"))
       .withColumn("codes", codesCol).select("vid", "codes")
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vid"))
     val dtabCol = transform(sequence(lit(0), lit(m - 1)), j =>
       transform(sequence(lit(0), lit(ksub - 1)), cc =>
         subDist(col("qe"), j, cc)))

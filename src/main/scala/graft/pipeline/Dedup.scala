@@ -2074,6 +2074,12 @@ object Dedup {
     // contract); n2 < 0 additionally catches a wrapped squared-norm sum
     val t2dL = tauDen * tauDen
     val maxN2 = math.sqrt(Long.MaxValue.toDouble / t2dL).toLong - 1
+    // (r16 optimization note: eagerly checkpointing this thrice-referenced
+    // frame — pinParallelism + localCheckpoint — was MEASURED 2-3x SLOWER
+    // at sf0.1 (q115 4.1 -> 11.9 s repeatable): Spark's exchange reuse
+    // already deduplicates the heavy vectorize subtree across the three
+    // branches, and the eager materialization serializes what the lazy
+    // plan overlaps. Left lazy.)
     val withN = v.join(asg, "doc_id")
       .withColumn("n2",
         aggregate(transform(col("cv"), x => x * x), lit(0L), _ + _))

@@ -313,9 +313,13 @@ private[registry] object AnalyticsEntries {
       (s, d) => {
         val raw = s.read.parquet(s"$d/events.parquet")
         val base = raw.select(col("user_id"), Tables.tsNs(raw).as("time"))
-        val sess = graft.pipeline.Sessionize.sessionize(
+        // pinCkpt: the session frame feeds BOTH overlap-join sides — one
+        // checkpoint stops the sessionize window re-running per side and
+        // un-serializes the band explode (1-partition AQE coalesce)
+        val sess = Shared.pinCkpt(graft.pipeline.Sessionize.sessionize(
             base, "user_id", "time", gapNs = 300000000000L) // 5 min
-          .withColumn("en", col("session_end") + 120000000000L) // +120 s pad
+          .withColumn("en", col("session_end") + 120000000000L), // +120 s pad
+          col("user_id"))
         val a = sess.select(col("user_id").as("ua"),
           col("session_start").as("sa"), col("en").as("ea"))
         val b = sess.select(col("user_id").as("ub"),

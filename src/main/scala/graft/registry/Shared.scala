@@ -59,6 +59,18 @@ private[registry] object Shared {
        |  CAST(sum(seg_len) AS BIGINT) AS active_time
        |  FROM segs WHERE bstart < last_t - last_t % $interval GROUP BY 1, 2)""".stripMargin
 
+  /** Pin `df` to the session's configured shuffle parallelism on `key`
+    * and eagerly localCheckpoint it — for an entry-level frame that is
+    * referenced more than once with an expensive lineage (each reference
+    * otherwise re-runs it) and would otherwise inherit a 1-partition AQE
+    * coalesce into its fan-out consumer (the Dedup verify-tier lesson at
+    * registry level). Values are unchanged; numbered repartition keeps
+    * the partition count CPU/cluster-adaptive via
+    * spark.sql.shuffle.partitions. */
+  def pinCkpt(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      key).localCheckpoint()
+
   /** At-most-once per-key memoization. TrieMap.getOrElseUpdate may evaluate
     * its thunk more than once under concurrent first access — two threads
     * racing an ingest/index build against the same /tmp root (mode
