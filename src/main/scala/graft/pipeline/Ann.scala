@@ -270,15 +270,22 @@ object Ann {
     require(cent.length == ksub, s"corpus has fewer than ksub=$ksub rows")
     val dsub = dim / m
     val centLit = typedlit(cent)
+    val spark = corpus.sparkSession
     // L2² between sub-vector j of `vec` and codebook entry c (1-based
-    // element_at positions; j, c are 0-based lambda ints)
-    def subDist(vec: Column, j: Column, c: Column): Column =
-      aggregate(sequence(lit(1), lit(dsub)), lit(0L), (acc, i) => {
-        val pos = j * dsub + i
-        val diff = element_at(vec, pos) -
-          element_at(element_at(centLit, c + 1), pos)
-        acc + diff * diff
-      })
+    // element_at positions; j, c are 0-based lambda ints), computed as
+    // x·x − 2·x·c + c·c over array SLICES so each sub-distance is three
+    // graft_dot primitive loops (one expression eval each) instead of a
+    // dsub-step aggregate() whose per-element lambda machinery dominated
+    // the encode (r16 profile: the whole query ran as one interpreted
+    // stage). Identical exact-int64 values — Σ(x−c)² expands to exactly
+    // these three sums, and the quantized-grid magnitudes keep every
+    // partial far under 2⁶³.
+    def subDist(vec: Column, j: Column, c: Column): Column = {
+      val sub = slice(vec, j * dsub + lit(1), lit(dsub))
+      val subc = slice(element_at(centLit, c + 1), j * dsub + lit(1), lit(dsub))
+      val xc = dotFast(spark)(sub, subc)
+      dotFast(spark)(sub, sub) - xc - xc + dotFast(spark)(subc, subc)
+    }
     val codesCol = transform(sequence(lit(0), lit(m - 1)), j => {
       val dists = transform(sequence(lit(0), lit(ksub - 1)), c =>
         subDist(col("ve"), j, c))
@@ -295,8 +302,6 @@ object Ann {
     val c = corpus.select(col("vec_id").as("vid"),
         quantize(col("embedding")).as("ve"))
       .withColumn("codes", codesCol).select("vid", "codes")
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
-        col("vid"))
     val dtabCol = transform(sequence(lit(0), lit(m - 1)), j =>
       transform(sequence(lit(0), lit(ksub - 1)), cc =>
         subDist(col("qe"), j, cc)))

@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** 60-bit deterministic token hash from md5 (parity with DuckDB oracle). */
+  /** Repartition compact per-doc rows to the session's configured shuffle
+    * parallelism BEFORE a token explode whose consumer needs a doc_id
+    * distribution anyway (lead/lag windows, per-doc aggregates): the
+    * downstream exchange moves EARLIER and carries text bytes instead of
+    * exploded token rows (4-5x fewer bytes), and the tokenize/hash fan-out
+    * parallelizes out of the scan stage — which is a single task whenever
+    * the input is one parquet row group (every sf file here; at cluster
+    * scale, scan splits parallelize and the moved exchange is the one the
+    * window required regardless). Numbered repartition: AQE must not
+    * coalesce it back to one partition on text-byte estimates. */
+  private def byDoc(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
@@ -659,7 +673,9 @@ object TextOps {
   def repetitionStats(docs: DataFrame, text: String = "text"): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val tok = docs.select(col("doc_id"), size(tokens(col(text))).as("n"),
+    // byDoc: see minFingerprint — the lead window needed this exchange
+    // anyway; moving it before the explode shuffles text, not token rows
+    val tok = byDoc(docs).select(col("doc_id"), size(tokens(col(text))).as("n"),
         posexplode(tokens(col(text))).as(Seq("pos", "tok")))
       .withColumn("th", md5Long(col("tok")))
       // leads materialize BEFORE the explode below — window functions are
@@ -927,7 +943,10 @@ object TextOps {
   def minFingerprint(docs: DataFrame, w: Int = 8, text: String = "text"): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val tok = docs.select(col("doc_id"), size(tokens(col(text))).as("n"),
+    // byDoc: shuffle compact text rows ahead of the explode — the lead
+    // window reuses the doc_id partitioning (same exchange count, fewer
+    // bytes) and tokenize+md5 leaves the single-row-group scan stage
+    val tok = byDoc(docs).select(col("doc_id"), size(tokens(col(text))).as("n"),
         posexplode(tokens(col(text))).as(Seq("pos", "tok")))
       .withColumn("th", md5Long(col("tok"))) // one md5 per token, not per gram
     val gram = (0 until w).map { i =>
@@ -978,7 +997,9 @@ object TextOps {
       .partitionBy("doc_id").orderBy("pos")
     val whole = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val tk = tokens(col(text))
-    val tok = docs.where(size(tk) >= n)
+    // byDoc: see minFingerprint — text shuffles before the explode, the
+    // lag/lead window chain reuses the partitioning
+    val tok = byDoc(docs.where(size(tk) >= n))
       .select(col("doc_id"), size(tk).as("_n"),
         posexplode(tk).as(Seq("pos", "tok")))
       .withColumn("th", md5Long(col("tok"))) // one md5 per token, not per gram
