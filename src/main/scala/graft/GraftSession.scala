@@ -23,6 +23,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing sizes post-shuffle partitions by BYTES; this
+      // engine's shuffles carry gram/fingerprint/window rows whose
+      // per-row compute (hashing, window chains, pair fan-outs) is heavy
+      // relative to their bytes, so the 1 MB default floor routinely
+      // coalesced an expensive stage onto ONE task (r16 profiles: q75/
+      // q151/q169 window stages, q66 vectorize — all single-task). 64 KB
+      // keeps parallelismFirst semantics (never BELOW this size) while
+      // letting sub-MB-but-compute-bound shuffles spread; at cluster
+      // scale shuffles big enough to matter coalesce by the advisory
+      // size exactly as before.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // default-on since 3.2, pinned explicitly: runtime re-splitting of
       // skewed shuffle joins is part of the 100 TB skew story alongside the
       // chunked gap lift (AggOps.gapLiftChunked)

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // ns-int64 timestamps stay LongType (engine is ns-exact; TimestampType is µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match GraftSession/Bench (verify must run the bench's plans)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -893,7 +893,10 @@ object TextOps {
     * Computed as 60 codegen'd conditional sums over one exploded token pass —
     * at scale this is one narrow map + one partial-aggregated groupBy(doc). */
   def simhash(docs: DataFrame, text: String = "text", bits: Int = 60): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col(text))).as("tok"))
+    // byDoc: the 60-column signed-bit aggregation groups by doc_id, so
+    // the exchange it needs moves ahead of the explode (text bytes, and
+    // the md5-per-token + 60 partial sums leave the single-task scan)
+    val tok = byDoc(docs).select(col("doc_id"), explode(tokens(col(text))).as("tok"))
       .withColumn("h", md5Long(col("tok")))
     val sums = (0 until bits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j")
@@ -909,7 +912,14 @@ object TextOps {
     * Correctness tier does all-pairs (fine at test SF); the 100 TB path
     * buckets fingerprints by band (see [[Dedup.simhashBandPairs]]). */
   def simhashPairs(sims: DataFrame, maxDist: Int): DataFrame = {
+    // the stream side of the all-pairs nested-loop join is pinned to the
+    // configured shuffle parallelism: the fingerprint frame is tiny in
+    // BYTES (16 B/doc — AQE coalesces it to one partition) but the join
+    // computes O(n²/2) hamming distances over it — single-task without
+    // the pin. One 16-byte-per-row exchange buys full parallelism.
     val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+      .repartition(sims.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"))
     val b = sims.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
     a.join(b, col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
