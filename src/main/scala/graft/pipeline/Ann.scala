@@ -526,15 +526,17 @@ object Ann {
     // aggregates travel in the commit marker so the roll-forward writes
     // the fresh ledger whoever completes it
     val obs = new org.apache.spark.sql.Observation()
-    ivfStoredRowsWithDist(corpus,
-        cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
-      .observe(obs, count(lit(1)).as("n"),
-        sum(col("adist").cast("double")).as("s"),
-        sum(col("adist").cast("double") * col("adist").cast("double")).as("s2"))
-      .drop("adist")
-      .repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite")
-      .parquet(s"$root/vectors_rebuild_tmp")
+    graft.store.withWriterCoalesce(corpus.sparkSession) {
+      ivfStoredRowsWithDist(corpus,
+          cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("adist").cast("double")).as("s"),
+          sum(col("adist").cast("double") * col("adist").cast("double")).as("s2"))
+        .drop("adist")
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite")
+        .parquet(s"$root/vectors_rebuild_tmp")
+    }
     val baseStats = graft.store.IvfStore.readObs3(obs)
     crash(1) // staged, not committed: open() leaves the old index as-is
     // commit point — fenced (a writer that lost its lease must not

@@ -87,9 +87,11 @@ object Curate {
     val bins = Profile.quantileBins(
       docs.select(col("doc_id"), col("n_chars")), "n_chars", k)
       .select(col("doc_id"), col("bin").as("len_bin"))
-    docs.join(bins, "doc_id")
-      .write.mode("overwrite").partitionBy("lang", "len_bin")
-      .parquet(root)
+    graft.store.withWriterCoalesce(docs.sparkSession) {
+      docs.join(bins, "doc_id")
+        .write.mode("overwrite").partitionBy("lang", "len_bin")
+        .parquet(root)
+    }
     root
   }
 

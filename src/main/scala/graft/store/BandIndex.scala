@@ -84,16 +84,20 @@ object BandIndex {
     //    the old meta was exactly that corruption)
     for (d <- Seq("bands", "grams"))
       fs.delete(new HPath(path, d + "_rebuild_tmp"), true)
-    Dedup.bandedRows(corpus, ngram, nHashes, nBands, text)
-      .select(col("doc_id"), col("bkey"), col("band"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$path/bands_rebuild_tmp")
+    withWriterCoalesce(corpus.sparkSession) {
+      Dedup.bandedRows(corpus, ngram, nHashes, nBands, text)
+        .select(col("doc_id"), col("bkey"), col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$path/bands_rebuild_tmp")
+    }
     // drift baseline: observe the corpus's distinct-shingle volume on the
     // SAME pass that writes the gram table (zero extra jobs)
     val gobs = new org.apache.spark.sql.Observation()
-    Dedup.shingleHashRows(corpus, ngram, text, distinct = true)
-      .observe(gobs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/grams_rebuild_tmp")
+    withWriterCoalesce(corpus.sparkSession) {
+      Dedup.shingleHashRows(corpus, ngram, text, distinct = true)
+        .observe(gobs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$path/grams_rebuild_tmp")
+    }
     val nDocs = corpus.count()
     val baseGrams = readObsRow(gobs)
       .filter(r => r.length >= 1 && !r.isNullAt(0)).map(_.getLong(0))
@@ -208,8 +212,10 @@ object BandIndex {
     val fs = fsOf(h.path)
     val pending = new HPath(h.path, "retire.pending")
     fs.delete(pending, true) // abort any interrupted predecessor
-    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .write.mode("overwrite").parquet(s"${h.path}/retire.pending")
+    withWriterCoalesce(ids.sparkSession) {
+      ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"${h.path}/retire.pending")
+    }
     val dst = new HPath(h.path, "tombstones")
     fs.mkdirs(dst)
     Lease.fence(h.path, "BandIndex.retire")
@@ -256,16 +262,20 @@ object BandIndex {
     require(!fs.exists(pending),
       s"append.pending survived heal — concurrent append? ${h.path}")
     // 1. stage the drop's band rows + gram rows
-    Dedup.bandedRows(newDocs, h.ngram, h.numHashes, h.bands, text)
-      .select(col("doc_id"), col("bkey"), col("band"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"${h.path}/append.pending/bands")
+    withWriterCoalesce(newDocs.sparkSession) {
+      Dedup.bandedRows(newDocs, h.ngram, h.numHashes, h.bands, text)
+        .select(col("doc_id"), col("bkey"), col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"${h.path}/append.pending/bands")
+    }
     // drift: observe the drop's distinct-shingle volume on the staging
     // pass itself (zero extra jobs) — recorded after publish
     val gobs = new org.apache.spark.sql.Observation()
-    Dedup.shingleHashRows(newDocs, h.ngram, text, distinct = true)
-      .observe(gobs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"${h.path}/append.pending/grams")
+    withWriterCoalesce(newDocs.sparkSession) {
+      Dedup.shingleHashRows(newDocs, h.ngram, text, distinct = true)
+        .observe(gobs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"${h.path}/append.pending/grams")
+    }
     crash(1)
     // 2. intent: the TARGET count (idempotent for the roll-forward)
     val target = h.nDocs + newDocs.count()
@@ -381,17 +391,21 @@ object BandIndex {
       val obs = new org.apache.spark.sql.Observation()
       val docs = novel.observe(obs, count(lit(1)).as("n")).localCheckpoint()
       requireNoTombstoned(docs, path, "doc_id", "BandIndex.appendBatch")
-      Dedup.bandedRows(docs, h.ngram, h.numHashes, h.bands, text)
-        .select(col("doc_id"), col("bkey"), col("band"))
-        .write.mode("overwrite").partitionBy("band")
-        .parquet(s"$staging/bands")
+      withWriterCoalesce(docs.sparkSession) {
+        Dedup.bandedRows(docs, h.ngram, h.numHashes, h.bands, text)
+          .select(col("doc_id"), col("bkey"), col("band"))
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(s"$staging/bands")
+      }
       // drift: the drop's distinct-shingle volume rides the gram staging
       // write (zero extra jobs; persisted WITH the staging so a replay —
       // which never re-runs `novel` — still merges it post-marker)
       val gobs = new org.apache.spark.sql.Observation()
-      Dedup.shingleHashRows(docs, h.ngram, text, distinct = true)
-        .observe(gobs, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$staging/grams")
+      withWriterCoalesce(docs.sparkSession) {
+        Dedup.shingleHashRows(docs, h.ngram, text, distinct = true)
+          .observe(gobs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$staging/grams")
+      }
       val n = try {
         val row = scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(30, "s"))
@@ -527,17 +541,21 @@ object BandIndex {
         s"BandIndex.compact: tombstones at ${h.path} retire EVERY live " +
           "doc — compacting would write an empty unreadable index. Delete " +
           "the index or rebuild it instead of compacting a full retirement")
-    dropRetired(spark.read.parquet(s"${h.path}/bands"))
-      .repartition(col("band"),
-        pmod(xxhash64(col("bkey")), lit(filesPerPartition)))
-      .sortWithinPartitions("bkey", "doc_id")
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"${h.path}/bands_compact_tmp")
+    withWriterCoalesce(spark) {
+      dropRetired(spark.read.parquet(s"${h.path}/bands"))
+        .repartition(col("band"),
+          pmod(xxhash64(col("bkey")), lit(filesPerPartition)))
+        .sortWithinPartitions("bkey", "doc_id")
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"${h.path}/bands_compact_tmp")
+    }
     swap("bands_compact_tmp", "bands")
-    dropRetired(spark.read.parquet(s"${h.path}/grams"))
-      .repartition(filesPerPartition, col("doc_id"))
-      .sortWithinPartitions("doc_id", "gram")
-      .write.mode("overwrite").parquet(s"${h.path}/grams_compact_tmp")
+    withWriterCoalesce(spark) {
+      dropRetired(spark.read.parquet(s"${h.path}/grams"))
+        .repartition(filesPerPartition, col("doc_id"))
+        .sortWithinPartitions("doc_id", "gram")
+        .write.mode("overwrite").parquet(s"${h.path}/grams_compact_tmp")
+    }
     swap("grams_compact_tmp", "grams")
     if (tomb.isEmpty) h // layout maintenance only — content/meta unchanged
     else {

@@ -49,13 +49,15 @@ object IvfStore {
     // drift: observe the drop's assignment residuals on the staging pass
     // itself (zero extra jobs) — recorded after publish
     val obs = new org.apache.spark.sql.Observation()
-    Ann.ivfStoredRowsWithDist(newVecs, index.centroids)
-      .observe(obs, count(lit(1)).as("n"),
-        sum(col("adist").cast("double")).as("s"))
-      .drop("adist")
-      .repartition(col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite")
-      .parquet(s"${index.root}/append.pending/vectors")
+    withWriterCoalesce(newVecs.sparkSession) {
+      Ann.ivfStoredRowsWithDist(newVecs, index.centroids)
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("adist").cast("double")).as("s"))
+        .drop("adist")
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite")
+        .parquet(s"${index.root}/append.pending/vectors")
+    }
     // commit point: everything before is abortable, everything after
     // rolls forward (publish is idempotent — renamed files leave the
     // staging listing, Spark part names are unique per job). Fenced: a
@@ -151,13 +153,15 @@ object IvfStore {
         else docs0
       requireNoTombstoned(docs, root, "IvfStore.appendBatch")
       val obs = new org.apache.spark.sql.Observation()
-      Ann.ivfStoredRowsWithDist(docs, h.centroids)
-        .observe(obs, count(lit(1)).as("n"),
-          sum(col("adist").cast("double")).as("s"))
-        .drop("adist")
-        .repartition(col("list_id"))
-        .write.partitionBy("list_id").mode("overwrite")
-        .parquet(s"$staging/vectors")
+      withWriterCoalesce(docs.sparkSession) {
+        Ann.ivfStoredRowsWithDist(docs, h.centroids)
+          .observe(obs, count(lit(1)).as("n"),
+            sum(col("adist").cast("double")).as("s"))
+          .drop("adist")
+          .repartition(col("list_id"))
+          .write.partitionBy("list_id").mode("overwrite")
+          .parquet(s"$staging/vectors")
+      }
       // drift aggregates persist WITH the staging (the accepted set is
       // fixed at first evaluation; a replay publishes without re-running
       // `novel`, so the observation only exists on this first attempt)
@@ -227,8 +231,10 @@ object IvfStore {
     val fs = fsOf(index.root)
     val pending = new HPath(index.root, "retire.pending")
     fs.delete(pending, true)
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .write.mode("overwrite").parquet(s"${index.root}/retire.pending")
+    withWriterCoalesce(ids.sparkSession) {
+      ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+        .write.mode("overwrite").parquet(s"${index.root}/retire.pending")
+    }
     val dst = new HPath(index.root, "tombstones")
     fs.mkdirs(dst)
     Lease.fence(index.root, "IvfStore.retire")
@@ -285,12 +291,14 @@ object IvfStore {
         s"IvfStore.compact: tombstones at ${index.root} retire EVERY " +
           "live vector — compacting would write an empty unreadable " +
           "index. Delete or rebuild instead of compacting a full retirement")
-    live
-      .repartition(col("list_id"),
-        pmod(xxhash64(col("vid")), lit(filesPerPartition)))
-      .sortWithinPartitions("vid")
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"${index.root}/vectors_compact_tmp")
+    withWriterCoalesce(live.sparkSession) {
+      live
+        .repartition(col("list_id"),
+          pmod(xxhash64(col("vid")), lit(filesPerPartition)))
+        .sortWithinPartitions("vid")
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"${index.root}/vectors_compact_tmp")
+    }
     Lease.fence(index.root, "IvfStore.compact")
     val tmpP = new HPath(index.root, "vectors_compact_tmp")
     val dstP = new HPath(index.root, "vectors")

@@ -176,20 +176,26 @@ object TextIndex {
     for (d <- Seq("postings", "dict", "doclen"))
       wfs.delete(new HPath(path, d + "_rebuild_tmp"), true)
     val tf = postingsOf(docs, buckets, text)
-    tf.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings_rebuild_tmp")
+    withWriterCoalesce(docs.sparkSession) {
+      tf.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings_rebuild_tmp")
+    }
     // df = docs-per-token over the postings just written (re-read: the
     // written files are the one materialization; no second corpus scan)
     val spark = docs.sparkSession
-    spark.read.parquet(s"$path/postings_rebuild_tmp")
-      .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/dict_rebuild_tmp")
+    withWriterCoalesce(spark) {
+      spark.read.parquet(s"$path/postings_rebuild_tmp")
+        .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/dict_rebuild_tmp")
+    }
     // per-doc length (Σ tf) — the BM25 normalizer; derived from the
     // written postings, so still a single corpus scan overall
-    spark.read.parquet(s"$path/postings_rebuild_tmp")
-      .groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen_rebuild_tmp")
+    withWriterCoalesce(spark) {
+      spark.read.parquet(s"$path/postings_rebuild_tmp")
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclen_rebuild_tmp")
+    }
     val bigL = spark.read.parquet(s"$path/doclen_rebuild_tmp")
       .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     val nDocs = docs.count()
@@ -312,13 +318,15 @@ object TextIndex {
       s"append.pending survived heal — concurrent append? ${h.path}")
     // 1. stage the delta postings + doc lengths
     val tf = postingsOf(newDocs, h.buckets, text)
-    tf.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${h.path}/append.pending/postings")
-    newDocs.sparkSession.read
-      .parquet(s"${h.path}/append.pending/postings")
-      .groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode("overwrite")
-      .parquet(s"${h.path}/append.pending/doclen")
+    withWriterCoalesce(newDocs.sparkSession) {
+      tf.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${h.path}/append.pending/postings")
+      newDocs.sparkSession.read
+        .parquet(s"${h.path}/append.pending/postings")
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("overwrite")
+        .parquet(s"${h.path}/append.pending/doclen")
+    }
     crash(1)
     // 2. intent: the TARGET counts (idempotent for the heal)
     val target = h.nDocs + newDocs.count()
@@ -331,11 +339,13 @@ object TextIndex {
     // 3. merged dict
     val add = spark.read.parquet(s"${h.path}/append.pending/postings")
       .groupBy("bucket", "token").agg(count(lit(1)).as("df"))
-    spark.read.parquet(s"${h.path}/dict")
-      .select("bucket", "token", "df").unionByName(add)
-      .groupBy("bucket", "token").agg(sum("df").as("df"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${h.path}/dict.next")
+    withWriterCoalesce(spark) {
+      spark.read.parquet(s"${h.path}/dict")
+        .select("bucket", "token", "df").unionByName(add)
+        .groupBy("bucket", "token").agg(sum("df").as("df"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${h.path}/dict.next")
+    }
     crash(3)
     // 4. commit point — fenced: a writer that lost its lease to a
     // stale-takeover while staging must not commit into the successor's
@@ -455,28 +465,30 @@ object TextIndex {
       renameOrFail(fs, tmpP, dstP)
       fs.delete(bakP, true)
     }
-    spark.read.parquet(s"${h.path}/postings")
-      .repartition(col("bucket"),
-        pmod(xxhash64(col("token")), lit(filesPerPartition)))
-      .sortWithinPartitions("token", "doc_id")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${h.path}/postings_compact_tmp")
-    swap("postings_compact_tmp", "postings")
-    if (fs.exists(new HPath(h.path, "doclen"))) {
-      spark.read.parquet(s"${h.path}/doclen")
-        .repartition(filesPerPartition, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(s"${h.path}/doclen_compact_tmp")
-      swap("doclen_compact_tmp", "doclen")
-    }
-    if (fs.exists(new HPath(h.path, "positions"))) {
-      spark.read.parquet(s"${h.path}/positions")
+    withWriterCoalesce(spark) {
+      spark.read.parquet(s"${h.path}/postings")
         .repartition(col("bucket"),
           pmod(xxhash64(col("token")), lit(filesPerPartition)))
-        .sortWithinPartitions("token", "doc_id", "pos")
+        .sortWithinPartitions("token", "doc_id")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"${h.path}/positions_compact_tmp")
-      swap("positions_compact_tmp", "positions")
+        .parquet(s"${h.path}/postings_compact_tmp")
+      swap("postings_compact_tmp", "postings")
+      if (fs.exists(new HPath(h.path, "doclen"))) {
+        spark.read.parquet(s"${h.path}/doclen")
+          .repartition(filesPerPartition, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"${h.path}/doclen_compact_tmp")
+        swap("doclen_compact_tmp", "doclen")
+      }
+      if (fs.exists(new HPath(h.path, "positions"))) {
+        spark.read.parquet(s"${h.path}/positions")
+          .repartition(col("bucket"),
+            pmod(xxhash64(col("token")), lit(filesPerPartition)))
+          .sortWithinPartitions("token", "doc_id", "pos")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"${h.path}/positions_compact_tmp")
+        swap("positions_compact_tmp", "positions")
+      }
     }
     h // layout maintenance only — content and meta are unchanged
   }
@@ -491,13 +503,15 @@ object TextIndex {
                       text: String = "text"): Unit =
       Lease.withLease(h.path, "TextIndex.writePositional") {
     Lease.fence(h.path, "TextIndex.writePositional")
-    docs
-      .select(col("doc_id"),
-        posexplode(TextOps.tokens(col(text))).as(Seq("pos", "token")))
-      .withColumn("bucket",
-        pmod(TextOps.md5Long(col("token")), lit(h.buckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${h.path}/positions")
+    withWriterCoalesce(docs.sparkSession) {
+      docs
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col(text))).as(Seq("pos", "token")))
+        .withColumn("bucket",
+          pmod(TextOps.md5Long(col("token")), lit(h.buckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${h.path}/positions")
+    }
     }
 
   /** Exact phrase search over the positional tier — [[TextOps

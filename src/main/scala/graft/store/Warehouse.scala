@@ -49,12 +49,14 @@ object Warehouse {
       require(bad == 0L, "non-monotonic or zero timestamp in ingest batch")
     }
 
-    points
-      .withColumn("tb", AggOps.intervalBegin(col("time"), meta.intervalMax))
-      .repartition(col("tb"))
-      .sortWithinPartitions("metric", "time")
-      .write.mode(SaveMode.Overwrite).partitionBy("tb")
-      .parquet(s"$root/raw")
+    withWriterCoalesce(points.sparkSession) {
+      points
+        .withColumn("tb", AggOps.intervalBegin(col("time"), meta.intervalMax))
+        .repartition(col("tb"))
+        .sortWithinPartitions("metric", "time")
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(s"$root/raw")
+    }
 
     // level ladder: L0 from raw (one gapLift shuffle), k→k+1 from level k
     val ladder = meta.levelIntervals
@@ -79,10 +81,12 @@ object Warehouse {
   }
 
   private def writeLevel(level: DataFrame, root: String, mode: SaveMode): Unit =
-    level.repartition(col("interval"))
-      .sortWithinPartitions("metric", "time")
-      .write.mode(mode).partitionBy("interval")
-      .parquet(s"$root/levels")
+    withWriterCoalesce(level.sparkSession) {
+      level.repartition(col("interval"))
+        .sortWithinPartitions("metric", "time")
+        .write.mode(mode).partitionBy("interval")
+        .parquet(s"$root/levels")
+    }
 
   /** public alias for streaming sinks */
   def writeMetaPublic(meta: Meta, root: String, spark: SparkSession): Unit =
@@ -141,12 +145,14 @@ object Warehouse {
         case r => r.getLong(0)
       }
 
-    points
-      .withColumn("tb", AggOps.intervalBegin(col("time"), meta.intervalMax))
-      .repartition(col("tb"))
-      .sortWithinPartitions("metric", "time")
-      .write.mode(SaveMode.Append).partitionBy("tb")
-      .parquet(s"$root/raw")
+    withWriterCoalesce(points.sparkSession) {
+      points
+        .withColumn("tb", AggOps.intervalBegin(col("time"), meta.intervalMax))
+        .repartition(col("tb"))
+        .sortWithinPartitions("metric", "time")
+        .write.mode(SaveMode.Append).partitionBy("tb")
+        .parquet(s"$root/raw")
+    }
 
     for (interval <- meta.levelIntervals) {
       val closedEnd = closedEndAt(spark, root, interval)
@@ -391,20 +397,22 @@ object Warehouse {
       require(fs.rename(tmpP, dstP), s"compact: rename $tmp -> $dst failed")
       fs.delete(bakP, true)
     }
-    readLevels(spark, root)
-      .repartition(col("interval"),
-        pmod(xxhash64(col("metric")), lit(filesPerPartition)))
-      .sortWithinPartitions("metric", "time")
-      .write.mode(SaveMode.Overwrite).partitionBy("interval")
-      .parquet(s"$root/levels_compact_tmp")
-    swap(s"$root/levels_compact_tmp", s"$root/levels")
-    spark.read.parquet(s"$root/raw")
-      .repartition(col("tb"),
-        pmod(xxhash64(col("metric")), lit(filesPerPartition)))
-      .sortWithinPartitions("metric", "time")
-      .write.mode(SaveMode.Overwrite).partitionBy("tb")
-      .parquet(s"$root/raw_compact_tmp")
-    swap(s"$root/raw_compact_tmp", s"$root/raw")
+    withWriterCoalesce(spark) {
+      readLevels(spark, root)
+        .repartition(col("interval"),
+          pmod(xxhash64(col("metric")), lit(filesPerPartition)))
+        .sortWithinPartitions("metric", "time")
+        .write.mode(SaveMode.Overwrite).partitionBy("interval")
+        .parquet(s"$root/levels_compact_tmp")
+      swap(s"$root/levels_compact_tmp", s"$root/levels")
+      spark.read.parquet(s"$root/raw")
+        .repartition(col("tb"),
+          pmod(xxhash64(col("metric")), lit(filesPerPartition)))
+        .sortWithinPartitions("metric", "time")
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(s"$root/raw_compact_tmp")
+      swap(s"$root/raw_compact_tmp", s"$root/raw")
+    }
     open(spark, root)
   }
 

@@ -25,4 +25,28 @@ package graft
   * logs a once-per-scheme warning when an index root resolves to a known
   * object-store scheme. Readers are unaffected either way (append-only
   * or swap-published state by design). */
-package object store
+package object store {
+  /** Run a STORE WRITE with AQE's partition-coalescing floor scoped to
+    * the writer's file-sizing target (64 MB — guide-of-record output
+    * sizing), independent of the session's QUERY-tuned floor. The r16
+    * optimization round lowered the session floor to 64 KB so that
+    * compute-heavy sub-MB shuffles parallelize; a writer inheriting that
+    * floor fragments its output (BandIndexSpec measured 64 live band
+    * files where the auto-compact contract allows 40). Writers own their
+    * output layout: within this scope small indexes coalesce to one
+    * partition (one file per partitionBy value — the pre-r16 behavior)
+    * and at scale partitions target the advisory size, exactly as
+    * before. Conf is restored on exit (same scoped-conf discipline as
+    * Dedup.checkpointKeepingMetrics). */
+  private[graft] def withWriterCoalesce[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "64m")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

@@ -142,11 +142,13 @@ class DedupGraphSpec extends SparkSpec {
   }
 
   test("label propagation enforces its maxIters bound on a long path") {
-    // a 40-vertex path has diameter 39 > maxIters=10 → must refuse, not
+    // with the r16 pointer jump each round covers ≤ 2·reach + 1 hops
+    // (reach after r rounds = 2^r − 1), so a 40-vertex path (diameter 39)
+    // cannot converge in 4 rounds (reach 15 < 39) → must refuse, not
     // silently return half-converged labels
     val path = (0L until 39L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(edgesDf(path), maxIters = 10)
+      Dedup.connectedComponents(edgesDf(path), maxIters = 4)
     }
     assert(e.getMessage.contains("converge"))
   }
