@@ -48,15 +48,25 @@ object Ann {
   private def normQ(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x).cast("double"))
 
+  /** [[normQ]] through the codegen'd graft_dot primitive — Σa² = ⟨a,a⟩ is
+    * the same exact int64 sum, so the double sqrt is bit-identical. Used
+    * at every per-CORPUS-row call site (norms run once per corpus vector;
+    * the interpreted transform/aggregate pair allocates a squared array
+    * and runs two closures per element). normQ stays for the reference
+    * (interpreted-on-purpose) forms. */
+  private def normFast(spark: org.apache.spark.sql.SparkSession)(a: Column): Column =
+    sqrt(dotFast(spark)(a, a).cast("double"))
+
   /** Exact cosine top-k for each query vector. `queries` and `corpus` both
     * (id, embedding); queries assumed small → broadcast (no shuffle of the
     * corpus at all; the only wide op is the per-query top-k window over
     * corpus-partition-local candidates). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val q = broadcast(queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qe"))
-      .withColumn("qn", normQ(col("qe"))))
+      .withColumn("qn", normFast(spark)(col("qe"))))
     val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
-      .withColumn("vn", normQ(col("ve")))
+      .withColumn("vn", normFast(spark)(col("ve")))
     val scored = c.join(q, col("qid") =!= col("vid"))
       .withColumn("cosine", dotFast(corpus.sparkSession)(col("qe"), col("ve"))
         .cast("double") / (col("qn") * col("vn")))
@@ -80,12 +90,13 @@ object Ann {
     * @return (qid, q_label, vid, neg_label, rnk, cosine), ≤ k rows per
     *         query */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val q = broadcast(queries.select(col("vec_id").as("qid"),
         col("label").as("q_label"), quantize(col("embedding")).as("qe"))
-      .withColumn("qn", normQ(col("qe"))))
+      .withColumn("qn", normFast(spark)(col("qe"))))
     val c = corpus.select(col("vec_id").as("vid"),
         col("label").as("neg_label"), quantize(col("embedding")).as("ve"))
-      .withColumn("vn", normQ(col("ve")))
+      .withColumn("vn", normFast(spark)(col("ve")))
     val scored = c.join(q, col("q_label") =!= col("neg_label"))
       .withColumn("cosine", dotFast(corpus.sparkSession)(col("qe"), col("ve"))
         .cast("double") / (col("qn") * col("vn")))
@@ -270,49 +281,70 @@ object Ann {
     require(cent.length == ksub, s"corpus has fewer than ksub=$ksub rows")
     val dsub = dim / m
     val centLit = typedlit(cent)
+    // c·c sub-norm table (ksub × m), computed driver-side from the literal
+    // codebook — zero runtime cost (r17: the runtime dotFast(subc, subc)
+    // re-derived this compile-time constant per row × subspace × centroid)
+    val ccTab: Seq[Seq[Long]] = cent.map { cv =>
+      (0 until m).map { j =>
+        var s = 0L; var i = 0
+        while (i < dsub) { val x = cv(j * dsub + i); s += x * x; i += 1 }
+        s
+      }
+    }
+    val ccLit = typedlit(ccTab)
     val spark = corpus.sparkSession
-    // L2² between sub-vector j of `vec` and codebook entry c (1-based
-    // element_at positions; j, c are 0-based lambda ints), computed as
-    // x·x − 2·x·c + c·c over array SLICES so each sub-distance is three
-    // graft_dot primitive loops (one expression eval each) instead of a
-    // dsub-step aggregate() whose per-element lambda machinery dominated
-    // the encode (r16 profile: the whole query ran as one interpreted
-    // stage). Identical exact-int64 values — Σ(x−c)² expands to exactly
-    // these three sums, and the quantized-grid magnitudes keep every
-    // partial far under 2⁶³.
-    def subDist(vec: Column, j: Column, c: Column): Column = {
+    // x·c between sub-vector j of `vec` and codebook entry c (1-based
+    // element_at positions; j, c are 0-based lambda ints) — one codegen'd
+    // graft_dot primitive loop over array slices instead of a dsub-step
+    // aggregate() whose per-element lambda machinery dominated the encode
+    // (r16 profile: the whole query ran as one interpreted stage).
+    def subXc(vec: Column, j: Column, c: Column): Column = {
       val sub = slice(vec, j * dsub + lit(1), lit(dsub))
       val subc = slice(element_at(centLit, c + 1), j * dsub + lit(1), lit(dsub))
-      val xc = dotFast(spark)(sub, subc)
-      dotFast(spark)(sub, sub) - xc - xc + dotFast(spark)(subc, subc)
+      dotFast(spark)(sub, subc)
     }
+    // code assignment = argmin_c Σ(x−c)² = argmin_c (c·c − 2·x·c): the x·x
+    // term is constant across the ksub candidates, so dropping it shifts
+    // every score equally — argmin position and ties are bit-identical
+    // (exact int64), and the encode pays ONE dot per (j, c) instead of the
+    // r16 form's three (x·x re-evaluated per centroid, c·c per row).
     val codesCol = transform(sequence(lit(0), lit(m - 1)), j => {
-      val dists = transform(sequence(lit(0), lit(ksub - 1)), c =>
-        subDist(col("ve"), j, c))
+      val scores = transform(sequence(lit(0), lit(ksub - 1)), c => {
+        val xc = subXc(col("ve"), j, c)
+        element_at(element_at(ccLit, c + 1), j + 1) - xc - xc
+      })
       // first position of the min → smallest c on ties
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      (array_position(scores, array_min(scores)) - 1).cast("int")
     })
-    // the codes frame repartitions to the configured shuffle parallelism
-    // before the ADC join: codes are m small ints per vector (the column
-    // this scaladoc already prescribes STORING at scale — shuffling it is
-    // m bytes/vector), and without the exchange the interpreted ADC
-    // lookup join stays fused into the corpus scan — a single task when
-    // the input is one parquet row group (profiled 2.8 s on one core at
-    // sf0.1, the whole query)
     val c = corpus.select(col("vec_id").as("vid"),
         quantize(col("embedding")).as("ve"))
       .withColumn("codes", codesCol).select("vid", "codes")
+    // the query table needs the FULL sub-distance x·x − 2·x·c + c·c (adist
+    // values are output); x·x is hoisted to one eval per subspace via the
+    // qxx array column instead of ksub re-evals inside the inner lambda
+    val qxxCol = transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(col("qe"), j * dsub + lit(1), lit(dsub))
+      dotFast(spark)(sub, sub)
+    })
     val dtabCol = transform(sequence(lit(0), lit(m - 1)), j =>
-      transform(sequence(lit(0), lit(ksub - 1)), cc =>
-        subDist(col("qe"), j, cc)))
+      transform(sequence(lit(0), lit(ksub - 1)), cc => {
+        val xc = subXc(col("qe"), j, cc)
+        element_at(col("qxx"), j + 1) - xc - xc +
+          element_at(element_at(ccLit, cc + 1), j + 1)
+      }))
     val q = broadcast(queries.select(col("vec_id").as("qid"),
         quantize(col("embedding")).as("qe"))
+      .withColumn("qxx", qxxCol)
       .withColumn("dtab", dtabCol).select("qid", "dtab"))
+    // ADC fold unrolled over the literal m: a plain codegen'd sum of m
+    // element_at lookups, not an interpreted aggregate() lambda — this
+    // runs once per (query, candidate) pair, the true inner loop
+    val adistCol = (0 until m).map(j =>
+        element_at(element_at(col("dtab"), j + 1),
+          element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
     val scored = c.join(q, col("qid") =!= col("vid"))
-      .withColumn("adist",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
-          acc + element_at(element_at(col("dtab"), j + 1),
-            element_at(col("codes"), j + 1) + 1)))
+      .withColumn("adist", adistCol)
     val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("vid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -357,6 +389,28 @@ object Ann {
   def ivfAssignWithDist(corpus: DataFrame,
                         centroids: Array[(Long, Array[Long])]): DataFrame = {
     val spark = corpus.sparkSession
+    if (centroids.nonEmpty &&
+        spark.catalog.functionExists("graft_ivf_argmin")) {
+      // r17: the codegen'd `graft_ivf_argmin` expression replaces the r16
+      // RDD map. The RDD round-trip forced an InternalRow→Row→InternalRow
+      // conversion per vector, ran the centroid scan as an interpreted
+      // closure outside whole-stage codegen, and erased size estimates
+      // (every caller that joined the assignment back onto its own source
+      // subtree planned blind). Identical assignment semantics: exact
+      // Σ(v−c)² in int64, strict-< keep-first tie rule — bit-equality with
+      // the RDD loop is spec-pinned (FunctionsSpec) and oracle-checked
+      // (q196/q43/q193/q194). Both struct fields are projected from ONE
+      // expression eval (codegen subexpression elimination).
+      val centLit = typedlit(centroids.map(_._2.toSeq).toSeq)
+      return corpus
+        .select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
+        .withColumn("_bd", call_function("graft_ivf_argmin", col("ve"), centLit))
+        .select(col("vid"), col("ve"),
+          col("_bd").getField("list_id").as("list_id"),
+          col("_bd").getField("adist").as("adist"))
+    }
+    // fallback (session without GraftExtensions, or an empty quantizer —
+    // the historical behavior assigns list 0 at distance Long.MaxValue)
     val bc = spark.sparkContext.broadcast(centroids)
     val rdd = corpus.select(col("vec_id"), quantize(col("embedding")).as("e"))
       .rdd.map { r =>
@@ -431,9 +485,9 @@ object Ann {
     val cents =
       if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
       else ivfCentroids(corpus, nlist)
-    val assigned = ivfAssign(corpus, cents)
-      .withColumn("vn", normQ(col("ve")))
     val spark = corpus.sparkSession
+    val assigned = ivfAssign(corpus, cents)
+      .withColumn("vn", normFast(spark)(col("ve")))
     val bc = spark.sparkContext.broadcast(cents)
     val qRdd = queries.select(col("vec_id"), quantize(col("embedding")).as("e"))
       .rdd.flatMap { r =>
@@ -453,7 +507,7 @@ object Ann {
         f => f.copy(name = f.name match {
           case "vid" => "qid"; case "ve" => "qe"; case other => other })
       }))
-    val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
+    val qb = broadcast(q.withColumn("qn", normFast(spark)(col("qe"))))
     val scored = assigned.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
       .withColumn("cosine", dotFast(spark)(col("qe"), col("ve"))
         .cast("double") / (col("qn") * col("vn")))
@@ -561,7 +615,8 @@ object Ann {
     * norm probes consume. */
   private[graft] def ivfStoredRows(corpus: DataFrame,
                                    cents: Array[(Long, Array[Long])]): DataFrame =
-    ivfAssign(corpus, cents).withColumn("vn", normQ(col("ve")))
+    ivfAssign(corpus, cents)
+      .withColumn("vn", normFast(corpus.sparkSession)(col("ve")))
 
   /** [[ivfStoredRows]] plus the `adist` residual column — the writer
     * observes drift aggregates on it DURING the write pass
@@ -569,7 +624,8 @@ object Ann {
     * so the stored schema stays (vid, ve, list_id, vn). */
   private[graft] def ivfStoredRowsWithDist(corpus: DataFrame,
                                            cents: Array[(Long, Array[Long])]): DataFrame =
-    ivfAssignWithDist(corpus, cents).withColumn("vn", normQ(col("ve")))
+    ivfAssignWithDist(corpus, cents)
+      .withColumn("vn", normFast(corpus.sparkSession)(col("ve")))
 
   /** Open a persisted index: only the nlist-row quantizer is read eagerly
     * (it must sit on the driver to route probes); the inverted lists stay
@@ -622,7 +678,7 @@ object Ann {
         f => f.copy(name = f.name match {
           case "vid" => "qid"; case "ve" => "qe"; case other => other })
       }))
-    val qb = broadcast(q.withColumn("qn", normQ(col("qe"))))
+    val qb = broadcast(q.withColumn("qn", normFast(spark)(col("qe"))))
     val scored = vecs.join(qb, Seq("list_id")).where(col("qid") =!= col("vid"))
       .withColumn("cosine", dotFast(spark)(col("qe"), col("ve"))
         .cast("double") / (col("qn") * col("vn")))
@@ -809,14 +865,14 @@ object Ann {
     val spark = corpus.sparkSession
     val c = corpus.select(col("vec_id").as("vid"), quantize(col("embedding")).as("ve"))
       .withColumn("bucket", lshBucketFromQuantized(spark)(col("ve"), h, dim))
-      .withColumn("vn", normQ(col("ve")))
+      .withColumn("vn", normFast(spark)(col("ve")))
     val probes = (0 to h).map { i =>
       if (i == 0) col("qb") else col("qb").bitwiseXOR(lit(1L << (i - 1)))
     }
     val q = broadcast(queries
       .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qe"))
       .withColumn("qb", lshBucketFromQuantized(spark)(col("qe"), h, dim))
-      .withColumn("qn", normQ(col("qe")))
+      .withColumn("qn", normFast(spark)(col("qe")))
       .withColumn("bucket", explode(array(probes: _*))))
     val scored = c.join(q, Seq("bucket")).where(col("qid") =!= col("vid"))
       .withColumn("cosine", dotFast(corpus.sparkSession)(col("qe"), col("ve"))
@@ -932,10 +988,16 @@ object Ann {
     val spark = corpus.sparkSession
     val cents = kmeansCentroids(corpus, nlist)
     val asg = ivfAssign(corpus, cents)   // (vid, ve, list_id), corpus-narrow
-    val d2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-    val n2 = (a: Column) =>
-      aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    // r17: both distance forms through the codegen'd graft_dot primitive
+    // instead of interpreted aggregate/zip_with lambdas — the n2 form runs
+    // once per CORPUS row. Σ(a−b)² = a·a + b·b − 2⟨a,b⟩ and Σa² = ⟨a,a⟩
+    // are bit-exact int64 identities (congruent mod 2⁶⁴ even under
+    // wraparound), so every guard fires on exactly the same values.
+    val d2 = (a: Column, b: Column) => {
+      val ab = dotFast(spark)(a, b)
+      dotFast(spark)(a, a) + dotFast(spark)(b, b) - ab - ab
+    }
+    val n2 = (a: Column) => dotFast(spark)(a, a)
     // centroid table: nlist rows, rides broadcast everywhere below
     val centDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(cents.toIndexedSeq.zipWithIndex.map {

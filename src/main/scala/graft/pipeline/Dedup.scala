@@ -2088,8 +2088,10 @@ object Dedup {
     // branches, and the eager materialization serializes what the lazy
     // plan overlaps. Left lazy.)
     val withN = v.join(asg, "doc_id")
-      .withColumn("n2",
-        aggregate(transform(col("cv"), x => x * x), lit(0L), _ + _))
+      // Σcv² through the codegen'd graft_dot (r17): same exact int64 sum
+      // as the interpreted transform/aggregate pair, evaluated once per
+      // corpus row on a frame that is referenced three times below
+      .withColumn("n2", Ann.dotFast(spark)(col("cv"), col("cv")))
       .withColumn("n2",
         when(col("n2") > maxN2 || col("n2") < 0L,
           raise_error(concat(lit("semanticDedup: doc "), col("doc_id"),

@@ -232,5 +232,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new RollupRoutingRule)
     ext.injectFunction(graft.functions.DotProductLong.descriptor)
     ext.injectFunction(graft.functions.BloomMightContain.descriptor)
+    ext.injectFunction(graft.functions.IvfArgminL2.descriptor)
   }
 }
