@@ -1725,9 +1725,20 @@ object Dedup {
   def connectedComponents(edges: DataFrame, a: String = "doc_a",
                           b: String = "doc_b", maxIters: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    // symmetric edges partitioned by DST before the persist (r17, guide
+    // §2.4): every round's neighbour propagation groups by dst, and the
+    // label side of the propagation join broadcasts under the measured
+    // vertex cap (below), so the join preserves this partitioning and the
+    // groupBy(dst) plans with NO exchange — one edge-sized shuffle at
+    // build time replaces one per round. persist keeps the partitioning
+    // visible (an eager localCheckpoint under AQE reports
+    // UnknownPartitioning — probed r17); the partition count is the
+    // session's shuffle.partitions, scale-adaptive.
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Each round is locally CHECKPOINTED, not persisted: `next` references
     // `labels` twice (propagation join + carry), so the logical plan would
@@ -1740,6 +1751,15 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var changed = labels.count() // any vertices? enter the loop
+    // vertex-sized join sides get an EXPLICIT broadcast under a measured
+    // cap (checkpointed frames give the static planner no usable estimate
+    // — the q180/routePairFrame lesson applied in reverse), and a plain
+    // shuffle join above it so a 100 TB vertex set is never collected on
+    // an estimate. `changed` here is exactly the vertex count.
+    val maxBcVerts = spark.conf.getOption("spark.graft.maxBroadcastVertices")
+      .map(_.trim.toLong).getOrElse(4000000L)
+    val vertexSide: DataFrame => DataFrame =
+      if (changed <= maxBcVerts) broadcast else identity
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       // POINTER JUMP first (label := min(label, label of the label) —
@@ -1755,17 +1775,18 @@ object Dedup {
       // the edge-sized prop chain. Fixpoint — min reachable id — is
       // unchanged (spec: ComponentsSpec; oracle: q49/q51/q114/q186).
       val jt = labels.select(col("doc_id").as("_jk"), col("cluster_id").as("_jmp"))
-      val jumped = labels.join(jt, col("cluster_id") === jt("_jk"), "left")
+      val jumped = labels.join(vertexSide(jt), col("cluster_id") === jt("_jk"), "left")
         .select(col("doc_id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("_jmp"), col("cluster_id")))
             .as("_jl"))
       val prop = sym
-        .join(jumped.select(col("doc_id").as("src"), col("_jl").as("_lbl")), "src")
+        .join(vertexSide(
+          jumped.select(col("doc_id").as("src"), col("_jl").as("_lbl"))), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("_lbl").as("_nbr"))
       // the changed-row count rides the checkpoint materialization
       // (checkpointWithStat) instead of a second count() action per round
       val (next, nChanged) = checkpointWithStat(
-        jumped.join(prop, Seq("doc_id"), "left")
+        jumped.join(vertexSide(prop), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("_jl"), coalesce(col("_nbr"), col("_jl")))
               .as("cluster_id"),

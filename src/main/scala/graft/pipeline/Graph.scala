@@ -58,34 +58,60 @@ object Graph {
                iters: Int = 5, scale: Long = 1000000L,
                damp: Long = 850000L): DataFrame = {
     require(iters >= 1 && scale > 0 && damp >= 0 && damp <= scale)
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
     val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
-    // degree-annotated edges: built once, reused every round
-    val ed = e.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    // degree-annotated edges: built once, reused every round. Partitioned
+    // by DST and PERSISTED (r17, guide §2.4): every round's contribution
+    // aggregate groups by dst, so when the rank side of the per-round
+    // join broadcasts (below), the join preserves this partitioning and
+    // the groupBy(dst) plans with NO exchange — one edge-sized shuffle at
+    // build time replaces one per iteration (profiled at sf0.1: 13.8 MB
+    // × 5 rounds, and under AQE the runtime SMJ→BHJ conversion still
+    // paid the per-round shuffle WRITE). persist, not localCheckpoint:
+    // an eager checkpoint under AQE reports UnknownPartitioning (probed
+    // r17), while a cached plan keeps its output partitioning
+    // (canChangeCachedPlanOutputPartitioning defaults to false). The
+    // partition count is the session's shuffle.partitions —
+    // scale-adaptive, not a local constant. Unpersisted before return.
+    val ed = e.join(deg, "src").repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertex count rides the nodes checkpoint (zero extra jobs) and
+    // routes the per-round vertex-sized join sides: an explicit broadcast
+    // under the cap (the static planner never sees a usable estimate for
+    // checkpointed frames — the q180/routePairFrame lesson applied in
+    // reverse), a plain shuffle join above it, so the 100 TB vertex set
+    // can never be collected into the driver on an estimate.
+    val (nodes, nVerts) = Dedup.checkpointWithStat(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct(), count(lit(1)))(_.count())
+    val maxBcVerts = spark.conf.getOption("spark.graft.maxBroadcastVertices")
+      .map(_.trim.toLong).getOrElse(4000000L)
+    val vertexSide: DataFrame => DataFrame =
+      if (nVerts <= maxBcVerts) broadcast else identity
     val teleport = ((scale - damp) * scale) / scale
-    // Per-round eager checkpoints are ALSO what lets AQE plan each
-    // round's joins from MEASURED sizes: the rank frame is vertex-sized
-    // and broadcasts. (r16 optimization note: chaining all rounds into
-    // one lazy plan — `rank` is single-referenced, so depth only grows
-    // linearly — was MEASURED 6x SLOWER at sf0.1: the un-materialized
-    // rank side loses its runtime size, the per-round joins fall back to
-    // shuffle joins on estimates, and the edge frame re-shuffles every
-    // round. Kept per-round.)
+    // Per-round eager checkpoints keep plan depth constant. (r16
+    // optimization note: chaining all rounds into one lazy plan — `rank`
+    // is single-referenced, so depth only grows linearly — was MEASURED
+    // 6x SLOWER at sf0.1: the un-materialized rank side loses its runtime
+    // size, the per-round joins fall back to shuffle joins on estimates,
+    // and the edge frame re-shuffles every round. Kept per-round.)
     var rank = nodes.withColumn("rank_scaled", lit(scale))
     for (_ <- 1 to iters) {
       val contrib = ed
-        .join(rank.select(col("node").as("src"), col("rank_scaled")), "src")
+        .join(vertexSide(rank.select(col("node").as("src"), col("rank_scaled"))),
+          "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_scaled div _deg")).as("_c"))
-      rank = nodes.join(contrib, Seq("node"), "left")
+      rank = nodes.join(vertexSide(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($damp * coalesce(_c, 0L)) div $scale")).as("rank_scaled"))
         .localCheckpoint()
     }
+    ed.unpersist()
     rank
   }
 
