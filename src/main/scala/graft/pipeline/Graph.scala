@@ -195,8 +195,16 @@ object Graph {
                    maxDepth: Int = 16): DataFrame = {
     require(sources.nonEmpty, "need at least one source vertex")
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    import org.apache.spark.storage.StorageLevel
+    // edge frame partitioned by _s and PERSISTED (r17): each round joins
+    // the frontier on _s, and the frontier side broadcasts under the
+    // measured vertex cap (below) — the join then preserves this
+    // partitioning and pays NO edge shuffle per round (same pattern as
+    // pageRank/connectedComponents; localCheckpoint under AQE loses the
+    // partitioning). Unpersisted before return.
     val e = edges.select(col(src).as("_s"), col(dst).as("_d"))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("_s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
     // sources restricted to vertices that exist in the graph keeps the
@@ -210,25 +218,36 @@ object Graph {
     var frontier = dist
     var d = 0L
     var frontierSize = frontier.count()
+    // frontier/visited sides are vertex-BOUNDED: explicit broadcast under
+    // the measured cap (checkpointed frames carry no usable estimate for
+    // the static planner), plain joins above it — never an
+    // estimate-driven driver collect at 100 TB vertex counts
+    val maxBcVerts = spark.conf.getOption("spark.graft.maxBroadcastVertices")
+      .map(_.trim.toLong).getOrElse(4000000L)
+    def vertexSide(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= maxBcVerts) broadcast(df) else df
     // the frontier size rides the frontier's checkpoint materialization
     // (Dedup.checkpointWithStat) instead of a per-round count() action.
     // (r16 optimization note: replacing the accumulated visited-set
     // checkpoint with a lazy union of per-round legs was MEASURED SLOWER
     // — 3.0 -> 3.5 s at sf0.1 — the per-round anti-join over a growing
     // union re-plans worse than one cached frame; kept as-is.)
+    var distSize = frontierSize
     while (frontierSize > 0 && d < maxDepth) {
       d += 1
       val (next, n) = Dedup.checkpointWithStat(
-        frontier
+        vertexSide(frontier, frontierSize)
           .join(e, frontier("node") === e("_s"))
           .select(col("_d").as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
+          .join(vertexSide(dist, distSize), Seq("node"), "left_anti")
           .withColumn("dist", lit(d)),
         count(lit(1)))(_.count())
       frontierSize = n
+      distSize += n
       if (frontierSize > 0) dist = dist.unionByName(next).localCheckpoint()
       frontier = next
     }
+    e.unpersist()
     dist
   }
 
