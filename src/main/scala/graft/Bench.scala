@@ -18,7 +18,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // match GraftSession: sub-MB shuffles here carry compute-heavy
       // gram/window rows; the 1 MB coalesce floor serialized them
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_FLOOR", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

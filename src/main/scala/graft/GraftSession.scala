@@ -33,7 +33,8 @@ object GraftSession {
       // letting sub-MB-but-compute-bound shuffles spread; at cluster
       // scale shuffles big enough to matter coalesce by the advisory
       // size exactly as before.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_FLOOR", "64k"))
       // default-on since 3.2, pinned explicitly: runtime re-splitting of
       // skewed shuffle joins is part of the 100 TB skew story alongside the
       // chunked gap lift (AggOps.gapLiftChunked)

@@ -15,7 +15,8 @@ object Verify {
       // ns-int64 timestamps stay LongType (engine is ns-exact; TimestampType is µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match GraftSession/Bench (verify must run the bench's plans)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_FLOOR", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -142,15 +142,22 @@ object Ann {
     * pair instead of dim float multiplies. */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                   dim: Int): DataFrame = {
+    val nw = (dim + 31) / 32
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       signBits(col("embedding"), dim).as("qb")))
     val c = corpus.select(col("vec_id").as("vid"),
       signBits(col("embedding"), dim).as("vb"))
+    // per-PAIR distance unrolled over the literal word count: a plain
+    // codegen'd sum of nw XOR+popcounts (r17 — the zip_with/aggregate
+    // lambda pair was interpreted, paid once per (query, candidate) pair);
+    // both arrays are exactly nw words by construction, so the sum is the
+    // identical fold
+    val hammingCol = (0 until nw).map(i =>
+        bit_count(element_at(col("qb"), i + 1)
+          .bitwiseXOR(element_at(col("vb"), i + 1))).cast("long"))
+      .reduce(_ + _)
     val scored = c.join(q, col("qid") =!= col("vid"))
-      .withColumn("hamming",
-        aggregate(zip_with(col("qb"), col("vb"),
-            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("hamming", hammingCol)
     val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("vid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
