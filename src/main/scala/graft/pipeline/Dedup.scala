@@ -2107,8 +2107,17 @@ object Dedup {
     // at sf0.1 (q115 4.1 -> 11.9 s repeatable): Spark's exchange reuse
     // already deduplicates the heavy vectorize subtree across the three
     // branches, and the eager materialization serializes what the lazy
-    // plan overlaps. Left lazy.)
-    val withN = v.join(asg, "doc_id")
+    // plan overlaps. Left lazy — and CONFIRMED at ×100 scale this round:
+    // graft.ScalingLeg's 500 k-doc probe measured the materialized
+    // variant slower at both 8 and 32 cores (numbers in SCALING.md), so
+    // the default stays lazy. The conf below exists for that probe and
+    // for corpora where re-tokenizing 3× loses to one materialization —
+    // identical results either way, it only moves WHEN the frame is
+    // computed.)
+    val materialize = spark.conf
+      .getOption("spark.graft.semanticDedup.materializeAssigned")
+      .exists(_.trim.toBoolean)
+    val withN0 = v.join(asg, "doc_id")
       // Σcv² through the codegen'd graft_dot (r17): same exact int64 sum
       // as the interpreted transform/aggregate pair, evaluated once per
       // corpus row on a frame that is referenced three times below
@@ -2120,6 +2129,9 @@ object Dedup {
               s"tauDen=$tauDen — chunk the doc, raise dim, or reduce tauDen")))
             .cast("long"))
           .otherwise(col("n2")))
+    val withN = if (materialize)
+      pinParallelism(withN0, col("doc_id")).localCheckpoint()
+    else withN0
     val withB = withN.withColumn("_blk",
       pmod(xxhash64(col("doc_id")), lit(blocks.toLong)).cast("int"))
     val a = withB
